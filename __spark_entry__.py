@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (LSH near-dup detection on documents).
+``queries()`` — every implemented operator from SURVEY.md §2 + the
+training-pipeline suite; each callable takes (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per query where SQL can express
+the semantics; minhash/euclidean signature queries are intentionally
+omitted (their bit-exactness is pinned by the golden-vector tests in
+``tests/test_core_golden.py`` — ChaCha12/FxHash streams are not
+SQL-expressible; the driver records a rows-only check).
 """
 
 from __future__ import annotations
@@ -14,25 +17,33 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registry() -> dict[str, tuple[Callable, str | None]]:
+    from lsh_spark.operators import lsh_queries, relational
+
+    merged: dict[str, tuple[Callable, str | None]] = {}
+    merged.update(relational.QUERIES)
+    merged.update(lsh_queries.QUERIES)
+    try:
+        from lsh_spark.operators import pipeline_queries
+
+        merged.update(pipeline_queries.QUERIES)
+    except ImportError:
+        pass
+    return merged
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: banded-MinHash near-dup pairs on sf0.001 documents."""
+    from lsh_spark.operators.lsh_queries import minhash_near_dup_pairs
+
+    return minhash_near_dup_pairs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in _registry().items() if sql is not None
+    }

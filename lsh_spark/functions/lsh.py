@@ -1,0 +1,281 @@
+"""The five reference LSH functions as Arrow-vectorized pandas UDF factories.
+
+Reference surface (``src/lib.rs:41-52``): ``lsh_min``, ``lsh_min32``,
+``lsh_jaccard``, ``lsh_euclidean``, ``lsh_euclidean32``.  Each factory here
+closes over the tuning parameters as Python literals — the compile-time
+analog of the reference's per-chunk constant-param rule
+(``src/lib.rs:29-38``; SURVEY.md §2.3) — and returns a ``Column`` usable in
+any DataFrame expression.  ``register_all`` exposes SQL names (see
+``register.py``).
+
+Type mapping (SURVEY.md §1.2):
+  * u64 hash lists → ``ArrayType(DecimalType(20,0))`` — preserves the
+    printed decimal value of the reference's UBIGINT output (u64 values
+    exceed int64).
+  * u32 hash lists → ``ArrayType(LongType())`` (lossless).
+  * For joins, the ``*_bands_long`` variants reinterpret u64 as two's
+    complement int64 — cheap, exact, equality-preserving (band joins only
+    compare for equality).
+
+NULL semantics: NULL input row → NULL output row, matching
+``src/minhash.rs:67-70,127-130,268-274`` / ``src/euclidean_hash.rs:80-83``.
+The UDFs are deterministic for fixed params, so Catalyst is free to
+collapse/reorder them (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    DecimalType,
+    DoubleType,
+    LongType,
+)
+
+from .._core.batch import (
+    jaccard_pairs_batch,
+    minhash_shingles_batch,
+    minhash_text_batch,
+)
+from .._core.euclidean import euclidean_bands_batch
+
+_DEC_ARRAY = ArrayType(DecimalType(20, 0))
+_LONG_ARRAY = ArrayType(LongType())
+
+
+def _u64_rows_to_decimal(mat: np.ndarray, mask: np.ndarray) -> pd.Series:
+    """(n, bands) uint64 + validity mask → Series of list[Decimal] / None."""
+    out = [
+        [Decimal(int(v)) for v in row] if ok else None
+        for row, ok in zip(mat, mask)
+    ]
+    return pd.Series(out, dtype=object)
+
+
+def _u64_rows_to_long(mat: np.ndarray, mask: np.ndarray, low32: bool) -> pd.Series:
+    if low32:
+        vals = (mat & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    else:
+        vals = mat.view(np.int64)  # two's complement reinterpretation
+    out = [row.tolist() if ok else None for row, ok in zip(vals, mask)]
+    return pd.Series(out, dtype=object)
+
+
+def _valid_text_mask(s: pd.Series) -> np.ndarray:
+    return s.notna().to_numpy()
+
+
+def _minhash_text_mat(s: pd.Series, width, bc, bs, seed):
+    mask = _valid_text_mask(s)
+    texts = ["" if not ok else t for t, ok in zip(s, mask)]
+    mat = minhash_text_batch(texts, width, bc, bs, seed)
+    return mat, mask
+
+
+def _minhash_shingle_mat(s: pd.Series, bc, bs, seed):
+    mask = np.array([v is not None and not (isinstance(v, float)) for v in s],
+                    dtype=bool)
+    lists = [list(v) if ok else [] for v, ok in zip(s, mask)]
+    mat = minhash_shingles_batch(lists, bc, bs, seed)
+    return mat, mask
+
+
+def lsh_min(col, ngram_width: int, band_count: int, band_size: int, seed: int) -> Column:
+    """``lsh_min(VARCHAR, ...) -> LIST(UBIGINT)`` (``src/minhash.rs:23-83``)."""
+
+    @pandas_udf(_DEC_ARRAY)
+    def _udf(s: pd.Series) -> pd.Series:
+        mat, mask = _minhash_text_mat(s, ngram_width, band_count, band_size, seed)
+        return _u64_rows_to_decimal(mat, mask)
+
+    return _udf(col)
+
+
+def lsh_min32(col, ngram_width: int, band_count: int, band_size: int, seed: int) -> Column:
+    """``lsh_min32``: exactly the low 32 bits of ``lsh_min`` (``src/lib.rs:23-27``)."""
+
+    @pandas_udf(_LONG_ARRAY)
+    def _udf(s: pd.Series) -> pd.Series:
+        mat, mask = _minhash_text_mat(s, ngram_width, band_count, band_size, seed)
+        return _u64_rows_to_long(mat, mask, low32=True)
+
+    return _udf(col)
+
+
+def lsh_min_shingles(col, band_count: int, band_size: int, seed: int) -> Column:
+    """``lsh_min(LIST(VARCHAR), ...)`` overload (``src/minhash.rs:85-150``)."""
+
+    @pandas_udf(_DEC_ARRAY)
+    def _udf(s: pd.Series) -> pd.Series:
+        mat, mask = _minhash_shingle_mat(s, band_count, band_size, seed)
+        return _u64_rows_to_decimal(mat, mask)
+
+    return _udf(col)
+
+
+def lsh_min32_shingles(col, band_count: int, band_size: int, seed: int) -> Column:
+    @pandas_udf(_LONG_ARRAY)
+    def _udf(s: pd.Series) -> pd.Series:
+        mat, mask = _minhash_shingle_mat(s, band_count, band_size, seed)
+        return _u64_rows_to_long(mat, mask, low32=True)
+
+    return _udf(col)
+
+
+def lsh_jaccard(col_a, col_b, ngram_width: int) -> Column:
+    """Exact Jaccard over hashed char-ngram sets (``src/minhash.rs:236-296``).
+
+    0.0 if either set is empty; NULL if either input is NULL."""
+
+    @pandas_udf(DoubleType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        mask = a.notna().to_numpy() & b.notna().to_numpy()
+        ta = ["" if not ok else v for v, ok in zip(a, mask)]
+        tb = ["" if not ok else v for v, ok in zip(b, mask)]
+        vals = jaccard_pairs_batch(ta, tb, ngram_width)
+        out = pd.Series(vals)
+        out[~mask] = None
+        return out
+
+    return _udf(col_a, col_b)
+
+
+def _euclidean_mat(s: pd.Series, bucket_width, bc, bs, seed):
+    mask = np.array([v is not None and not (isinstance(v, float) and np.isnan(v))
+                     for v in s], dtype=bool)
+    arrays = [np.asarray(v, dtype=np.float64) for v, ok in zip(s, mask) if ok]
+    n = len(s)
+    if not arrays:
+        return np.zeros((n, bc), dtype=np.uint64), mask
+    dims = {a.shape[0] for a in arrays}
+    if len(dims) != 1:
+        # mirrors src/euclidean_hash.rs:41
+        raise ValueError("All input arrays must have the same length")
+    xs = np.stack(arrays)
+    sub = euclidean_bands_batch(xs, bucket_width, bc, bs, seed)
+    mat = np.zeros((n, bc), dtype=np.uint64)
+    mat[mask] = sub
+    return mat, mask
+
+
+def lsh_euclidean(col, bucket_width: float, band_count: int, band_size: int,
+                  seed: int) -> Column:
+    """``lsh_euclidean(LIST(DOUBLE), ...)`` (``src/euclidean_hash.rs:20-98``)."""
+
+    @pandas_udf(_DEC_ARRAY)
+    def _udf(s: pd.Series) -> pd.Series:
+        mat, mask = _euclidean_mat(s, bucket_width, band_count, band_size, seed)
+        return _u64_rows_to_decimal(mat, mask)
+
+    return _udf(col)
+
+
+def lsh_euclidean32(col, bucket_width: float, band_count: int, band_size: int,
+                    seed: int) -> Column:
+    @pandas_udf(_LONG_ARRAY)
+    def _udf(s: pd.Series) -> pd.Series:
+        mat, mask = _euclidean_mat(s, bucket_width, band_count, band_size, seed)
+        return _u64_rows_to_long(mat, mask, low32=True)
+
+    return _udf(col)
+
+
+# --- join-layer variants: int64 two's-complement bands (equality-exact) ----
+
+def lsh_min_bands_long(col, ngram_width: int, band_count: int, band_size: int,
+                       seed: int) -> Column:
+    """u64 band hashes reinterpreted as int64 — the cheap representation for
+    band-equality blocking joins (no Decimal boxing)."""
+
+    @pandas_udf(_LONG_ARRAY)
+    def _udf(s: pd.Series) -> pd.Series:
+        mat, mask = _minhash_text_mat(s, ngram_width, band_count, band_size, seed)
+        return _u64_rows_to_long(mat, mask, low32=False)
+
+    return _udf(col)
+
+
+def lsh_euclidean_bands_long(col, bucket_width: float, band_count: int,
+                             band_size: int, seed: int) -> Column:
+    @pandas_udf(_LONG_ARRAY)
+    def _udf(s: pd.Series) -> pd.Series:
+        mat, mask = _euclidean_mat(s, bucket_width, band_count, band_size, seed)
+        return _u64_rows_to_long(mat, mask, low32=False)
+
+    return _udf(col)
+
+
+# --- shingle-set materialization (compute each doc's set once, reuse) ------
+
+def shingle_set_col(col, ngram_width: int) -> Column:
+    """Materialize the char-ngram shingle set (sorted unique u32 hashes as
+    int64) as a column.  Lets pair-heavy operators (similarity join, dedup)
+    hash each document ONCE instead of once per candidate pair."""
+    from .._core.batch import batch_window_hashes, flatten_texts
+
+    @pandas_udf(_LONG_ARRAY)
+    def _udf(s: pd.Series) -> pd.Series:
+        mask = s.notna().to_numpy()
+        texts = ["" if not ok else t for t, ok in zip(s, mask)]
+        hashes, offs = batch_window_hashes(*flatten_texts(texts), ngram_width)
+        out = []
+        for i, ok in enumerate(mask):
+            if not ok:
+                out.append(None)
+                continue
+            seg = np.unique(hashes[offs[i]: offs[i + 1]]).astype(np.int64)
+            out.append(seg.tolist())
+        return pd.Series(out, dtype=object)
+
+    return _udf(col)
+
+
+def minhash_bands_from_set(col, band_count: int, band_size: int, seed: int) -> Column:
+    """Banded MinHash (int64 band hashes) computed from a materialized
+    shingle-set column (output of :func:`shingle_set_col`)."""
+    from .._core.batch import minhash_from_window_hashes
+
+    @pandas_udf(_LONG_ARRAY)
+    def _udf(s: pd.Series) -> pd.Series:
+        mask = np.array([v is not None for v in s], dtype=bool)
+        lens = np.array([len(v) if ok else 0 for v, ok in zip(s, mask)],
+                        dtype=np.int64)
+        offs = np.zeros(len(s) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        flat = (np.concatenate([np.asarray(v, dtype=np.int64) for v, ok
+                                in zip(s, mask) if ok and len(v)])
+                .astype(np.uint64)
+                if lens.sum() else np.empty(0, dtype=np.uint64))
+        mat = minhash_from_window_hashes(flat, offs, band_count, band_size, seed)
+        return _u64_rows_to_long(mat, mask, low32=False)
+
+    return _udf(col)
+
+
+def jaccard_from_sets(col_a, col_b) -> Column:
+    """Exact Jaccard between two materialized shingle-set columns."""
+
+    @pandas_udf(DoubleType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.full(len(a), np.nan)
+        for i, (sa, sb) in enumerate(zip(a, b)):
+            if sa is None or sb is None:
+                continue
+            na, nb = len(sa), len(sb)
+            if na == 0 or nb == 0:
+                out[i] = 0.0
+                continue
+            xa = np.asarray(sa, dtype=np.int64)
+            xb = np.asarray(sb, dtype=np.int64)
+            ni = np.intersect1d(xa, xb, assume_unique=True).shape[0]
+            out[i] = ni / (na + nb - ni)
+        res = pd.Series(out)
+        return res.where(pd.notna(res), None)
+
+    return _udf(col_a, col_b)

@@ -1,0 +1,148 @@
+"""LSH / dedup query suite over the documents + embeddings tables.
+
+These are the reference's five functions exercised as full queries (the
+capability layer), plus the exact-dedup family.  Where the semantics are
+SQL-expressible, the DuckDB oracle is exact:
+
+  * ``lsh_jaccard`` similarity over char-ngrams equals Jaccard over *raw*
+    ngram strings unless a u32 hash collision occurs inside a document
+    (probability ≈ |set|²/2³³ per doc — negligible at oracle scale), so the
+    jaccard queries get a raw-ngram SQL oracle.
+  * minhash / euclidean signatures depend on ChaCha12+FxHash streams that
+    plain SQL cannot express → rows-only driver check; their bit-exactness
+    is pinned by the golden-vector suite instead (tests/test_core_golden.py).
+
+Column names are aligned with the oracles (driver hash-compares by sorted
+column name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.lsh import (
+    lsh_euclidean,
+    lsh_jaccard,
+    lsh_min,
+    lsh_min32,
+)
+from ..operators.similarity_join import lsh_self_dedup_pairs
+from ..sources.io import load_table
+
+# bounded sample for the all-pairs oracle-able query (45k pairs at any sf)
+_JACCARD_SAMPLE = 300
+
+
+def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs (jaccard > 0.6) among a bounded doc sample via
+    all-pairs ``lsh_jaccard``.  Oracle: raw-ngram Jaccard in SQL.
+
+    This is the *exact* baseline; ``minhash_near_dup_pairs`` is the
+    scalable LSH-blocked variant of the same question."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _JACCARD_SAMPLE)
+        .select("doc_id", "text")
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("jac", lsh_jaccard(F.col("ta"), F.col("tb"), 3))
+        .where(F.col("jac") > 0.6)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
+    )
+
+
+JACCARD_PAIRS_ORACLE = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_JACCARD_SAMPLE}),
+e AS (SELECT doc_id, text, unnest(generate_series(1, length(text)-2)) AS i FROM d),
+g AS (SELECT DISTINCT doc_id, substring(text, i, 3) AS gr FROM e),
+sz AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, count(*) ni
+  FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE ni * 1.0 / (sa.n + sb.n - ni) > 0.6
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_min over every document (rows-only driver check; bit-exactness
+    is established by the golden-vector tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lsh_min(F.col("text"), 3, 4, 2, 123).alias("minhash"),
+    )
+
+
+def minhash32_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lsh_min32(F.col("text"), 3, 4, 2, 123).alias("minhash32"),
+    )
+
+
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable near-dup detection: banded-MinHash blocking join + exact
+    jaccard verification (the README.md:133-163 usage pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_self_dedup_pairs(
+        docs, "text", id_col="doc_id",
+        ngram_width=3, band_count=8, band_size=2, seed=123, threshold=0.6,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def euclidean_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_euclidean over embeddings (cast float[] → double[]); rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        lsh_euclidean(
+            F.col("embedding").cast("array<double>"), 0.5, 4, 2, 123
+        ).alias("bucket_hashes"),
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group identical texts, keep the smallest doc_id as
+    canonical.  Scales as a single hash-aggregate on a text digest — at
+    100 TB, group on ``xxhash64(text)`` first, then verify within groups;
+    here text itself is the key (the digest pre-grouping is an internal
+    optimization, the semantics are identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select("canonical_id", "n_copies")
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM documents
+GROUP BY text
+HAVING count(*) > 1
+"""
+
+
+QUERIES = {
+    "jaccard_near_dup_pairs": (jaccard_near_dup_pairs, JACCARD_PAIRS_ORACLE),
+    "minhash_signatures": (minhash_signatures, None),
+    "minhash32_signatures": (minhash32_signatures, None),
+    "minhash_near_dup_pairs": (minhash_near_dup_pairs, None),
+    "euclidean_signatures": (euclidean_signatures, None),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
+}

@@ -1,0 +1,291 @@
+"""Relational query suite over the testdata star schema.
+
+The reference delegates all relational machinery to its host engine
+(SURVEY.md §2.4); in this port the host engine is Spark SQL/Catalyst, and
+this module demonstrates that the full relational surface (scan, filter,
+projection, join, aggregate, window) is covered with plans that hold at
+scale:
+
+  * every query is declarative DataFrame API → Catalyst applies predicate
+    pushdown, column pruning and join reordering (verified via
+    ``tests/test_plans.py``);
+  * small dimension tables are explicitly ``broadcast()``ed so the big
+    fact-table joins never shuffle the fact side by join key;
+  * floating-point aggregates are rounded at the output boundary so
+    results are stable across summation orders (and comparable with the
+    DuckDB oracle).
+
+Each entry is ``(fn(spark, sf_dir) -> DataFrame, oracle_sql or None)``;
+column names/aliases match the oracle exactly (driver hash-compares).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+
+_DEC_PRICE = "CAST(l_extendedprice AS DECIMAL(18,2))"
+_DEC_DISC = "CAST(1 - l_discount AS DECIMAL(18,2))"
+_DEC_TAX = "CAST(1 + l_tax AS DECIMAL(18,2))"
+_DEC_SUM_QTY = "CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)"
+_DEC_SUM_BASE = f"CAST(round(SUM({_DEC_PRICE}), 2) AS DOUBLE)"
+_DEC_SUM_DISC = f"CAST(round(SUM({_DEC_PRICE} * {_DEC_DISC}), 2) AS DOUBLE)"
+_DEC_SUM_CHARGE = f"CAST(round(SUM({_DEC_PRICE} * {_DEC_DISC} * {_DEC_TAX}), 2) AS DOUBLE)"
+_DEC_AVG_QTY = "CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*), 4) AS DOUBLE)"
+_DEC_AVG_PRICE = f"CAST(round(SUM({_DEC_PRICE}) / COUNT(*), 4) AS DOUBLE)"
+_DEC_AVG_DISC = "CAST(round(SUM(CAST(l_discount AS DECIMAL(18,2))) / COUNT(*), 6) AS DOUBLE)"
+_DEC_REVENUE = f"CAST(round(SUM({_DEC_PRICE} * {_DEC_DISC}), 2) AS DOUBLE)"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem (scan → filter →
+    partial-agg → final agg; no join, no python)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # money aggregates use exact DECIMAL arithmetic so results are
+            # independent of summation order (bit-identical to the DuckDB
+            # oracle); cast to DOUBLE only at the output boundary
+            F.expr(_DEC_SUM_QTY).alias("sum_qty"),
+            F.expr(_DEC_SUM_BASE).alias("sum_base_price"),
+            F.expr(_DEC_SUM_DISC).alias("sum_disc_price"),
+            F.expr(_DEC_SUM_CHARGE).alias("sum_charge"),
+            F.expr(_DEC_AVG_QTY).alias("avg_qty"),
+            F.expr(_DEC_AVG_PRICE).alias("avg_price"),
+            F.expr(_DEC_AVG_DISC).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS sum_qty,
+       round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS sum_base_price,
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)), 2)::DOUBLE AS sum_disc_price,
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2) * (1 + l_tax)::DECIMAL(18,2)), 2)::DOUBLE AS sum_charge,
+       round(sum(l_quantity::DECIMAL(18,2)) / count(*), 4)::DOUBLE AS avg_qty,
+       round(sum(l_extendedprice::DECIMAL(18,2)) / count(*), 4)::DOUBLE AS avg_price,
+       round(sum(l_discount::DECIMAL(18,2)) / count(*), 6)::DOUBLE AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⨝ orders ⨝ lineitem with aggregation — the classic
+    fact-to-fact join; customer is broadcast, orders/lineitem co-shuffle
+    on orderkey once."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .where(F.col("o_orderdate") < F.lit("1998-03-15"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(_DEC_REVENUE).alias("revenue"))
+        .where(F.col("revenue") > 100000)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+Q3_ORACLE = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       revenue
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)), 2)::DOUBLE AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  GROUP BY 1, 2, 3
+)
+WHERE revenue > 100000
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way star join rolled up by nation: dimensions broadcast, single
+    shuffle for the final aggregation."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            (cust.c_nationkey == nation.n_nationkey)
+            & (supp.s_nationkey == nation.n_nationkey),
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.expr(_DEC_REVENUE).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Q5_ORACLE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)), 2)::DOUBLE AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-3 orders by totalprice per customer, with
+    deterministic (price, orderkey) tie-breaking."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+TOP_ORDERS_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+"""
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the events stream table (the batch
+    twin of the structured-streaming windowed aggregation in
+    ``lsh_spark.streaming``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr('CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)')
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+EVENTS_HOURLY_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session per user
+    (lag + cumulative sum over an event-time window), then session-level
+    rollup.  The scalable pattern: one shuffle on user_id, everything else
+    window-local."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+                    > 1800
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr('CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)')
+        .alias("session_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+EVENTS_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS session_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM numbered
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_ORACLE),
+    "q5_region_revenue": (q5_region_revenue, Q5_ORACLE),
+    "top_orders_per_customer": (top_orders_per_customer, TOP_ORDERS_ORACLE),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_ORACLE),
+    "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_ORACLE),
+}

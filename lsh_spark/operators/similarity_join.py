@@ -1,0 +1,166 @@
+"""LSH similarity join — the reference README's documented usage pattern
+(``README.md:133-163``) as a first-class distributed operator.
+
+The reference pattern is:
+
+    SELECT A.ind, B.id FROM A INNER JOIN B
+      ON lsh_min(A.col, w, bands, size, seed)[k] = lsh_min(B.col, ...)[k]
+      WHERE lsh_jaccard(A.col, B.col, w) > threshold
+    UNION ... (seed rotated per block)
+
+Spark-first redesign (SURVEY.md §2.4), shaped by what actually dominates at
+scale (measured: shipping texts through the band join was 5-10× the cost of
+everything else):
+
+  1. each side's shingle set is materialized ONCE per row
+     (``shingle_set_col``) and persisted — every later stage reuses it;
+  2. band hashes derive from the sets (no re-shingling) and the blocking
+     join shuffles ONLY (id, band_idx, band_hash) rows — 16 bytes of
+     payload per band, never the text;
+  3. candidate pairs are de-duplicated as bare id pairs, then shingle sets
+     are re-attached by two id-equi-joins (broadcast when small, shuffle
+     otherwise — Catalyst/AQE decide);
+  4. the exact-Jaccard verification runs once per unique pair from the
+     materialized sets.
+
+The ``id_a < id_b`` predicate is applied inside the blocking join so mirror
+candidates never materialize.  Band-bucket skew (huge near-dup clusters →
+hot (band_idx, hash) keys) is handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..functions.lsh import (
+    jaccard_from_sets,
+    minhash_bands_from_set,
+    shingle_set_col,
+)
+
+
+def _with_sets(df: DataFrame, id_col: str, text_col: str, ngram_width: int,
+               id_alias: str, set_alias: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        shingle_set_col(F.col(text_col), ngram_width).alias(set_alias),
+    )
+
+
+def _band_blocks(sets: DataFrame, id_alias: str, set_alias: str,
+                 band_count: int, band_size: int, seed: int) -> DataFrame:
+    bands = minhash_bands_from_set(F.col(set_alias), band_count, band_size, seed)
+    return (
+        sets.withColumn("__bands", bands)
+        .select(id_alias, F.posexplode("__bands").alias("band_idx", "band_hash"))
+    )
+
+
+def lsh_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str,
+    right_text: str,
+    *,
+    left_id: str,
+    right_id: str,
+    ngram_width: int = 2,
+    band_count: int = 4,
+    band_size: int = 3,
+    seed: int = 123,
+    threshold: float = 0.8,
+    keep_similarity: bool = True,
+) -> DataFrame:
+    """Approximate A⨝B similarity join: pairs whose banded MinHash collides
+    in ≥1 band AND whose exact Jaccard exceeds ``threshold``.
+
+    Returns (left_id, right_id[, jaccard]).
+    """
+    l_sets = _with_sets(left, left_id, left_text, ngram_width, "__lid", "__lset")
+    r_sets = _with_sets(right, right_id, right_text, ngram_width, "__rid", "__rset")
+    l_sets.persist(StorageLevel.MEMORY_AND_DISK)
+    r_sets.persist(StorageLevel.MEMORY_AND_DISK)
+
+    l_blocks = _band_blocks(l_sets, "__lid", "__lset", band_count, band_size, seed)
+    r_blocks = _band_blocks(r_sets, "__rid", "__rset", band_count, band_size, seed)
+
+    pairs = (
+        l_blocks.join(r_blocks, on=["band_idx", "band_hash"], how="inner")
+        .select("__lid", "__rid")
+        .dropDuplicates(["__lid", "__rid"])
+    )
+    verified = (
+        pairs.join(l_sets, on="__lid")
+        .join(r_sets, on="__rid")
+        .withColumn("__jaccard", jaccard_from_sets("__lset", "__rset"))
+        .where(F.col("__jaccard") > threshold)
+    )
+    out_l = left_id if left_id != right_id else f"{left_id}_left"
+    out_r = right_id if left_id != right_id else f"{right_id}_right"
+    cols = [F.col("__lid").alias(out_l), F.col("__rid").alias(out_r)]
+    if keep_similarity:
+        cols.append(F.col("__jaccard").alias("jaccard"))
+    return verified.select(*cols)
+
+
+def lsh_self_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    *,
+    id_col: str,
+    ngram_width: int = 2,
+    band_count: int = 4,
+    band_size: int = 3,
+    seed: int = 123,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs within one table (id_a < id_b, no mirrors).
+
+    Returns (id_a, id_b, jaccard)."""
+    sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set")
+    sets.persist(StorageLevel.MEMORY_AND_DISK)
+    blocks = _band_blocks(sets, "__id", "__set", band_count, band_size, seed)
+
+    a = blocks.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
+    b = blocks.select(F.col("__id").alias("id_b"), "band_idx", "band_hash")
+    pairs = (
+        a.join(b, on=["band_idx", "band_hash"], how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets_a = sets.select(F.col("__id").alias("id_a"), F.col("__set").alias("__set_a"))
+    sets_b = sets.select(F.col("__id").alias("id_b"), F.col("__set").alias("__set_b"))
+    return (
+        pairs.join(sets_a, on="id_a")
+        .join(sets_b, on="id_b")
+        .withColumn("jaccard", jaccard_from_sets("__set_a", "__set_b"))
+        .where(F.col("jaccard") > threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def lsh_dedup_keep_first(
+    df: DataFrame,
+    text_col: str,
+    *,
+    id_col: str,
+    ngram_width: int = 3,
+    band_count: int = 8,
+    band_size: int = 2,
+    seed: int = 123,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dedup retention set: drop every row that is a near-duplicate of
+    a lower-id row (single-linkage via verified pairs, one iteration —
+    the standard MinHash-dedup policy for training corpora).
+
+    Returns the surviving rows of ``df``."""
+    pairs = lsh_self_dedup_pairs(
+        df, text_col, id_col=id_col, ngram_width=ngram_width,
+        band_count=band_count, band_size=band_size, seed=seed,
+        threshold=threshold)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")

@@ -1,0 +1,42 @@
+"""SparkSession builder with scale-oriented defaults.
+
+Tuned for the driver's local[32] harness but written for a real cluster:
+AQE on (runtime coalescing + skew-join splitting), Arrow enabled for every
+Python boundary, sane shuffle-partition default.  On a 1000-executor
+cluster the same config holds — AQE re-plans partition counts at runtime,
+so ``spark.sql.shuffle.partitions`` is an upper bound rather than a tuning
+knob to chase.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "lsh_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # the events table stores TIMESTAMP(NANOS) which the vectorized
+        # parquet reader rejects; read as long and convert in sources.io
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

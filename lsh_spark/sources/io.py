@@ -1,0 +1,52 @@
+"""Table sources: the testdata star schema as DataFrames.
+
+The reference has no storage layer (tables are host-DuckDB temp tables;
+SURVEY.md §2.4) — here the host engine is Spark, and the canonical source
+is parquet.  ``load_table``/``load_tables`` read with schema inference from
+parquet footers (column pruning and predicate pushdown reach the scan
+automatically via the DataSource V2 parquet reader).
+
+``register_views`` exposes every table as a temp view so ``spark.sql``
+queries mirror the DuckDB oracle setup.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# dimension tables small enough to broadcast at any realistic scale factor
+BROADCAST_TABLES = {"region", "nation", "supplier"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS,false): with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as int64 nanos;
+        # the source data is microsecond-granular so the micros cast is
+        # lossless
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,100 @@
+"""Local replica of the driver's t2 correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB over
+the same parquet, compare row count, column names, and order-insensitive
+values.
+
+Runs at sf0.001 by default (fast); set LSH_SPARK_TEST_SF_DIR for sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("LSH_SPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _canon(rows, cols):
+    """Order-insensitive canonical form: sort columns by name, normalize
+    values, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = f"{v:.9g}"
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def _pairs():
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    return [(name, qs[name], oracles[name]) for name in sorted(oracles)]
+
+
+@pytest.mark.parametrize("name,fn,sql", _pairs(),
+                         ids=[p[0] for p in _pairs()])
+def test_query_matches_oracle(spark, name, fn, sql):
+    sdf = fn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck()
+    res = con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}")
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: {len(spark_rows)} spark rows vs {len(duck_rows)} oracle rows")
+    cs, cd = _canon(spark_rows, spark_cols), _canon(duck_rows, duck_cols)
+    mismatches = [i for i, (a, b) in enumerate(zip(cs, cd)) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first: "
+        f"{cs[mismatches[0]]} vs {cd[mismatches[0]]}")
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry
+
+    df = entry.entry(spark)
+    assert df.count() >= 0
+    assert df.schema is not None
+
+
+def test_rows_only_queries_run(spark):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    for name in sorted(set(qs) - set(oracles)):
+        df = qs[name](spark, SF_DIR)
+        assert df.count() > 0, f"{name} returned no rows"

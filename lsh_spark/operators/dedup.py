@@ -1,0 +1,189 @@
+"""Deduplication operator family for training-data pipelines.
+
+Five strategies, each a distinct cost/recall point (SURVEY's pipeline
+requirements; the minhash family lives in ``similarity_join.py``):
+
+  * exact        — identical text (hash group-by)
+  * normalized   — identical after whitespace/case canonicalization
+  * minhash LSH  — ``lsh_self_dedup_pairs`` / ``lsh_dedup_keep_first``
+  * simhash      — 64-bit fingerprints, near-dup iff hamming ≤ r
+  * embedding    — cosine ≥ threshold on an embedding column
+
+SimHash uses the same FxHash primitive as the reference's shingles (cited:
+``src/minhash/shingleset.rs:37-47``) over whitespace tokens; the bit-vote
+accumulation is numpy (popcount-style unpack), one pandas-UDF pass per row
+batch.  Hamming blocking uses the standard 4-block trick: duplicates with
+hamming ≤ 3 share at least one of 4 16-bit blocks → equi-join per block,
+never a cross product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from ..functions.vector import cosine
+from .._core.batch import hash_strings_batch
+
+
+# ---------------------------------------------------------------------------
+# exact / normalized
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (canonical_id, n_copies)."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias("canonical_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .select("canonical_id", "n_copies")
+    )
+
+
+def normalized_text(col) -> Column:
+    """Canonical form: lowercase, collapse whitespace, strip."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def normalized_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        df.groupBy(normalized_text(text_col).alias("__norm"))
+        .agg(F.min(id_col).alias("canonical_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .select("canonical_id", "n_copies")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per identical text (distributed: one
+    hash-aggregate, no window over the full table)."""
+    keep = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=[text_col, id_col], how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash64(col) -> Column:
+    """64-bit SimHash over whitespace tokens (FxHash token hashes,
+    bit-vote with +1/-1, sign → bit).  Returns int64 (two's complement)."""
+
+    @pandas_udf(LongType())
+    def _udf(s: pd.Series) -> pd.Series:
+        out = np.zeros(len(s), dtype=np.int64)
+        mask = s.notna().to_numpy()
+        token_lists = [t.split() if ok else [] for t, ok in zip(s, mask)]
+        counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
+                             count=len(token_lists))
+        flat = [tok for lst in token_lists for tok in lst]
+        if flat:
+            # token hash: same FxHash-u32 primitive as the reference's
+            # shingle hashing, extended to 64 bits by a second fold
+            h32 = hash_strings_batch(flat)
+            # spread to 64 bits deterministically (splitmix-style mix)
+            h = h32.astype(np.uint64)
+            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h = h ^ (h >> np.uint64(31))
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            votes = bits * 2 - 1  # (n_tokens, 64) in {-1, +1}
+            offs = np.zeros(len(token_lists) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            nonempty = counts > 0
+            starts = offs[:-1][nonempty]
+            sums = np.add.reduceat(votes, starts, axis=0)
+            sig_bits = (sums > 0).astype(np.uint64)
+            sigs = np.zeros(nonempty.sum(), dtype=np.uint64)
+            for b in range(64):
+                sigs |= sig_bits[:, b] << np.uint64(b)
+            out[nonempty] = sigs.view(np.int64)
+        res = pd.Series(out)
+        res[~mask] = None
+        return res
+
+    return _udf(F.col(col) if isinstance(col, str) else col)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    *,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with simhash hamming distance ≤ ``max_hamming`` (≤ 3 uses the
+    4×16-bit block pigeonhole: any such pair agrees on ≥1 block)."""
+    sigs = df.select(
+        F.col(id_col).alias("__id"),
+        simhash64(text_col).alias("__sig"),
+    ).where(F.col("__sig").isNotNull())
+    sigs.persist()
+
+    blocks = None
+    for b in range(4):
+        part = sigs.select(
+            "__id", "__sig",
+            F.lit(b).alias("block_idx"),
+            F.shiftright("__sig", b * 16).bitwiseAND(F.lit(0xFFFF))
+            .alias("block_val"),
+        )
+        blocks = part if blocks is None else blocks.unionAll(part)
+
+    a = blocks.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a"),
+                      "block_idx", "block_val")
+    b_ = blocks.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sig_b"),
+                       "block_idx", "block_val")
+    cand = (
+        a.join(b_, on=["block_idx", "block_val"], how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sig_a", "__sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    sample_max_id: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold, id_a < id_b.
+
+    Brute-force within the (optionally bounded) id range — the exact
+    oracle-able baseline; for the full-corpus scale path use
+    ``euclidean_lsh_topk``-style bucketing instead of the cross join."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    if sample_max_id is not None:
+        base = base.where(F.col("__id") < sample_max_id)
+    a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(cosine("__va", "__vb"), 6))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

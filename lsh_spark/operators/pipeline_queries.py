@@ -1,0 +1,251 @@
+"""Training-data pipeline query suite: text analysis, similarity search,
+dedup variants, fingerprinting — each a ``queries()`` entry with a DuckDB
+oracle wherever SQL can express the semantics.
+
+Oracle-parity rules used throughout:
+  * regex features use a Java-regex/RE2-common subset;
+  * ratios are double divisions of integer counts (bit-deterministic);
+  * cosine uses the same explicit dot/(sqrt·sqrt) formula both sides over
+    DOUBLE[], rounded to 6dp before ranking/thresholding;
+  * ranking ties break on ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.fingerprint import winnow_fingerprints
+from ..sources.io import load_table
+from . import ann, dedup
+from .similarity_join import lsh_dedup_keep_first
+
+_CJK_LO, _CJK_HI = chr(0x4E00), chr(0x9FFF)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.char_count("text").alias("n_chars"),
+        T.token_count("text").alias("n_tokens"),
+        T.word_token_count("text").alias("n_word_tokens"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(T.digit_ratio("text"), 6).alias("digit_ratio"),
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(T.avg_token_len("text"), 6).alias("avg_token_len"),
+    )
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in T.STOPWORDS) + "]"
+
+TEXT_STATS_ORACLE = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_word_tokens,
+       round(CASE WHEN length(text) > 0
+             THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text)
+             ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN length(text) > 0
+             THEN len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)
+             ELSE 0.0 END, 6) AS digit_ratio,
+       round(CASE WHEN trim(text) = '' THEN 0.0
+             WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+             THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                  t -> list_contains({_STOP_SQL}, t))) * 1.0
+                  / len(regexp_split_to_array(trim(text), '\\s+'))
+             ELSE 0.0 END, 6) AS stopword_ratio,
+       round(CASE WHEN trim(text) = '' THEN 0.0
+             WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+             THEN list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                          t -> length(t))) * 1.0
+                  / len(regexp_split_to_array(trim(text), '\\s+'))
+             ELSE 0.0 END, 6) AS avg_token_len
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.lang_guess("text").alias("lang_guess"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+_MARKER_SQL = "[" + ", ".join(f"'{s}'" for s in T.SPANISH_MARKERS) + "]"
+
+TEXT_QUALITY_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n,
+         CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(text, '[{_CJK_LO}-{_CJK_HI}]')) * 1.0 / length(text)
+              ELSE 0.0 END AS cjk_ratio,
+         CASE WHEN trim(text) = '' THEN 0.0
+              WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+              THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                   t -> list_contains({_MARKER_SQL}, t))) * 1.0
+                   / len(regexp_split_to_array(trim(text), '\\s+'))
+              ELSE 0.0 END AS es_ratio,
+         CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)
+              ELSE 0.0 END AS digit_ratio,
+         CASE WHEN trim(text) = '' THEN 0.0
+              WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+              THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                   t -> list_contains({_STOP_SQL}, t))) * 1.0
+                   / len(regexp_split_to_array(trim(text), '\\s+'))
+              ELSE 0.0 END AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN cjk_ratio > 0.3 THEN 'zh'
+            WHEN es_ratio > 0.15 THEN 'es'
+            ELSE 'en' END AS lang_guess,
+       round(least(n / 200.0, 1.0) * 0.25
+             + greatest(0.0, 1.0 - punct_ratio * 4) * 0.25
+             + greatest(0.0, 1.0 - digit_ratio * 4) * 0.25
+             + least(stopword_ratio * 4, 1.0) * 0.25, 6) AS quality
+FROM feats
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_N_QUERIES = 10
+_ANN_K = 10
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.cosine_topk(
+        emb, emb.where(F.col("vec_id") < _N_QUERIES), k=_ANN_K)
+
+
+ANN_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(qv, qv)) > 0
+                     AND sqrt(list_dot_product(cv, cv)) > 0
+               THEN list_dot_product(qv, cv)
+                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               ELSE 0.0 END, 6) AS cosine_sim
+  FROM q CROSS JOIN c
+  WHERE query_id != neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (recall < 1 → rows-only; recall asserted in
+    tests/test_pipeline.py against brute force)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.euclidean_lsh_topk(
+        emb, emb.where(F.col("vec_id") < _N_QUERIES), k=_ANN_K)
+
+
+# ---------------------------------------------------------------------------
+# dedup variants
+# ---------------------------------------------------------------------------
+
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.normalized_dup_groups(docs, "text", "doc_id")
+
+
+DEDUP_NORMALIZED_ORACLE = """
+SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM documents
+GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+HAVING count(*) > 1
+"""
+
+
+_EMB_DUP_THRESHOLD = 0.9
+
+
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(
+        emb, threshold=_EMB_DUP_THRESHOLD, sample_max_id=500)
+
+
+EMB_DUP_ORACLE = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id < 500)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0
+                   AND sqrt(list_dot_product(b.v, b.v)) > 0
+             THEN list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             ELSE 0.0 END, 6) AS cosine_sim
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0
+                  AND sqrt(list_dot_product(b.v, b.v)) > 0
+            THEN list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            ELSE 0.0 END, 6) >= {_EMB_DUP_THRESHOLD}
+"""
+
+
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-≤3 pairs (FxHash token signatures — rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, "text", id_col="doc_id",
+                                        max_hamming=3)
+
+
+def dedup_keep_first_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup retention set via banded MinHash (rows-only: minhash
+    streams are not SQL-expressible).  Returns surviving doc ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = lsh_dedup_keep_first(
+        docs, "text", id_col="doc_id", ngram_width=3,
+        band_count=8, band_size=2, seed=123, threshold=0.6)
+    return kept.select("doc_id", "lang", "source")
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints per document (rows-only: FxHash-based)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        winnow_fingerprints("text", kgram=5, window=4).alias("fingerprints"),
+    )
+
+
+QUERIES = {
+    "text_stats": (text_stats, TEXT_STATS_ORACLE),
+    "text_quality": (text_quality, TEXT_QUALITY_ORACLE),
+    "ann_topk": (ann_topk, ANN_TOPK_ORACLE),
+    "ann_lsh_topk": (ann_lsh_topk, None),
+    "dedup_normalized": (dedup_normalized, DEDUP_NORMALIZED_ORACLE),
+    "embedding_dup_pairs": (embedding_dup_pairs, EMB_DUP_ORACLE),
+    "simhash_near_dup_pairs": (simhash_near_dup_pairs, None),
+    "dedup_keep_first_minhash": (dedup_keep_first_minhash, None),
+    "doc_fingerprints": (doc_fingerprints, None),
+}

@@ -1,0 +1,126 @@
+"""Structured Streaming over the events table: the streaming twins of the
+batch queries in ``operators/relational.py``.
+
+Patterns covered (the standard production shapes):
+  * file-source stream (``readStream.parquet`` with an explicit schema —
+    the same parquet files the batch path reads, so batch/stream parity is
+    directly testable with ``Trigger.AvailableNow``);
+  * event-time tumbling-window aggregation with a watermark bounding
+    state (late rows beyond the watermark are dropped, state is evicted —
+    the only way a windowed agg survives an unbounded stream);
+  * arbitrary stateful processing (``applyInPandasWithState``) for
+    per-user running aggregates — the custom-operator escape hatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType(), True),
+    StructField("ts", LongType(), True),  # nanos (see sources.io)
+    StructField("user_id", LongType(), True),
+    StructField("event_type", StringType(), True),
+    StructField("value", DoubleType(), True),
+    StructField("props", StringType(), True),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file per batch)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window per event_type with bounded state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+_USER_STATE_SCHEMA = StructType([
+    StructField("n_events", LongType(), False),
+    StructField("total_value", DoubleType(), False),
+])
+
+_USER_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType(), False),
+    StructField("n_events", LongType(), False),
+    StructField("total_value", DoubleType(), False),
+])
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals via arbitrary stateful processing — the
+    ``applyInPandasWithState`` custom-operator pattern (state is a single
+    small tuple per user; timeouts left off for the finite test corpus)."""
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_value": round(total, 2)}])
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_USER_OUT_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str,
+                      output_mode: str = "complete"):
+    """Drain every available input with AvailableNow into a memory sink;
+    returns the StreamingQuery (caller awaits termination and reads
+    ``SELECT * FROM <query_name>``).  Use ``complete`` for windowed aggs
+    (finite corpus → last windows never pass the watermark in append
+    mode), ``update`` for stateful operators."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

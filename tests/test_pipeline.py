@@ -1,0 +1,134 @@
+"""Quality tests for the pipeline operators that have no SQL oracle:
+LSH-ANN recall, simhash behavior, winnowing guarantees, dedup policy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    from lsh_spark.operators import ann
+    from lsh_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = ann.cosine_topk(emb, queries, k=10).collect()
+    approx = ann.euclidean_lsh_topk(emb, queries, k=10).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"LSH ANN recall too low: {recall}"
+    # scores for overlapping pairs must be identical (same rerank formula)
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]
+
+
+def test_simhash_identical_and_different(spark):
+    from lsh_spark.operators.dedup import simhash64
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "the quick brown fox jumps over the lazy cat"),
+         (4, "completely unrelated text about database engines"),
+         (5, None)],
+        ["id", "text"])
+    rows = {r.id: r.sig for r in
+            df.select("id", simhash64("text").alias("sig")).collect()}
+    assert rows[1] == rows[2]  # identical text → identical signature
+    assert rows[5] is None
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(rows[1], rows[3]) < ham(rows[1], rows[4])
+
+
+def test_simhash_pairs_finds_near_dups(spark):
+    from lsh_spark.operators.dedup import simhash_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(i, "common shared token stream alpha beta gamma delta epsilon "
+             + ("zeta" if i % 2 else "eta")) for i in range(6)]
+        + [(100 + i, f"totally distinct unrelated words number{i} "
+                     f"other{i*7} thing{i*13}") for i in range(4)],
+        ["doc_id", "text"])
+    pairs = simhash_near_dup_pairs(df, "text", id_col="doc_id", max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # all same-parity small-id docs are identical texts → hamming 0
+    assert (0, 2) in got and (1, 3) in got
+    assert all(a < 100 and b < 100 for a, b in got)
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    from lsh_spark.functions.fingerprint import winnow_fingerprints
+
+    shared = "abcdefghijklmnopqrstuvwxyz0123456789"  # len 36 >> w+k-1
+    df = spark.createDataFrame(
+        [(1, "PREFIX-" + shared + "-SUFFIX-ONE"),
+         (2, "other-" + shared + "+trailing-two"),
+         (3, "no overlap here at all, different content")],
+        ["id", "text"])
+    rows = {r.id: set(r.fp) for r in df.select(
+        "id", winnow_fingerprints("text", kgram=5, window=4).alias("fp"))
+        .collect()}
+    assert rows[1] & rows[2], "shared substring must share a fingerprint"
+    assert not (rows[1] & rows[3]) or len(rows[1] & rows[3]) < 2
+
+
+def test_winnowing_empty_and_short(spark):
+    from lsh_spark.functions.fingerprint import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "abc"), (3, "abcde"), (4, None)], ["id", "text"])
+    rows = {r.id: r.fp for r in df.select(
+        "id", winnow_fingerprints("text", kgram=5, window=4).alias("fp"))
+        .collect()}
+    assert rows[1] == []          # no 5-grams
+    assert rows[2] == []          # shorter than kgram
+    assert len(rows[3]) == 1      # exactly one 5-gram
+    assert rows[4] is None
+
+
+def test_dedup_keep_first_consistent_with_pairs(spark):
+    from lsh_spark.operators.similarity_join import (
+        lsh_dedup_keep_first,
+        lsh_self_dedup_pairs,
+    )
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    kept = lsh_dedup_keep_first(
+        docs, "text", id_col="doc_id", ngram_width=3, band_count=8,
+        band_size=2, seed=123, threshold=0.6)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    pairs = lsh_self_dedup_pairs(
+        docs, "text", id_col="doc_id", ngram_width=3, band_count=8,
+        band_size=2, seed=123, threshold=0.6)
+    dropped = {r.id_b for r in pairs.collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept_ids == all_ids - dropped
+    assert kept.count() + len(dropped) == len(all_ids)
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    from lsh_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(3, "aaa"), (1, "aaa"), (2, "bbb"), (9, "bbb"), (5, "ccc")],
+        ["doc_id", "text"])
+    kept = {r.doc_id for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert kept == {1, 2, 5}
+
+
+def test_normalized_text(spark):
+    from lsh_spark.operators.dedup import normalized_text
+
+    df = spark.createDataFrame([("  Hello   WORLD \n",)], ["t"])
+    assert df.select(normalized_text("t").alias("n")).first().n == "hello world"

@@ -1,0 +1,119 @@
+"""Streaming (batch-parity via AvailableNow) and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_streaming_windowed_counts_match_batch(spark):
+    from lsh_spark.sources.io import load_table
+    from lsh_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    stream = read_events_stream(spark, SF_DIR)
+    assert stream.isStreaming
+    q = run_available_now(
+        windowed_event_counts(stream), "win_counts", output_mode="complete")
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events")
+    want = {
+        (str(r.window_start), r.event_type): (r.n_events, r.total_value)
+        for r in (
+            ev.groupBy(
+                F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.expr("CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)")
+                 .alias("total_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    "event_type", "n_events", "total_value")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_stateful_user_totals(spark):
+    from lsh_spark.sources.io import load_table
+    from lsh_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        running_user_totals,
+    )
+
+    stream = read_events_stream(spark, SF_DIR)
+    q = run_available_now(
+        running_user_totals(stream), "user_totals", output_mode="update")
+    q.awaitTermination(120)
+    got = {r.user_id: (r.n_events, r.total_value)
+           for r in spark.sql(
+               "SELECT * FROM user_totals").collect()}
+
+    ev = load_table(spark, SF_DIR, "events")
+    want = {r.user_id: (r.n_events, r.total_value)
+            for r in ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .collect()}
+    assert set(got) == set(want)
+    for uid, (n, _tv) in want.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - _tv) < 0.05  # float accumulation in state
+
+
+def test_multimodal_feature_extraction(spark):
+    from lsh_spark.multimodal.media import (
+        extract_features,
+        media_dedup_by_digest,
+        synthesize_media_from_documents,
+    )
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    media = synthesize_media_from_documents(docs)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 60
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r.kind, []).append(r)
+        assert r.n_bytes is not None and r.n_bytes > 0
+        assert len(r.digest) == 64
+    assert set(by_kind) == {"image", "audio", "video"}
+    for r in by_kind["image"]:
+        assert r.n_frames == 1 and r.width is not None
+    for r in by_kind["audio"]:
+        assert r.width is None and r.n_frames > 1
+    # determinism: same content → same digest/features
+    again = {r.media_id: (r.digest, r.width, r.n_frames)
+             for r in extract_features(media).collect()}
+    for r in rows:
+        assert again[r.media_id] == (r.digest, r.width, r.n_frames)
+
+    dups = media_dedup_by_digest(feats)
+    assert dups.count() >= 0  # schema + run; dup presence depends on corpus
+
+
+def test_multimodal_custom_decoder_registration(spark):
+    from lsh_spark.multimodal import media as M
+
+    def fancy(kind, content):
+        return {"width": 99, "height": 98, "n_frames": 7}
+
+    M.DECODERS["image"] = fancy
+    try:
+        docs = spark.createDataFrame([(0, "hello world")], ["doc_id", "text"])
+        m = M.synthesize_media_from_documents(docs)
+        r = M.extract_features(m).first()
+        assert (r.width, r.height, r.n_frames) == (99, 98, 7)
+    finally:
+        M.DECODERS["image"] = M._stub_decode

@@ -214,23 +214,28 @@ def lsh_euclidean_bands_long(col, bucket_width: float, band_count: int,
 # --- shingle-set materialization (compute each doc's set once, reuse) ------
 
 def shingle_set_col(col, ngram_width: int) -> Column:
-    """Materialize the char-ngram shingle set (sorted unique u32 hashes as
-    int64) as a column.  Lets pair-heavy operators (similarity join, dedup)
-    hash each document ONCE instead of once per candidate pair."""
+    """Materialize the char-ngram shingle set as a column: sorted unique
+    u32 hashes stored as int32 (bit-reinterpreted — halves the bytes that
+    flow through pair joins; sorted in the signed view, consistently on
+    both producer and consumer).  Lets pair-heavy operators (similarity
+    join, dedup) hash each document ONCE instead of once per candidate
+    pair."""
+    from pyspark.sql.types import IntegerType
+
     from .._core.batch import batch_window_hashes, flatten_texts
 
-    @pandas_udf(_LONG_ARRAY)
+    @pandas_udf(ArrayType(IntegerType()))
     def _udf(s: pd.Series) -> pd.Series:
         mask = s.notna().to_numpy()
         texts = ["" if not ok else t for t, ok in zip(s, mask)]
         hashes, offs = batch_window_hashes(*flatten_texts(texts), ngram_width)
+        h32 = hashes.astype(np.uint32).view(np.int32)
         out = []
         for i, ok in enumerate(mask):
             if not ok:
                 out.append(None)
                 continue
-            seg = np.unique(hashes[offs[i]: offs[i + 1]]).astype(np.int64)
-            out.append(seg.tolist())
+            out.append(np.unique(h32[offs[i]: offs[i + 1]]).tolist())
         return pd.Series(out, dtype=object)
 
     return _udf(col)
@@ -248,9 +253,9 @@ def minhash_bands_from_set(col, band_count: int, band_size: int, seed: int) -> C
                         dtype=np.int64)
         offs = np.zeros(len(s) + 1, dtype=np.int64)
         np.cumsum(lens, out=offs[1:])
-        flat = (np.concatenate([np.asarray(v, dtype=np.int64) for v, ok
+        flat = (np.concatenate([np.asarray(v, dtype=np.int32) for v, ok
                                 in zip(s, mask) if ok and len(v)])
-                .astype(np.uint64)
+                .view(np.uint32).astype(np.uint64)
                 if lens.sum() else np.empty(0, dtype=np.uint64))
         mat = minhash_from_window_hashes(flat, offs, band_count, band_size, seed)
         return _u64_rows_to_long(mat, mask, low32=False)
@@ -271,9 +276,14 @@ def jaccard_from_sets(col_a, col_b) -> Column:
             if na == 0 or nb == 0:
                 out[i] = 0.0
                 continue
-            xa = np.asarray(sa, dtype=np.int64)
-            xb = np.asarray(sb, dtype=np.int64)
-            ni = np.intersect1d(xa, xb, assume_unique=True).shape[0]
+            xa = np.asarray(sa, dtype=np.int32)
+            xb = np.asarray(sb, dtype=np.int32)
+            if nb < na:
+                xa, xb = xb, xa
+            # both sorted-unique: membership count via binary search
+            pos = np.searchsorted(xb, xa)
+            pos[pos == xb.shape[0]] = 0
+            ni = int((xb[pos] == xa).sum())
             out[i] = ni / (na + nb - ni)
         res = pd.Series(out)
         return res.where(pd.notna(res), None)

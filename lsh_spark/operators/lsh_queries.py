@@ -98,6 +98,7 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_self_dedup_pairs(
         docs, "text", id_col="doc_id",
         ngram_width=3, band_count=8, band_size=2, seed=123, threshold=0.6,
+        broadcast_sets=True,
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -225,7 +225,8 @@ def dedup_keep_first_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     kept = lsh_dedup_keep_first(
         docs, "text", id_col="doc_id", ngram_width=3,
-        band_count=8, band_size=2, seed=123, threshold=0.6)
+        band_count=8, band_size=2, seed=123, threshold=0.6,
+        broadcast_sets=True)
     return kept.select("doc_id", "lang", "source")
 
 

@@ -30,15 +30,27 @@ hot (band_idx, hash) keys) is handled by AQE skew-join splitting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.lsh import (
-    jaccard_from_sets,
     minhash_bands_from_set,
     shingle_set_col,
 )
+
+
+def _jaccard_jvm(set_a, set_b) -> Column:
+    """Exact Jaccard between two sorted-unique shingle-set columns as a
+    pure JVM expression (``array_intersect`` + sizes) — identical value to
+    the reference's set ratio (``shingleset.rs:50-57``: 0.0 when either
+    side is empty) with no Arrow/Python boundary in the verification path."""
+    a = F.col(set_a) if isinstance(set_a, str) else set_a
+    b = F.col(set_b) if isinstance(set_b, str) else set_b
+    ni = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - ni
+    return F.when(union > 0, ni.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0))
 
 
 def _with_sets(df: DataFrame, id_col: str, text_col: str, ngram_width: int,
@@ -94,7 +106,7 @@ def lsh_similarity_join(
     verified = (
         pairs.join(l_sets, on="__lid")
         .join(r_sets, on="__rid")
-        .withColumn("__jaccard", jaccard_from_sets("__lset", "__rset"))
+        .withColumn("__jaccard", _jaccard_jvm("__lset", "__rset"))
         .where(F.col("__jaccard") > threshold)
     )
     out_l = left_id if left_id != right_id else f"{left_id}_left"
@@ -115,8 +127,15 @@ def lsh_self_dedup_pairs(
     band_size: int = 3,
     seed: int = 123,
     threshold: float = 0.8,
+    broadcast_sets: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs within one table (id_a < id_b, no mirrors).
+
+    ``broadcast_sets=True`` broadcasts the (id, shingle-set) side of the
+    verification joins — the right call whenever sets fit in executor
+    memory (rows × ~2 KB).  UDF-derived DataFrames carry no size stats, so
+    Spark cannot make this call on its own pre-AQE; at true 100 TB scale
+    leave it False and the verification joins shuffle by pair ids.
 
     Returns (id_a, id_b, jaccard)."""
     sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set")
@@ -133,10 +152,12 @@ def lsh_self_dedup_pairs(
     )
     sets_a = sets.select(F.col("__id").alias("id_a"), F.col("__set").alias("__set_a"))
     sets_b = sets.select(F.col("__id").alias("id_b"), F.col("__set").alias("__set_b"))
+    if broadcast_sets:
+        sets_a, sets_b = F.broadcast(sets_a), F.broadcast(sets_b)
     return (
         pairs.join(sets_a, on="id_a")
         .join(sets_b, on="id_b")
-        .withColumn("jaccard", jaccard_from_sets("__set_a", "__set_b"))
+        .withColumn("jaccard", _jaccard_jvm("__set_a", "__set_b"))
         .where(F.col("jaccard") > threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -152,6 +173,7 @@ def lsh_dedup_keep_first(
     band_size: int = 2,
     seed: int = 123,
     threshold: float = 0.8,
+    broadcast_sets: bool = False,
 ) -> DataFrame:
     """Near-dedup retention set: drop every row that is a near-duplicate of
     a lower-id row (single-linkage via verified pairs, one iteration —
@@ -161,6 +183,6 @@ def lsh_dedup_keep_first(
     pairs = lsh_self_dedup_pairs(
         df, text_col, id_col=id_col, ngram_width=ngram_width,
         band_count=band_count, band_size=band_size, seed=seed,
-        threshold=threshold)
+        threshold=threshold, broadcast_sets=broadcast_sets)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, on=id_col, how="left_anti")

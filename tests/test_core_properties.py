@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the bit-exact core — invariants
+the reference's own test suite never checks (SURVEY.md §5 step 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lsh_spark._core.batch import (
+    batch_window_hashes,
+    flatten_texts,
+    hash_strings_batch,
+    jaccard_pairs_batch,
+    minhash_shingles_batch,
+    minhash_text_batch,
+)
+from lsh_spark._core.fxhash import fx_hash_char_slice
+from lsh_spark._core.minhash import minhash_bands, minhash_bands_scalar
+from lsh_spark._core.shingles import (
+    jaccard,
+    shingle_set_from_shingles,
+    shingle_set_from_text,
+)
+
+texts = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=60)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts, st.integers(1, 5))
+def test_batch_matches_scalar_shingling(t, w):
+    batch = batch_window_hashes(*flatten_texts([t]), w)[0]
+    want = shingle_set_from_text(t, w)
+    assert np.array_equal(np.unique(batch), want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(texts, max_size=6))
+def test_hash_strings_batch_matches_scalar(strings):
+    got = hash_strings_batch(strings)
+    want = [fx_hash_char_slice(s) & 0xFFFFFFFF for s in strings]
+    assert got.tolist() == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(texts, st.integers(1, 4), st.integers(1, 4), st.integers(1, 3),
+       st.integers(0, 2**64 - 1))
+def test_minhash_batch_scalar_equivalence(t, w, bc, bs, seed):
+    batch = minhash_text_batch([t], w, bc, bs, seed)[0]
+    want = minhash_bands_scalar(shingle_set_from_text(t, w), bc, bs, seed)
+    assert batch.tolist() == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(texts, min_size=0, max_size=5), st.integers(1, 3),
+       st.integers(1, 3), st.integers(0, 2**32))
+def test_minhash_shingles_batch_scalar_equivalence(lst, bc, bs, seed):
+    batch = minhash_shingles_batch([lst], bc, bs, seed)[0]
+    want = minhash_bands(shingle_set_from_shingles(lst), bc, bs, seed)
+    assert batch.tolist() == want.tolist()
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts, texts, st.integers(1, 4))
+def test_jaccard_symmetry_range_identity(a, b, w):
+    ja = jaccard_pairs_batch([a], [b], w)[0]
+    jb = jaccard_pairs_batch([b], [a], w)[0]
+    assert ja == jb
+    assert 0.0 <= ja <= 1.0
+    sa = shingle_set_from_text(a, w)
+    if sa.shape[0] > 0:
+        assert jaccard_pairs_batch([a], [a], w)[0] == 1.0
+    else:
+        assert jaccard_pairs_batch([a], [a], w)[0] == 0.0
+
+
+@settings(max_examples=20, deadline=None)
+@given(texts, st.integers(1, 3), st.integers(1, 3), st.integers(1, 3),
+       st.integers(0, 2**64 - 1))
+def test_min32_low_bits_invariant(t, w, bc, bs, seed):
+    s = shingle_set_from_text(t, w)
+    h64 = minhash_bands(s, bc, bs, seed)
+    assert [v & 0xFFFFFFFF for v in h64.tolist()] == [
+        int(v) for v in (h64 & np.uint64(0xFFFFFFFF)).tolist()]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(texts, min_size=2, max_size=2), st.integers(1, 3))
+def test_shingle_order_irrelevant(pair, w):
+    # ShingleSet is a set: duplicate/reordered shingles collapse
+    a = shingle_set_from_shingles(pair)
+    b = shingle_set_from_shingles(list(reversed(pair)) + pair)
+    assert np.array_equal(a, b)

@@ -1,0 +1,130 @@
+"""Physical-plan quality assertions — the 100 TB design checks.
+
+Each test inspects ``explain(formatted)`` / the executed plan to assert the
+properties that matter at scale: predicate pushdown into the parquet scan,
+column pruning, broadcast joins for dimensions, whole-stage codegen around
+JVM-side expressions, and no Python UDF in queries that don't need one.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def _plan(df) -> str:
+    try:
+        return _formatted_plan(df)
+    except Exception:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    from lsh_spark.operators.relational import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, SF_DIR))
+    # the shipdate predicate must reach the parquet scan
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    # column pruning: unused columns (e.g. l_partkey, l_suppkey) must not
+    # be read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema
+    assert "l_suppkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_q1_stays_in_codegen(spark):
+    from lsh_spark.operators.relational import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, SF_DIR))
+    # map-side combine: a partial-aggregation stage must exist (it always
+    # precedes the exchange in Spark's agg planning)
+    assert "partial_sum" in plan
+    # the whole query is JVM expressions — no Python evaluation nodes
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    from lsh_spark.operators.relational import q5_region_revenue
+
+    plan = _plan(q5_region_revenue(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4  # cust, supp, nation, region
+    # the only sort-merge-or-shuffle join allowed is lineitem ⨝ orders
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q3_customer_filter_pushed(spark):
+    from lsh_spark.operators.relational import q3_shipping_priority
+
+    plan = _plan(q3_shipping_priority(spark, SF_DIR))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("c_mktsegment" in l for l in pushed)
+    assert any("o_orderdate" in l for l in pushed)
+
+
+def test_text_stats_has_no_python(spark):
+    from lsh_spark.operators.pipeline_queries import text_stats
+
+    plan = _plan(text_stats(spark, SF_DIR))
+    assert "EvalPython" not in plan  # all JVM-side expressions
+
+
+def test_ann_topk_broadcasts_queries(spark):
+    from lsh_spark.operators.pipeline_queries import ann_topk
+
+    plan = _plan(ann_topk(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan  # queries broadcast, corpus stays put
+
+
+def test_minhash_signatures_is_single_arrow_pass(spark):
+    from lsh_spark.operators.lsh_queries import minhash_signatures
+
+    import re
+
+    plan = _plan(minhash_signatures(spark, SF_DIR))
+    # exactly one ArrowEvalPython node in the plan tree
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "Exchange" not in plan  # no shuffle for a pure projection
+
+
+def test_similarity_join_shuffles_ids_not_text(spark):
+    from lsh_spark.operators.similarity_join import lsh_self_dedup_pairs
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = lsh_self_dedup_pairs(docs, "text", id_col="doc_id", ngram_width=3,
+                              band_count=8, band_size=2, seed=123,
+                              threshold=0.6)
+    plan = _plan(df)
+    # the band-blocking exchange must carry only id + band columns, never
+    # the text or shingle-set payload
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(band_idx" in line:
+            assert "text" not in line and "__set" not in line
+
+
+def test_udfs_are_deterministic_for_catalyst(spark):
+    # deterministic UDFs let Catalyst collapse/reorder (SURVEY.md §4);
+    # asNondeterministic is never applied
+    from lsh_spark.functions.lsh import lsh_min
+
+    df = spark.createDataFrame([("ab",)], ["t"])
+    col_df = df.select(lsh_min("t", 2, 1, 1, 1).alias("h"))
+    plan = col_df._jdf.queryExecution().analyzed().toString()
+    assert "nondeterministic" not in plan.lower()

@@ -289,3 +289,170 @@ QUERIES = {
     "events_hourly": (events_hourly, EVENTS_HOURLY_ORACLE),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_ORACLE),
 }
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join (TPC-H Q4 shape): orders with at least one
+    late-shipping lineitem, counted by priority.  left_semi keeps the
+    orders side lean — no fact-fact row explosion."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.where(F.col("l_shipdate") > F.lit("1999-01-01")).select("l_orderkey")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+)
+GROUP BY o_orderpriority
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers that never ordered (NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over the part dimension incl. exact median (Spark
+    ``percentile`` == DuckDB ``quantile_cont``: both exact interpolated)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr("CAST(round(SUM(CAST(p_retailprice AS DECIMAL(18,2))), 2) AS DOUBLE)")
+            .alias("total_price"),
+            F.round(F.expr("percentile(p_size, 0.5)"), 4).alias("median_size"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+PART_BRAND_STATS_ORACLE = """
+SELECT p_brand,
+       count(*) AS n_parts,
+       round(sum(p_retailprice::DECIMAL(18,2)), 2)::DOUBLE AS total_price,
+       round(quantile_cont(p_size, 0.5), 4) AS median_size,
+       max(p_size) AS max_size
+FROM part
+GROUP BY p_brand
+"""
+
+
+def supplier_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation) of supplier account balances —
+    hierarchical aggregates in one pass (GROUPING SETS machinery)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.expr("CAST(round(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+SUPPLIER_NATION_ROLLUP_ORACLE = """
+SELECT r_name, n_name,
+       count(*) AS n_suppliers,
+       round(sum(s_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS total_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def high_value_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: customers with any order EXCEPT customers whose max
+    order is below the global average order value (intersect/except path)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust_any = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    avg_val = orders.agg(F.avg("o_totalprice")).first()[0]
+    low_max = (
+        orders.groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("mx"))
+        .where(F.col("mx") < F.lit(avg_val))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust_any.exceptAll(low_max)
+
+
+HIGH_VALUE_ORDER_CUSTOMERS_ORACLE = """
+WITH avg_val AS (SELECT avg(o_totalprice) AS v FROM orders),
+any_c AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+low_max AS (
+  SELECT o_custkey AS c_custkey
+  FROM orders GROUP BY o_custkey
+  HAVING max(o_totalprice) < (SELECT v FROM avg_val)
+)
+SELECT c_custkey FROM any_c
+EXCEPT ALL
+SELECT c_custkey FROM low_max
+"""
+
+
+def event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style distribution: distinct users + event share per type
+    (exact countDistinct; share = ratio of bigint counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.count(F.lit(1)) / F.lit(float(total)), 6).alias("share"),
+        )
+    )
+
+
+EVENT_TYPE_DISTRIBUTION_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(count(*) / (SELECT count(*) * 1.0 FROM events), 6) AS share
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES.update({
+    "q4_order_priority": (q4_order_priority, Q4_ORACLE),
+    "customers_without_orders": (customers_without_orders,
+                                 CUSTOMERS_WITHOUT_ORDERS_ORACLE),
+    "part_brand_stats": (part_brand_stats, PART_BRAND_STATS_ORACLE),
+    "supplier_nation_rollup": (supplier_nation_rollup,
+                               SUPPLIER_NATION_ROLLUP_ORACLE),
+    "high_value_order_customers": (high_value_order_customers,
+                                   HIGH_VALUE_ORDER_CUSTOMERS_ORACLE),
+    "event_type_distribution": (event_type_distribution,
+                                EVENT_TYPE_DISTRIBUTION_ORACLE),
+})

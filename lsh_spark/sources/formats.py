@@ -1,0 +1,73 @@
+"""Format connectors beyond parquet: CSV / JSON(L) readers with explicit
+schemas, and partitioned writers.
+
+The reference has no storage layer at all (SURVEY.md §2.4 — its tests use
+host-engine temp tables), so this module is pure host-engine surface: thin,
+declarative wrappers that keep Catalyst's pushdown/pruning intact (always
+explicit schemas — schema inference reads the data twice and types drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partitioned parquet sink.  ``partition_by`` should be low-cardinality
+    columns (e.g. date, lang) — at 100 TB, partition-pruned reads are the
+    difference between scanning a shard and scanning the lake.
+    ``max_records_per_file`` caps file sizes without an extra repartition
+    shuffle."""
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    *,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles once at write time so future
+    equi-joins/aggregations on ``bucket_by`` skip their exchange entirely —
+    the standard way to amortize a hot join key across many queries."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table_name, format="parquet")

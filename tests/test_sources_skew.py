@@ -1,0 +1,86 @@
+"""Sources (csv/jsonl/writers) and skew-utility tests."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def test_csv_jsonl_roundtrip(spark):
+    from lsh_spark.sources.formats import read_csv, read_jsonl
+
+    schema = StructType([
+        StructField("id", LongType(), True),
+        StructField("name", StringType(), True),
+        StructField("score", IntegerType(), True),
+    ])
+    with tempfile.TemporaryDirectory() as d:
+        csv_path = os.path.join(d, "data.csv")
+        with open(csv_path, "w") as f:
+            f.write("id,name,score\n1,alice,10\n2,bob,20\n3,eve,\n")
+        df = read_csv(spark, csv_path, schema)
+        rows = {r.id: (r.name, r.score) for r in df.collect()}
+        assert rows == {1: ("alice", 10), 2: ("bob", 20), 3: ("eve", None)}
+
+        jl_path = os.path.join(d, "data.jsonl")
+        with open(jl_path, "w") as f:
+            f.write('{"id": 1, "name": "alice", "score": 10}\n')
+            f.write('{"id": 2, "name": "bob"}\n')
+        dj = read_jsonl(spark, jl_path, schema)
+        rows = {r.id: (r.name, r.score) for r in dj.collect()}
+        assert rows == {1: ("alice", 10), 2: ("bob", None)}
+
+
+def test_partitioned_parquet_writer_prunes(spark):
+    from lsh_spark.sources.formats import write_parquet
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "es", f"doc{i}") for i in range(20)],
+        ["doc_id", "lang", "text"])
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "docs")
+        write_parquet(df, out, partition_by=["lang"])
+        assert sorted(p for p in os.listdir(out) if p.startswith("lang=")) == [
+            "lang=en", "lang=es"]
+        back = spark.read.parquet(out).where(F.col("lang") == "en")
+        assert back.count() == 10
+        # partition pruning: only the lang=en directory is in the scan
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "lang=es" not in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from lsh_spark.plans.skew import salted_join
+
+    # skewed big side: 90% of rows share key 1
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i, f"v{i}") for i in range(1000)], ["k", "payload"])
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(0, 1000, 10)], ["k", "dim"])
+    plain = {(r.k, r.payload, r.dim)
+             for r in big.join(small, on=["k"], how="inner").collect()}
+    salted = {(r.k, r.payload, r.dim)
+              for r in salted_join(big, small, ["k"], salt_buckets=8).collect()}
+    assert salted == plain
+    assert len(plain) > 0
+
+
+def test_top_hot_keys(spark):
+    from lsh_spark.plans.skew import top_hot_keys
+
+    df = spark.createDataFrame(
+        [(1,)] * 90 + [(2,)] * 9 + [(3,)], ["k"])
+    rows = top_hot_keys(df, ["k"], n=2).collect()
+    assert rows[0].k == 1 and rows[0].n_rows == 90
+    assert abs(rows[0].share - 0.9) < 1e-9
+    assert rows[1].k == 2

@@ -23,9 +23,11 @@ from pyspark.sql import functions as F
 
 from ..functions.lsh import (
     lsh_euclidean,
+    lsh_euclidean32,
     lsh_jaccard,
     lsh_min,
     lsh_min32,
+    lsh_min_shingles,
 )
 from ..operators.similarity_join import lsh_self_dedup_pairs
 from ..sources.io import load_table
@@ -113,6 +115,33 @@ def euclidean_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def euclidean32_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_euclidean32 (low-32-bit variant, ``src/euclidean_hash.rs:127-152``)
+    over embeddings; rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        lsh_euclidean32(
+            F.col("embedding").cast("array<double>"), 0.5, 4, 2, 123
+        ).alias("bucket_hashes32"),
+    )
+
+
+def minhash_shingle_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIST(VARCHAR) overload (``src/minhash.rs:85-150``) as a query:
+    word-bigram shingles built JVM-side (transform over split), then
+    lsh_min_shingles; rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(slice(split(trim(text), '\\\\s+'), 1, "
+        "greatest(size(split(trim(text), '\\\\s+')) - 1, 0)), "
+        "(x, i) -> concat(x, ' ', split(trim(text), '\\\\s+')[i + 1]))")
+    return docs.select(
+        "doc_id",
+        lsh_min_shingles(bigrams, 4, 2, 123).alias("minhash"),
+    )
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group identical texts, keep the smallest doc_id as
     canonical.  Scales as a single hash-aggregate on a text digest — at
@@ -145,5 +174,7 @@ QUERIES = {
     "minhash32_signatures": (minhash32_signatures, None),
     "minhash_near_dup_pairs": (minhash_near_dup_pairs, None),
     "euclidean_signatures": (euclidean_signatures, None),
+    "euclidean32_signatures": (euclidean32_signatures, None),
+    "minhash_shingle_signatures": (minhash_shingle_signatures, None),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
 }

@@ -55,9 +55,16 @@ def _jaccard_jvm(set_a, set_b) -> Column:
 
 def _with_sets(df: DataFrame, id_col: str, text_col: str, ngram_width: int,
                id_alias: str, set_alias: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias(id_alias),
-        shingle_set_col(F.col(text_col), ngram_width).alias(set_alias),
+    base = df.select(F.col(id_col).alias(id_alias),
+                     F.col(text_col).alias("__text"))
+    # single-file inputs arrive as one partition; spread the UDF pass over
+    # the cluster (no-op direction at real scale: we only ever increase)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
+    return base.select(
+        id_alias,
+        shingle_set_col(F.col("__text"), ngram_width).alias(set_alias),
     )
 
 

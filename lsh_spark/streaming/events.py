@@ -124,3 +124,28 @@ def run_available_now(stream_df: DataFrame, query_name: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    *,
+    key_cols: list[str],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence wins, duplicate arrivals
+    within the watermark horizon are dropped, state evicted beyond it —
+    the standard (and only bounded-state) streaming dedup pattern."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        [*key_cols, "ts"]) if "ts" in key_cols else (
+        events.withWatermark("ts", watermark).dropDuplicates(key_cols))
+
+
+def streaming_minhash_signatures(events: DataFrame) -> DataFrame:
+    """LSH pandas UDFs are stream-compatible (stateless scalar projection):
+    banded MinHash of the event payload, per micro-batch."""
+    from ..functions.lsh import lsh_min_bands_long
+
+    return events.select(
+        "event_id", "ts",
+        lsh_min_bands_long(F.col("props"), 2, 4, 2, 123).alias("props_bands"),
+    )

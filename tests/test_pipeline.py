@@ -105,12 +105,12 @@ def test_dedup_keep_first_consistent_with_pairs(spark):
 
     docs = load_table(spark, SF_DIR, "documents")
     kept = lsh_dedup_keep_first(
-        docs, "text", id_col="doc_id", ngram_width=3, band_count=8,
-        band_size=2, seed=123, threshold=0.6)
+        docs, "text", id_col="doc_id", ngram_width=3, band_count=6,
+        band_size=6, seed=123, threshold=0.8)
     kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
     pairs = lsh_self_dedup_pairs(
-        docs, "text", id_col="doc_id", ngram_width=3, band_count=8,
-        band_size=2, seed=123, threshold=0.6)
+        docs, "text", id_col="doc_id", ngram_width=3, band_count=6,
+        band_size=6, seed=123, threshold=0.8)
     dropped = {r.id_b for r in pairs.collect()}
     all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert kept_ids == all_ids - dropped
@@ -132,3 +132,23 @@ def test_normalized_text(spark):
 
     df = spark.createDataFrame([("  Hello   WORLD \n",)], ["t"])
     assert df.select(normalized_text("t").alias("n")).first().n == "hello world"
+
+
+def test_minhash_shingle_query_matches_core(spark):
+    # the JVM word-bigram construction must feed the shingle overload with
+    # exactly the python-side bigrams (regression: SQL-literal escaping)
+    import duckdb
+
+    from lsh_spark._core.minhash import minhash_bands
+    from lsh_spark._core.shingles import shingle_set_from_shingles
+    from lsh_spark.operators.lsh_queries import minhash_shingle_signatures
+
+    row = (minhash_shingle_signatures(spark, SF_DIR)
+           .where("doc_id = 7").first())
+    text = duckdb.sql(
+        f"select text from '{SF_DIR}/documents.parquet' where doc_id=7"
+    ).fetchone()[0]
+    toks = text.strip().split()
+    bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    want = minhash_bands(shingle_set_from_shingles(bigrams), 4, 2, 123)
+    assert [int(v) for v in row.minhash] == want.tolist()

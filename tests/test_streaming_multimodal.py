@@ -117,3 +117,31 @@ def test_multimodal_custom_decoder_registration(spark):
         assert (r.width, r.height, r.n_frames) == (99, 98, 7)
     finally:
         M.DECODERS["image"] = M._stub_decode
+
+
+def test_streaming_dedup_and_udf(spark):
+    from lsh_spark.sources.io import load_table
+    from lsh_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        streaming_dedup,
+        streaming_minhash_signatures,
+    )
+
+    stream = read_events_stream(spark, SF_DIR)
+    q = run_available_now(
+        streaming_dedup(stream, key_cols=["user_id", "event_type"]),
+        "dedup_stream", output_mode="append")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM dedup_stream").first().n
+    ev = load_table(spark, SF_DIR, "events")
+    want = ev.dropDuplicates(["user_id", "event_type"]).count()
+    assert got == want
+
+    q2 = run_available_now(
+        streaming_minhash_signatures(read_events_stream(spark, SF_DIR)),
+        "minhash_stream", output_mode="append")
+    q2.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM minhash_stream").collect()
+    assert len(rows) == ev.count()
+    assert all(len(r.props_bands) == 4 for r in rows)

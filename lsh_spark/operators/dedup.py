@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-from ..functions.vector import cosine
+from ..functions.vector import cosine, dot, norm
 from .._core.batch import hash_strings_batch
 
 
@@ -179,11 +179,21 @@ def embedding_dup_pairs(
     )
     if sample_max_id is not None:
         base = base.where(F.col("__id") < sample_max_id)
-    a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    # precompute each vector's norm ONCE (same value/op sequence as the
+    # per-pair formula — sqrt(dot(v,v)) — so results stay bit-identical to
+    # the oracle, but the n² pair stage only multiplies two scalars)
+    base = base.withColumn("__n", norm("__v"))
+    a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+                    F.col("__n").alias("__na"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+                    F.col("__n").alias("__nb"))
+    cos = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        dot("__va", "__vb") / (F.col("__na") * F.col("__nb")),
+    ).otherwise(F.lit(0.0))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", F.round(cosine("__va", "__vb"), 6))
+        .withColumn("cosine_sim", F.round(cos, 6))
         .where(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

@@ -168,6 +168,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where(F.col("vec_id") < _N_QUERIES), k=_ANN_K)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer + n_probe cells; rows-only,
+    recall-tested against brute force)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.ivf_topk(
+        emb, emb.where(F.col("vec_id") < _N_QUERIES), k=_ANN_K,
+        n_lists=8, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # dedup variants
 # ---------------------------------------------------------------------------
@@ -185,7 +194,9 @@ HAVING count(*) > 1
 """
 
 
-_EMB_DUP_THRESHOLD = 0.9
+# synthetic embeddings top out at cosine ~0.51 — 0.4 yields a real
+# (non-empty) result set for the oracle comparison
+_EMB_DUP_THRESHOLD = 0.4
 
 
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,6 +258,7 @@ QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_ORACLE),
     "ann_topk": (ann_topk, ANN_TOPK_ORACLE),
     "ann_lsh_topk": (ann_lsh_topk, None),
+    "ann_ivf_topk": (ann_ivf_topk, None),
     "dedup_normalized": (dedup_normalized, DEDUP_NORMALIZED_ORACLE),
     "embedding_dup_pairs": (embedding_dup_pairs, EMB_DUP_ORACLE),
     "simhash_near_dup_pairs": (simhash_near_dup_pairs, None),

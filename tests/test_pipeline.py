@@ -152,3 +152,21 @@ def test_minhash_shingle_query_matches_core(spark):
     bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
     want = minhash_bands(shingle_set_from_shingles(bigrams), 4, 2, 123)
     assert [int(v) for v in row.minhash] == want.tolist()
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    from lsh_spark.operators import ann
+    from lsh_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = ann.cosine_topk(emb, queries, k=10).collect()
+    ivf = ann.ivf_topk(emb, queries, k=10, n_lists=8, n_probe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(exact_set & ivf_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact}
+    for r in ivf:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]

@@ -149,3 +149,49 @@ def streaming_minhash_signatures(events: DataFrame) -> DataFrame:
         "event_id", "ts",
         lsh_min_bands_long(F.col("props"), 2, 4, 2, 123).alias("props_bands"),
     )
+
+
+def streaming_near_dup_against_corpus(
+    stream_docs: DataFrame,
+    corpus: DataFrame,
+    sink_table: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_width: int = 3,
+    band_count: int = 8,
+    band_size: int = 2,
+    seed: int = 123,
+    threshold: float = 0.6,
+):
+    """Streaming near-dup filter: every micro-batch of incoming documents
+    is LSH-joined against a static reference corpus; matches land in
+    ``sink_table``.  The ``foreachBatch`` pattern — the standard way to run
+    a full batch operator (here the similarity join) inside a stream when
+    the operator exceeds what incremental execution supports.
+
+    The static corpus's shingle sets/bands are recomputed per batch here;
+    a production deployment would precompute them to a table (see
+    ``sources.formats.write_bucketed_table``) — the join logic is
+    unchanged."""
+    from ..operators.similarity_join import lsh_similarity_join
+
+    corpus.sparkSession.sql(f"DROP TABLE IF EXISTS {sink_table}")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        matches = lsh_similarity_join(
+            batch_df, corpus, text_col, text_col,
+            left_id=id_col, right_id=id_col,
+            ngram_width=ngram_width, band_count=band_count,
+            band_size=band_size, seed=seed, threshold=threshold)
+        matches.write.mode("append").saveAsTable(sink_table)
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation",
+                f"/tmp/lsh_spark_ckpt_{sink_table}")
+        .start()
+    )

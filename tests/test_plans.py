@@ -128,3 +128,27 @@ def test_udfs_are_deterministic_for_catalyst(spark):
     col_df = df.select(lsh_min("t", 2, 1, 1, 1).alias("h"))
     plan = col_df._jdf.queryExecution().analyzed().toString()
     assert "nondeterministic" not in plan.lower()
+
+
+def test_sessionize_single_user_shuffle(spark):
+    from lsh_spark.operators.relational import events_sessionize
+
+    plan = _plan(events_sessionize(spark, SF_DIR))
+    # both windows and the final group-by hash on user_id → one exchange
+    # feeds windows; the rollup may add one more; never 3+
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_dedup_exact_single_aggregate(spark):
+    from lsh_spark.operators.lsh_queries import dedup_exact
+
+    plan = _plan(dedup_exact(spark, SF_DIR))
+    assert "partial_min" in plan or "partial_count" in plan  # map-side combine
+    assert "EvalPython" not in plan
+
+
+def test_ivf_centroid_side_broadcast(spark):
+    from lsh_spark.operators.pipeline_queries import ann_ivf_topk
+
+    plan = _plan(ann_ivf_topk(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -145,3 +145,29 @@ def test_streaming_dedup_and_udf(spark):
     rows = spark.sql("SELECT * FROM minhash_stream").collect()
     assert len(rows) == ev.count()
     assert all(len(r.props_bands) == 4 for r in rows)
+
+
+def test_streaming_near_dup_foreachbatch(spark, tmp_path):
+    import shutil
+
+    from lsh_spark.sources.io import load_table
+    from lsh_spark.streaming.events import streaming_near_dup_against_corpus
+
+    shutil.rmtree("/tmp/lsh_spark_ckpt_stream_matches", ignore_errors=True)
+    corpus = load_table(spark, SF_DIR, "documents").where("doc_id >= 250")
+    # stream the first 250 docs in as files
+    incoming = load_table(spark, SF_DIR, "documents").where("doc_id < 250")
+    src_dir = str(tmp_path / "incoming")
+    incoming.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(incoming.schema).parquet(src_dir)
+
+    q = streaming_near_dup_against_corpus(
+        stream, corpus, "stream_matches", threshold=0.6)
+    q.awaitTermination(180)
+    got = spark.table("stream_matches")
+    n = got.count()
+    assert n > 0
+    assert set(got.columns) == {"doc_id_left", "doc_id_right", "jaccard"}
+    # every match pairs an incoming doc (<250) with a corpus doc (>=250)
+    assert got.where("doc_id_left >= 250 OR doc_id_right < 250").count() == 0
+    spark.sql("DROP TABLE IF EXISTS stream_matches")

@@ -217,3 +217,36 @@ def test_bands_long_equality_preserved(spark, names_df):
             continue
         assert [int(d) & 0xFFFFFFFFFFFFFFFF for d in r.dec] == [
             v & 0xFFFFFFFFFFFFFFFF for v in r.lng]
+
+
+def test_sql_euclidean_and_shingles_forms(spark):
+    # the remaining SQL-registered names (register.py) against goldens
+    import lsh_spark.functions as F_lsh
+
+    F_lsh.register_all(spark)
+    row = spark.sql(
+        "SELECT lsh_euclidean(ARRAY(1.1D, 2.2D, 3.3D, 5.8D, 3.9D), "
+        "0.5D, 2, 3, 123) AS h").first()
+    assert [int(x) for x in row.h] == [4153593470791884295, 13333357882440433242]
+    row = spark.sql(
+        "SELECT lsh_euclidean32(ARRAY(1.1D, 2.2D, 3.3D, 5.8D, 3.9D), "
+        "0.5D, 2, 3, 123) AS h").first()
+    assert row.h == [1206820359, 3590602330]
+    row = spark.sql(
+        "SELECT lsh_min_shingles(ARRAY('Today is', 'is such', 'such a', "
+        "'a beautiful', 'beautiful day'), 3, 2, 123) AS h").first()
+    assert [int(x) for x in row.h] == [
+        9974840119851185478, 4711155484753061995, 16211519798383806619]
+    row = spark.sql(
+        "SELECT lsh_min32_shingles(ARRAY('Today is', 'is such', 'such a', "
+        "'a beautiful', 'beautiful day'), 3, 2, 123) AS h").first()
+    assert row.h == [1930130758, 3730237547, 1138821275]
+
+
+def test_public_api_imports(spark):
+    import lsh_spark
+
+    df = spark.createDataFrame([("Princeton University",)], ["name"])
+    row = df.select(lsh_spark.lsh_min("name", 2, 3, 2, 123).alias("h")).first()
+    assert [int(x) for x in row.h] == [
+        6891191098855684803, 6484452798683863108, 14488917645112899542]

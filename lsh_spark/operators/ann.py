@@ -90,24 +90,29 @@ def euclidean_lsh_topk(
     band_count × rows."""
 
     def blocks(df: DataFrame, out_id: str) -> DataFrame:
+        # the blocking join ships ONLY (id, band_idx, band_hash) — vectors
+        # re-attach to surviving unique candidate pairs by id
         bands = lsh_euclidean_bands_long(
             F.col(vec_col).cast("array<double>"),
             bucket_width, band_count, band_size, seed)
         return (
-            df.select(F.col(id_col).alias(out_id),
-                      F.col(vec_col).cast("array<double>").alias(f"__v_{out_id}"),
-                      bands.alias("__bands"))
-            .select(out_id, f"__v_{out_id}",
+            df.select(F.col(id_col).alias(out_id), bands.alias("__bands"))
+            .select(out_id,
                     F.posexplode("__bands").alias("band_idx", "band_hash"))
         )
 
+    vec = lambda df, out_id: df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).cast("array<double>").alias(f"__v_{out_id}"))
     qb = blocks(queries, "query_id")
     cb = blocks(corpus, "neighbor_id")
     candidates = (
         qb.join(cb, on=["band_idx", "band_hash"], how="inner")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__v_query_id", "__v_neighbor_id")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+        .join(F.broadcast(vec(queries, "query_id")), on="query_id")
+        .join(vec(corpus, "neighbor_id"), on="neighbor_id")
     )
     scored = candidates.withColumn(
         "cosine_sim",

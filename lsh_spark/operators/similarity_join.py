@@ -113,6 +113,12 @@ def lsh_similarity_join(
     verified = (
         pairs.join(l_sets, on="__lid")
         .join(r_sets, on="__rid")
+        # exact pruning: jaccard > t requires min(|A|,|B|) > t*max(|A|,|B|)
+        # (|A∩B| <= min, |A∪B| >= max) — skips the intersect for pairs the
+        # size ratio already rules out, with zero false negatives
+        .where(
+            F.least(F.size("__lset"), F.size("__rset"))
+            > threshold * F.greatest(F.size("__lset"), F.size("__rset")))
         .withColumn("__jaccard", _jaccard_jvm("__lset", "__rset"))
         .where(F.col("__jaccard") > threshold)
     )
@@ -164,6 +170,10 @@ def lsh_self_dedup_pairs(
     return (
         pairs.join(sets_a, on="id_a")
         .join(sets_b, on="id_b")
+        # exact size-ratio pruning (see lsh_similarity_join)
+        .where(
+            F.least(F.size("__set_a"), F.size("__set_b"))
+            > threshold * F.greatest(F.size("__set_a"), F.size("__set_b")))
         .withColumn("jaccard", _jaccard_jvm("__set_a", "__set_b"))
         .where(F.col("jaccard") > threshold)
         .select("id_a", "id_b", "jaccard")

@@ -19,7 +19,7 @@ from ..functions import text as T
 from ..functions.fingerprint import winnow_fingerprints
 from ..sources.io import load_table
 from . import ann, dedup
-from .similarity_join import lsh_dedup_keep_first
+from .similarity_join import lsh_dedup_clusters, lsh_dedup_keep_first
 
 _CJK_LO, _CJK_HI = chr(0x4E00), chr(0x9FFF)
 
@@ -244,6 +244,14 @@ def dedup_keep_first_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang", "source")
 
 
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-free cluster dedup (connected components over band buckets —
+    the corpus-scale path; rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_dedup_clusters(docs, "text", id_col="doc_id",
+                              band_count=6, band_size=6, seed=123)
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints per document (rows-only: FxHash-based)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -263,5 +271,6 @@ QUERIES = {
     "embedding_dup_pairs": (embedding_dup_pairs, EMB_DUP_ORACLE),
     "simhash_near_dup_pairs": (simhash_near_dup_pairs, None),
     "dedup_keep_first_minhash": (dedup_keep_first_minhash, None),
+    "dedup_clusters_minhash": (dedup_clusters_minhash, None),
     "doc_fingerprints": (doc_fingerprints, None),
 }

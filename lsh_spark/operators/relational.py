@@ -395,23 +395,28 @@ def high_value_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is below the global average order value (intersect/except path)."""
     orders = load_table(spark, sf_dir, "orders")
     cust_any = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
-    avg_val = orders.agg(F.avg("o_totalprice")).first()[0]
+    # the comparison value must be summation-order independent (a float avg
+    # varies in the last ulp with partitioning): exact decimal sum / count
+    avg_val = orders.agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2))) / COUNT(*)")
+        .alias("v")).first().v
     low_max = (
         orders.groupBy("o_custkey")
         .agg(F.max("o_totalprice").alias("mx"))
-        .where(F.col("mx") < F.lit(avg_val))
+        .where(F.col("mx").cast("decimal(18,2)") < F.lit(avg_val))
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return cust_any.exceptAll(low_max)
 
 
 HIGH_VALUE_ORDER_CUSTOMERS_ORACLE = """
-WITH avg_val AS (SELECT avg(o_totalprice) AS v FROM orders),
+WITH avg_val AS (
+  SELECT sum(o_totalprice::DECIMAL(18,2)) / count(*) AS v FROM orders),
 any_c AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
 low_max AS (
   SELECT o_custkey AS c_custkey
   FROM orders GROUP BY o_custkey
-  HAVING max(o_totalprice) < (SELECT v FROM avg_val)
+  HAVING max(o_totalprice)::DECIMAL(18,2) < (SELECT v FROM avg_val)
 )
 SELECT c_custkey FROM any_c
 EXCEPT ALL

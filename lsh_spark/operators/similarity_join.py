@@ -203,3 +203,77 @@ def lsh_dedup_keep_first(
         threshold=threshold, broadcast_sets=broadcast_sets)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def lsh_dedup_clusters(
+    df: DataFrame,
+    text_col: str,
+    *,
+    id_col: str,
+    ngram_width: int = 3,
+    band_count: int = 6,
+    band_size: int = 6,
+    seed: int = 123,
+    max_iter: int = 6,
+) -> DataFrame:
+    """Cluster-representative near-dedup WITHOUT pair materialization — the
+    100 TB path.
+
+    The verified-pairs operators are output-bound: a cluster of m
+    near-identical documents contains m²/2 pairs (measured: replicating
+    the corpus 20× stalls on within-cluster pairs).  This operator instead
+    runs connected components over the doc↔band-bucket bipartite graph by
+    alternating min-label propagation:
+
+        bucket_label = min(label of member docs)
+        doc_label    = min(bucket_label of its buckets)
+
+    Every iteration is two hash-aggregations bounded by rows × band_count —
+    never a pair join.  Convergence in O(cluster diameter) rounds (near-dup
+    clusters are dense, so 2-3 rounds in practice; ``max_iter`` caps it and
+    iteration stops early at a fixed point).
+
+    Semantics: single-linkage over *band-collision* edges (no exact-Jaccard
+    verification) — the standard trade for corpus-scale dedup; tune
+    ``band_size`` up for precision (see ``operators.banding.tune_bands``).
+
+    Returns (id, cluster_id, is_representative).
+    """
+    sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set")
+    blocks = _band_blocks(sets, "__id", "__set", band_count, band_size, seed)
+    # doc ↔ bucket edges; bucket key = (band_idx, band_hash)
+    edges = blocks.select(
+        "__id", F.col("band_idx"), F.col("band_hash")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+
+    labels = edges.select("__id").distinct().select(
+        "__id", F.col("__id").alias("__label"))
+    for _ in range(max_iter):
+        labels.persist(StorageLevel.MEMORY_AND_DISK)
+        bucket_min = (
+            edges.join(labels, on="__id")
+            .groupBy("band_idx", "band_hash")
+            .agg(F.min("__label").alias("__bucket_label"))
+        )
+        new_labels = (
+            edges.join(bucket_min, on=["band_idx", "band_hash"])
+            .groupBy("__id")
+            .agg(F.min("__bucket_label").alias("__label"))
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("__label", "__old"),
+                            on="__id")
+            .where(F.col("__label") != F.col("__old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("__id").alias(id_col),
+        F.col("__label").alias("cluster_id"),
+        (F.col("__id") == F.col("__label")).alias("is_representative"),
+    )

@@ -1,0 +1,119 @@
+"""Edge-case hardening: empty inputs, all-NULL columns, single rows —
+the shapes that break vectorized batch kernels (empty reduceat, empty
+concatenate) and distributed operators (empty sides of joins)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+import lsh_spark.functions as F_lsh
+
+
+def _empty_docs(spark):
+    schema = StructType([
+        StructField("doc_id", LongType(), True),
+        StructField("text", StringType(), True),
+    ])
+    return spark.createDataFrame([], schema)
+
+
+def test_lsh_udfs_on_empty_dataframe(spark):
+    df = _empty_docs(spark)
+    out = df.select(
+        F_lsh.lsh_min("text", 2, 3, 2, 123).alias("a"),
+        F_lsh.lsh_min32("text", 2, 3, 2, 123).alias("b"),
+        F_lsh.lsh_jaccard("text", "text", 2).alias("c"),
+    )
+    assert out.count() == 0
+
+
+def test_lsh_udfs_on_all_null_column(spark):
+    schema = StructType([StructField("text", StringType(), True)])
+    df = spark.createDataFrame([(None,), (None,)], schema)
+    rows = df.select(F_lsh.lsh_min("text", 2, 3, 2, 123).alias("h")).collect()
+    assert [r.h for r in rows] == [None, None]
+
+
+def test_euclidean_on_empty_and_null(spark):
+    schema = StructType([StructField("v", ArrayType(DoubleType()), True)])
+    empty = spark.createDataFrame([], schema)
+    assert empty.select(
+        F_lsh.lsh_euclidean("v", 0.5, 2, 2, 1).alias("h")).count() == 0
+    nulls = spark.createDataFrame([(None,), (None,)], schema)
+    rows = nulls.select(
+        F_lsh.lsh_euclidean("v", 0.5, 2, 2, 1).alias("h")).collect()
+    assert [r.h for r in rows] == [None, None]
+
+
+def test_similarity_join_empty_side(spark):
+    from lsh_spark.operators.similarity_join import (
+        lsh_self_dedup_pairs,
+        lsh_similarity_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world text"), (2, "hello world text")],
+        ["doc_id", "text"])
+    empty = _empty_docs(spark)
+    out = lsh_similarity_join(
+        empty, docs, "text", "text", left_id="doc_id", right_id="doc_id",
+        ngram_width=3, band_count=2, band_size=2, seed=1, threshold=0.5)
+    assert out.count() == 0
+    assert lsh_self_dedup_pairs(
+        empty, "text", id_col="doc_id", ngram_width=3, band_count=2,
+        band_size=2, seed=1, threshold=0.5).count() == 0
+
+
+def test_similarity_join_single_row(spark):
+    from lsh_spark.operators.similarity_join import lsh_self_dedup_pairs
+
+    docs = spark.createDataFrame([(1, "only one document here")],
+                                 ["doc_id", "text"])
+    assert lsh_self_dedup_pairs(
+        docs, "text", id_col="doc_id", ngram_width=3, band_count=2,
+        band_size=2, seed=1, threshold=0.5).count() == 0
+
+
+def test_simhash_empty_and_whitespace(spark):
+    from lsh_spark.operators.dedup import simhash64
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "x")], ["id", "text"])
+    rows = {r.id: r.s for r in
+            df.select("id", simhash64("text").alias("s")).collect()}
+    # empty token lists → signature 0 (all bit-votes are <= 0)
+    assert rows[1] == 0 and rows[2] == 0
+    assert rows[3] is not None
+
+
+def test_ann_with_single_query(spark):
+    from lsh_spark.operators import ann
+    from lsh_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = ann.cosine_topk(emb, emb.where("vec_id = 0"), k=3).collect()
+    assert len(out) == 3
+    assert all(r.query_id == 0 for r in out)
+
+
+def test_text_functions_on_empty_string(spark):
+    from lsh_spark.functions import text as T
+
+    df = spark.createDataFrame([("",), ("   ",)], ["text"])
+    rows = df.select(
+        T.token_count("text").alias("tc"),
+        T.word_token_count("text").alias("wc"),
+        F.round(T.stopword_ratio("text"), 6).alias("sr"),
+        T.lang_guess("text").alias("lg"),
+    ).collect()
+    for r in rows:
+        assert r.tc == 0 and r.wc == 0 and r.sr == 0.0 and r.lg == "en"

@@ -170,3 +170,51 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     for r in ivf:
         if (r.query_id, r.neighbor_id) in exact_scores:
             assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]
+
+
+def test_tune_bands_properties():
+    from lsh_spark.operators.banding import (
+        BandingPlan,
+        collision_probability,
+        tune_bands,
+    )
+
+    plan = tune_bands(0.8, target_recall=0.95, background_similarity=0.45)
+    assert plan.recall_at_threshold >= 0.95
+    # selectivity: background pass rate must be far below recall
+    assert plan.background_pass_rate < 0.2
+    assert plan.signature_size <= 256
+    # S-curve sanity
+    assert collision_probability(0.9, plan.band_count, plan.band_size) > \
+        plan.recall_at_threshold
+    with pytest.raises(ValueError):
+        tune_bands(0.99, target_recall=0.99999999, max_signature_size=2)
+
+
+def test_lsh_dedup_clusters_collapses_replicas(spark):
+    from lsh_spark.operators.similarity_join import lsh_dedup_clusters
+    from lsh_spark.sources.io import load_table
+
+    base = load_table(spark, SF_DIR, "documents").limit(100)
+    # 3 replicas with perturbed tails → same cluster as their base doc
+    docs = base.selectExpr("doc_id * 3 as doc_id", "text").unionAll(
+        base.selectExpr("doc_id * 3 + 1 as doc_id",
+                        "concat(text, ' tailA') as text")).unionAll(
+        base.selectExpr("doc_id * 3 + 2 as doc_id",
+                        "concat(text, ' tailB') as text"))
+    out = lsh_dedup_clusters(docs, "text", id_col="doc_id",
+                             band_count=6, band_size=6)
+    rows = out.collect()
+    assert len(rows) == 300
+    by_id = {r.doc_id: r for r in rows}
+    # replicas of the same base doc must share one cluster
+    for b in range(0, 30, 3):
+        labels = {by_id[b].cluster_id, by_id[b + 1].cluster_id,
+                  by_id[b + 2].cluster_id}
+        assert len(labels) == 1
+    reps = sum(1 for r in rows if r.is_representative)
+    assert reps <= 150  # at least the replica clusters collapsed
+    # representative = min id of its cluster
+    for r in rows:
+        assert by_id[r.cluster_id].is_representative
+        assert r.cluster_id <= r.doc_id

@@ -240,10 +240,24 @@ def lsh_dedup_clusters(
     Returns (id, cluster_id, is_representative).
     """
     sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set")
+    # materialize the block list once — everything below (ids, bucket
+    # sizes, edges, every iteration) reuses it without re-running the
+    # hashing UDFs
     blocks = _band_blocks(sets, "__id", "__set", band_count, band_size, seed)
-    # doc ↔ bucket edges; bucket key = (band_idx, band_hash)
-    edges = blocks.select(
-        "__id", F.col("band_idx"), F.col("band_hash")
+    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+    all_ids = blocks.select("__id").distinct()
+    # doc ↔ bucket edges; singleton buckets can never link anything, so
+    # drop them before iterating — in a real corpus the overwhelming
+    # majority of buckets are singletons and the propagation graph
+    # shrinks to just the linked subset
+    bucket_sizes = (
+        blocks.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .select("band_idx", "band_hash")
+    )
+    edges = blocks.join(bucket_sizes, on=["band_idx", "band_hash"]).select(
+        "__id", "band_idx", "band_hash"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()
 
@@ -272,6 +286,11 @@ def lsh_dedup_clusters(
         if changed == 0:
             break
 
+    # docs whose every bucket was a singleton never entered the iteration:
+    # they are their own cluster
+    isolated = all_ids.join(labels.select("__id"), on="__id", how="left_anti")
+    labels = labels.unionAll(
+        isolated.select("__id", F.col("__id").alias("__label")))
     return labels.select(
         F.col("__id").alias(id_col),
         F.col("__label").alias("cluster_id"),

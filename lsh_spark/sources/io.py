@@ -25,7 +25,26 @@ TABLES = (
 BROADCAST_TABLES = {"region", "nation", "supplier"}
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime-settable configs every query depends on — applied here so
+    the operators work on ANY caller-provided session (the driver passes
+    its own), not just ones built by ``plans.get_spark``."""
+    for key, value in (
+        # events.ts is parquet TIMESTAMP(NANOS); the vectorized reader
+        # rejects it unless read as long
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # timestamp rendering must be timezone-stable vs the DuckDB oracle
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # non-settable on this session → builder must provide it
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS,false): with

@@ -250,3 +250,25 @@ def test_public_api_imports(spark):
     row = df.select(lsh_spark.lsh_min("name", 2, 3, 2, 123).alias("h")).first()
     assert [int(x) for x in row.h] == [
         6891191098855684803, 6484452798683863108, 14488917645112899542]
+
+
+def test_shingle_set_and_jaccard_from_sets_consistent(spark):
+    # the materialized-set path must agree with the reference lsh_jaccard
+    from pyspark.sql import functions as F
+
+    from lsh_spark.functions.lsh import jaccard_from_sets, shingle_set_col
+
+    df = spark.createDataFrame(
+        [("Princeton University", "Harvard University"),
+         ("Charlotte Brown", "Charlene Browning"),
+         ("a", "ab"),
+         (None, "x")],
+        ["ta", "tb"])
+    out = df.select(
+        F_lsh.lsh_jaccard("ta", "tb", 2).alias("direct"),
+        jaccard_from_sets(
+            shingle_set_col(F.col("ta"), 2),
+            shingle_set_col(F.col("tb"), 2)).alias("via_sets"),
+    ).collect()
+    for r in out:
+        assert r.direct == r.via_sets

@@ -156,7 +156,8 @@ def ivf_topk(
     q = prep(queries, "query_id")
 
     km = KMeans(k=n_lists, seed=seed, featuresCol="__feat",
-                predictionCol="__cell")
+                predictionCol="__cell", maxIter=8)  # coarse cells don't
+    # need convergence — 8 iterations is ample for a bucketing quantizer
     model = km.fit(c.withColumn("__feat", array_to_vector("__v_neighbor_id")))
     c_cells = model.transform(
         c.withColumn("__feat", array_to_vector("__v_neighbor_id"))

@@ -252,6 +252,22 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                               band_count=6, band_size=6, seed=123)
 
 
+def kmv_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch distinct-ngram estimates per document (deterministic;
+    rows-only — accuracy property-tested in tests/test_sketch.py)."""
+    from ..functions.sketch import kmv_distinct_estimate, kmv_sketch_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        kmv_sketch_col("text", ngram_width=3, k=64).alias("__sk"),
+    ).select(
+        "doc_id",
+        F.col("__sk.n_total").alias("n_distinct_ngrams"),
+        F.round(kmv_distinct_estimate("__sk", k=64), 4).alias("kmv_estimate"),
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints per document (rows-only: FxHash-based)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -273,4 +289,5 @@ QUERIES = {
     "dedup_keep_first_minhash": (dedup_keep_first_minhash, None),
     "dedup_clusters_minhash": (dedup_clusters_minhash, None),
     "doc_fingerprints": (doc_fingerprints, None),
+    "kmv_doc_stats": (kmv_doc_stats, None),
 }

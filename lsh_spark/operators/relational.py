@@ -461,3 +461,42 @@ QUERIES.update({
     "event_type_distribution": (event_type_distribution,
                                 EVENT_TYPE_DISTRIBUTION_ORACLE),
 })
+
+
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join query: each purchase event paired with the user's most
+    recent prior (or simultaneous) click.  Oracle: DuckDB's native
+    ASOF LEFT JOIN — the Spark side is the union-sort composition in
+    ``operators.asof`` (single shuffle on user_id)."""
+    from .asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"))
+    joined = asof_join(
+        purchases, clicks, by="user_id", on="ts",
+        right_cols=["click_event_id", "click_value"], suffix="")
+    return joined.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "value", "click_event_id", "click_value",
+    )
+
+
+ASOF_ORACLE = """
+SELECT p.user_id, p.event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       p.value,
+       c.event_id AS click_event_id,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+QUERIES["asof_purchase_last_click"] = (asof_purchase_last_click, ASOF_ORACLE)

@@ -84,3 +84,44 @@ def test_top_hot_keys(spark):
     assert rows[0].k == 1 and rows[0].n_rows == 90
     assert abs(rows[0].share - 0.9) < 1e-9
     assert rows[1].k == 2
+
+
+def test_asof_join_semantics(spark):
+    from lsh_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (1, 5, "p0"), (2, 7, "q1")],
+        ["uid", "t", "name"])
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (1, 20, 300.0), (3, 1, 999.0)],
+        ["uid", "t", "price"])
+    out = {r.name: r.price_asof for r in asof_join(
+        left, right, by="uid", on="t", right_cols=["price"]).collect()}
+    assert out["p0"] is None          # no right row at or before t=5
+    assert out["p1"] == 100.0         # t=8 is latest <= 10
+    assert out["p2"] == 300.0         # simultaneous right row counts
+    assert out["q1"] is None          # key with no right rows at all
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    import uuid
+
+    from lsh_spark.sources.formats import write_bucketed_table
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    ta, tb = f"ta_{uuid.uuid4().hex[:8]}", f"tb_{uuid.uuid4().hex[:8]}"
+    try:
+        write_bucketed_table(a, ta, bucket_by=["k"], num_buckets=8,
+                             sort_by=["k"])
+        write_bucketed_table(b, tb, bucket_by=["k"], num_buckets=8,
+                             sort_by=["k"])
+        joined = spark.table(ta).join(spark.table(tb), on="k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # bucketing pre-shuffled at write time: the join plan must not
+        # re-exchange either side
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")

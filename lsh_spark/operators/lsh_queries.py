@@ -29,7 +29,7 @@ from ..functions.lsh import (
     lsh_min32,
     lsh_min_shingles,
 )
-from ..operators.similarity_join import lsh_self_dedup_pairs
+from ..operators.similarity_join import lsh_self_dedup_pairs, lsh_similarity_join
 from ..sources.io import load_table
 
 # bounded sample for the all-pairs oracle-able query (45k pairs at any sf)
@@ -104,6 +104,20 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def similarity_join_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table similarity join (the README pattern proper, A ≠ B):
+    odd-id docs probed against even-id docs; rows-only (banding recall)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 1).selectExpr(
+        "doc_id AS probe_id", "text")
+    b = docs.where(F.col("doc_id") % 2 == 0).selectExpr(
+        "doc_id AS corpus_id", "text")
+    return lsh_similarity_join(
+        a, b, "text", "text", left_id="probe_id", right_id="corpus_id",
+        ngram_width=3, band_count=8, band_size=2, seed=123, threshold=0.7,
+    ).select("probe_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+
+
 def euclidean_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lsh_euclidean over embeddings (cast float[] → double[]); rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -173,6 +187,7 @@ QUERIES = {
     "minhash_signatures": (minhash_signatures, None),
     "minhash32_signatures": (minhash32_signatures, None),
     "minhash_near_dup_pairs": (minhash_near_dup_pairs, None),
+    "similarity_join_ab": (similarity_join_ab, None),
     "euclidean_signatures": (euclidean_signatures, None),
     "euclidean32_signatures": (euclidean32_signatures, None),
     "minhash_shingle_signatures": (minhash_shingle_signatures, None),

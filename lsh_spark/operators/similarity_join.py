@@ -261,9 +261,16 @@ def lsh_dedup_clusters(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()
 
-    labels = edges.select("__id").distinct().select(
-        "__id", F.col("__id").alias("__label"))
-    for _ in range(max_iter):
+    # initialization already performs round 1: a bucket's min member id is
+    # its label, a doc's initial label is the min over its buckets
+    labels = (
+        edges.groupBy("band_idx", "band_hash")
+        .agg(F.min("__id").alias("__bucket_label"))
+        .join(edges, on=["band_idx", "band_hash"])
+        .groupBy("__id")
+        .agg(F.min("__bucket_label").alias("__label"))
+    )
+    for _ in range(max_iter - 1):
         labels.persist(StorageLevel.MEMORY_AND_DISK)
         bucket_min = (
             edges.join(labels, on="__id")

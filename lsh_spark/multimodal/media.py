@@ -128,3 +128,75 @@ def media_dedup_by_digest(features: DataFrame) -> DataFrame:
         .where(F.col("n_copies") > 1)
         .select("canonical_id", "n_copies")
     )
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("content", BinaryType(), True),
+])
+
+
+def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
+    """Image resize plumbing (``mapInPandas``, batch-at-a-time).  The pixel
+    work is stubbed deterministically (real deployment: PIL/opencv with the
+    same ``bytes -> bytes`` contract); schema, batching and
+    partition-preservation are the real, tested parts."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "image" or r["content"] is None:
+                    continue
+                # STUB: a real decoder would decode+resample; the stand-in
+                # derives a deterministic fixed-size payload
+                digest = hashlib.sha256(r["content"]).digest()
+                fake_pixels = (digest * ((width * height) // 32 + 1))[
+                    : width * height]
+                rows.append({
+                    "media_id": r["media_id"],
+                    "width": width,
+                    "height": height,
+                    "content": fake_pixels,
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("frame", BinaryType(), True),
+])
+
+
+def sample_frames(media: DataFrame, *, every_nth: int = 10,
+                  max_frames: int = 8) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    (fan-out inside ``mapInPandas`` — no explode shuffle; frames stay on
+    the partition that held the video bytes)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "video" or r["content"] is None:
+                    continue
+                digest = hashlib.sha256(r["content"]).digest()
+                n_frames = 1 + digest[2]  # matches _stub_decode
+                taken = 0
+                for idx in range(0, n_frames, every_nth):
+                    if taken >= max_frames:
+                        break
+                    # STUB frame payload: deterministic per (video, idx)
+                    frame = hashlib.sha256(
+                        r["content"] + idx.to_bytes(4, "little")).digest()
+                    rows.append({"media_id": r["media_id"],
+                                 "frame_idx": idx, "frame": frame})
+                    taken += 1
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA])
+
+    return media.mapInPandas(_sample, schema=FRAMES_SCHEMA)

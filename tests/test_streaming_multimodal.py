@@ -171,3 +171,42 @@ def test_streaming_near_dup_foreachbatch(spark, tmp_path):
     # every match pairs an incoming doc (<250) with a corpus doc (>=250)
     assert got.where("doc_id_left >= 250 OR doc_id_right < 250").count() == 0
     spark.sql("DROP TABLE IF EXISTS stream_matches")
+
+
+def test_multimodal_resize_and_frames(spark):
+    from lsh_spark.multimodal.media import (
+        resize_images,
+        sample_frames,
+        synthesize_media_from_documents,
+    )
+    from lsh_spark.sources.io import load_table
+
+    # pushdown filter, not limit() — limit inserts a SinglePartition
+    # exchange that would pollute the narrow-transformation plan check
+    docs = load_table(spark, SF_DIR, "documents").where("doc_id < 60")
+    media = synthesize_media_from_documents(docs)
+
+    resized = resize_images(media, width=32, height=16).collect()
+    assert resized  # images exist (doc_id % 3 == 0)
+    for r in resized:
+        assert (r.width, r.height) == (32, 16)
+        assert len(r.content) == 32 * 16
+    # determinism
+    again = {r.media_id: bytes(r.content)
+             for r in resize_images(media, width=32, height=16).collect()}
+    for r in resized:
+        assert again[r.media_id] == bytes(r.content)
+
+    frames = sample_frames(media, every_nth=10, max_frames=4).collect()
+    assert frames
+    by_media = {}
+    for fr in frames:
+        by_media.setdefault(fr.media_id, []).append(fr.frame_idx)
+    for media_id, idxs in by_media.items():
+        assert len(idxs) <= 4
+        assert idxs == sorted(idxs)
+        assert all(i % 10 == 0 for i in idxs)
+    # no video shuffle: mapInPandas is a narrow transformation
+    plan = sample_frames(media, every_nth=10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan

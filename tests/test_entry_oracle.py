@@ -32,7 +32,11 @@ def _duck():
 
 def _canon(rows, cols):
     """Order-insensitive canonical form: sort columns by name, normalize
-    values, sort rows."""
+    values, sort rows.  Floats compare by their exact IEEE-754 bits — the
+    decimal-exact aggregate strategy and int-ratio divisions make Spark
+    and DuckDB bit-identical, so nothing weaker is needed."""
+    import struct
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for row in rows:
@@ -43,7 +47,7 @@ def _canon(rows, cols):
                 if math.isnan(v):
                     v = "NaN"
                 else:
-                    v = f"{v:.9g}"
+                    v = struct.pack("<d", v).hex()
             vals.append(str(v))
         out.append(tuple(vals))
     out.sort()

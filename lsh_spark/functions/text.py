@@ -83,11 +83,10 @@ def upper_ratio(col) -> Column:
 
 
 def stopword_ratio(col) -> Column:
-    """Fraction of whitespace tokens that are stopwords (case-insensitive)."""
+    """Fraction of whitespace tokens that are stopwords (case-insensitive;
+    multiplicity counts, hence filter rather than array_intersect)."""
     toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.array_intersect(toks, stop_arr))
-    # array_intersect dedups; count multiplicity instead via filter
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     return _ratio(n_stop, F.size(toks))
 

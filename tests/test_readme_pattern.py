@@ -1,0 +1,98 @@
+"""The reference README's 'Suggested Usage' SQL pattern
+(``/root/reference/README.md:133-163``) run literally through
+``spark.sql`` — the proof that a user of the reference can paste their
+query shape into this engine.
+
+Differences from the DuckDB dialect, as a user would hit them:
+  * DuckDB arrays are 1-indexed (``[1]``); Spark SQL uses
+    ``element_at(..., 1)`` (or 0-based ``[0]``);
+  * the README's join condition compares A to A (a documented doc-bug,
+    SURVEY.md §2.4) — the intent, A-to-B, is used here.
+
+The seed-rotation UNION result is cross-checked against the library's
+posexplode-based similarity join with the same effective band family:
+rotating seeds across two single-band joins must find a SUBSET of what a
+(recall-oriented) multi-band blocking finds, and every returned pair must
+satisfy the exact-jaccard filter — both asserted.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import lsh_spark.functions as F_lsh
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    from lsh_spark.sources.io import load_table
+
+    F_lsh.register_all(spark)
+    docs = load_table(spark, SF_DIR, "documents").where("doc_id < 120")
+    docs.where("doc_id % 2 = 1").selectExpr("doc_id AS ind", "text AS col") \
+        .createOrReplaceTempView("A")
+    docs.where("doc_id % 2 = 0").selectExpr("doc_id AS id", "text AS col") \
+        .createOrReplaceTempView("B")
+    return docs
+
+
+def test_readme_seed_rotation_union(spark, tables):
+    rows = spark.sql("""
+        SELECT A.ind, B.id
+        FROM A
+        INNER JOIN B
+        ON element_at(lsh_min(A.col, 2, 1, 3, 1), 1)
+         = element_at(lsh_min(B.col, 2, 1, 3, 1), 1)
+        WHERE lsh_jaccard(A.col, B.col, 2) > 0.8
+
+        UNION
+
+        SELECT A.ind, B.id
+        FROM A
+        INNER JOIN B
+        ON element_at(lsh_min(A.col, 2, 1, 3, 2), 1)
+         = element_at(lsh_min(B.col, 2, 1, 3, 2), 1)
+        WHERE lsh_jaccard(A.col, B.col, 2) > 0.8
+    """).collect()
+    got = {(r.ind, r.id) for r in rows}
+    assert got, "seed-rotation pattern found no pairs"
+
+    # every pair truly satisfies the jaccard filter
+    pairs_df = spark.createDataFrame(list(got), ["ind", "id"])
+    verified = (
+        pairs_df.join(spark.table("A"), on="ind")
+        .join(spark.table("B").withColumnRenamed("col", "colB"), on="id")
+        .select(F_lsh.lsh_jaccard("col", "colB", 2).alias("j"))
+        .collect()
+    )
+    assert all(r.j > 0.8 for r in verified)
+
+    # the library's multi-band similarity join with the same shingle width
+    # and threshold must dominate (more bands → recall superset)
+    from lsh_spark.operators.similarity_join import lsh_similarity_join
+
+    lib = lsh_similarity_join(
+        spark.table("A"), spark.table("B"), "col", "col",
+        left_id="ind", right_id="id",
+        ngram_width=2, band_count=8, band_size=3, seed=1, threshold=0.8,
+        keep_similarity=False)
+    lib_pairs = {(r.ind, r.id) for r in lib.collect()}
+    missing = got - lib_pairs
+    # allow the rotated-seed family to see at most a band's worth of luck
+    assert len(missing) <= max(1, len(got) // 10), (
+        f"library join missed {len(missing)} of {len(got)} README pairs")
+
+
+def test_readme_scalar_examples(spark, tables):
+    # the README's scalar examples, verbatim semantics
+    r = spark.sql(
+        "SELECT lsh_min('Princeton University', 2, 3, 2, 123) AS h").first()
+    assert [int(x) for x in r.h] == [
+        6891191098855684803, 6484452798683863108, 14488917645112899542]
+    r = spark.sql(
+        "SELECT lsh_jaccard('Princeton University', 'Harvard University', 2) "
+        "AS s").first()
+    assert r.s == 0.4

@@ -136,6 +136,7 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 123,
+    fit_sample_max: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: MLlib KMeans coarse quantizer partitions the
     corpus into ``n_lists`` cells; each query scans only its ``n_probe``
@@ -144,8 +145,11 @@ def ivf_topk(
     The scale shape: centroids are tiny and broadcast; the corpus is
     shuffled ONCE by cell assignment (and would be written bucketed-by-cell
     for reuse in a real deployment); per-query work drops from |corpus| to
-    ~|corpus|·n_probe/n_lists.  Recall < 1 near cell boundaries — tested
-    against brute force."""
+    ~|corpus|·n_probe/n_lists.  The quantizer is fit on a bounded sample
+    (``fit_sample_max`` rows) — the standard IVF recipe: cell quality needs
+    only a representative sample, never the full corpus, so the multi-pass
+    KMeans cost stays O(sample) while assignment remains one full-corpus
+    pass.  Recall < 1 near cell boundaries — tested against brute force."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -158,7 +162,15 @@ def ivf_topk(
     km = KMeans(k=n_lists, seed=seed, featuresCol="__feat",
                 predictionCol="__cell", maxIter=8)  # coarse cells don't
     # need convergence — 8 iterations is ample for a bucketing quantizer
-    model = km.fit(c.withColumn("__feat", array_to_vector("__v_neighbor_id")))
+    fit_rows = c
+    n_corpus = c.count()
+    if n_corpus > fit_sample_max:
+        # seeded Bernoulli sample — deterministic for a fixed input
+        # partitioning; slight over-sampling keeps ≥ fit_sample_max likely
+        fit_rows = c.sample(False, min(1.0, 1.1 * fit_sample_max / n_corpus),
+                            seed=seed)
+    model = km.fit(
+        fit_rows.withColumn("__feat", array_to_vector("__v_neighbor_id")))
     c_cells = model.transform(
         c.withColumn("__feat", array_to_vector("__v_neighbor_id"))
     ).select("neighbor_id", "__v_neighbor_id", "__cell")

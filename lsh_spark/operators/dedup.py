@@ -27,6 +27,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
 from ..functions.vector import cosine, dot, norm
+from ..plans.cache import track
 from .._core.batch import hash_strings_batch
 
 
@@ -126,7 +127,7 @@ def simhash_near_dup_pairs(
         F.col(id_col).alias("__id"),
         simhash64(text_col).alias("__sig"),
     ).where(F.col("__sig").isNotNull())
-    sigs.persist()
+    track(sigs.persist())
 
     blocks = None
     for b in range(4):

@@ -18,7 +18,7 @@ column name).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.lsh import (
@@ -27,8 +27,10 @@ from ..functions.lsh import (
     lsh_jaccard,
     lsh_min,
     lsh_min32,
+    lsh_min32_shingles,
     lsh_min_shingles,
 )
+from ..operators.banding import tune_bands
 from ..operators.similarity_join import lsh_self_dedup_pairs, lsh_similarity_join
 from ..sources.io import load_table
 
@@ -76,12 +78,16 @@ WHERE ni * 1.0 / (sa.n + sb.n - ni) > 0.6
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lsh_min over every document (rows-only driver check; bit-exactness
-    is established by the golden-vector tests)."""
+    """lsh_min over every document, exploded to one scalar row per band
+    hash ``(doc_id, band_idx, band_hash)`` so the driver can canonicalize
+    the output (array cells are unhashable in its pandas compare);
+    bit-exactness is established by the golden-vector tests.  The
+    array-returning Column API (:func:`lsh_min`) is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        lsh_min(F.col("text"), 3, 4, 2, 123).alias("minhash"),
+        F.posexplode(lsh_min(F.col("text"), 3, 4, 2, 123))
+        .alias("band_idx", "band_hash"),
     )
 
 
@@ -89,24 +95,40 @@ def minhash32_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        lsh_min32(F.col("text"), 3, 4, 2, 123).alias("minhash32"),
+        F.posexplode(lsh_min32(F.col("text"), 3, 4, 2, 123))
+        .alias("band_idx", "band_hash"),
     )
+
+
+# the documents corpus has a heavy similarity background (measured median
+# pairwise jaccard ≈ 0.45 — template-generated texts), so the flagship
+# banding comes from the tuner rather than a hardcoded (b, r): maximum
+# selectivity against that background subject to recall ≥ 0.9 at the
+# verification threshold.  The loose 8×2 banding this replaces passed
+# ~84% of background pairs into verification.
+_PAIRS_PLAN = tune_bands(0.6, target_recall=0.9, background_similarity=0.45)
+_JOIN_AB_PLAN = tune_bands(0.7, target_recall=0.9, background_similarity=0.45)
 
 
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalable near-dup detection: banded-MinHash blocking join + exact
-    jaccard verification (the README.md:133-163 usage pattern)."""
+    jaccard verification (the README.md:133-163 usage pattern).
+
+    Banding is tuner-selected (see ``_PAIRS_PLAN``); the shingle-set side
+    of the verification joins is left to AQE (no unconditional broadcast —
+    a full (id, set) broadcast is a scale-killer at 100×)."""
     docs = load_table(spark, sf_dir, "documents")
     return lsh_self_dedup_pairs(
         docs, "text", id_col="doc_id",
-        ngram_width=3, band_count=8, band_size=2, seed=123, threshold=0.6,
-        broadcast_sets=True,
+        ngram_width=3, band_count=_PAIRS_PLAN.band_count,
+        band_size=_PAIRS_PLAN.band_size, seed=123, threshold=0.6,
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def similarity_join_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-table similarity join (the README pattern proper, A ≠ B):
-    odd-id docs probed against even-id docs; rows-only (banding recall)."""
+    odd-id docs probed against even-id docs; rows-only (banding recall).
+    Banding tuner-selected against the measured corpus background."""
     docs = load_table(spark, sf_dir, "documents")
     a = docs.where(F.col("doc_id") % 2 == 1).selectExpr(
         "doc_id AS probe_id", "text")
@@ -114,45 +136,66 @@ def similarity_join_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id AS corpus_id", "text")
     return lsh_similarity_join(
         a, b, "text", "text", left_id="probe_id", right_id="corpus_id",
-        ngram_width=3, band_count=8, band_size=2, seed=123, threshold=0.7,
+        ngram_width=3, band_count=_JOIN_AB_PLAN.band_count,
+        band_size=_JOIN_AB_PLAN.band_size, seed=123, threshold=0.7,
     ).select("probe_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
 
 
 def euclidean_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lsh_euclidean over embeddings (cast float[] → double[]); rows-only."""
+    """lsh_euclidean over embeddings (cast float[] → double[]), exploded to
+    scalar rows ``(vec_id, band_idx, band_hash)``; rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
-        lsh_euclidean(
-            F.col("embedding").cast("array<double>"), 0.5, 4, 2, 123
-        ).alias("bucket_hashes"),
+        F.posexplode(
+            lsh_euclidean(F.col("embedding").cast("array<double>"),
+                          0.5, 4, 2, 123)
+        ).alias("band_idx", "band_hash"),
     )
 
 
 def euclidean32_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lsh_euclidean32 (low-32-bit variant, ``src/euclidean_hash.rs:127-152``)
-    over embeddings; rows-only."""
+    over embeddings, exploded to scalar rows; rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
-        lsh_euclidean32(
-            F.col("embedding").cast("array<double>"), 0.5, 4, 2, 123
-        ).alias("bucket_hashes32"),
+        F.posexplode(
+            lsh_euclidean32(F.col("embedding").cast("array<double>"),
+                            0.5, 4, 2, 123)
+        ).alias("band_idx", "band_hash"),
     )
+
+
+def _word_bigrams() -> Column:
+    """Word-bigram shingles built JVM-side (transform over split)."""
+    return F.expr(
+        "transform(slice(split(trim(text), '\\\\s+'), 1, "
+        "greatest(size(split(trim(text), '\\\\s+')) - 1, 0)), "
+        "(x, i) -> concat(x, ' ', split(trim(text), '\\\\s+')[i + 1]))")
 
 
 def minhash_shingle_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LIST(VARCHAR) overload (``src/minhash.rs:85-150``) as a query:
-    word-bigram shingles built JVM-side (transform over split), then
-    lsh_min_shingles; rows-only."""
+    word-bigram shingles, then lsh_min_shingles, exploded to scalar rows;
+    rows-only."""
     docs = load_table(spark, sf_dir, "documents")
-    bigrams = F.expr(
-        "transform(slice(split(trim(text), '\\\\s+'), 1, "
-        "greatest(size(split(trim(text), '\\\\s+')) - 1, 0)), "
-        "(x, i) -> concat(x, ' ', split(trim(text), '\\\\s+')[i + 1]))")
     return docs.select(
         "doc_id",
-        lsh_min_shingles(bigrams, 4, 2, 123).alias("minhash"),
+        F.posexplode(lsh_min_shingles(_word_bigrams(), 4, 2, 123))
+        .alias("band_idx", "band_hash"),
+    )
+
+
+def minhash32_shingle_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature #4 of 7: ``lsh_min32(LIST(VARCHAR), ...)``
+    (``src/minhash.rs:194-234``) — low-32-bit minhash over word-bigram
+    shingles, exploded to scalar rows; rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(lsh_min32_shingles(_word_bigrams(), 4, 2, 123))
+        .alias("band_idx", "band_hash"),
     )
 
 
@@ -191,5 +234,6 @@ QUERIES = {
     "euclidean_signatures": (euclidean_signatures, None),
     "euclidean32_signatures": (euclidean32_signatures, None),
     "minhash_shingle_signatures": (minhash_shingle_signatures, None),
+    "minhash32_shingle_signatures": (minhash32_shingle_signatures, None),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
 }

@@ -236,11 +236,11 @@ def dedup_keep_first_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # high-threshold retention policy: r=6 bands make banding selective
     # (P(collide | j=0.45 background) ≈ 5% vs 83% at r=2), so candidate
-    # verification stays ~20× cheaper than the exhaustive pairs query
+    # verification stays ~20× cheaper than the exhaustive pairs query.
+    # Set re-attachment is left to AQE (no unconditional broadcast).
     kept = lsh_dedup_keep_first(
         docs, "text", id_col="doc_id", ngram_width=3,
-        band_count=6, band_size=6, seed=123, threshold=0.8,
-        broadcast_sets=True)
+        band_count=8, band_size=6, seed=123, threshold=0.8)
     return kept.select("doc_id", "lang", "source")
 
 
@@ -269,12 +269,40 @@ def kmv_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints per document (rows-only: FxHash-based)."""
+    """Winnowing fingerprints per document, exploded to one scalar row per
+    fingerprint ``(doc_id, pos, fingerprint)`` so the driver canonicalizer
+    can hash the output (rows-only: FxHash-based)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        winnow_fingerprints("text", kgram=5, window=4).alias("fingerprints"),
+        F.posexplode(winnow_fingerprints("text", kgram=5, window=4))
+        .alias("pos", "fingerprint"),
     )
+
+
+def distinct_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct char-3-gram count per document — the exact companion
+    to ``kmv_doc_stats``'s estimate, computed as a pure JVM expression
+    (transform over sequence + array_distinct; no Python UDF) with a
+    DuckDB substring oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.when(F.length("text") < 3, F.lit(0)).otherwise(
+        F.expr("size(array_distinct(transform("
+               "sequence(1, length(text) - 2), i -> substring(text, i, 3))))"))
+    return docs.select("doc_id", n.cast("long").alias("n_distinct_ngrams"))
+
+
+DISTINCT_NGRAMS_ORACLE = """
+WITH e AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS i
+  FROM documents
+),
+g AS (
+  SELECT doc_id, count(DISTINCT substring(text, i, 3)) AS n FROM e GROUP BY 1
+)
+SELECT d.doc_id, coalesce(g.n, 0)::BIGINT AS n_distinct_ngrams
+FROM documents d LEFT JOIN g USING (doc_id)
+"""
 
 
 QUERIES = {
@@ -289,6 +317,7 @@ QUERIES = {
     "dedup_keep_first_minhash": (dedup_keep_first_minhash, None),
     "dedup_clusters_minhash": (dedup_clusters_minhash, None),
     "doc_fingerprints": (doc_fingerprints, None),
+    "distinct_ngram_counts": (distinct_ngram_counts, DISTINCT_NGRAMS_ORACLE),
     "kmv_doc_stats": (kmv_doc_stats, None),
 }
 

@@ -268,8 +268,8 @@ WITH flagged AS (
 ),
 numbered AS (
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,

@@ -38,6 +38,7 @@ from ..functions.lsh import (
     minhash_bands_from_set,
     shingle_set_col,
 )
+from ..plans.cache import track
 
 
 def _jaccard_jvm(set_a, set_b) -> Column:
@@ -99,8 +100,8 @@ def lsh_similarity_join(
     """
     l_sets = _with_sets(left, left_id, left_text, ngram_width, "__lid", "__lset")
     r_sets = _with_sets(right, right_id, right_text, ngram_width, "__rid", "__rset")
-    l_sets.persist(StorageLevel.MEMORY_AND_DISK)
-    r_sets.persist(StorageLevel.MEMORY_AND_DISK)
+    track(l_sets.persist(StorageLevel.MEMORY_AND_DISK))
+    track(r_sets.persist(StorageLevel.MEMORY_AND_DISK))
 
     l_blocks = _band_blocks(l_sets, "__lid", "__lset", band_count, band_size, seed)
     r_blocks = _band_blocks(r_sets, "__rid", "__rset", band_count, band_size, seed)
@@ -152,7 +153,7 @@ def lsh_self_dedup_pairs(
 
     Returns (id_a, id_b, jaccard)."""
     sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set")
-    sets.persist(StorageLevel.MEMORY_AND_DISK)
+    track(sets.persist(StorageLevel.MEMORY_AND_DISK))
     blocks = _band_blocks(sets, "__id", "__set", band_count, band_size, seed)
 
     a = blocks.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
@@ -256,10 +257,11 @@ def lsh_dedup_clusters(
         .where(F.col("__n") > 1)
         .select("band_idx", "band_hash")
     )
-    edges = blocks.join(bucket_sizes, on=["band_idx", "band_hash"]).select(
-        "__id", "band_idx", "band_hash"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count()
+    edges = track(
+        blocks.join(bucket_sizes, on=["band_idx", "band_hash"])
+        .select("__id", "band_idx", "band_hash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # initialization already performs round 1: a bucket's min member id is
     # its label, a doc's initial label is the min over its buckets
@@ -270,8 +272,13 @@ def lsh_dedup_clusters(
         .groupBy("__id")
         .agg(F.min("__bucket_label").alias("__label"))
     )
-    for _ in range(max_iter - 1):
-        labels.persist(StorageLevel.MEMORY_AND_DISK)
+    # near-dup clusters are dense (diameter 2-3), so convergence usually
+    # lands by round 2-3; checking the fixed point only every 2nd round
+    # halves the driver-action count (each check is a join + count job)
+    # at the cost of at most one redundant — cheap, label-stable — round
+    prev = None
+    for it in range(max_iter - 1):
+        labels = track(labels.persist(StorageLevel.MEMORY_AND_DISK))
         bucket_min = (
             edges.join(labels, on="__id")
             .groupBy("band_idx", "band_hash")
@@ -282,16 +289,26 @@ def lsh_dedup_clusters(
             .groupBy("__id")
             .agg(F.min("__bucket_label").alias("__label"))
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("__label", "__old"),
-                            on="__id")
-            .where(F.col("__label") != F.col("__old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+        check_now = it % 2 == 1 or it == max_iter - 2
+        if check_now:
+            changed = (
+                new_labels.join(labels.withColumnRenamed("__label", "__old"),
+                                on="__id")
+                .where(F.col("__label") != F.col("__old"))
+                .count()
+            )
+            if prev is not None:
+                prev.unpersist()
+            labels.unpersist()
+            prev = None
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            # no action this round: keep the previous cache pinned so the
+            # next round's action can still reuse it through the lineage
+            prev = labels
+            labels = new_labels
 
     # docs whose every bucket was a singleton never entered the iteration:
     # they are their own cluster

@@ -131,12 +131,14 @@ def streaming_dedup(
     key_cols: list[str],
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Streaming exact dedup: first occurrence wins, duplicate arrivals
-    within the watermark horizon are dropped, state evicted beyond it —
-    the standard (and only bounded-state) streaming dedup pattern."""
-    return events.withWatermark("ts", watermark).dropDuplicates(
-        [*key_cols, "ts"]) if "ts" in key_cols else (
-        events.withWatermark("ts", watermark).dropDuplicates(key_cols))
+    """Streaming exact dedup on ``key_cols``: first occurrence wins,
+    duplicate arrivals within the watermark horizon are dropped, and —
+    critically for an unbounded stream — per-key state is EVICTED once the
+    watermark passes it.  ``dropDuplicatesWithinWatermark`` is the
+    bounded-state form: plain ``dropDuplicates(key_cols)`` would keep every
+    key forever unless the event-time column itself is part of the key."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols)
 
 
 def streaming_minhash_signatures(events: DataFrame) -> DataFrame:

@@ -143,15 +143,16 @@ def test_minhash_shingle_query_matches_core(spark):
     from lsh_spark._core.shingles import shingle_set_from_shingles
     from lsh_spark.operators.lsh_queries import minhash_shingle_signatures
 
-    row = (minhash_shingle_signatures(spark, SF_DIR)
-           .where("doc_id = 7").first())
+    rows = (minhash_shingle_signatures(spark, SF_DIR)
+            .where("doc_id = 7").orderBy("band_idx").collect())
     text = duckdb.sql(
         f"select text from '{SF_DIR}/documents.parquet' where doc_id=7"
     ).fetchone()[0]
     toks = text.strip().split()
     bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
     want = minhash_bands(shingle_set_from_shingles(bigrams), 4, 2, 123)
-    assert [int(v) for v in row.minhash] == want.tolist()
+    assert [r.band_idx for r in rows] == [0, 1, 2, 3]
+    assert [int(r.band_hash) for r in rows] == want.tolist()
 
 
 def test_ivf_ann_recall_vs_bruteforce(spark):

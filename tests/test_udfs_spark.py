@@ -272,3 +272,20 @@ def test_shingle_set_and_jaccard_from_sets_consistent(spark):
     ).collect()
     for r in out:
         assert r.direct == r.via_sets
+
+
+def test_unregistered_function_raises(spark):
+    # parity with the reference's pre-LOAD negative block
+    # (test/sql/lsh/lsh_min.test:5-9: "Catalog Error ... lsh_min" before
+    # LOAD, success after).  SQL registration is session-scoped, so a fresh
+    # session (same SparkContext) starts without the functions.
+    from pyspark.errors import AnalysisException
+
+    fresh = spark.newSession()
+    with pytest.raises(AnalysisException):
+        fresh.sql("SELECT lsh_min('Princeton University', 2, 3, 2, 123)").collect()
+    F_lsh.register_all(fresh)
+    row = fresh.sql(
+        "SELECT lsh_min('Princeton University', 2, 3, 2, 123) AS h").first()
+    assert [int(x) for x in row.h] == [
+        6891191098855684803, 6484452798683863108, 14488917645112899542]

@@ -201,6 +201,19 @@ def lsh_min_bands_long(col, ngram_width: int, band_count: int, band_size: int,
     return _udf(col)
 
 
+def lsh_min_shingles_bands_long(col, band_count: int, band_size: int,
+                                seed: int) -> Column:
+    """LIST(VARCHAR)-overload band hashes as int64 (two's complement) — the
+    join/compare representation of ``lsh_min_shingles``."""
+
+    @pandas_udf(_LONG_ARRAY)
+    def _udf(s: pd.Series) -> pd.Series:
+        mat, mask = _minhash_shingle_mat(s, band_count, band_size, seed)
+        return _u64_rows_to_long(mat, mask, low32=False)
+
+    return _udf(col)
+
+
 def lsh_euclidean_bands_long(col, bucket_width: float, band_count: int,
                              band_size: int, seed: int) -> Column:
     @pandas_udf(_LONG_ARRAY)

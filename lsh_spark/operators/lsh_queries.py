@@ -8,9 +8,12 @@ SQL-expressible, the DuckDB oracle is exact:
     ngram strings unless a u32 hash collision occurs inside a document
     (probability ≈ |set|²/2³³ per doc — negligible at oracle scale), so the
     jaccard queries get a raw-ngram SQL oracle.
-  * minhash / euclidean signatures depend on ChaCha12+FxHash streams that
-    plain SQL cannot express → rows-only driver check; their bit-exactness
-    is pinned by the golden-vector suite instead (tests/test_core_golden.py).
+  * minhash / euclidean signatures looked non-SQL-expressible, but every
+    hash is deterministic FxHash arithmetic over RNG constants drawn once
+    per (params, seed) — so :mod:`lsh_spark.oracles.duckdb_lsh` inlines the
+    constants and reproduces the Spark output EXACTLY in DuckDB SQL (hash
+    match, not rows-only).  Golden-vector tests additionally pin the
+    kernels to the reference (tests/test_core_golden.py).
 
 Column names are aligned with the oracles (driver hash-compares by sorted
 column name).
@@ -22,14 +25,15 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.lsh import (
-    lsh_euclidean,
     lsh_euclidean32,
+    lsh_euclidean_bands_long,
     lsh_jaccard,
-    lsh_min,
     lsh_min32,
     lsh_min32_shingles,
-    lsh_min_shingles,
+    lsh_min_bands_long,
+    lsh_min_shingles_bands_long,
 )
+from ..oracles import duckdb_lsh as _orc
 from ..operators.banding import tune_bands
 from ..operators.similarity_join import lsh_self_dedup_pairs, lsh_similarity_join
 from ..sources.io import load_table
@@ -80,13 +84,14 @@ WHERE ni * 1.0 / (sa.n + sb.n - ni) > 0.6
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lsh_min over every document, exploded to one scalar row per band
     hash ``(doc_id, band_idx, band_hash)`` so the driver can canonicalize
-    the output (array cells are unhashable in its pandas compare);
-    bit-exactness is established by the golden-vector tests.  The
-    array-returning Column API (:func:`lsh_min`) is unchanged."""
+    the output (array cells are unhashable in its pandas compare), in the
+    int64 two's-complement band representation so Spark and the DuckDB
+    oracle compare on the same dtype.  The LIST(UBIGINT)-printing Column
+    API (:func:`lsh_min`) is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.posexplode(lsh_min(F.col("text"), 3, 4, 2, 123))
+        F.posexplode(lsh_min_bands_long(F.col("text"), 3, 4, 2, 123))
         .alias("band_idx", "band_hash"),
     )
 
@@ -125,9 +130,32 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+# the README's seed-rotation recall booster (README.md:146-148): two
+# rotations of deliberately more selective per-seed banding — combined
+# recall 1-(1-r)^2 ≈ 0.93 with a far lower background pass-rate than one
+# rotation at the same recall would need
+_ROT_PLAN = tune_bands(0.6, target_recall=0.75, background_similarity=0.45)
+_ROT_SEEDS = (123, 456)
+
+
+def minhash_near_dup_pairs_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-rotated near-dup pairs — the reference README's rotate-seed
+    UNION trick (``README.md:146-148``) as a DataFrame operator option
+    (``seed`` accepts a sequence; rotations fuse into the band index so
+    the blocking join still ships two ints per row).  Exact DuckDB
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_self_dedup_pairs(
+        docs, "text", id_col="doc_id",
+        ngram_width=3, band_count=_ROT_PLAN.band_count,
+        band_size=_ROT_PLAN.band_size, seed=_ROT_SEEDS, threshold=0.6,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def similarity_join_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-table similarity join (the README pattern proper, A ≠ B):
-    odd-id docs probed against even-id docs; rows-only (banding recall).
+    odd-id docs probed against even-id docs; exact DuckDB oracle (the
+    oracle reproduces banding + verification, so recall loss cancels).
     Banding tuner-selected against the measured corpus background."""
     docs = load_table(spark, sf_dir, "documents")
     a = docs.where(F.col("doc_id") % 2 == 1).selectExpr(
@@ -143,20 +171,21 @@ def similarity_join_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def euclidean_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lsh_euclidean over embeddings (cast float[] → double[]), exploded to
-    scalar rows ``(vec_id, band_idx, band_hash)``; rows-only."""
+    scalar rows ``(vec_id, band_idx, band_hash)``; exact DuckDB oracle with
+    inlined Gaussian projection tables."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
         F.posexplode(
-            lsh_euclidean(F.col("embedding").cast("array<double>"),
-                          0.5, 4, 2, 123)
+            lsh_euclidean_bands_long(F.col("embedding").cast("array<double>"),
+                                     0.5, 4, 2, 123)
         ).alias("band_idx", "band_hash"),
     )
 
 
 def euclidean32_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lsh_euclidean32 (low-32-bit variant, ``src/euclidean_hash.rs:127-152``)
-    over embeddings, exploded to scalar rows; rows-only."""
+    over embeddings, exploded to scalar rows; exact DuckDB oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
@@ -178,11 +207,11 @@ def _word_bigrams() -> Column:
 def minhash_shingle_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LIST(VARCHAR) overload (``src/minhash.rs:85-150``) as a query:
     word-bigram shingles, then lsh_min_shingles, exploded to scalar rows;
-    rows-only."""
+    exact DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.posexplode(lsh_min_shingles(_word_bigrams(), 4, 2, 123))
+        F.posexplode(lsh_min_shingles_bands_long(_word_bigrams(), 4, 2, 123))
         .alias("band_idx", "band_hash"),
     )
 
@@ -190,7 +219,7 @@ def minhash_shingle_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash32_shingle_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature #4 of 7: ``lsh_min32(LIST(VARCHAR), ...)``
     (``src/minhash.rs:194-234``) — low-32-bit minhash over word-bigram
-    shingles, exploded to scalar rows; rows-only."""
+    shingles, exploded to scalar rows; exact DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -225,15 +254,40 @@ HAVING count(*) > 1
 """
 
 
+# embeddings tables ship 64-dim vectors (TESTDATA.md); the euclidean oracle
+# inlines the projection tables for that dimension
+_EMB_DIM = 64
+
 QUERIES = {
     "jaccard_near_dup_pairs": (jaccard_near_dup_pairs, JACCARD_PAIRS_ORACLE),
-    "minhash_signatures": (minhash_signatures, None),
-    "minhash32_signatures": (minhash32_signatures, None),
-    "minhash_near_dup_pairs": (minhash_near_dup_pairs, None),
-    "similarity_join_ab": (similarity_join_ab, None),
-    "euclidean_signatures": (euclidean_signatures, None),
-    "euclidean32_signatures": (euclidean32_signatures, None),
-    "minhash_shingle_signatures": (minhash_shingle_signatures, None),
-    "minhash32_shingle_signatures": (minhash32_shingle_signatures, None),
+    "minhash_signatures": (
+        minhash_signatures, _orc.minhash_signatures_sql(3, 4, 2, 123)),
+    "minhash32_signatures": (
+        minhash32_signatures,
+        _orc.minhash_signatures_sql(3, 4, 2, 123, low32=True)),
+    "minhash_near_dup_pairs": (
+        minhash_near_dup_pairs,
+        _orc.near_dup_pairs_sql(3, _PAIRS_PLAN.band_count,
+                                _PAIRS_PLAN.band_size, 123, 0.6)),
+    "minhash_near_dup_pairs_rotated": (
+        minhash_near_dup_pairs_rotated,
+        _orc.near_dup_pairs_sql(3, _ROT_PLAN.band_count,
+                                _ROT_PLAN.band_size, _ROT_SEEDS, 0.6)),
+    "similarity_join_ab": (
+        similarity_join_ab,
+        _orc.similarity_join_ab_sql(3, _JOIN_AB_PLAN.band_count,
+                                    _JOIN_AB_PLAN.band_size, 123, 0.7)),
+    "euclidean_signatures": (
+        euclidean_signatures,
+        _orc.euclidean_signatures_sql(0.5, 4, 2, 123, _EMB_DIM)),
+    "euclidean32_signatures": (
+        euclidean32_signatures,
+        _orc.euclidean_signatures_sql(0.5, 4, 2, 123, _EMB_DIM, low32=True)),
+    "minhash_shingle_signatures": (
+        minhash_shingle_signatures,
+        _orc.minhash_shingle_signatures_sql(4, 2, 123)),
+    "minhash32_shingle_signatures": (
+        minhash32_shingle_signatures,
+        _orc.minhash_shingle_signatures_sql(4, 2, 123, low32=True)),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
 }

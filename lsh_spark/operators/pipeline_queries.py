@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..functions.fingerprint import winnow_fingerprints
+from ..oracles import duckdb_lsh as _orc
 from ..sources.io import load_table
 from . import ann, dedup
 from .similarity_join import lsh_dedup_clusters, lsh_dedup_keep_first
@@ -161,8 +162,9 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {_ANN_K
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (recall < 1 → rows-only; recall asserted in
-    tests/test_pipeline.py against brute force)."""
+    """LSH-bucketed ANN; the DuckDB oracle reproduces the bucketing with
+    inlined projection tables, so the check is exact (recall additionally
+    asserted in tests/test_pipeline.py against brute force)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.euclidean_lsh_topk(
         emb, emb.where(F.col("vec_id") < _N_QUERIES), k=_ANN_K)
@@ -224,15 +226,16 @@ WHERE round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0
 
 
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-≤3 pairs (FxHash token signatures — rows-only)."""
+    """SimHash hamming-≤3 pairs (FxHash token signatures; exact DuckDB
+    oracle via splitmix-spread token hashes)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_dup_pairs(docs, "text", id_col="doc_id",
                                         max_hamming=3)
 
 
 def dedup_keep_first_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dedup retention set via banded MinHash (rows-only: minhash
-    streams are not SQL-expressible).  Returns surviving doc ids."""
+    """Near-dedup retention set via banded MinHash; exact DuckDB oracle
+    (drop docs verified-similar to any lower id).  Returns survivors."""
     docs = load_table(spark, sf_dir, "documents")
     # high-threshold retention policy: r=6 bands make banding selective
     # (P(collide | j=0.45 background) ≈ 5% vs 83% at r=2), so candidate
@@ -246,7 +249,8 @@ def dedup_keep_first_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-free cluster dedup (connected components over band buckets —
-    the corpus-scale path; rows-only)."""
+    the corpus-scale path).  The DuckDB oracle computes true CC via a
+    recursive CTE; label-propagation's fixed point must agree."""
     docs = load_table(spark, sf_dir, "documents")
     return lsh_dedup_clusters(docs, "text", id_col="doc_id",
                               band_count=6, band_size=6, seed=123)
@@ -254,7 +258,7 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kmv_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV-sketch distinct-ngram estimates per document (deterministic;
-    rows-only — accuracy property-tested in tests/test_sketch.py)."""
+    exact DuckDB oracle — accuracy property-tested in tests/test_sketch.py)."""
     from ..functions.sketch import kmv_distinct_estimate, kmv_sketch_col
 
     docs = load_table(spark, sf_dir, "documents")
@@ -309,16 +313,23 @@ QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_ORACLE),
     "text_quality": (text_quality, TEXT_QUALITY_ORACLE),
     "ann_topk": (ann_topk, ANN_TOPK_ORACLE),
-    "ann_lsh_topk": (ann_lsh_topk, None),
+    "ann_lsh_topk": (
+        ann_lsh_topk,
+        _orc.ann_lsh_topk_sql(2.0, 8, 1, 123, 64, k=_ANN_K,
+                              n_queries=_N_QUERIES)),
     "ann_ivf_topk": (ann_ivf_topk, None),
     "dedup_normalized": (dedup_normalized, DEDUP_NORMALIZED_ORACLE),
     "embedding_dup_pairs": (embedding_dup_pairs, EMB_DUP_ORACLE),
-    "simhash_near_dup_pairs": (simhash_near_dup_pairs, None),
-    "dedup_keep_first_minhash": (dedup_keep_first_minhash, None),
-    "dedup_clusters_minhash": (dedup_clusters_minhash, None),
-    "doc_fingerprints": (doc_fingerprints, None),
+    "simhash_near_dup_pairs": (simhash_near_dup_pairs,
+                               _orc.simhash_pairs_sql(3)),
+    "dedup_keep_first_minhash": (
+        dedup_keep_first_minhash,
+        _orc.dedup_keep_first_sql(3, 8, 6, 123, 0.8)),
+    "dedup_clusters_minhash": (dedup_clusters_minhash,
+                               _orc.dedup_clusters_sql(3, 6, 6, 123)),
+    "doc_fingerprints": (doc_fingerprints, _orc.doc_fingerprints_sql(5, 4)),
     "distinct_ngram_counts": (distinct_ngram_counts, DISTINCT_NGRAMS_ORACLE),
-    "kmv_doc_stats": (kmv_doc_stats, None),
+    "kmv_doc_stats": (kmv_doc_stats, _orc.kmv_doc_stats_sql(3, 64)),
 }
 
 

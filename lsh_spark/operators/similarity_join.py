@@ -70,12 +70,33 @@ def _with_sets(df: DataFrame, id_col: str, text_col: str, ngram_width: int,
 
 
 def _band_blocks(sets: DataFrame, id_alias: str, set_alias: str,
-                 band_count: int, band_size: int, seed: int) -> DataFrame:
-    bands = minhash_bands_from_set(F.col(set_alias), band_count, band_size, seed)
-    return (
-        sets.withColumn("__bands", bands)
-        .select(id_alias, F.posexplode("__bands").alias("band_idx", "band_hash"))
-    )
+                 band_count: int, band_size: int, seed) -> DataFrame:
+    """Exploded (id, band_idx, band_hash) blocking keys.
+
+    ``seed`` may be a single int or a sequence of ints — the latter is the
+    reference README's seed-rotation recall booster (``README.md:146-148``:
+    UNION the band join once per rotated seed).  Rotations are fused into
+    the band index (``band_idx + rot*band_count``) instead of a separate
+    key column, so the blocking join still shuffles two ints per row and
+    combined recall is 1-∏(1-r_i) with zero payload overhead."""
+    seeds = (seed,) if isinstance(seed, int) else tuple(seed)
+    parts = []
+    for rot, s in enumerate(seeds):
+        bands = minhash_bands_from_set(
+            F.col(set_alias), band_count, band_size, s)
+        part = (
+            sets.withColumn("__bands", bands)
+            .select(id_alias,
+                    F.posexplode("__bands").alias("band_idx", "band_hash"))
+        )
+        if rot:
+            part = part.withColumn(
+                "band_idx", F.col("band_idx") + rot * band_count)
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def lsh_similarity_join(

@@ -219,3 +219,24 @@ def test_lsh_dedup_clusters_collapses_replicas(spark):
     for r in rows:
         assert by_id[r.cluster_id].is_representative
         assert r.cluster_id <= r.doc_id
+
+
+def test_seed_rotation_union_semantics(spark):
+    """Multi-seed blocking (README.md:146-148 rotation) finds exactly the
+    union of per-seed results: verification is exact, so only candidate
+    generation differs."""
+    from lsh_spark.operators.similarity_join import lsh_self_dedup_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        "doc_id < 120")
+
+    def pairs(seed):
+        return set(
+            (r.id_a, r.id_b)
+            for r in lsh_self_dedup_pairs(
+                docs, "text", id_col="doc_id", ngram_width=3,
+                band_count=5, band_size=4, seed=seed, threshold=0.6,
+            ).collect())
+
+    rotated = pairs((123, 456))
+    assert rotated == pairs(123) | pairs(456)

@@ -29,6 +29,9 @@ def _registry() -> dict[str, tuple[Callable, str | None]]:
         merged.update(pipeline_queries.QUERIES)
     except ImportError:
         pass
+    from lsh_spark.streaming import events as streaming_events
+
+    merged.update(streaming_events.QUERIES)
     return merged
 
 
@@ -39,8 +42,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return minhash_near_dup_pairs(spark, "/root/testdata/sf0.001")
 
 
+def _released(fn: Callable) -> Callable:
+    """Unpersist the previous query's operator-persisted intermediates
+    before building the next plan: the driver runs all queries in one
+    session, and cached shingle sets / signatures would otherwise
+    accumulate in executor storage for the whole gate run."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lsh_spark.plans import release_intermediates
+
+        release_intermediates()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in _registry().items()}
+    return {name: _released(fn) for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:

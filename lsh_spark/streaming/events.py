@@ -196,3 +196,40 @@ def streaming_near_dup_against_corpus(
                 f"/tmp/lsh_spark_ckpt_{sink_table}")
         .start()
     )
+
+
+def events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: the hourly rollup computed by an ACTUAL
+    Structured Streaming query — file-source stream → watermarked tumbling
+    window → AvailableNow drain into a memory sink — then returned as the
+    sink table.  Carries the same exact DuckDB oracle as the batch twin
+    (``events_hourly``) minus the countDistinct (not expressible under a
+    streaming watermark), so batch/stream parity is driver-checked, not
+    just pytest-checked."""
+    from ..sources.io import _ensure_session_confs
+
+    _ensure_session_confs(spark)
+    stream = read_events_stream(spark, sf_dir)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = run_available_now(agg, "events_hourly_streaming_sink", "complete")
+    q.awaitTermination()
+    return spark.table("events_hourly_streaming_sink").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type", "n_events", "total_value",
+    )
+
+
+EVENTS_HOURLY_STREAMING_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "events_hourly_streaming": (events_hourly_streaming,
+                                EVENTS_HOURLY_STREAMING_ORACLE),
+}

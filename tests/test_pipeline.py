@@ -152,7 +152,8 @@ def test_minhash_shingle_query_matches_core(spark):
     bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
     want = minhash_bands(shingle_set_from_shingles(bigrams), 4, 2, 123)
     assert [r.band_idx for r in rows] == [0, 1, 2, 3]
-    assert [int(r.band_hash) for r in rows] == want.tolist()
+    # the gate query emits the int64 two's-complement band representation
+    assert [int(r.band_hash) & 0xFFFFFFFFFFFFFFFF for r in rows] == want.tolist()
 
 
 def test_ivf_ann_recall_vs_bruteforce(spark):

@@ -180,6 +180,49 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column multimodal pipeline through the driver gate: documents
+    synthesized into (media_id, kind, content BINARY) blobs, then the
+    mapInPandas feature extractor.  The deterministic fake decoder derives
+    metadata from the content's sha256, which DuckDB can reproduce exactly
+    — so the whole binary-column plumbing (schema, batching, decode
+    dispatch) is hash-checked, not just pytest-checked."""
+    from ..multimodal.media import extract_features, synthesize_media_from_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(synthesize_media_from_documents(docs))
+
+
+MEDIA_FEATURES_ORACLE = """
+WITH f AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text))::BIGINT AS n_bytes,
+         sha256(text) AS digest
+  FROM documents
+),
+d AS (
+  SELECT *,
+         ('0x' || substring(digest, 1, 2))::INT AS b0,
+         ('0x' || substring(digest, 3, 2))::INT AS b1,
+         ('0x' || substring(digest, 5, 2))::INT AS b2,
+         ('0x' || substring(digest, 7, 2))::INT AS b3
+  FROM f
+)
+SELECT media_id, kind, n_bytes, digest,
+       (CASE WHEN kind IN ('image', 'video') THEN 16 + b0 % 64 END)::INT AS width,
+       (CASE WHEN kind IN ('image', 'video') THEN 16 + b1 % 64 END)::INT AS height,
+       (CASE kind WHEN 'image' THEN 1 WHEN 'video' THEN 1 + b2
+             ELSE 1 + b3 * 100 END)::INT AS n_frames
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup variants
 # ---------------------------------------------------------------------------
 
@@ -330,6 +373,7 @@ QUERIES = {
     "doc_fingerprints": (doc_fingerprints, _orc.doc_fingerprints_sql(5, 4)),
     "distinct_ngram_counts": (distinct_ngram_counts, DISTINCT_NGRAMS_ORACLE),
     "kmv_doc_stats": (kmv_doc_stats, _orc.kmv_doc_stats_sql(3, 64)),
+    "media_features": (media_features, MEDIA_FEATURES_ORACLE),
 }
 
 

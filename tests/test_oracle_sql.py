@@ -106,3 +106,27 @@ def test_empty_and_short_text_edge_cases():
             v = int(h)
             signed = v - 2**64 if v >= 2**63 else v
             assert got[(did, bi)] == signed
+
+
+def test_batch_jaccard_matches_naive_sets():
+    """The row-tagged batch merge equals per-pair set arithmetic on random
+    int32 sets (including the empty-set → 0.0 rule)."""
+    from lsh_spark.operators.similarity_join import _batch_jaccard
+
+    rng = np.random.default_rng(13)
+    va, vb, want = [], [], []
+    for _ in range(300):
+        na, nb = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+        a = np.unique(rng.integers(-2**31, 2**31, size=na)).astype(np.int32)
+        b = np.unique(rng.integers(-2**31, 2**31, size=nb)).astype(np.int32)
+        # force overlap on some pairs
+        if len(a) and len(b) and rng.random() < 0.5:
+            take = rng.integers(1, len(a) + 1)
+            b = np.unique(np.concatenate([b, a[:take]])).astype(np.int32)
+        va.append(a)
+        vb.append(b)
+        sa, sb = set(a.tolist()), set(b.tolist())
+        u = len(sa | sb)
+        want.append(len(sa & sb) / u if u else 0.0)
+    got = _batch_jaccard(va, vb)
+    assert np.allclose(got, want, rtol=0, atol=0)

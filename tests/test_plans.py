@@ -152,3 +152,21 @@ def test_ivf_centroid_side_broadcast(spark):
 
     plan = _plan(ann_ivf_topk(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_verification_is_single_python_pass(spark):
+    """Regression guard for the double-eval bug: Catalyst predicate
+    pushdown used to substitute the jaccard UDF into the threshold filter,
+    evaluating verification twice per pair.  The mapInPandas verify must
+    appear exactly once, with no ArrowEvalPython jaccard twin."""
+    import re
+
+    from lsh_spark.operators.similarity_join import lsh_self_dedup_pairs
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = lsh_self_dedup_pairs(docs, "text", id_col="doc_id", ngram_width=3,
+                              band_count=8, band_size=2, seed=123,
+                              threshold=0.6)
+    plan = _plan(df)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1

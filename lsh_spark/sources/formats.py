@@ -71,3 +71,26 @@ def write_bucketed_table(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table_name, format="parquet")
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (columnar alternative where the lake standardizes on ORC;
+    same pushdown/pruning properties as parquet in Spark's reader)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: StructType | None = None) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

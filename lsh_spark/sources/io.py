@@ -56,7 +56,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))  # integer div:
+        # ns values ~1.7e18 exceed double's 2^53 mantissa, so the
+        # float division `/ 1000` rounds the microsecond off by ±1
     return df
 
 

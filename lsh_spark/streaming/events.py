@@ -47,7 +47,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))  # integer div:
+        # ns values ~1.7e18 exceed double's 2^53 mantissa, so the
+        # float division `/ 1000` rounds the microsecond off by ±1
 
 
 def windowed_event_counts(
@@ -233,3 +235,62 @@ QUERIES = {
     "events_hourly_streaming": (events_hourly_streaming,
                                 EVENTS_HOURLY_STREAMING_ORACLE),
 }
+
+
+def events_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: per-user session aggregates via the NATIVE
+    streaming session-window operator (``F.session_window`` with a 30-min
+    gap), drained with AvailableNow.  Session semantics: an event extends
+    its session's window by the gap; a gap ≥ 30 min splits (note the
+    boundary differs from the batch ``events_sessionize`` lag-rule, whose
+    strict ``>`` keeps an exactly-30-min gap together — the oracle encodes
+    the session-window rule).  Session start is emitted as epoch
+    microseconds so both engines compare on int64."""
+    from ..sources.io import _ensure_session_confs
+
+    _ensure_session_confs(spark)
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events", "total_value",
+        )
+    )
+    q = run_available_now(agg, "events_sessions_streaming_sink", "complete")
+    q.awaitTermination()
+    return spark.table("events_sessions_streaming_sink")
+
+
+EVENTS_SESSIONS_STREAMING_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS sid
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts))::BIGINT AS session_start_us,
+       count(*)::BIGINT AS n_events,
+       round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS total_value
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+QUERIES["events_sessions_streaming"] = (
+    events_sessions_streaming, EVENTS_SESSIONS_STREAMING_ORACLE)

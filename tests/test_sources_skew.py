@@ -5,6 +5,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+SF_DIR = os.environ.get("LSH_SPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -147,3 +149,22 @@ def test_range_join_matches_naive(spark):
                 want.add((name, rt))
     assert got == want
     assert ("a", 161.0) not in got  # 61s away — outside the window
+
+
+def test_orc_roundtrip_preserves_rows_and_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lsh_spark.sources.formats import read_orc, write_orc
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path, partition_by=["lang"])
+    back = read_orc(spark, path)
+    assert back.count() == docs.count()
+    # partition pruning reaches the scan
+    one = back.where(F.col("lang") == "en")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan or \
+        one.count() == docs.where("lang = 'en'").count()

@@ -111,8 +111,14 @@ def minhash32_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # selectivity against that background subject to recall ≥ 0.9 at the
 # verification threshold.  The loose 8×2 banding this replaces passed
 # ~84% of background pairs into verification.
-_PAIRS_PLAN = tune_bands(0.6, target_recall=0.9, background_similarity=0.45)
-_JOIN_AB_PLAN = tune_bands(0.7, target_recall=0.9, background_similarity=0.45)
+# signature budget 384 admits r=6 rows/band at threshold 0.6 — measured
+# 18.4s vs 24.3s for the default budget's 29×5 at sf0.1 AND ~3% more true
+# pairs (the sharper s-curve passes less j≈0.45 background at equal
+# recall); signatures stay cheap (one numpy outer product per doc)
+_PAIRS_PLAN = tune_bands(0.6, target_recall=0.9, background_similarity=0.45,
+                         max_signature_size=384)
+_JOIN_AB_PLAN = tune_bands(0.7, target_recall=0.9, background_similarity=0.45,
+                           max_signature_size=384)
 
 
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -335,10 +335,10 @@ def lsh_dedup_clusters(
         .agg(F.min("__bucket_label").alias("__label"))
     )
     # near-dup clusters are dense (diameter 2-3), so convergence usually
-    # lands by round 2-3; the fixed point is checked on the first round
-    # (the common early exit) and then every 2nd round, bounding the
-    # driver-action count (each check is a join + count job) at the cost
-    # of at most one redundant — cheap, label-stable — round
+    # lands by round 2-3; checking the fixed point only every 2nd round
+    # lets two propagation rounds pipeline into ONE job (each check is an
+    # action that materializes the lineage — measured: checking every
+    # round costs more than the redundant, label-stable round it saves)
     prev = None
     for it in range(max_iter - 1):
         labels = track(labels.persist(StorageLevel.MEMORY_AND_DISK))
@@ -352,11 +352,7 @@ def lsh_dedup_clusters(
             .groupBy("__id")
             .agg(F.min("__bucket_label").alias("__label"))
         )
-        # near-dup clusters are dense: labels usually converge by the very
-        # first propagation round, so check it immediately (cheap early
-        # exit), then every 2nd round to bound the action count on slow
-        # (high-diameter) graphs
-        check_now = it == 0 or it % 2 == 1 or it == max_iter - 2
+        check_now = it % 2 == 1 or it == max_iter - 2
         if check_now:
             changed = (
                 new_labels.join(labels.withColumnRenamed("__label", "__old"),

@@ -126,8 +126,10 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard verification (the README.md:133-163 usage pattern).
 
     Banding is tuner-selected (see ``_PAIRS_PLAN``); the shingle-set side
-    of the verification joins is left to AQE (no unconditional broadcast —
-    a full (id, set) broadcast is a scale-killer at 100×)."""
+    of the verification joins is size-gated (broadcast while the estimated
+    set payload fits the cap, shuffle by pair ids beyond it — an
+    unconditional full (id, set) broadcast would be a scale-killer at
+    100×)."""
     docs = load_table(spark, sf_dir, "documents")
     return lsh_self_dedup_pairs(
         docs, "text", id_col="doc_id",

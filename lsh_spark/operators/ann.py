@@ -126,6 +126,92 @@ def euclidean_lsh_topk(
     )
 
 
+def _sqdist_mirror(a, b) -> "F.Column":
+    """Squared L2 via the dot-product identity, in the EXACT expression
+    shape ``(aa - (2*ab)) + bb`` the DuckDB oracle mirrors — same IEEE op
+    sequence on both engines, so cell argmins agree bit-for-bit."""
+    return (dot(a, a) - (F.lit(2.0) * dot(a, b))) + dot(b, b)
+
+
+def _cells_array(corpus: DataFrame, id_col: str, vec_col: str,
+                 n_lists: int) -> DataFrame:
+    """Single-row DataFrame holding the centroid table as one array of
+    (cell, centroid) structs — the ``n_lists`` lowest-id corpus vectors,
+    cell = rank by id.  Tiny by construction → broadcast."""
+    w = Window.orderBy("__cid")
+    cent = (
+        corpus.select(F.col(id_col).alias("__cid"),
+                      F.col(vec_col).cast("array<double>").alias("__cv"))
+        .orderBy("__cid").limit(n_lists)
+        .withColumn("__cell", F.row_number().over(w) - 1)
+    )
+    return cent.agg(F.sort_array(
+        F.collect_list(F.struct("__cell", "__cv"))).alias("__cents"))
+
+
+def ivf_flat_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN with a training-free coarse quantizer: the ``n_lists``
+    lowest-id corpus vectors ARE the centroids (no Lloyd iterations), so
+    every step is deterministic and the DuckDB oracle reproduces the whole
+    index — cells, probes, rerank — bit-for-bit.  ``ivf_topk`` is the
+    same structure with a KMeans-trained quantizer (better cells, but
+    MLlib internals aren't SQL-reproducible).
+
+    The 100 TB shape is stricter than KMeans-IVF's: cell assignment is a
+    pure projection (argmin over a broadcast centroid array — ZERO
+    shuffle, no groupBy), the corpus shuffles ONCE by cell, and each query
+    probes ``n_probe`` cells."""
+    prep = lambda df, out_id: df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).cast("array<double>").alias(f"__v_{out_id}"))
+    cents = F.broadcast(_cells_array(corpus, id_col, vec_col, n_lists))
+
+    # (d2, cell) per centroid; struct array_min/array_sort orders by d2
+    # then cell — identical to the oracle's ORDER BY d2 ASC, cell ASC
+    def dists(vec: str) -> "F.Column":
+        return F.transform(
+            "__cents",
+            lambda ct: F.struct(
+                _sqdist_mirror(F.col(vec), ct["__cv"]).alias("d2"),
+                ct["__cell"].alias("cell")))
+
+    c_cells = (
+        prep(corpus, "neighbor_id").crossJoin(cents)
+        .withColumn("__cell", F.array_min(dists("__v_neighbor_id"))["cell"])
+        .select("neighbor_id", "__v_neighbor_id", "__cell")
+    )
+    probes = (
+        prep(queries, "query_id").crossJoin(cents)
+        .withColumn("__probe",
+                    F.slice(F.array_sort(dists("__v_query_id")), 1, n_probe))
+        .select("query_id", "__v_query_id",
+                F.explode("__probe").alias("__p"))
+        .select("query_id", "__v_query_id", F.col("__p.cell").alias("__cell"))
+    )
+    scored = (
+        probes.join(c_cells, on="__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim",
+                    F.round(cosine("__v_query_id", "__v_neighbor_id"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -179,6 +179,75 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lists=8, n_probe=4)
 
 
+_IVF_LISTS = 8
+_IVF_PROBE = 4
+
+
+def ann_ivf_flat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the training-free quantizer (lowest-id vectors as
+    centroids): same index structure as ``ann_ivf_topk`` but every step is
+    deterministic, so the DuckDB oracle reproduces cells, probes and
+    rerank bit-for-bit (hash-match instead of rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.ivf_flat_topk(
+        emb, emb.where(F.col("vec_id") < _N_QUERIES), k=_ANN_K,
+        n_lists=_IVF_LISTS, n_probe=_IVF_PROBE)
+
+
+# squared L2 via the dot identity in the EXACT op sequence the Spark side
+# uses ((aa - (2*ab)) + bb over DOUBLE[]) — see ann._sqdist_mirror
+_SQDIST = ("(list_dot_product({a}, {a}) - (2.0 * list_dot_product({a}, {b})))"
+           " + list_dot_product({b}, {b})")
+
+ANN_IVF_FLAT_ORACLE = f"""
+WITH cent0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+  ORDER BY vec_id LIMIT {_IVF_LISTS}
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, cv FROM cent0
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < {_N_QUERIES}),
+c_assign AS (
+  SELECT neighbor_id, v, cell,
+         row_number() OVER (
+           PARTITION BY neighbor_id
+           ORDER BY {_SQDIST.format(a='v', b='cv')} ASC, cell ASC) AS r
+  FROM c CROSS JOIN cent
+),
+c_cells AS (SELECT neighbor_id, v, cell FROM c_assign WHERE r = 1),
+probes AS (
+  SELECT query_id, v, cell FROM (
+    SELECT query_id, v, cell,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY {_SQDIST.format(a='v', b='cv')} ASC, cell ASC) AS r
+    FROM q CROSS JOIN cent
+  ) WHERE r <= {_IVF_PROBE}
+),
+scored AS (
+  SELECT p.query_id, cc.neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(p.v, p.v)) > 0
+                     AND sqrt(list_dot_product(cc.v, cc.v)) > 0
+               THEN list_dot_product(p.v, cc.v)
+                    / (sqrt(list_dot_product(p.v, p.v))
+                       * sqrt(list_dot_product(cc.v, cc.v)))
+               ELSE 0.0 END, 6) AS cosine_sim
+  FROM probes p JOIN c_cells cc USING (cell)
+  WHERE p.query_id != cc.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -361,6 +430,7 @@ QUERIES = {
         _orc.ann_lsh_topk_sql(2.0, 8, 1, 123, 64, k=_ANN_K,
                               n_queries=_N_QUERIES)),
     "ann_ivf_topk": (ann_ivf_topk, None),
+    "ann_ivf_flat_topk": (ann_ivf_flat_topk, ANN_IVF_FLAT_ORACLE),
     "dedup_normalized": (dedup_normalized, DEDUP_NORMALIZED_ORACLE),
     "embedding_dup_pairs": (embedding_dup_pairs, EMB_DUP_ORACLE),
     "simhash_near_dup_pairs": (simhash_near_dup_pairs,

@@ -241,3 +241,31 @@ def test_seed_rotation_union_semantics(spark):
 
     rotated = pairs((123, 456))
     assert rotated == pairs(123) | pairs(456)
+
+
+def test_ivf_flat_recall_and_scores_vs_bruteforce(spark):
+    """The training-free quantizer trades cell quality for bit-exact
+    oracle-ability; it must still behave like an IVF index — meaningful
+    recall, and any overlapping neighbor scored identically to brute
+    force (same cosine expression)."""
+    from lsh_spark.operators import ann
+    from lsh_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = ann.cosine_topk(emb, queries, k=10).collect()
+    flat = ann.ivf_flat_topk(emb, queries, k=10, n_lists=8, n_probe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    flat_set = {(r.query_id, r.neighbor_id) for r in flat}
+    recall = len(exact_set & flat_set) / len(exact_set)
+    assert recall >= 0.4, f"flat-IVF recall too low: {recall}"
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact}
+    for r in flat:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]
+    # every query returns a full (or cell-bounded) ranked list 1..n
+    by_q = {}
+    for r in flat:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -94,3 +94,44 @@ def read_orc(spark: SparkSession, path: str,
     if schema is not None:
         r = r.schema(schema)
     return r.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    path_glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw-media ingest via Spark's built-in ``binaryFile`` source:
+    one row per file with ``(path, modificationTime, length, content
+    BINARY)`` — the front door for the multimodal pipeline
+    (``multimodal.media.extract_features`` consumes the ``content``
+    blobs).  The source never splits a file, so partitioning follows
+    file boundaries; keep individual media files under the executor
+    memory budget and let ``spark.sql.files.maxPartitionBytes`` pack
+    small files into shared tasks."""
+    r = spark.read.format("binaryFile")
+    if path_glob:
+        r = r.option("pathGlobFilter", path_glob)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    return r.load(path)
+
+
+def read_avro(spark: SparkSession, path: str,
+              schema: StructType | None = None) -> DataFrame:
+    """Avro reader, gated: the pip ``pyspark`` distribution ships Avro's
+    core jars but NOT the ``spark-avro`` datasource module, so this
+    raises a clear error here unless the deployment adds
+    ``org.apache.spark:spark-avro`` to ``spark.jars.packages``."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    try:
+        return r.format("avro").load(path)
+    except Exception as exc:  # AnalysisException: failed to find source
+        raise RuntimeError(
+            "the spark-avro datasource module is not on the classpath; "
+            "add org.apache.spark:spark-avro_2.13 to spark.jars.packages"
+        ) from exc

@@ -317,7 +317,7 @@ def lsh_dedup_clusters(
     band_count: int = 6,
     band_size: int = 6,
     seed: int = 123,
-    max_iter: int = 6,
+    max_iter: int = 12,
 ) -> DataFrame:
     """Cluster-representative near-dedup WITHOUT pair materialization — the
     100 TB path.
@@ -332,9 +332,12 @@ def lsh_dedup_clusters(
         doc_label    = min(bucket_label of its buckets)
 
     Every iteration is two hash-aggregations bounded by rows × band_count —
-    never a pair join.  Convergence in O(cluster diameter) rounds (near-dup
-    clusters are dense, so 2-3 rounds in practice; ``max_iter`` caps it and
-    iteration stops early at a fixed point).
+    never a pair join.  Convergence in O(cluster diameter) rounds;
+    iteration stops early at the fixed point, and ``max_iter`` is a
+    safety cap sized ABOVE any diameter seen in practice (measured at
+    sf0.1: residual changes 4162 → 569 → 73 → 9 → 2 → 0, i.e. ~7 rounds —
+    a cap that bites returns silently-unconverged labels, which would
+    split clusters, so the early exit is the intended terminator).
 
     Semantics: single-linkage over *band-collision* edges (no exact-Jaccard
     verification) — the standard trade for corpus-scale dedup; tune
@@ -374,11 +377,13 @@ def lsh_dedup_clusters(
         .groupBy("__id")
         .agg(F.min("__bucket_label").alias("__label"))
     )
-    # near-dup clusters are dense (diameter 2-3), so convergence usually
-    # lands by round 2-3; checking the fixed point only every 2nd round
-    # lets two propagation rounds pipeline into ONE job (each check is an
-    # action that materializes the lineage — measured: checking every
-    # round costs more than the redundant, label-stable round it saves)
+    # checking the fixed point only every 2nd round lets two propagation
+    # rounds pipeline into ONE job (each check is an action that
+    # materializes the lineage — measured: checking every round costs
+    # more than the redundant, label-stable round it saves; a per-round
+    # pointer-jump self-join also measured slower — its join key differs
+    # from the groupBy key, forcing an extra shuffle and re-computing the
+    # unpersisted propagation lineage twice)
     prev = None
     for it in range(max_iter - 1):
         labels = track(labels.persist(StorageLevel.MEMORY_AND_DISK))

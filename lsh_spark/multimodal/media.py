@@ -2,10 +2,14 @@
 typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing (schema contract, partition-preserving iteration,
-batch shape) is real and tested; the actual codec work is stubbed behind
-``DECODERS`` because media libraries are not available in this
-environment — swap in PIL/ffmpeg decoders by registering a function with
-the same ``bytes -> dict`` contract.
+batch shape) is real and tested.  Codec work is two-tier: the documented
+uncompressed RAW formats (RAWI/RAWA/RAWV — see the header specs below)
+are GENUINELY decoded, resized (nearest-neighbor resample) and
+frame-sampled with real numpy pixel math; compressed formats (JPEG/MP3/
+MP4…) fall back to a deterministic digest-derived stub because codec
+libraries are not available in this environment — swap in PIL/ffmpeg by
+registering a function with the same ``bytes -> dict`` contract in
+``DECODERS``.
 
 Design notes for 100 TB:
   * media bytes never pass through a shuffle — ``mapInPandas`` is a
@@ -53,6 +57,98 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
+# ---------------------------------------------------------------------------
+# real decoders for documented uncompressed formats
+#
+# The container has no media libraries, so compressed formats (JPEG/PNG/
+# MP3/MP4) stay behind the stub fallback.  These three RAW formats are
+# genuinely decoded — header parse, length validation, real pixel/sample
+# math in numpy — so the full pipeline (decode → feature → resize →
+# frame-sample) runs on real bytes end-to-end:
+#
+#   RAWI (image): b"RAWI" | width u16 LE | height u16 LE | channels u8
+#                 | width*height*channels uint8 pixels (row-major, HWC)
+#   RAWA (audio): b"RAWA" | sample_rate u32 LE | n_samples u32 LE
+#                 | n_samples int16 LE PCM
+#   RAWV (video): b"RAWV" | width u16 LE | height u16 LE | n_frames u16 LE
+#                 | n_frames grayscale uint8 frames (row-major)
+# ---------------------------------------------------------------------------
+
+_RAWI_HDR = 9
+_RAWA_HDR = 12
+_RAWV_HDR = 10
+
+
+def decode_raw_image(content: bytes) -> dict | None:
+    """Parse a RAWI blob; None when the magic doesn't match (caller falls
+    back), ValueError on a truncated payload (corrupt, not foreign)."""
+    import numpy as np
+
+    if content is None or content[:4] != b"RAWI":
+        return None
+    w = int.from_bytes(content[4:6], "little")
+    h = int.from_bytes(content[6:8], "little")
+    c = content[8]
+    pixels = np.frombuffer(content, dtype=np.uint8, offset=_RAWI_HDR)
+    if pixels.size != w * h * c:
+        raise ValueError(
+            f"RAWI payload {pixels.size} B != {w}x{h}x{c}")
+    return {"width": w, "height": h, "n_frames": 1,
+            "_pixels": pixels.reshape(h, w, c)}
+
+
+def decode_raw_audio(content: bytes) -> dict | None:
+    import numpy as np
+
+    if content is None or content[:4] != b"RAWA":
+        return None
+    n = int.from_bytes(content[8:12], "little")
+    samples = np.frombuffer(content, dtype="<i2", offset=_RAWA_HDR)
+    if samples.size != n:
+        raise ValueError(f"RAWA payload {samples.size} samples != {n}")
+    return {"width": None, "height": None, "n_frames": n,
+            "_samples": samples,
+            "_sample_rate": int.from_bytes(content[4:8], "little")}
+
+
+def decode_raw_video(content: bytes) -> dict | None:
+    import numpy as np
+
+    if content is None or content[:4] != b"RAWV":
+        return None
+    w = int.from_bytes(content[4:6], "little")
+    h = int.from_bytes(content[6:8], "little")
+    n = int.from_bytes(content[8:10], "little")
+    frames = np.frombuffer(content, dtype=np.uint8, offset=_RAWV_HDR)
+    if frames.size != w * h * n:
+        raise ValueError(f"RAWV payload {frames.size} B != {w}x{h}x{n}")
+    return {"width": w, "height": h, "n_frames": n,
+            "_frames": frames.reshape(n, h, w)}
+
+
+_RAW_DECODERS = {
+    "image": decode_raw_image,
+    "audio": decode_raw_audio,
+    "video": decode_raw_video,
+}
+
+
+def _decode(kind: str, content: bytes) -> dict:
+    """RAW formats decode for real; anything else falls back to the
+    deterministic stub (compressed codecs need external libs).  Bytes
+    that merely *start* with a RAW magic but fail length validation are
+    treated as foreign (stub fallback) — the batch pipeline must stay
+    total; strict deployments call ``decode_raw_*`` directly."""
+    raw = _RAW_DECODERS.get(kind)
+    try:
+        meta = raw(content) if raw else None
+    except ValueError:
+        meta = None
+    if meta is not None:
+        return {k: v for k, v in meta.items() if not k.startswith("_")}
+    return _stub_decode(kind, content)
+
+
 def _stub_decode(kind: str, content: bytes) -> dict:
     """Deterministic fake decoder: derives plausible metadata from the
     byte content itself so tests are reproducible.  Replace via
@@ -72,9 +168,9 @@ def _stub_decode(kind: str, content: bytes) -> dict:
 
 
 DECODERS: dict[str, Callable[[str, bytes], dict]] = {
-    "image": _stub_decode,
-    "audio": _stub_decode,
-    "video": _stub_decode,
+    "image": _decode,
+    "audio": _decode,
+    "video": _decode,
 }
 
 
@@ -118,6 +214,46 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_raw_media_from_documents(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA frame whose blobs are REAL RAWI/RAWA/RAWV payloads
+    (dimensions derived from doc_id, pixels/samples cycled from the UTF-8
+    text bytes) — end-to-end decodable by the raw decoders, no stub path
+    touched."""
+    import numpy as np
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                doc_id = int(r["doc_id"])
+                src = np.frombuffer(
+                    r["text"].encode("utf-8") or b"\x00", dtype=np.uint8)
+                kind = ("image", "audio", "video")[doc_id % 3]
+                if kind == "image":
+                    w, h, c = 8 + doc_id % 9, 8 + (doc_id * 3) % 7, 3
+                    px = np.resize(src, w * h * c).reshape(h, w, c)
+                    content = encode_raw_image(px)
+                elif kind == "audio":
+                    n = 100 + (doc_id * 7) % 500
+                    samples = np.resize(src.astype("<i2") * 128, n)
+                    content = (b"RAWA" + (16000).to_bytes(4, "little")
+                               + n.to_bytes(4, "little") + samples.tobytes())
+                else:
+                    w, h, n = 6 + doc_id % 5, 4 + doc_id % 4, 2 + doc_id % 5
+                    frames = np.resize(src, w * h * n)
+                    content = (b"RAWV" + w.to_bytes(2, "little")
+                               + h.to_bytes(2, "little")
+                               + n.to_bytes(2, "little") + frames.tobytes())
+                rows.append({"media_id": doc_id, "kind": kind,
+                             "content": content,
+                             "mime": f"application/x-raw-{kind}"})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _synth, schema=MEDIA_SCHEMA)
+
+
 def media_dedup_by_digest(features: DataFrame) -> DataFrame:
     """Exact media dedup on content digest (the standard first pass before
     perceptual hashing)."""
@@ -138,11 +274,23 @@ RESIZED_SCHEMA = StructType([
 ])
 
 
+def encode_raw_image(pixels) -> bytes:
+    """(h, w, c) uint8 array → RAWI blob (the inverse of
+    ``decode_raw_image``)."""
+    h, w, c = pixels.shape
+    return (b"RAWI" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([c]) + pixels.tobytes())
+
+
 def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
-    """Image resize plumbing (``mapInPandas``, batch-at-a-time).  The pixel
-    work is stubbed deterministically (real deployment: PIL/opencv with the
-    same ``bytes -> bytes`` contract); schema, batching and
-    partition-preservation are the real, tested parts."""
+    """Image resize (``mapInPandas``, batch-at-a-time).  RAWI payloads are
+    REALLY resized — nearest-neighbor resample over the decoded pixel
+    array, re-encoded as RAWI — so downstream stages keep operating on
+    decodable images.  Foreign payloads (compressed formats, no codec in
+    this environment) fall back to a deterministic digest-derived stand-in
+    with the same ``bytes -> bytes`` contract a PIL/opencv decoder would
+    implement."""
+    import numpy as np
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -150,16 +298,28 @@ def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
             for _, r in pdf.iterrows():
                 if r["kind"] != "image" or r["content"] is None:
                     continue
-                # STUB: a real decoder would decode+resample; the stand-in
-                # derives a deterministic fixed-size payload
-                digest = hashlib.sha256(r["content"]).digest()
-                fake_pixels = (digest * ((width * height) // 32 + 1))[
-                    : width * height]
+                content = bytes(r["content"])
+                try:
+                    meta = decode_raw_image(content)
+                except ValueError:
+                    meta = None
+                if meta is not None:
+                    px = meta["_pixels"]
+                    h_src, w_src = px.shape[:2]
+                    # nearest-neighbor: src index = floor(dst * src / dst_n)
+                    ys = (np.arange(height) * h_src) // height
+                    xs = (np.arange(width) * w_src) // width
+                    out = np.ascontiguousarray(px[ys[:, None], xs[None, :], :])
+                    payload = encode_raw_image(out)
+                else:
+                    digest = hashlib.sha256(content).digest()
+                    payload = (digest * ((width * height) // 32 + 1))[
+                        : width * height]
                 rows.append({
                     "media_id": r["media_id"],
                     "width": width,
                     "height": height,
-                    "content": fake_pixels,
+                    "content": payload,
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
 
@@ -185,7 +345,27 @@ def sample_frames(media: DataFrame, *, every_nth: int = 10,
             for _, r in pdf.iterrows():
                 if r["kind"] != "video" or r["content"] is None:
                     continue
-                digest = hashlib.sha256(r["content"]).digest()
+                content = bytes(r["content"])
+                try:
+                    meta = decode_raw_video(content)
+                except ValueError:
+                    meta = None
+                if meta is not None:
+                    # REAL sampling: slice the decoded frame array; each
+                    # frame re-encodes as a 1-channel RAWI so the output
+                    # composes with resize_images / extract_features
+                    frames = meta["_frames"]
+                    taken = 0
+                    for idx in range(0, meta["n_frames"], every_nth):
+                        if taken >= max_frames:
+                            break
+                        rows.append({
+                            "media_id": r["media_id"], "frame_idx": idx,
+                            "frame": encode_raw_image(frames[idx][..., None]),
+                        })
+                        taken += 1
+                    continue
+                digest = hashlib.sha256(content).digest()
                 n_frames = 1 + digest[2]  # matches _stub_decode
                 taken = 0
                 for idx in range(0, n_frames, every_nth):
@@ -193,7 +373,7 @@ def sample_frames(media: DataFrame, *, every_nth: int = 10,
                         break
                     # STUB frame payload: deterministic per (video, idx)
                     frame = hashlib.sha256(
-                        r["content"] + idx.to_bytes(4, "little")).digest()
+                        content + idx.to_bytes(4, "little")).digest()
                     rows.append({"media_id": r["media_id"],
                                  "frame_idx": idx, "frame": frame})
                     taken += 1

@@ -265,6 +265,42 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthesize_media_from_documents(docs))
 
 
+def media_raw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-decode multimodal path through the driver gate: documents
+    synthesized into RAWI/RAWA/RAWV blobs (documented uncompressed
+    formats), then genuinely decoded — header parse + payload validation,
+    no digest fakery.  Every output column is doc_id/text arithmetic the
+    DuckDB oracle reproduces exactly."""
+    from ..multimodal.media import (
+        extract_features,
+        synthesize_raw_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(synthesize_raw_media_from_documents(docs)).select(
+        "media_id", "kind", "n_bytes", "width", "height", "n_frames")
+
+
+MEDIA_RAW_FEATURES_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       (CASE doc_id % 3
+         WHEN 0 THEN 9 + (8 + doc_id % 9) * (8 + (doc_id * 3) % 7) * 3
+         WHEN 1 THEN 12 + 2 * (100 + (doc_id * 7) % 500)
+         ELSE 10 + (6 + doc_id % 5) * (4 + doc_id % 4) * (2 + doc_id % 5)
+       END)::BIGINT AS n_bytes,
+       (CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 9
+             WHEN 1 THEN NULL ELSE 6 + doc_id % 5 END)::INT AS width,
+       (CASE doc_id % 3 WHEN 0 THEN 8 + (doc_id * 3) % 7
+             WHEN 1 THEN NULL ELSE 4 + doc_id % 4 END)::INT AS height,
+       (CASE doc_id % 3 WHEN 0 THEN 1
+             WHEN 1 THEN 100 + (doc_id * 7) % 500
+             ELSE 2 + doc_id % 5 END)::INT AS n_frames
+FROM documents
+"""
+
+
 MEDIA_FEATURES_ORACLE = """
 WITH f AS (
   SELECT doc_id AS media_id,
@@ -444,6 +480,7 @@ QUERIES = {
     "distinct_ngram_counts": (distinct_ngram_counts, DISTINCT_NGRAMS_ORACLE),
     "kmv_doc_stats": (kmv_doc_stats, _orc.kmv_doc_stats_sql(3, 64)),
     "media_features": (media_features, MEDIA_FEATURES_ORACLE),
+    "media_raw_features": (media_raw_features, MEDIA_RAW_FEATURES_ORACLE),
 }
 
 

@@ -109,6 +109,7 @@ def test_multimodal_custom_decoder_registration(spark):
     def fancy(kind, content):
         return {"width": 99, "height": 98, "n_frames": 7}
 
+    before = M.DECODERS["image"]
     M.DECODERS["image"] = fancy
     try:
         docs = spark.createDataFrame([(0, "hello world")], ["doc_id", "text"])
@@ -116,7 +117,7 @@ def test_multimodal_custom_decoder_registration(spark):
         r = M.extract_features(m).first()
         assert (r.width, r.height, r.n_frames) == (99, 98, 7)
     finally:
-        M.DECODERS["image"] = M._stub_decode
+        M.DECODERS["image"] = before
 
 
 def test_streaming_dedup_and_udf(spark):
@@ -210,3 +211,89 @@ def test_multimodal_resize_and_frames(spark):
     plan = sample_frames(media, every_nth=10)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_raw_media_decode_end_to_end(spark):
+    """RAW payloads decode for REAL: extract_features reads dimensions out
+    of the actual headers (no digest fakery on this path)."""
+    from lsh_spark.multimodal.media import (
+        extract_features,
+        synthesize_raw_media_from_documents,
+    )
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    feats = extract_features(
+        synthesize_raw_media_from_documents(docs)).collect()
+    assert len(feats) == 30
+    for r in feats:
+        doc_id = r.media_id
+        if r.kind == "image":
+            assert (r.width, r.height) == (8 + doc_id % 9, 8 + (doc_id * 3) % 7)
+            assert r.n_frames == 1
+        elif r.kind == "audio":
+            assert r.n_frames == 100 + (doc_id * 7) % 500
+        else:
+            assert (r.width, r.height) == (6 + doc_id % 5, 4 + doc_id % 4)
+            assert r.n_frames == 2 + doc_id % 5
+
+
+def test_raw_image_resize_is_real_nearest_neighbor(spark):
+    import numpy as np
+
+    from lsh_spark.multimodal.media import (
+        decode_raw_image,
+        encode_raw_image,
+        resize_images,
+    )
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_raw_image(px)), "application/x-raw-image")],
+        "media_id long, kind string, content binary, mime string")
+    out = resize_images(media, width=2, height=2).collect()
+    assert len(out) == 1 and (out[0].width, out[0].height) == (2, 2)
+    got = decode_raw_image(bytes(out[0].content))["_pixels"]
+    # nearest-neighbor with src_idx = (dst * src) // dst: rows/cols 0 and 2
+    want = px[np.array([0, 2])[:, None], np.array([0, 2])[None, :], :]
+    assert np.array_equal(got, want)
+
+
+def test_raw_video_frame_sampling_slices_real_frames(spark):
+    import numpy as np
+
+    from lsh_spark.multimodal.media import decode_raw_image, sample_frames
+
+    w, h, n = 3, 2, 5
+    frames = np.arange(w * h * n, dtype=np.uint8)
+    blob = (b"RAWV" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + n.to_bytes(2, "little") + frames.tobytes())
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(blob), "application/x-raw-video")],
+        "media_id long, kind string, content binary, mime string")
+    out = sorted(sample_frames(media, every_nth=2, max_frames=8).collect(),
+                 key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in out] == [0, 2, 4]
+    all_frames = frames.reshape(n, h, w)
+    for r in out:
+        got = decode_raw_image(bytes(r.frame))["_pixels"]
+        assert np.array_equal(got[..., 0], all_frames[r.frame_idx])
+
+
+def test_corrupt_raw_blob_falls_back_to_stub(spark):
+    """A blob with a RAW magic but truncated payload must not kill the
+    batch — the total pipeline stubs it (strict callers use decode_raw_*
+    which raises)."""
+    import pytest
+
+    from lsh_spark.multimodal.media import decode_raw_image, extract_features
+
+    bad = b"RAWI" + (10).to_bytes(2, "little") + (10).to_bytes(2, "little") \
+        + bytes([3]) + b"short"
+    with pytest.raises(ValueError):
+        decode_raw_image(bad)
+    media = spark.createDataFrame(
+        [(9, "image", bytearray(bad), "application/x-raw-image")],
+        "media_id long, kind string, content binary, mime string")
+    rows = extract_features(media).collect()
+    assert len(rows) == 1 and rows[0].n_frames == 1  # stub image metadata

@@ -294,3 +294,44 @@ GROUP BY user_id, sid
 
 QUERIES["events_sessions_streaming"] = (
     events_sessions_streaming, EVENTS_SESSIONS_STREAMING_ORACLE)
+
+
+def events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: streaming exact dedup — file-source stream →
+    ``dropDuplicates`` on (user_id, event_type) → AvailableNow drain.
+    The surviving-row payload depends on arrival order (non-deterministic
+    under parallel file reads), so the gate output is the deduped KEY SET
+    plus a deterministic per-key aggregate computed batch-side on the
+    sink: first event time per key.  The oracle is plain DISTINCT + min.
+    Real deployments bound state with ``streaming_dedup``'s
+    watermark-scoped variant; the unbounded form here replays a bounded
+    corpus so batch/stream parity is exact."""
+    from ..sources.io import _ensure_session_confs, load_table
+
+    _ensure_session_confs(spark)
+    stream = read_events_stream(spark, sf_dir)
+    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    q = run_available_now(deduped, "events_dedup_streaming_sink", "append")
+    q.awaitTermination()
+    sink = spark.table("events_dedup_streaming_sink")
+    first_ts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+             .alias("first_ts"))
+    )
+    return (
+        sink.select("user_id", "event_type")
+        .join(first_ts, on=["user_id", "event_type"], how="left")
+    )
+
+
+EVENTS_DEDUP_STREAMING_ORACLE = """
+SELECT user_id, event_type,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+FROM events
+GROUP BY user_id, event_type
+"""
+
+QUERIES["events_dedup_streaming"] = (
+    events_dedup_streaming, EVENTS_DEDUP_STREAMING_ORACLE)

@@ -350,7 +350,7 @@ def lsh_dedup_clusters(
     # sizes, edges, every iteration) reuses it without re-running the
     # hashing UDFs
     blocks = _band_blocks(sets, "__id", "__set", band_count, band_size, seed)
-    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+    blocks = track(blocks.persist(StorageLevel.MEMORY_AND_DISK))
     all_ids = blocks.select("__id").distinct()
     # doc ↔ bucket edges; singleton buckets can never link anything, so
     # drop them before iterating — in a real corpus the overwhelming

@@ -367,6 +367,22 @@ def lsh_dedup_clusters(
         .select("__id", "band_idx", "band_hash")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # right-size the iteration: every propagation stage maps over the
+    # cached edges, so its partition count sets the per-round task count.
+    # The singleton-prune typically shrinks edges far below the input
+    # (measured at sf0.1: 245k block rows → 21k edges in 32 partitions —
+    # 7 rounds of 32 near-empty tasks per stage was pure scheduling
+    # overhead, measured ~40% of the operator's wall time).  One count
+    # materializes the cache (the first round would have anyway) and
+    # sizes partitions to the graph; on a 100 TB corpus the quotient
+    # keeps thousands of partitions, so scale behavior is unchanged.
+    n_edges = edges.count()
+    target_parts = n_edges // 100_000 + 1
+    if target_parts < edges.rdd.getNumPartitions():
+        resized = track(edges.repartition(target_parts, "__id")
+                        .persist(StorageLevel.MEMORY_AND_DISK))
+        edges.unpersist()
+        edges = resized
 
     # initialization already performs round 1: a bucket's min member id is
     # its label, a doc's initial label is the min over its buckets

@@ -142,7 +142,11 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rotations of deliberately more selective per-seed banding — combined
 # recall 1-(1-r)^2 ≈ 0.93 with a far lower background pass-rate than one
 # rotation at the same recall would need
-_ROT_PLAN = tune_bands(0.6, target_recall=0.75, background_similarity=0.45)
+# same 384-signature budget as _PAIRS_PLAN: admits r=7 rows/band (49×7)
+# — measured 13-22s vs 24-29s for the default budget's 30×6 at sf0.1,
+# with slightly MORE verified pairs (sharper per-rotation s-curve)
+_ROT_PLAN = tune_bands(0.6, target_recall=0.75, background_similarity=0.45,
+                       max_signature_size=384)
 _ROT_SEEDS = (123, 456)
 
 

@@ -135,3 +135,11 @@ def read_avro(spark: SparkSession, path: str,
             "the spark-avro datasource module is not on the classpath; "
             "add org.apache.spark:spark-avro_2.13 to spark.jars.packages"
         ) from exc
+
+
+def read_text(spark: SparkSession, path: str, *,
+              whole_file: bool = False) -> DataFrame:
+    """Raw-text corpus ingest: one row per line (``value`` string), or one
+    row per file with ``wholetext`` — the front door for document
+    pipelines whose corpus arrives as plain text files."""
+    return spark.read.text(path, wholetext=whole_file)

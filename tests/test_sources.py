@@ -20,3 +20,15 @@ def test_read_avro_gated(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="spark-avro"):
         read_avro(spark, str(tmp_path / "missing.avro"))
+
+
+def test_read_text_lines_and_whole(spark, tmp_path):
+    from lsh_spark.sources.formats import read_text
+
+    (tmp_path / "a.txt").write_text("line one\nline two\n")
+    (tmp_path / "b.txt").write_text("solo")
+    lines = {r.value for r in read_text(spark, str(tmp_path)).collect()}
+    assert lines == {"line one", "line two", "solo"}
+    whole = {r.value for r in
+             read_text(spark, str(tmp_path), whole_file=True).collect()}
+    assert whole == {"line one\nline two\n", "solo"}

@@ -297,3 +297,23 @@ def test_corrupt_raw_blob_falls_back_to_stub(spark):
         "media_id long, kind string, content binary, mime string")
     rows = extract_features(media).collect()
     assert len(rows) == 1 and rows[0].n_frames == 1  # stub image metadata
+
+
+def test_rawi_encode_decode_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lsh_spark.multimodal.media import decode_raw_image, encode_raw_image
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(1, 32), st.integers(1, 32), st.integers(1, 4),
+           st.integers(0, 2**32 - 1))
+    def roundtrip(w, h, c, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        meta = decode_raw_image(encode_raw_image(px))
+        assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, 1)
+        assert np.array_equal(meta["_pixels"], px)
+
+    roundtrip()

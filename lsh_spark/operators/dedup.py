@@ -198,3 +198,50 @@ def embedding_dup_pairs(
         .where(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    bucket_width: float = 2.0,
+    band_count: int = 8,
+    band_size: int = 1,
+    seed: int = 123,
+) -> DataFrame:
+    """Embedding near-dup pairs, SCALE path: candidates are vector pairs
+    sharing ≥1 Euclidean-LSH band (the reference's ``lsh_euclidean`` as
+    blocking key), verified by exact cosine.  The blocking join ships
+    ONLY (id, band_idx, band_hash); vectors re-attach to surviving unique
+    pairs by id — so shuffle volume is bounded by rows × band_count, never
+    |corpus|², unlike the brute-force ``embedding_dup_pairs`` baseline.
+
+    Returns (id_a, id_b, cosine_sim ≥ threshold), id_a < id_b."""
+    from ..functions.lsh import lsh_euclidean_bands_long
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    bands = lsh_euclidean_bands_long(
+        F.col("__v"), bucket_width, band_count, band_size, seed)
+    blocks = base.select(
+        "__id", F.posexplode(bands).alias("band_idx", "band_hash"))
+    a = blocks.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
+    b = blocks.select(F.col("__id").alias("id_b"), "band_idx", "band_hash")
+    pairs = (
+        a.join(b, on=["band_idx", "band_hash"], how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        pairs.join(va, on="id_a").join(vb, on="id_b")
+        .withColumn("cosine_sim", F.round(cosine("__va", "__vb"), 6))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

@@ -373,6 +373,17 @@ WHERE round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0
 """
 
 
+def embedding_near_dup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via Euclidean-LSH bucket blocking + exact
+    cosine verify — the full-corpus scale path next to the bounded
+    brute-force ``embedding_dup_pairs`` baseline; exact DuckDB oracle
+    (same inlined projection tables as the signature oracles)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_lsh(
+        emb, threshold=_EMB_DUP_THRESHOLD, bucket_width=2.0, band_count=8,
+        band_size=1, seed=123)
+
+
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-≤3 pairs (FxHash token signatures; exact DuckDB
     oracle via splitmix-spread token hashes)."""
@@ -469,6 +480,10 @@ QUERIES = {
     "ann_ivf_flat_topk": (ann_ivf_flat_topk, ANN_IVF_FLAT_ORACLE),
     "dedup_normalized": (dedup_normalized, DEDUP_NORMALIZED_ORACLE),
     "embedding_dup_pairs": (embedding_dup_pairs, EMB_DUP_ORACLE),
+    "embedding_near_dup_lsh_pairs": (
+        embedding_near_dup_lsh_pairs,
+        _orc.embedding_near_dup_lsh_sql(2.0, 8, 1, 123, 64,
+                                        _EMB_DUP_THRESHOLD)),
     "simhash_near_dup_pairs": (simhash_near_dup_pairs,
                                _orc.simhash_pairs_sql(3)),
     "dedup_keep_first_minhash": (

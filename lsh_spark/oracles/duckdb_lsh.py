@@ -569,3 +569,33 @@ WITH {euclidean_bands_cte(bucket_width, band_count, band_size, seed, dim)},
   )
 SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def embedding_near_dup_lsh_sql(bucket_width: float, band_count: int,
+                               band_size: int, seed: int, dim: int,
+                               threshold: float) -> str:
+    """Oracle for ``dedup.embedding_near_dup_lsh``: pairs sharing ≥1
+    Euclidean-LSH band (same inlined projection tables as the signature
+    oracles), verified by exact cosine (6dp) ≥ threshold."""
+    return f"""
+WITH {euclidean_bands_cte(bucket_width, band_count, band_size, seed, dim)},
+  cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM ebands a JOIN ebands b
+      ON a.band_idx = b.band_idx AND a.h = b.h AND a.id < b.id
+  ),
+  vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  scored AS (
+    SELECT cd.id_a, cd.id_b,
+           round(CASE WHEN sqrt(list_dot_product(av.v, av.v)) > 0
+                       AND sqrt(list_dot_product(bv.v, bv.v)) > 0
+                 THEN list_dot_product(av.v, bv.v)
+                      / (sqrt(list_dot_product(av.v, av.v))
+                         * sqrt(list_dot_product(bv.v, bv.v)))
+                 ELSE 0.0 END, 6) AS cosine_sim
+    FROM cand cd
+    JOIN vecs av ON av.vec_id = cd.id_a
+    JOIN vecs bv ON bv.vec_id = cd.id_b
+  )
+SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {threshold}
+"""

@@ -149,50 +149,48 @@ def _cells_array(corpus: DataFrame, id_col: str, vec_col: str,
         F.collect_list(F.struct("__cell", "__cv"))).alias("__cents"))
 
 
-def ivf_flat_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    *,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 10,
-    n_lists: int = 16,
-    n_probe: int = 4,
-) -> DataFrame:
-    """IVF ANN with a training-free coarse quantizer: the ``n_lists``
-    lowest-id corpus vectors ARE the centroids (no Lloyd iterations), so
-    every step is deterministic and the DuckDB oracle reproduces the whole
-    index — cells, probes, rerank — bit-for-bit.  ``ivf_topk`` is the
-    same structure with a KMeans-trained quantizer (better cells, but
-    MLlib internals aren't SQL-reproducible).
-
-    The 100 TB shape is stricter than KMeans-IVF's: cell assignment is a
-    pure projection (argmin over a broadcast centroid array — ZERO
-    shuffle, no groupBy), the corpus shuffles ONCE by cell, and each query
-    probes ``n_probe`` cells."""
-    prep = lambda df, out_id: df.select(
+def _ivf_prep(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    return df.select(
         F.col(id_col).alias(out_id),
         F.col(vec_col).cast("array<double>").alias(f"__v_{out_id}"))
-    cents = F.broadcast(_cells_array(corpus, id_col, vec_col, n_lists))
 
-    # (d2, cell) per centroid; struct array_min/array_sort orders by d2
-    # then cell — identical to the oracle's ORDER BY d2 ASC, cell ASC
-    def dists(vec: str) -> "F.Column":
-        return F.transform(
-            "__cents",
-            lambda ct: F.struct(
-                _sqdist_mirror(F.col(vec), ct["__cv"]).alias("d2"),
-                ct["__cell"].alias("cell")))
 
+def _ivf_dists(vec: str) -> "F.Column":
+    """(d2, cell) per centroid over the broadcast ``__cents`` struct array;
+    struct array_min/array_sort orders by d2 then cell — identical to the
+    oracle's ORDER BY d2 ASC, cell ASC."""
+    return F.transform(
+        "__cents",
+        lambda ct: F.struct(
+            _sqdist_mirror(F.col(vec), ct["__cv"]).alias("d2"),
+            ct["__cell"].alias("cell")))
+
+
+def _ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Shared IVF search stage: assign corpus to cells (zero-shuffle argmin
+    over the broadcast centroid array), probe ``n_probe`` cells per query,
+    exact cosine rerank inside."""
+    cents = F.broadcast(cents)
     c_cells = (
-        prep(corpus, "neighbor_id").crossJoin(cents)
-        .withColumn("__cell", F.array_min(dists("__v_neighbor_id"))["cell"])
+        _ivf_prep(corpus, id_col, vec_col, "neighbor_id").crossJoin(cents)
+        .withColumn("__cell",
+                    F.array_min(_ivf_dists("__v_neighbor_id"))["cell"])
         .select("neighbor_id", "__v_neighbor_id", "__cell")
     )
     probes = (
-        prep(queries, "query_id").crossJoin(cents)
+        _ivf_prep(queries, id_col, vec_col, "query_id").crossJoin(cents)
         .withColumn("__probe",
-                    F.slice(F.array_sort(dists("__v_query_id")), 1, n_probe))
+                    F.slice(F.array_sort(_ivf_dists("__v_query_id")),
+                            1, n_probe))
         .select("query_id", "__v_query_id",
                 F.explode("__probe").alias("__p"))
         .select("query_id", "__v_query_id", F.col("__p.cell").alias("__cell"))
@@ -210,6 +208,132 @@ def ivf_flat_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ivf_flat_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN with a training-free coarse quantizer: the ``n_lists``
+    lowest-id corpus vectors ARE the centroids (no Lloyd iterations), so
+    every step is deterministic and the DuckDB oracle reproduces the whole
+    index — cells, probes, rerank — bit-for-bit.  ``ivf_lloyd_topk``
+    upgrades the quantizer with deterministic Lloyd iterations; ``ivf_topk``
+    uses MLlib KMeans (better-studied trainer, but not SQL-reproducible).
+
+    The 100 TB shape is stricter than KMeans-IVF's: cell assignment is a
+    pure projection (argmin over a broadcast centroid array — ZERO
+    shuffle, no groupBy), the corpus shuffles ONCE by cell, and each query
+    probes ``n_probe`` cells."""
+    cents = _cells_array(corpus, id_col, vec_col, n_lists)
+    return _ivf_search(corpus, queries, cents, vec_col=vec_col,
+                       id_col=id_col, k=k, n_probe=n_probe)
+
+
+# 2^20 fixed-point scale for exact, reduction-order-independent centroid
+# sums.  floor(x*S + 0.5) is identical arithmetic in Spark and DuckDB
+# (unlike round(), whose half-way tie rule differs per engine, and unlike
+# double→long casts, which truncate in Spark but round in DuckDB).  With
+# |component| ≤ ~1e3 the scaled per-vector term is ≤ 2^30, so int64 sums
+# hold exactly up to ~2^33 vectors per cell — far past 100 TB cell sizes.
+_FP_SCALE = 1048576.0
+
+
+def lloyd_centroids(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Deterministic distributed Lloyd's KMeans for the IVF coarse
+    quantizer: init = the ``n_lists`` lowest-id corpus vectors, then
+    ``n_iters`` assign/update rounds.  Returns a single-row DataFrame with
+    the centroid table as one sorted array of (cell, centroid) structs
+    (broadcast-ready, same shape as the flat quantizer's).
+
+    Reproducibility design (this is what makes the DuckDB oracle exact):
+    the centroid mean runs in fixed-point — each component is scaled by
+    2^20 and floored to int64, summed exactly (integer addition is
+    associative/commutative, so Spark's shuffle-order reduction and
+    DuckDB's sequential sum agree bit-for-bit), then divided back in one
+    fixed op sequence ``(s/n)/S``.  Assignment argmin uses the same
+    ``(aa - 2ab) + bb`` squared-distance expression as the search stage,
+    with ties broken by cell id.
+
+    Scale shape: assignment is a zero-shuffle projection against the
+    broadcast centroid array; the update is a map-side-combinable
+    (cell, pos) sum — one shuffle of n_lists × dim rows per iteration."""
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).cast("array<double>").alias("__v"))
+    cent = (
+        _cells_array(corpus, id_col, vec_col, n_lists)
+        .select(F.explode("__cents").alias("__c"))
+        .select(F.col("__c.__cell").alias("__cell"),
+                F.col("__c.__cv").alias("__cv"))
+    )
+    for _ in range(n_iters):
+        cents_row = F.broadcast(cent.agg(F.sort_array(
+            F.collect_list(F.struct("__cell", "__cv"))).alias("__cents")))
+        assigned = (
+            vecs.crossJoin(cents_row)
+            .withColumn("__cell", F.array_min(_ivf_dists("__v"))["cell"])
+        )
+        new_cent = (
+            assigned.select(
+                "__cell", F.posexplode("__v").alias("__pos", "__val"))
+            .groupBy("__cell", "__pos")
+            .agg(F.sum(F.floor(F.col("__val") * F.lit(_FP_SCALE)
+                               + F.lit(0.5))).alias("__s"),
+                 F.count(F.lit(1)).alias("__n"))
+            .withColumn("__comp",
+                        (F.col("__s").cast("double")
+                         / F.col("__n").cast("double")) / F.lit(_FP_SCALE))
+            .groupBy("__cell")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("__pos", "__comp"))).alias("__pc"))
+            .select("__cell",
+                    F.transform("__pc", lambda st: st["__comp"])
+                    .alias("__cv_new"))
+        )
+        # a cell that attracted no vectors keeps its previous centroid
+        cent = (
+            cent.join(new_cent, on="__cell", how="left")
+            .select("__cell",
+                    F.coalesce("__cv_new", "__cv").alias("__cv"))
+        )
+    return cent.agg(F.sort_array(
+        F.collect_list(F.struct("__cell", "__cv"))).alias("__cents"))
+
+
+def ivf_lloyd_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer that is still bit-exactly
+    SQL-reproducible: deterministic fixed-point Lloyd's KMeans
+    (``lloyd_centroids``) instead of MLlib's RNG-dependent trainer.  Gets
+    KMeans-quality cells AND a full hash-match DuckDB oracle — the best of
+    ``ivf_topk`` (cell quality) and ``ivf_flat_topk`` (determinism)."""
+    cents = lloyd_centroids(corpus, vec_col=vec_col, id_col=id_col,
+                            n_lists=n_lists, n_iters=n_iters)
+    return _ivf_search(corpus, queries, cents, vec_col=vec_col,
+                       id_col=id_col, k=k, n_probe=n_probe)
 
 
 def ivf_topk(

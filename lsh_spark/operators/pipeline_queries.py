@@ -170,17 +170,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where(F.col("vec_id") < _N_QUERIES), k=_ANN_K)
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans coarse quantizer + n_probe cells; rows-only,
-    recall-tested against brute force)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ann.ivf_topk(
-        emb, emb.where(F.col("vec_id") < _N_QUERIES), k=_ANN_K,
-        n_lists=8, n_probe=4)
-
-
 _IVF_LISTS = 8
 _IVF_PROBE = 4
+_IVF_ITERS = 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer — deterministic fixed-point
+    Lloyd's KMeans (2 assign/update rounds from lowest-id init), so unlike
+    the MLlib-KMeans variant (``ann.ivf_topk``, recall-tested in pytest)
+    the whole index is bit-exactly reproduced by the DuckDB oracle:
+    hash-match, not rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.ivf_lloyd_topk(
+        emb, emb.where(F.col("vec_id") < _N_QUERIES), k=_ANN_K,
+        n_lists=_IVF_LISTS, n_probe=_IVF_PROBE, n_iters=_IVF_ITERS)
 
 
 def ann_ivf_flat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,6 +250,98 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {_ANN_K}
 """
+
+
+def _lloyd_oracle(n_lists: int, n_probe: int, n_iters: int,
+                  n_queries: int, k: int) -> str:
+    """Unrolled-iteration DuckDB mirror of ``ann.ivf_lloyd_topk``.
+
+    Centroid means run in the same 2^20 fixed-point as the Spark side:
+    floor(val*S + 0.5) → exact integer sums (order-independent, so the
+    engines agree bit-for-bit despite different reduction orders) →
+    ``(s/n)/S`` in one fixed op sequence.  Assignment/probe distances use
+    the shared ``(aa - 2ab) + bb`` expression; ties break on cell id."""
+    ctes = [
+        f"""cent_init AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+  ORDER BY vec_id LIMIT {n_lists}
+)""",
+        """cent_0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, cv FROM cent_init
+)""",
+        """corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""",
+    ]
+    for i in range(n_iters):
+        ctes.append(f"""assign_{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, ct.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_SQDIST.format(a='e.v', b='ct.cv')} ASC,
+                      ct.cell ASC) AS r
+    FROM corpus e CROSS JOIN cent_{i} ct
+  ) WHERE r = 1
+)""")
+        ctes.append(f"""sums_{i} AS (
+  SELECT cell, pos,
+         sum(CAST(floor(val * 1048576.0 + 0.5) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM assign_{i})
+  GROUP BY cell, pos
+)""")
+        ctes.append(f"""newcent_{i} AS (
+  SELECT cell, list((s::DOUBLE / n::DOUBLE) / 1048576.0 ORDER BY pos) AS cv
+  FROM sums_{i} GROUP BY cell
+)""")
+        ctes.append(f"""cent_{i + 1} AS (
+  SELECT c.cell, coalesce(n.cv, c.cv) AS cv
+  FROM cent_{i} c LEFT JOIN newcent_{i} n USING (cell)
+)""")
+    cent = f"cent_{n_iters}"
+    ctes.append(f"""q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < {n_queries})""")
+    ctes.append(f"""c_assign AS (
+  SELECT vec_id AS neighbor_id, v, cell,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_SQDIST.format(a='v', b='cv')} ASC, cell ASC) AS r
+  FROM corpus CROSS JOIN {cent}
+)""")
+    ctes.append("""c_cells AS (SELECT neighbor_id, v, cell FROM c_assign WHERE r = 1)""")
+    ctes.append(f"""probes AS (
+  SELECT query_id, v, cell FROM (
+    SELECT query_id, v, cell,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY {_SQDIST.format(a='v', b='cv')} ASC, cell ASC) AS r
+    FROM q CROSS JOIN {cent}
+  ) WHERE r <= {n_probe}
+)""")
+    ctes.append("""scored AS (
+  SELECT p.query_id, cc.neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(p.v, p.v)) > 0
+                     AND sqrt(list_dot_product(cc.v, cc.v)) > 0
+               THEN list_dot_product(p.v, cc.v)
+                    / (sqrt(list_dot_product(p.v, p.v))
+                       * sqrt(list_dot_product(cc.v, cc.v)))
+               ELSE 0.0 END, 6) AS cosine_sim
+  FROM probes p JOIN c_cells cc USING (cell)
+  WHERE p.query_id != cc.neighbor_id
+)""")
+    ctes.append("""ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT query_id, neighbor_id, cosine_sim, rank"
+              f" FROM ranked WHERE rank <= {k}")
+
+
+ANN_IVF_LLOYD_ORACLE = _lloyd_oracle(
+    _IVF_LISTS, _IVF_PROBE, _IVF_ITERS, _N_QUERIES, _ANN_K)
 
 
 # ---------------------------------------------------------------------------
@@ -476,7 +572,7 @@ QUERIES = {
         ann_lsh_topk,
         _orc.ann_lsh_topk_sql(2.0, 8, 1, 123, 64, k=_ANN_K,
                               n_queries=_N_QUERIES)),
-    "ann_ivf_topk": (ann_ivf_topk, None),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_LLOYD_ORACLE),
     "ann_ivf_flat_topk": (ann_ivf_flat_topk, ANN_IVF_FLAT_ORACLE),
     "dedup_normalized": (dedup_normalized, DEDUP_NORMALIZED_ORACLE),
     "embedding_dup_pairs": (embedding_dup_pairs, EMB_DUP_ORACLE),

@@ -269,3 +269,34 @@ def test_ivf_flat_recall_and_scores_vs_bruteforce(spark):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_lloyd_recall_at_least_flat_and_deterministic(spark):
+    """The fixed-point Lloyd quantizer exists to beat the training-free
+    cells without giving up determinism: recall must be ≥ flat-IVF's on
+    the same index params, overlapping scores identical to brute force,
+    and two runs bit-identical (no RNG anywhere)."""
+    from lsh_spark.operators import ann
+    from lsh_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = ann.cosine_topk(emb, queries, k=10).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+
+    def recall(rows):
+        got = {(r.query_id, r.neighbor_id) for r in rows}
+        return len(exact_set & got) / len(exact_set)
+
+    flat = ann.ivf_flat_topk(emb, queries, k=10, n_lists=8, n_probe=4).collect()
+    lloyd = ann.ivf_lloyd_topk(
+        emb, queries, k=10, n_lists=8, n_probe=4, n_iters=2).collect()
+    assert recall(lloyd) >= recall(flat), (
+        f"Lloyd recall {recall(lloyd)} below flat {recall(flat)}")
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact}
+    for r in lloyd:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]
+    again = ann.ivf_lloyd_topk(
+        emb, queries, k=10, n_lists=8, n_probe=4, n_iters=2).collect()
+    assert sorted(map(tuple, lloyd)) == sorted(map(tuple, again))

@@ -52,13 +52,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the source data is microsecond-granular so the micros cast is
         # lossless
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")))  # integer div:
         # ns values ~1.7e18 exceed double's 2^53 mantissa, so the
         # float division `/ 1000` rounds the microsecond off by ±1
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # Session built WITHOUT nanosAsLong (the conf is builder-only in
+            # Spark 4.x; a runtime conf.set silently no-ops): the parquet
+            # reader yields TIMESTAMP_NTZ truncated to micros.  Session tz
+            # is UTC, so reinterpreting NTZ as an instant matches the
+            # timestamp_micros path bit-for-bit.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -32,8 +32,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # the events table stores TIMESTAMP(NANOS) which the vectorized
-        # parquet reader rejects; read as long and convert in sources.io
+        # No-op on Spark 4.1 (TIMESTAMP(NANOS) parquet arrives as
+        # TIMESTAMP_NTZ truncated to micros regardless); kept for older
+        # Sparks whose vectorized reader rejects nanos without it.
+        # sources.io branches on the actually-loaded dtype either way.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -30,42 +30,53 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     the operators work on ANY caller-provided session (the driver passes
     its own), not just ones built by ``plans.get_spark``."""
     for key, value in (
-        # events.ts is parquet TIMESTAMP(NANOS); the vectorized reader
-        # rejects it unless read as long
+        # Harmless no-op on Spark 4.1 (probe-verified; kept for older
+        # Sparks where parquet TIMESTAMP(NANOS) needs the long fallback)
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-        # timestamp rendering must be timezone-stable vs the DuckDB oracle
-        ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
     ):
         try:
             spark.conf.set(key, value)
         except Exception:
             pass  # non-settable on this session → builder must provide it
+    # Timestamp rendering must be timezone-stable vs the DuckDB oracle and
+    # the NTZ->timestamp reinterpretation in load_table assumes UTC: a
+    # silent failure here would skew every events timestamp, so fail loud.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS,false): with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as int64 nanos;
-        # the source data is microsecond-granular so the micros cast is
-        # lossless
+        # ts is parquet TIMESTAMP(NANOS,false).  On Spark 4.1 the parquet
+        # reader yields TIMESTAMP_NTZ truncated to micros regardless of
+        # spark.sql.legacy.parquet.nanosAsLong (probe-verified: the conf
+        # no-ops even as a builder conf here; tests/test_sources.py pins
+        # the loaded dtype).  The LongType branch is defensive for older
+        # Sparks where nanosAsLong DOES apply — and because a forced-long
+        # read can surface either nanos (3.x nanosAsLong) or micros
+        # (4.x explicit-schema probe), the unit is detected per row by
+        # magnitude: epoch nanos for any date past 2006 exceed 2^60,
+        # epoch micros won't until the year 38000.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampNTZType
+        from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")))  # integer div:
-        # ns values ~1.7e18 exceed double's 2^53 mantissa, so the
-        # float division `/ 1000` rounds the microsecond off by ±1
+                "ts",
+                F.timestamp_micros(
+                    F.when(F.abs(F.col("ts")) > F.lit(1 << 60),
+                           F.expr("ts div 1000"))  # integer div: ns values
+                    # ~1.7e18 exceed double's 2^53 mantissa, so float
+                    # `/ 1000` would round the microsecond off by ±1
+                    .otherwise(F.col("ts"))))
         elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
-            # Session built WITHOUT nanosAsLong (the conf is builder-only in
-            # Spark 4.x; a runtime conf.set silently no-ops): the parquet
-            # reader yields TIMESTAMP_NTZ truncated to micros.  Session tz
-            # is UTC, so reinterpreting NTZ as an instant matches the
-            # timestamp_micros path bit-for-bit.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # Session tz is UTC (enforced above), so reinterpreting NTZ as
+            # an instant is lossless.  Explicit TimestampType: a plain
+            # cast("timestamp") resolves via spark.sql.timestampType and
+            # would silently no-op on a TIMESTAMP_NTZ-default session.
+            df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
     return df
 
 

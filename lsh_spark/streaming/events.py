@@ -26,11 +26,17 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
+    TimestampType,
 )
 
 EVENTS_SCHEMA = StructType([
     StructField("event_id", LongType(), True),
-    StructField("ts", LongType(), True),  # nanos (see sources.io)
+    # parquet TIMESTAMP(NANOS): Spark 4.1 reads it as TIMESTAMP_NTZ
+    # truncated to micros (forcing LongType here would ALSO yield micros,
+    # not nanos — see sources/io.py).  Declaring NTZ keeps the unit
+    # unambiguous; the reader casts NTZ -> timestamp below.
+    StructField("ts", TimestampNTZType(), True),
     StructField("user_id", LongType(), True),
     StructField("event_type", StringType(), True),
     StructField("value", DoubleType(), True),
@@ -39,17 +45,18 @@ EVENTS_SCHEMA = StructType([
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (one file per batch)."""
+    """File-source stream over the events parquet (one file per batch).
+
+    ``ts`` decode mirrors the batch path (``sources/io.py``): the NTZ
+    value is reinterpreted as a UTC instant (session tz is UTC, so the
+    cast is bit-for-bit identical to the batch result)."""
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")))  # integer div:
-        # ns values ~1.7e18 exceed double's 2^53 mantissa, so the
-        # float division `/ 1000` rounds the microsecond off by ±1
+    return raw.withColumn("ts", F.col("ts").cast(TimestampType()))
 
 
 def windowed_event_counts(

@@ -1,5 +1,49 @@
 
 
+def test_events_ts_decode_pinned(spark):
+    """Pin the events.ts decode across Spark upgrades: the parquet file
+    stores TIMESTAMP(NANOS); on Spark 4.1 the reader yields TIMESTAMP_NTZ
+    truncated to micros and ``nanosAsLong`` no-ops.  If an upgrade changes
+    the loaded dtype or unit, batch and stream readers could silently
+    diverge by 1000x (the round-2 1970-collapse bug) — this test fails
+    loudly instead."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from lsh_spark.sources.io import load_table
+    from lsh_spark.streaming.events import read_events_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    # the generator writes 2024-dated events; a unit bug lands in 1970
+    # (nanos read as micros) or year ~56k (micros read as nanos)
+    assert lo.year >= 2020 and hi.year <= 2030, (lo, hi)
+
+    # stream reader must decode to the identical instant type and values
+    stream = read_events_stream(spark, sf_dir)
+    assert isinstance(stream.schema["ts"].dataType, TimestampType)
+
+
+def test_events_ts_batch_stream_parity(spark, tmp_path):
+    """Batch and streaming readers must produce bit-identical ts values."""
+    from lsh_spark.sources.io import load_table
+    from lsh_spark.streaming.events import read_events_stream, run_available_now
+
+    sf_dir = "/root/testdata/sf0.001"
+    q = run_available_now(
+        read_events_stream(spark, sf_dir).select("event_id", "ts"),
+        "ts_parity_sink", output_mode="append")
+    q.awaitTermination(120)
+    got = {r.event_id: r.ts
+           for r in spark.table("ts_parity_sink").collect()}
+    want = {r.event_id: r.ts
+            for r in load_table(spark, sf_dir, "events")
+            .select("event_id", "ts").collect()}
+    assert got == want
+
+
 def test_read_binary_files(spark, tmp_path):
     from lsh_spark.sources.formats import read_binary_files
 

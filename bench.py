@@ -31,7 +31,11 @@ def main() -> None:
     # runs 2-5x its steady-state time on a cold JVM)
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf) and warm_sf != sf_dir.rstrip("/"):
-        for warm in ("minhash_near_dup_pairs", "ann_topk"):
+        # one warm query per heavy code path: minhash set/verify UDFs,
+        # brute vector ops, IVF centroid crossJoin + codegen, euclidean-LSH
+        # banding, simhash UDF
+        for warm in ("minhash_near_dup_pairs", "ann_topk",
+                     "ann_ivf_flat_topk", "simhash_near_dup_pairs"):
             if warm in qs:
                 qs[warm](spark, warm_sf).count()
         spark.catalog.clearCache()

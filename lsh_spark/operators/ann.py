@@ -373,14 +373,13 @@ def ivf_topk(
                 predictionCol="__cell", maxIter=8, initMode="random")
     # coarse cells don't need convergence — 8 Lloyd iterations from random
     # init is ample for a bucketing quantizer (measured: same training cost
-    # as k-means|| to 4 significant digits, minus its multi-pass init jobs)
-    fit_rows = c
-    n_corpus = c.count()
-    if n_corpus > fit_sample_max:
-        # seeded Bernoulli sample — deterministic for a fixed input
-        # partitioning; slight over-sampling keeps ≥ fit_sample_max likely
-        fit_rows = c.sample(False, min(1.0, 1.1 * fit_sample_max / n_corpus),
-                            seed=seed)
+    # as k-means|| to 4 significant digits, minus its multi-pass init jobs).
+    # The fit is bounded UNCONDITIONALLY by limit(fit_sample_max) — no
+    # plan-time count() pass: CollectLimit stops scanning once the cap is
+    # reached (a no-op below the cap), and a bucketing quantizer only needs
+    # a representative prefix.  A production deployment on a sorted/skewed
+    # corpus would pass a pre-sampled table for fit quality.
+    fit_rows = c.limit(fit_sample_max)
     model = km.fit(
         fit_rows.withColumn("__feat", array_to_vector("__v_neighbor_id")))
     c_cells = model.transform(

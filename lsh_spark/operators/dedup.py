@@ -123,9 +123,12 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Pairs with simhash hamming distance ≤ ``max_hamming`` (≤ 3 uses the
     4×16-bit block pigeonhole: any such pair agrees on ≥1 block)."""
-    sigs = df.select(
-        F.col(id_col).alias("__id"),
-        simhash64(text_col).alias("__sig"),
+    from ..sources.io import fanout_scan
+
+    sigs = fanout_scan(df.select(F.col(id_col).alias("__id"),
+                                 F.col(text_col).alias("__text"))).select(
+        "__id",
+        simhash64("__text").alias("__sig"),
     ).where(F.col("__sig").isNotNull())
     track(sigs.persist())
 

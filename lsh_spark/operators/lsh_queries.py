@@ -36,7 +36,7 @@ from ..functions.lsh import (
 from ..oracles import duckdb_lsh as _orc
 from ..operators.banding import tune_bands
 from ..operators.similarity_join import lsh_self_dedup_pairs, lsh_similarity_join
-from ..sources.io import load_table
+from ..sources.io import fanout_scan, load_table
 
 # bounded sample for the all-pairs oracle-able query (45k pairs at any sf)
 _JACCARD_SAMPLE = 300
@@ -208,22 +208,31 @@ def euclidean32_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _word_bigrams() -> Column:
-    """Word-bigram shingles built JVM-side (transform over split)."""
-    return F.expr(
-        "transform(slice(split(trim(text), '\\\\s+'), 1, "
-        "greatest(size(split(trim(text), '\\\\s+')) - 1, 0)), "
-        "(x, i) -> concat(x, ' ', split(trim(text), '\\\\s+')[i + 1]))")
+def _with_word_bigrams(docs: DataFrame) -> DataFrame:
+    """Word-bigram shingles built JVM-side.  The whitespace split is bound
+    ONCE to ``__toks`` in its own projection: CollapseProject refuses to
+    inline a non-cheap expression referenced three times, so ``split`` runs
+    once per row (inlining it in the transform re-evaluated it per
+    reference — a measured 14x slowdown at sf0.1)."""
+    docs = fanout_scan(docs)
+    return docs.withColumn(
+        "__toks", F.expr("split(trim(text), '\\\\s+')")
+    ).withColumn(
+        "__bigrams",
+        F.expr("transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)), "
+               "(x, i) -> concat(x, ' ', __toks[i + 1]))"),
+    )
 
 
 def minhash_shingle_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LIST(VARCHAR) overload (``src/minhash.rs:85-150``) as a query:
     word-bigram shingles, then lsh_min_shingles, exploded to scalar rows;
     exact DuckDB oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _with_word_bigrams(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
-        F.posexplode(lsh_min_shingles_bands_long(_word_bigrams(), 4, 2, 123))
+        F.posexplode(
+            lsh_min_shingles_bands_long(F.col("__bigrams"), 4, 2, 123))
         .alias("band_idx", "band_hash"),
     )
 
@@ -232,10 +241,10 @@ def minhash32_shingle_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature #4 of 7: ``lsh_min32(LIST(VARCHAR), ...)``
     (``src/minhash.rs:194-234``) — low-32-bit minhash over word-bigram
     shingles, exploded to scalar rows; exact DuckDB oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _with_word_bigrams(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
-        F.posexplode(lsh_min32_shingles(_word_bigrams(), 4, 2, 123))
+        F.posexplode(lsh_min32_shingles(F.col("__bigrams"), 4, 2, 123))
         .alias("band_idx", "band_hash"),
     )
 

@@ -605,7 +605,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # n_docs stays INSIDE the job as a broadcast single-row aggregate — a
+    # driver-side docs.count() here would be a second full scan of the
+    # fact table at scale just to build the plan
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("__n_docs")))
     terms = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+"))
@@ -617,11 +620,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(doc_len, on="doc_id")
         .join(df_t, on="term")
+        .crossJoin(n_docs)
         .withColumn(
             "tfidf",
             F.round(
                 (F.col("n_t").cast("double") / F.col("n_d").cast("double"))
-                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+                * F.log(F.col("__n_docs").cast("double")
+                        / F.col("df").cast("double")),
                 6,
             ),
         )

@@ -427,16 +427,19 @@ SELECT c_custkey FROM low_max
 def event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot-style distribution: distinct users + event share per type
     (exact countDistinct; share = ratio of bigint counts)."""
+    from pyspark.sql.window import Window
+
     ev = load_table(spark, sf_dir, "events")
-    total = ev.count()
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.round(F.count(F.lit(1)) / F.lit(float(total)), 6).alias("share"),
-        )
+    agged = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
     )
+    # the grand total is the sum of the (tiny) grouped counts — an
+    # unpartitioned window over |event_type| rows, not a second full scan
+    # of the fact table as a driver-side ev.count() would be
+    total = F.sum("n_events").over(Window.partitionBy())
+    return agged.withColumn(
+        "share", F.round(F.col("n_events") / total, 6))
 
 
 EVENT_TYPE_DISTRIBUTION_ORACLE = """

@@ -45,9 +45,21 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# inferred parquet schemas per (path): schema inference launches a
+# footer-read Spark job on EVERY spark.read.parquet call — caching it makes
+# repeat plan construction job-free (asserted by tests/test_plans.py)
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS,false).  On Spark 4.1 the parquet
         # reader yields TIMESTAMP_NTZ truncated to micros regardless of
@@ -77,6 +89,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # cast("timestamp") resolves via spark.sql.timestampType and
             # would silently no-op on a TIMESTAMP_NTZ-default session.
             df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return df
+
+
+def fanout_scan(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster when the source has fewer
+    partitions than cores — single-file / single-row-group parquet arrives
+    as ONE task, serializing any CPU-heavy (UDF) pass that follows.  Only
+    ever increases partition count: on a real multi-file 100 TB layout the
+    scan already has thousands of splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
     return df
 
 

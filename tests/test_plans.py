@@ -172,6 +172,29 @@ def test_verification_is_single_python_pass(spark):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
 
 
+def test_plan_construction_runs_no_jobs(spark):
+    """Building a query plan must never run Spark jobs: a driver-side
+    count()/collect() during plan construction is an extra full pass over
+    the fact table at scale.  (The r2 offenders: tfidf's n_docs count and
+    event_type_distribution's total count — both now live inside the job.)
+    MLlib ivf_topk is excluded: .fit() IS its train stage."""
+    from lsh_spark.operators.pipeline_queries import tfidf_top_terms
+    from lsh_spark.operators.relational import event_type_distribution
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    for build in (tfidf_top_terms, event_type_distribution):
+        build(spark, SF_DIR)  # warm parquet footer/schema-inference reads
+        sc.setJobGroup("plan-build-check", build.__name__)
+        try:
+            build(spark, SF_DIR)  # construct only — no action
+        finally:
+            sc.setJobGroup(None, None)
+        ran = tracker.getJobIdsForGroup("plan-build-check") or []
+        assert ran == [], f"{build.__name__} ran jobs at plan time: {ran}"
+
+
 def test_set_reattach_broadcast_is_size_gated(spark):
     """The verification joins broadcast the (id, shingle-set) table only
     while its estimated bytes fit the cap — small corpus broadcasts, a

@@ -29,9 +29,11 @@ def _registry() -> dict[str, tuple[Callable, str | None]]:
         merged.update(pipeline_queries.QUERIES)
     except ImportError:
         pass
+    from lsh_spark.streaming import documents as streaming_documents
     from lsh_spark.streaming import events as streaming_events
 
     merged.update(streaming_events.QUERIES)
+    merged.update(streaming_documents.QUERIES)
     return merged
 
 

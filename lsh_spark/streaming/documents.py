@@ -1,0 +1,119 @@
+"""Structured Streaming over the documents table: the stream+LSH
+composition — incoming documents LSH-joined against a static reference
+corpus per micro-batch via ``foreachBatch``.
+
+``foreachBatch`` is the standard escape hatch when an operator exceeds
+what incremental execution supports (the similarity join needs banding +
+blocking-join + verification — a full batch plan).  Each micro-batch runs
+the SAME ``lsh_similarity_join`` operator the batch path uses, so
+batch/stream parity holds by construction and the DuckDB oracle for the
+batch A⨝B join checks the union of all micro-batch outputs.
+
+At scale the static corpus's shingle bands would be precomputed to a
+bucketed table (``sources.formats.write_bucketed_table``); the per-batch
+join logic is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def streaming_similarity_join(
+    stream_docs: DataFrame,
+    corpus: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    left_id: str,
+    right_id: str,
+    text_col: str = "text",
+    ngram_width: int = 3,
+    band_count: int = 8,
+    band_size: int = 2,
+    seed: int = 123,
+    threshold: float = 0.7,
+):
+    """Run ``lsh_similarity_join(batch, corpus)`` per micro-batch, appending
+    matches to ``out_dir`` as parquet.  Returns the StreamingQuery."""
+    from ..operators.similarity_join import lsh_similarity_join
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        matches = lsh_similarity_join(
+            batch_df, corpus, text_col, text_col,
+            left_id=left_id, right_id=right_id,
+            ngram_width=ngram_width, band_count=band_count,
+            band_size=band_size, seed=seed, threshold=threshold)
+        matches.write.mode("append").parquet(out_dir)
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def similarity_join_ab_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: the README two-table similarity join
+    (``similarity_join_ab``) driven by an ACTUAL Structured Streaming query
+    — odd-id documents arrive as a file-source stream and are LSH-joined
+    against the static even-id corpus inside ``foreachBatch``; the gate
+    result is the union of every micro-batch's matches, read back from the
+    parquet sink.  Carries the same exact DuckDB oracle as the batch twin
+    (banding + verification reproduced in SQL, so recall loss cancels)."""
+    from ..operators.lsh_queries import _JOIN_AB_PLAN
+    from ..sources.io import _ensure_session_confs, load_table
+
+    _ensure_session_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0).selectExpr(
+        "doc_id AS corpus_id", "text")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+        .where(F.col("doc_id") % 2 == 1)
+        .selectExpr("doc_id AS probe_id", "text")
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/lsh_spark_stream_ab_{tag}"
+    ckpt = f"/tmp/lsh_spark_ckpt_stream_ab_{tag}"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    q = streaming_similarity_join(
+        stream, corpus, out_dir, ckpt,
+        left_id="probe_id", right_id="corpus_id",
+        ngram_width=3, band_count=_JOIN_AB_PLAN.band_count,
+        band_size=_JOIN_AB_PLAN.band_size, seed=123, threshold=0.7)
+    q.awaitTermination()
+
+    if not os.path.isdir(out_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(out_dir)):
+        return spark.createDataFrame(
+            [], "probe_id long, corpus_id long, jaccard double")
+    return spark.read.parquet(out_dir).select(
+        "probe_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _oracle() -> str:
+    from ..operators.lsh_queries import _JOIN_AB_PLAN
+    from ..oracles import duckdb_lsh as _orc
+
+    return _orc.similarity_join_ab_sql(
+        3, _JOIN_AB_PLAN.band_count, _JOIN_AB_PLAN.band_size, 123, 0.7)
+
+
+QUERIES = {
+    "similarity_join_ab_streaming": (similarity_join_ab_streaming, _oracle()),
+}

@@ -305,19 +305,22 @@ QUERIES["events_sessions_streaming"] = (
 
 def events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate query: streaming exact dedup — file-source stream →
-    ``dropDuplicates`` on (user_id, event_type) → AvailableNow drain.
-    The surviving-row payload depends on arrival order (non-deterministic
-    under parallel file reads), so the gate output is the deduped KEY SET
-    plus a deterministic per-key aggregate computed batch-side on the
-    sink: first event time per key.  The oracle is plain DISTINCT + min.
-    Real deployments bound state with ``streaming_dedup``'s
-    watermark-scoped variant; the unbounded form here replays a bounded
-    corpus so batch/stream parity is exact."""
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type) →
+    AvailableNow drain.  This is the BOUNDED-STATE form (per-key state is
+    evicted once the watermark passes it — the only dedup that survives an
+    unbounded stream); the single-file replay arrives as one micro-batch,
+    within which every duplicate key is present before any state eviction,
+    so the output key set equals the exact batch dedup.  The surviving-row
+    payload depends on arrival order (non-deterministic under parallel
+    file reads), so the gate output is the deduped KEY SET plus a
+    deterministic per-key aggregate computed batch-side on the sink: first
+    event time per key.  The oracle is plain DISTINCT + min."""
     from ..sources.io import _ensure_session_confs, load_table
 
     _ensure_session_confs(spark)
     stream = read_events_stream(spark, sf_dir)
-    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    deduped = streaming_dedup(
+        stream, key_cols=["user_id", "event_type"], watermark="2 hours")
     q = run_available_now(deduped, "events_dedup_streaming_sink", "append")
     q.awaitTermination()
     sink = spark.table("events_dedup_streaming_sink")

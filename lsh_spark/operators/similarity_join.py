@@ -127,7 +127,14 @@ def _should_broadcast(sets: DataFrame, set_col: str,
 
 def _maybe_broadcast(sets: DataFrame, set_col: str,
                      flag: "bool | None") -> DataFrame:
-    return F.broadcast(sets) if _should_broadcast(sets, set_col, flag) else sets
+    """Broadcast the (id, set) table while it fits the cap; past the cap,
+    hint shuffle-hash for the re-attach join — the pairs side is orders of
+    magnitude larger than the sets side, so building a hash map on sets
+    beats sort-merge's full sort of the pair stream (AQE may still
+    override if a partition would not fit)."""
+    if _should_broadcast(sets, set_col, flag):
+        return F.broadcast(sets)
+    return sets.hint("shuffle_hash")
 
 
 def _with_sets(df: DataFrame, id_col: str, text_col: str, ngram_width: int,
@@ -271,6 +278,11 @@ def lsh_self_dedup_pairs(
     sets_b = sets.select(F.col("__id").alias("id_b"), F.col("__set").alias("__set_b"))
     if broadcast_sets:
         sets_a, sets_b = F.broadcast(sets_a), F.broadcast(sets_b)
+    else:
+        # past the broadcast cap: hash-build on the (smaller) sets side
+        # instead of sort-merge sorting the much larger pair stream
+        sets_a = sets_a.hint("shuffle_hash")
+        sets_b = sets_b.hint("shuffle_hash")
     cand = (
         pairs.join(sets_a, on="id_a")
         .join(sets_b, on="id_b")

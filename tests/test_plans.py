@@ -217,11 +217,18 @@ def test_set_reattach_broadcast_is_size_gated(spark):
     # gate is asserted at the logical level: hint present vs absent)
     assert "Hint" in analyzed()
 
-    # shrink the cap below any real corpus -> no explicit broadcast hint;
-    # the join strategy is left to planner stats (shuffle at real scale)
+    # shrink the cap below any real corpus -> broadcast hint replaced by a
+    # shuffle-hash hint (hash-build on the sets side instead of sort-merge
+    # sorting the far larger pair stream — the 100 TB fallback shape)
     old = sj._AUTO_BROADCAST_CAP_BYTES
     sj._AUTO_BROADCAST_CAP_BYTES = 1
     try:
-        assert "Hint" not in analyzed()
+        plan = analyzed()
+        assert "broadcast" not in plan.lower()
+        assert "shuffle_hash" in plan.lower()
+        df = sj.lsh_self_dedup_pairs(
+            docs, "text", id_col="doc_id", ngram_width=3, band_count=4,
+            band_size=3, seed=123, threshold=0.6)
+        assert "ShuffledHashJoin" in _plan(df)
     finally:
         sj._AUTO_BROADCAST_CAP_BYTES = old

@@ -77,6 +77,42 @@ def test_salted_join_matches_plain_join(spark):
     assert len(plain) > 0
 
 
+def test_salted_join_power_law_corpus(spark):
+    """Recorded skew exercise: a power-law-keyed big side (hot key holds
+    30% of all rows — the band-bucket shape of a template-heavy corpus)
+    joined against a non-broadcastable dim.  Asserts (a) result parity
+    with the plain join and (b) the salt actually SPREADS the hot key —
+    every salt bucket receives a share, and no (key, salt) group exceeds
+    ~2x the even split — i.e. the skew is gone from the join key space."""
+    from lsh_spark.plans.skew import salted_join
+
+    n, buckets = 100_000, 16
+    big = spark.range(n).selectExpr(
+        "CASE WHEN id % 10 < 3 THEN 0 ELSE id % 997 END AS k",
+        "id AS payload")
+    small = spark.range(997).selectExpr("id AS k", "id * 7 AS dim")
+
+    plain = big.join(small, on=["k"], how="inner")
+    salted = salted_join(big, small, ["k"], salt_buckets=buckets)
+    p = plain.agg(F.count("*").alias("n"), F.sum("payload").alias("sp"),
+                  F.sum("dim").alias("sd")).first()
+    s = salted.agg(F.count("*").alias("n"), F.sum("payload").alias("sp"),
+                   F.sum("dim").alias("sd")).first()
+    assert (p.n, p.sp, p.sd) == (s.n, s.sp, s.sd)
+    assert p.n >= n  # hot key matched
+
+    # recompute the salt exactly as salted_join does and check the spread
+    # of the hot key (k=0, ~30k rows) across the 16 buckets
+    salt = (F.abs(F.hash(F.col("k"), F.col("payload"))) % buckets)
+    spread = (
+        big.where("k = 0").withColumn("__salt", salt)
+        .groupBy("__salt").count().collect()
+    )
+    hot_rows = sum(r["count"] for r in spread)
+    assert len(spread) == buckets  # every bucket participates
+    assert max(r["count"] for r in spread) < 2.0 * hot_rows / buckets
+
+
 def test_top_hot_keys(spark):
     from lsh_spark.plans.skew import top_hot_keys
 

@@ -668,3 +668,127 @@ WHERE rank <= 5
 
 
 QUERIES["tfidf_top_terms"] = (tfidf_top_terms, TFIDF_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# composite clean-corpus pipeline (the end-to-end training-data shape)
+# ---------------------------------------------------------------------------
+
+_CLEAN_Q_MIN = 0.75
+# near-dedup at jaccard 0.7 (the README join threshold): this corpus's
+# 0.45-median similarity background makes 0.6 pathological — 10% of ALL
+# clean-subset pairs verify at 0.6 — while 0.7 keeps the blocking
+# selective; banding comes from the same tuner plan the A/B join uses
+_CLEAN_THRESHOLD = 0.7
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus cleaning pipeline as ONE composed job —
+    what a user of this engine actually runs at 100 TB:
+
+      1. enrich: language guess + quality score + token count
+         (pure JVM expressions, one scan);
+      2. filter: keep English prose above the quality floor;
+      3. exact dedup: lowest doc_id per identical text survives
+         (one hash-aggregate);
+      4. near-dedup: MinHash keep-first over the survivors
+         (tuner-selected banding, ids-only blocking join).
+
+    Every stage is lazy, so Catalyst fuses 1-3 into a single scan+filter
+    ahead of the shingle pass — the near-dedup only ever sees the cleaned
+    subset.  Returns (doc_id, lang_guess, quality, n_tokens) of surviving
+    documents."""
+    from ..sources.io import fanout_scan
+    from .lsh_queries import _JOIN_AB_PLAN
+
+    # the enrichment scan is regex-CPU-bound: spread a single-file scan
+    # across the cluster before computing features
+    docs = fanout_scan(load_table(spark, sf_dir, "documents"))
+    enriched = docs.select(
+        "doc_id", "text",
+        T.lang_guess("text").alias("lang_guess"),
+        T.quality_score("text").alias("quality"),
+        T.token_count("text").alias("n_tokens"),
+    )
+    kept = enriched.where(
+        (F.col("lang_guess") == "en") & (F.col("quality") >= _CLEAN_Q_MIN))
+    first_ids = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    exact = kept.join(first_ids, on=["text", "doc_id"], how="left_semi")
+    # materialize the cleaned corpus once: three downstream branches (the
+    # shingle pass, the pair blocking, the survivor anti-join) would each
+    # re-run the regex-heavy enrichment scan otherwise — the in-job
+    # equivalent of checkpointing the cleaned corpus between pipeline
+    # stages, which a production run does with a parquet write anyway
+    from ..plans.cache import track
+    from pyspark import StorageLevel
+
+    track(exact.persist(StorageLevel.MEMORY_AND_DISK))
+    survivors = lsh_dedup_keep_first(
+        exact, "text", id_col="doc_id", ngram_width=3,
+        band_count=_JOIN_AB_PLAN.band_count,
+        band_size=_JOIN_AB_PLAN.band_size,
+        seed=123, threshold=_CLEAN_THRESHOLD)
+    return survivors.select("doc_id", "lang_guess", "quality", "n_tokens")
+
+
+def _clean_corpus_oracle() -> str:
+    from .lsh_queries import _JOIN_AB_PLAN
+
+    return f"""
+WITH feats AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(text, '[{_CJK_LO}-{_CJK_HI}]')) * 1.0 / length(text)
+              ELSE 0.0 END AS cjk_ratio,
+         CASE WHEN trim(text) = '' THEN 0.0
+              WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+              THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                   t -> list_contains({_MARKER_SQL}, t))) * 1.0
+                   / len(regexp_split_to_array(trim(text), '\\s+'))
+              ELSE 0.0 END AS es_ratio,
+         CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)
+              ELSE 0.0 END AS digit_ratio,
+         CASE WHEN trim(text) = '' THEN 0.0
+              WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+              THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                   t -> list_contains({_STOP_SQL}, t))) * 1.0
+                   / len(regexp_split_to_array(trim(text), '\\s+'))
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+q AS (
+  SELECT doc_id, text, n_tokens,
+         CASE WHEN cjk_ratio > 0.3 THEN 'zh'
+              WHEN es_ratio > 0.15 THEN 'es'
+              ELSE 'en' END AS lang_guess,
+         round(least(n / 200.0, 1.0) * 0.25
+               + greatest(0.0, 1.0 - punct_ratio * 4) * 0.25
+               + greatest(0.0, 1.0 - digit_ratio * 4) * 0.25
+               + least(stopword_ratio * 4, 1.0) * 0.25, 6) AS quality
+  FROM feats
+),
+clean0 AS (
+  SELECT doc_id AS id, text FROM q
+  WHERE lang_guess = 'en' AND quality >= {_CLEAN_Q_MIN}
+),
+clean AS (
+  SELECT id, text FROM clean0
+  WHERE id IN (SELECT min(id) FROM clean0 GROUP BY text)
+),
+{_orc.char_shingles_cte(3, source="clean", id_col="id", text_col="text")},
+{_orc.minhash_bands_ctes(_JOIN_AB_PLAN.band_count, _JOIN_AB_PLAN.band_size, 123)},
+{_orc.pair_verify_ctes(_CLEAN_THRESHOLD)}
+SELECT q.doc_id, q.lang_guess, q.quality, q.n_tokens::BIGINT AS n_tokens
+FROM clean c JOIN q ON c.id = q.doc_id
+WHERE c.id NOT IN (SELECT id_b FROM ver)
+"""
+
+
+QUERIES["clean_corpus"] = (clean_corpus, _clean_corpus_oracle())

@@ -208,14 +208,12 @@ FROM bands
 # pair-query oracles (banded blocking + exact jaccard verification)
 # ---------------------------------------------------------------------------
 
-def _verified_pairs_ctes(ngram_width: int, band_count: int, band_size: int,
-                         seed: int, threshold: float) -> str:
-    """CTE bodies ending in ``ver(id_a, id_b, jaccard)``: pairs colliding in
-    ≥1 band whose exact jaccard over the u32-hashed shingle sets exceeds
-    ``threshold`` (strict, like the operator and ``README.md:133-163``)."""
-    return f"""{char_shingles_cte(ngram_width)},
-{minhash_bands_ctes(band_count, band_size, seed)},
-  cand AS (
+def pair_verify_ctes(threshold: float) -> str:
+    """CTE bodies from existing ``sh(id, sh)`` + ``bands(id, band_idx, h)``
+    CTEs to ``ver(id_a, id_b, jaccard)``: pairs colliding in ≥1 band whose
+    exact jaccard over the u32-hashed shingle sets exceeds ``threshold``
+    (strict, like the operator and ``README.md:133-163``)."""
+    return f"""cand AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.h = b.h AND a.id < b.id
@@ -236,6 +234,16 @@ def _verified_pairs_ctes(ngram_width: int, band_count: int, band_size: int,
     JOIN sizes zb ON zb.id = i.id_b
     WHERE i.ni::DOUBLE / (za.n + zb.n - i.ni)::DOUBLE > {threshold}
   )"""
+
+
+def _verified_pairs_ctes(ngram_width: int, band_count: int, band_size: int,
+                         seed: int, threshold: float,
+                         source: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """Shingles + bands + verification over ``source``, ending in ``ver``."""
+    return f"""{char_shingles_cte(ngram_width, source, id_col, text_col)},
+{minhash_bands_ctes(band_count, band_size, seed)},
+  {pair_verify_ctes(threshold)}"""
 
 
 def near_dup_pairs_sql(ngram_width: int, band_count: int, band_size: int,

@@ -83,7 +83,7 @@ def windowed_event_counts(
 
 _USER_STATE_SCHEMA = StructType([
     StructField("n_events", LongType(), False),
-    StructField("total_value", DoubleType(), False),
+    StructField("total_cents", LongType(), False),
 ])
 
 _USER_OUT_SCHEMA = StructType([
@@ -96,18 +96,27 @@ _USER_OUT_SCHEMA = StructType([
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Per-user running totals via arbitrary stateful processing — the
     ``applyInPandasWithState`` custom-operator pattern (state is a single
-    small tuple per user; timeouts left off for the finite test corpus)."""
+    small tuple per user; timeouts left off for the finite test corpus).
+
+    The money total accumulates in INTEGER CENTS inside the state, not
+    floats: integer addition is associative, so the running total is
+    independent of micro-batch boundaries and row order, and converts to
+    the exact same double a DECIMAL(18,2) SQL sum yields — which is what
+    makes this operator gate-checkable against a DuckDB oracle."""
 
     def update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        n, total = state.get() if state.exists else (0, 0.0)
+        import numpy as np
+
+        n, cents = state.get() if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, round(total, 2)))
+            cents += int(np.rint(pdf["value"].to_numpy() * 100.0).sum())
+        state.update((n, cents))
         yield pd.DataFrame(
-            [{"user_id": key[0], "n_events": n, "total_value": round(total, 2)}])
+            [{"user_id": key[0], "n_events": n,
+              "total_value": cents / 100.0}])
 
     return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         update,
@@ -345,3 +354,37 @@ GROUP BY user_id, event_type
 
 QUERIES["events_dedup_streaming"] = (
     events_dedup_streaming, EVENTS_DEDUP_STREAMING_ORACLE)
+
+
+def events_user_totals_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: per-user totals via ARBITRARY STATEFUL PROCESSING
+    (``applyInPandasWithState``) — the custom-operator escape hatch, drained
+    with AvailableNow in update mode.  Each micro-batch emits the user's
+    running total; the gate keeps each user's LAST (= largest, counts only
+    grow) update, which equals the full batch aggregate.  Exactness comes
+    from the integer-cents state: the result is bit-identical to DuckDB's
+    DECIMAL(18,2) sum regardless of batch boundaries or row order."""
+    from ..sources.io import _ensure_session_confs
+
+    _ensure_session_confs(spark)
+    stream = read_events_stream(spark, sf_dir)
+    q = run_available_now(running_user_totals(stream),
+                          "events_user_totals_streaming_sink", "update")
+    q.awaitTermination()
+    sink = spark.table("events_user_totals_streaming_sink")
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
+
+
+EVENTS_USER_TOTALS_STREAMING_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       sum(value::DECIMAL(18,2))::DOUBLE AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES["events_user_totals_streaming"] = (
+    events_user_totals_streaming, EVENTS_USER_TOTALS_STREAMING_ORACLE)

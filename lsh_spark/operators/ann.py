@@ -336,6 +336,92 @@ def ivf_lloyd_topk(
                        id_col=id_col, k=k, n_probe=n_probe)
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    table_name: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    n_iters: int = 2,
+    num_buckets: int = 16,
+) -> None:
+    """Persist the IVF index for reuse — the real-deployment shape the
+    search-time operators only simulate: train the deterministic Lloyd
+    quantizer, assign every corpus vector to its cell (zero-shuffle argmin
+    against the broadcast centroid array), and write the assigned corpus
+    BUCKETED BY CELL plus a tiny companion centroid table.
+
+    Amortization at 100 TB: the one corpus-wide shuffle (the bucketed
+    write) happens once; every subsequent ``search_ivf_index`` probes
+    cells with NO exchange on the corpus side — Spark reads only the
+    matching buckets and shuffles just the (tiny) probe side."""
+    from ..sources.formats import write_bucketed_table
+
+    cents = lloyd_centroids(corpus, vec_col=vec_col, id_col=id_col,
+                            n_lists=n_lists, n_iters=n_iters)
+    assigned = (
+        _ivf_prep(corpus, id_col, vec_col, "neighbor_id")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__cell",
+                    F.array_min(_ivf_dists("__v_neighbor_id"))["cell"])
+        .select("neighbor_id", F.col("__v_neighbor_id").alias("vec"),
+                "__cell")
+    )
+    write_bucketed_table(assigned, table_name, bucket_by=["__cell"],
+                         num_buckets=num_buckets, sort_by=["__cell"])
+    cent_rows = (
+        cents.select(F.explode("__cents").alias("__c"))
+        .select(F.col("__c.__cell").alias("__cell"),
+                F.col("__c.__cv").alias("centroid"))
+    )
+    cent_rows.write.mode("overwrite").saveAsTable(f"{table_name}_centroids")
+
+
+def search_ivf_index(
+    spark,
+    table_name: str,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k search over a persisted ``build_ivf_index`` table: probe the
+    ``n_probe`` nearest cells per query against the bucketed corpus.
+    Returns the same (query_id, neighbor_id, cosine_sim, rank) shape —
+    and, by construction, the same RESULTS — as ``ivf_lloyd_topk`` with
+    matching parameters, without touching the raw corpus again."""
+    cents = spark.table(f"{table_name}_centroids").agg(
+        F.sort_array(F.collect_list(
+            F.struct("__cell", F.col("centroid").alias("__cv"))))
+        .alias("__cents"))
+    probes = (
+        _ivf_prep(queries, id_col, vec_col, "query_id")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__probe",
+                    F.slice(F.array_sort(_ivf_dists("__v_query_id")),
+                            1, n_probe))
+        .select("query_id", "__v_query_id",
+                F.explode("__probe").alias("__p"))
+        .select("query_id", "__v_query_id", F.col("__p.cell").alias("__cell"))
+    )
+    scored = (
+        probes.join(spark.table(table_name), on="__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim",
+                    F.round(cosine("__v_query_id", "vec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

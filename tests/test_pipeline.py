@@ -300,3 +300,35 @@ def test_ivf_lloyd_recall_at_least_flat_and_deterministic(spark):
     again = ann.ivf_lloyd_topk(
         emb, queries, k=10, n_lists=8, n_probe=4, n_iters=2).collect()
     assert sorted(map(tuple, lloyd)) == sorted(map(tuple, again))
+
+
+def test_persisted_ivf_index_matches_in_memory_search(spark):
+    """build_ivf_index + search_ivf_index is the amortized deployment
+    shape: results must equal ivf_lloyd_topk with the same params, the
+    corpus scan must come from the bucketed table (no re-assignment), and
+    the probe join must not exchange the corpus side."""
+    import uuid
+
+    from lsh_spark.operators import ann
+    from lsh_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    name = f"ivf_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        ann.build_ivf_index(emb, name, n_lists=8, n_iters=2, num_buckets=8)
+        got = ann.search_ivf_index(spark, name, queries, k=10, n_probe=4)
+        want = ann.ivf_lloyd_topk(
+            emb, queries, k=10, n_lists=8, n_probe=4, n_iters=2).collect()
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
+
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # the only allowed hash exchange is the probe side / window; the
+        # bucketed corpus must never re-shuffle on __cell
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning(__cell" in line:
+                assert "vec" not in line and "neighbor_id" not in line
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_centroids")

@@ -456,3 +456,93 @@ def lsh_dedup_clusters(
         F.col("__label").alias("cluster_id"),
         (F.col("__id") == F.col("__label")).alias("is_representative"),
     )
+
+
+def build_lsh_corpus_index(
+    corpus: DataFrame,
+    table_name: str,
+    *,
+    text_col: str,
+    id_col: str,
+    ngram_width: int = 3,
+    band_count: int = 8,
+    band_size: int = 2,
+    seed: int = 123,
+    num_buckets: int = 32,
+) -> None:
+    """Persist a corpus's LSH index for repeated probing — the amortized
+    deployment shape for streaming/incremental near-dup: shingle sets and
+    band hashes are computed ONCE and written as two bucketed tables
+    (``<name>_bands`` bucketed by the blocking key, ``<name>_sets``
+    bucketed by id for verification re-attach), plus a ``<name>_meta``
+    row pinning the parameters so probes can't drift from the index.
+
+    Every subsequent ``lsh_similarity_join_indexed`` then shuffles only
+    the (small) probe side: the band join reads matching buckets of
+    ``_bands`` and the set re-attach reads matching buckets of ``_sets``
+    with no corpus-side exchange.  (``seed`` is a single int here — build
+    one index per rotation for the seed-rotation recall pattern.)"""
+    from ..sources.formats import write_bucketed_table
+
+    sets = _with_sets(corpus, id_col, text_col, ngram_width, "__rid", "__rset")
+    track(sets.persist(StorageLevel.MEMORY_AND_DISK))
+    blocks = _band_blocks(sets, "__rid", "__rset", band_count, band_size, seed)
+    write_bucketed_table(blocks, f"{table_name}_bands",
+                         bucket_by=["band_idx", "band_hash"],
+                         num_buckets=num_buckets)
+    write_bucketed_table(sets, f"{table_name}_sets", bucket_by=["__rid"],
+                         num_buckets=num_buckets)
+    meta = corpus.sparkSession.createDataFrame(
+        [(text_col, id_col, ngram_width, band_count, band_size, seed)],
+        "text_col string, id_col string, ngram_width int, "
+        "band_count int, band_size int, seed int")
+    meta.write.mode("overwrite").saveAsTable(f"{table_name}_meta")
+
+
+def lsh_similarity_join_indexed(
+    spark,
+    table_name: str,
+    probe: DataFrame,
+    probe_text: str,
+    *,
+    probe_id: str,
+    threshold: float,
+    keep_similarity: bool = True,
+    broadcast_probe_sets: "bool | None" = None,
+) -> DataFrame:
+    """Probe a persisted ``build_lsh_corpus_index`` without touching the
+    raw corpus: banding parameters come from the index's meta row, the
+    band join and the corpus-set re-attach read bucketed tables (no
+    corpus-side exchange), and only the probe's sets/bands are computed
+    fresh.  Same semantics and output shape as ``lsh_similarity_join``
+    with matching parameters.
+
+    Returns (probe_id, <corpus id_col>[, jaccard])."""
+    m = spark.table(f"{table_name}_meta").first()
+    l_sets = _with_sets(probe, probe_id, probe_text, m.ngram_width,
+                        "__lid", "__lset")
+    track(l_sets.persist(StorageLevel.MEMORY_AND_DISK))
+    l_blocks = _band_blocks(l_sets, "__lid", "__lset",
+                            m.band_count, m.band_size, m.seed)
+    pairs = (
+        l_blocks.join(spark.table(f"{table_name}_bands"),
+                      on=["band_idx", "band_hash"], how="inner")
+        .select("__lid", "__rid")
+        .dropDuplicates(["__lid", "__rid"])
+    )
+    cand = (
+        pairs.join(_maybe_broadcast(l_sets, "__lset", broadcast_probe_sets),
+                   on="__lid")
+        .join(spark.table(f"{table_name}_sets"), on="__rid")
+        .where(
+            F.least(F.size("__lset"), F.size("__rset"))
+            > threshold * F.greatest(F.size("__lset"), F.size("__rset")))
+    )
+    verified = _verify_pairs(cand, "__lid", "__rid", "__lset", "__rset",
+                             threshold, "__jaccard")
+    out_l = probe_id if probe_id != m.id_col else f"{probe_id}_left"
+    out_r = m.id_col if probe_id != m.id_col else f"{m.id_col}_right"
+    cols = [F.col("__lid").alias(out_l), F.col("__rid").alias(out_r)]
+    if keep_similarity:
+        cols.append(F.col("__jaccard").alias("jaccard"))
+    return verified.select(*cols)

@@ -60,6 +60,42 @@ def streaming_similarity_join(
     )
 
 
+def streaming_near_dup_against_index(
+    stream_docs: DataFrame,
+    spark: SparkSession,
+    index_table: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+):
+    """Streaming near-dup filter against a PERSISTED corpus index
+    (``operators.similarity_join.build_lsh_corpus_index``): each
+    micro-batch computes only its own shingle sets/bands and probes the
+    bucketed band/set tables — the corpus is never re-shingled, re-banded,
+    or re-shuffled per batch.  This is the production form of
+    ``streaming_near_dup_against_corpus`` (which recomputes the static
+    side every batch); match results are identical."""
+    from ..operators.similarity_join import lsh_similarity_join_indexed
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        matches = lsh_similarity_join_indexed(
+            spark, index_table, batch_df, text_col,
+            probe_id=id_col, threshold=threshold)
+        matches.write.mode("append").parquet(out_dir)
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def similarity_join_ab_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate query: the README two-table similarity join
     (``similarity_join_ab``) driven by an ACTUAL Structured Streaming query

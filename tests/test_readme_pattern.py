@@ -86,6 +86,94 @@ def test_readme_seed_rotation_union(spark, tables):
         f"library join missed {len(missing)} of {len(got)} README pairs")
 
 
+def test_indexed_join_matches_direct_join(spark):
+    """build_lsh_corpus_index + lsh_similarity_join_indexed must return
+    exactly what the direct two-table join returns with the same
+    parameters, while reading the corpus side from bucketed tables (no
+    re-shingling, no corpus-side exchange on the band key)."""
+    import uuid
+
+    from lsh_spark.operators.similarity_join import (
+        build_lsh_corpus_index,
+        lsh_similarity_join,
+        lsh_similarity_join_indexed,
+    )
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    probe = docs.where("doc_id < 250").selectExpr("doc_id AS probe_id", "text")
+    corpus = docs.where("doc_id >= 250").selectExpr("doc_id AS corpus_id",
+                                                    "text")
+    name = f"lsh_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        build_lsh_corpus_index(
+            corpus, name, text_col="text", id_col="corpus_id",
+            ngram_width=3, band_count=8, band_size=2, seed=123,
+            num_buckets=8)
+        got = lsh_similarity_join_indexed(
+            spark, name, probe, "text", probe_id="probe_id", threshold=0.6)
+        want = lsh_similarity_join(
+            probe, corpus, "text", "text", left_id="probe_id",
+            right_id="corpus_id", ngram_width=3, band_count=8, band_size=2,
+            seed=123, threshold=0.6)
+        got_rows = {(r.probe_id, r.corpus_id, r.jaccard)
+                    for r in got.collect()}
+        want_rows = {(r.probe_id, r.corpus_id, r.jaccard)
+                     for r in want.collect()}
+        assert got_rows == want_rows and got_rows
+
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+    finally:
+        for suffix in ("_bands", "_sets", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+
+
+def test_streaming_near_dup_against_index(spark, tmp_path):
+    """The foreachBatch stream probing the persisted index finds the same
+    matches as the recompute-per-batch variant."""
+    import shutil
+    import uuid
+
+    from lsh_spark.operators.similarity_join import (
+        build_lsh_corpus_index,
+        lsh_similarity_join,
+    )
+    from lsh_spark.sources.io import load_table
+    from lsh_spark.streaming.documents import streaming_near_dup_against_index
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.where("doc_id >= 250")
+    incoming = docs.where("doc_id < 250")
+    name = f"lsh_sidx_{uuid.uuid4().hex[:8]}"
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    try:
+        build_lsh_corpus_index(
+            corpus, name, text_col="text", id_col="doc_id",
+            ngram_width=3, band_count=8, band_size=2, seed=123,
+            num_buckets=8)
+        incoming.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(incoming.schema).parquet(src)
+        q = streaming_near_dup_against_index(
+            stream, spark, name, out, ckpt, threshold=0.6)
+        q.awaitTermination(180)
+        got = {(r.doc_id_left, r.doc_id_right, r.jaccard)
+               for r in spark.read.parquet(out).collect()}
+        want_df = lsh_similarity_join(
+            incoming, corpus, "text", "text", left_id="doc_id",
+            right_id="doc_id", ngram_width=3, band_count=8, band_size=2,
+            seed=123, threshold=0.6)
+        want = {(r.doc_id_left, r.doc_id_right, r.jaccard)
+                for r in want_df.collect()}
+        assert got == want and got
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        for suffix in ("_bands", "_sets", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+
+
 def test_readme_scalar_examples(spark, tables):
     # the README's scalar examples, verbatim semantics
     r = spark.sql(

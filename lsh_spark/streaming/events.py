@@ -388,3 +388,76 @@ GROUP BY user_id
 
 QUERIES["events_user_totals_streaming"] = (
     events_user_totals_streaming, EVENTS_USER_TOTALS_STREAMING_ORACLE)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time interval condition —
+    the canonical Spark shape for correlating two live streams: both
+    sides carry watermarks and the time-range predicate bounds the join
+    state (each side's buffered rows are evicted once the other side's
+    watermark passes the interval), so state stays finite on unbounded
+    streams.  The streaming twin of ``operators.rangejoin``.
+
+    The right side must carry its key pre-renamed to ``__r_<by>`` (column
+    names must be disjoint across a self-derived stream-stream join)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[by] == rw[f"__r_{by}"])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(
+            f"INTERVAL {window_seconds} SECONDS"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(
+            f"INTERVAL {window_seconds} SECONDS"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
+def events_error_click_pairs_streaming(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Driver-gate query: error↔click correlation as an ACTUAL
+    stream-stream interval join — two watermarked file-source streams over
+    the same events source (one filtered to errors, one to clicks) joined
+    on user within ±30 minutes of event time, drained with AvailableNow.
+    The streaming twin of the batch range join
+    (``errors_with_nearby_clicks``); the oracle is the plain SQL range
+    join, so batch/stream parity is driver-checked."""
+    from ..sources.io import _ensure_session_confs
+
+    _ensure_session_confs(spark)
+    errors = read_events_stream(spark, sf_dir).where(
+        F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"))
+    clicks = read_events_stream(spark, sf_dir).where(
+        F.col("event_type") == "click").select(
+        F.col("user_id").alias("__r_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    joined = stream_stream_interval_join(
+        errors, clicks, by="user_id", left_ts="error_ts",
+        right_ts="click_ts", window_seconds=1800)
+    out = joined.select("user_id", "error_id", "click_id")
+    q = run_available_now(out, "events_error_click_pairs_sink", "append")
+    q.awaitTermination()
+    return spark.table("events_error_click_pairs_sink")
+
+
+EVENTS_ERROR_CLICK_PAIRS_ORACLE = """
+SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id
+FROM events e JOIN events c
+  ON e.event_type = 'error' AND c.event_type = 'click'
+ AND e.user_id = c.user_id
+ AND abs(epoch(e.ts) - epoch(c.ts)) <= 1800
+"""
+
+QUERIES["events_error_click_pairs_streaming"] = (
+    events_error_click_pairs_streaming, EVENTS_ERROR_CLICK_PAIRS_ORACLE)

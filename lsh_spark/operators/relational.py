@@ -452,7 +452,46 @@ GROUP BY event_type
 """
 
 
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload parsing: the events ``props`` column is a
+    JSON string; ``from_json`` with an explicit schema parses it
+    JVM-side (one pass, no Python), then a bucketed rollup aggregates
+    the extracted field.  At scale the explicit schema is what keeps
+    this a single projection — schema inference over JSON would scan
+    the data twice."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT")["k"].alias("k"),
+    )
+    return (
+        parsed.withColumn("k_bucket", (F.col("k") / 10).cast("int"))
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENTS_PROPS_STATS_ORACLE = """
+WITH parsed AS (
+  SELECT event_type, json_extract(props, '$.k')::INT AS k FROM events
+)
+SELECT event_type, (k // 10)::INT AS k_bucket,
+       count(*) AS n_events,
+       sum(k)::BIGINT AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM parsed
+GROUP BY 1, 2
+"""
+
+
 QUERIES.update({
+    "events_props_stats": (events_props_stats, EVENTS_PROPS_STATS_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
     "customers_without_orders": (customers_without_orders,
                                  CUSTOMERS_WITHOUT_ORDERS_ORACLE),

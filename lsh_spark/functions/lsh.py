@@ -254,6 +254,48 @@ def shingle_set_col(col, ngram_width: int) -> Column:
     return _udf(col)
 
 
+def word_shingle_set_col(col, width: int = 2) -> Column:
+    """Materialize the WORD-ngram shingle set (default bigrams) as sorted
+    unique int32 — FxHash-u32 of each ``"w1 w2"`` shingle string, the
+    ``from_shingles`` hashing path (``shingleset.rs:12-22``).  Same storage
+    contract as :func:`shingle_set_col`, so every downstream pair operator
+    (banding, size pruning, batch-Jaccard verify) works unchanged."""
+    import re
+
+    from pyspark.sql.types import IntegerType
+
+    from .._core.batch import hash_strings_batch
+
+    ws = re.compile(r"\s+")
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        mask = s.notna().to_numpy()
+        shingle_lists = []
+        for t, ok in zip(s, mask):
+            if not ok or not t or not t.strip():
+                shingle_lists.append([])
+                continue
+            toks = ws.split(t.strip())
+            shingle_lists.append(
+                [" ".join(toks[i:i + width])
+                 for i in range(len(toks) - width + 1)])
+        flat = [g for lst in shingle_lists for g in lst]
+        hashes = (hash_strings_batch(flat).astype(np.uint32).view(np.int32)
+                  if flat else np.empty(0, dtype=np.int32))
+        out = []
+        pos = 0
+        for lst, ok in zip(shingle_lists, mask):
+            if not ok:
+                out.append(None)
+                continue
+            out.append(np.unique(hashes[pos:pos + len(lst)]).tolist())
+            pos += len(lst)
+        return pd.Series(out, dtype=object)
+
+    return _udf(col)
+
+
 def minhash_bands_from_set(col, band_count: int, band_size: int, seed: int) -> Column:
     """Banded MinHash (int64 band hashes) computed from a materialized
     shingle-set column (output of :func:`shingle_set_col`)."""

@@ -312,3 +312,38 @@ QUERIES = {
         _orc.minhash_shingle_signatures_sql(4, 2, 123, low32=True)),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
 }
+
+
+# word-level near-dup: the bigram-jaccard background is LOW (measured
+# median ≈ 0.03, near-dups ≈ 0.99 — word shingles separate templates far
+# better than char ngrams on this corpus), so the tuner picks selective
+# banding cheaply
+_WORD_PLAN = tune_bands(0.4, target_recall=0.9, background_similarity=0.08,
+                        max_signature_size=384)
+
+
+def word_bigram_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level n-gram Jaccard dedup: banded MinHash over WORD-bigram
+    shingles as the blocking key, exact bigram-set Jaccard verification.
+    Same machinery as the char-ngram flagship (ids-only blocking join,
+    size-gated set re-attach, batch-Arrow verify) — only the shingle
+    definition changes, which is the point: the pair pipeline is
+    shingle-agnostic.  Exact DuckDB oracle over the bigram shingle CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_self_dedup_pairs(
+        docs, "text", id_col="doc_id",
+        ngram_width=2, band_count=_WORD_PLAN.band_count,
+        band_size=_WORD_PLAN.band_size, seed=123, threshold=0.4,
+        shingle="word",
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_WORD_PAIRS_ORACLE = f"""
+WITH {_orc.bigram_shingles_cte()},
+{_orc.minhash_bands_ctes(_WORD_PLAN.band_count, _WORD_PLAN.band_size, 123)},
+{_orc.pair_verify_ctes(0.4)}
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM ver
+"""
+
+QUERIES["word_bigram_near_dup_pairs"] = (
+    word_bigram_near_dup_pairs, _WORD_PAIRS_ORACLE)

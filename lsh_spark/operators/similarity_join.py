@@ -138,7 +138,8 @@ def _maybe_broadcast(sets: DataFrame, set_col: str,
 
 
 def _with_sets(df: DataFrame, id_col: str, text_col: str, ngram_width: int,
-               id_alias: str, set_alias: str) -> DataFrame:
+               id_alias: str, set_alias: str,
+               shingle: str = "char") -> DataFrame:
     base = df.select(F.col(id_col).alias(id_alias),
                      F.col(text_col).alias("__text"))
     # single-file inputs arrive as one partition; spread the UDF pass over
@@ -146,10 +147,13 @@ def _with_sets(df: DataFrame, id_col: str, text_col: str, ngram_width: int,
     target = df.sparkSession.sparkContext.defaultParallelism
     if base.rdd.getNumPartitions() < target:
         base = base.repartition(target)
-    return base.select(
-        id_alias,
-        shingle_set_col(F.col("__text"), ngram_width).alias(set_alias),
-    )
+    if shingle == "word":
+        from ..functions.lsh import word_shingle_set_col
+
+        sets = word_shingle_set_col(F.col("__text"), ngram_width)
+    else:
+        sets = shingle_set_col(F.col("__text"), ngram_width)
+    return base.select(id_alias, sets.alias(set_alias))
 
 
 def _band_blocks(sets: DataFrame, id_alias: str, set_alias: str,
@@ -252,6 +256,7 @@ def lsh_self_dedup_pairs(
     seed: int = 123,
     threshold: float = 0.8,
     broadcast_sets: "bool | None" = None,
+    shingle: str = "char",
 ) -> DataFrame:
     """Near-duplicate pairs within one table (id_a < id_b, no mirrors).
 
@@ -260,8 +265,12 @@ def lsh_self_dedup_pairs(
     broadcast only while the estimated payload fits the cap, shuffle by
     pair ids beyond it (the 100 TB path) — see ``_maybe_broadcast``.
 
+    ``shingle``: ``"char"`` (char n-grams) or ``"word"`` (word n-grams —
+    ``ngram_width`` counts words).
+
     Returns (id_a, id_b, jaccard)."""
-    sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set")
+    sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set",
+                      shingle=shingle)
     track(sets.persist(StorageLevel.MEMORY_AND_DISK))
     broadcast_sets = _should_broadcast(sets, "__set", broadcast_sets)
     blocks = _band_blocks(sets, "__id", "__set", band_count, band_size, seed)

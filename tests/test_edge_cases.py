@@ -95,6 +95,32 @@ def test_simhash_empty_and_whitespace(spark):
     assert rows[3] is not None
 
 
+def test_word_shingle_set_edges(spark):
+    """Word-shingle sets: NULL → NULL, empty/whitespace/single-word →
+    empty set (no bigram exists), and the hash matches the string-hash
+    path the shingle-overload goldens pin."""
+    from lsh_spark._core.batch import hash_strings_batch
+    from lsh_spark.functions.lsh import word_shingle_set_col
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "solo"), (5, "two words"),
+         (6, "a  b\tc")],  # runs of mixed whitespace collapse
+        ["id", "text"])
+    rows = {r.id: r.s for r in
+            df.select("id", word_shingle_set_col("text").alias("s"))
+            .collect()}
+    assert rows[1] is None
+    assert rows[2] == [] and rows[3] == [] and rows[4] == []
+    import numpy as np
+
+    want5 = np.unique(
+        hash_strings_batch(["two words"]).astype(np.uint32).view(np.int32))
+    assert rows[5] == want5.tolist()
+    want6 = np.unique(
+        hash_strings_batch(["a b", "b c"]).astype(np.uint32).view(np.int32))
+    assert sorted(rows[6]) == sorted(want6.tolist())
+
+
 def test_ann_with_single_query(spark):
     from lsh_spark.operators import ann
     from lsh_spark.sources.io import load_table

@@ -133,7 +133,15 @@ def run_available_now(stream_df: DataFrame, query_name: str,
     returns the StreamingQuery (caller awaits termination and reads
     ``SELECT * FROM <query_name>``).  Use ``complete`` for windowed aggs
     (finite corpus → last windows never pass the watermark in append
-    mode), ``update`` for stateful operators."""
+    mode), ``update`` for stateful operators.
+
+    A leftover sink table from an earlier run in the same session is
+    dropped first — append-mode memory sinks would otherwise accumulate
+    across reruns."""
+    try:
+        stream_df.sparkSession.catalog.dropTempView(query_name)
+    except Exception:
+        pass
     return (
         stream_df.writeStream.format("memory")
         .queryName(query_name)

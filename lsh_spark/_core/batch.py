@@ -157,12 +157,32 @@ def jaccard_pairs_batch(
     ha, oa = batch_window_hashes(*flatten_texts(texts_a), ngram_width)
     hb, ob = batch_window_hashes(*flatten_texts(texts_b), ngram_width)
     n = oa.shape[0] - 1
-    out = np.zeros(n, dtype=np.float64)
-    for i in range(n):
-        sa = np.unique(ha[oa[i] : oa[i + 1]])
-        sb = np.unique(hb[ob[i] : ob[i + 1]])
-        if sa.shape[0] == 0 or sb.shape[0] == 0:
-            continue
-        ni = np.intersect1d(sa, sb, assume_unique=True).shape[0]
-        out[i] = ni / (sa.shape[0] + sb.shape[0] - ni)
-    return out
+    # Row-tagged batch merge (same kernel shape as the similarity-join
+    # verifier): the pair index in the high 32 bits keeps rows disjoint,
+    # so ONE np.unique per side performs every row's set-dedup and ONE
+    # intersect1d counts every row's overlap — no Python row loop.
+    ua, ca = _rowtag_unique(ha, oa)
+    ub, cb = _rowtag_unique(hb, ob)
+    inter = np.intersect1d(ua, ub, assume_unique=True)
+    ni = np.bincount((inter >> np.uint64(32)).astype(np.int64), minlength=n)
+    union = ca + cb - ni
+    return np.where(union > 0, ni / np.maximum(union, 1), 0.0)
+
+
+def _rowtag_unique(
+    hashes: np.ndarray, offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row set-dedup of u32 hash segments in one pass.
+
+    Returns (tagged_uniques, per_row_set_sizes): each u32 hash is tagged
+    with its row index in the high 32 bits, so a single global
+    ``np.unique`` collapses duplicates exactly per row."""
+    n = offsets.shape[0] - 1
+    lens = offsets[1:] - offsets[:-1]
+    if hashes.shape[0] == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n, dtype=np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.uint64), lens)
+    uniq = np.unique((rows << np.uint64(32)) | hashes)
+    counts = np.bincount((uniq >> np.uint64(32)).astype(np.int64),
+                         minlength=n)
+    return uniq, counts

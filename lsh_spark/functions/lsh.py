@@ -266,17 +266,23 @@ def word_shingle_set_col(col, width: int = 2) -> Column:
 
     from .._core.batch import hash_strings_batch
 
-    ws = re.compile(r"\s+")
+    # ONE tokenizer contract across all three word-shingle paths (this
+    # Python kernel, the JVM ``_with_word_bigrams`` expression, and the
+    # DuckDB oracle): tokens are maximal runs of non-whitespace where
+    # whitespace is the ASCII class [ \t\n\x0b\f\r] (= Java regex \s =
+    # Python re.ASCII \s), empty tokens dropped.  NBSP and other Unicode
+    # spaces are NOT separators anywhere, so the three paths agree on any
+    # input, not just clean test text (tests/test_edge_cases.py pins
+    # leading-tab and NBSP inputs).
+    ws = re.compile(r"\s+", re.ASCII)
 
     @pandas_udf(ArrayType(IntegerType()))
     def _udf(s: pd.Series) -> pd.Series:
         mask = s.notna().to_numpy()
         shingle_lists = []
         for t, ok in zip(s, mask):
-            if not ok or not t or not t.strip():
-                shingle_lists.append([])
-                continue
-            toks = ws.split(t.strip())
+            toks = [x for x in ws.split(t)] if ok and t else []
+            toks = [x for x in toks if x]
             shingle_lists.append(
                 [" ".join(toks[i:i + width])
                  for i in range(len(toks) - width + 1)])

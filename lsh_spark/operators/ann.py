@@ -460,12 +460,14 @@ def ivf_topk(
     # coarse cells don't need convergence — 8 Lloyd iterations from random
     # init is ample for a bucketing quantizer (measured: same training cost
     # as k-means|| to 4 significant digits, minus its multi-pass init jobs).
-    # The fit is bounded UNCONDITIONALLY by limit(fit_sample_max) — no
-    # plan-time count() pass: CollectLimit stops scanning once the cap is
-    # reached (a no-op below the cap), and a bucketing quantizer only needs
-    # a representative prefix.  A production deployment on a sorted/skewed
-    # corpus would pass a pre-sampled table for fit quality.
-    fit_rows = c.limit(fit_sample_max)
+    # The fit is bounded by a TakeOrdered over xxhash64(id): deterministic
+    # across partition layouts/parallelism (a bare limit() is a physical
+    # prefix — layout-dependent AND badly biased on a sorted/clustered
+    # corpus) and unbiased (hash order is a layout-independent pseudo-
+    # random permutation).  Still no plan-time count() pass: TakeOrdered
+    # keeps a k-heap per partition, O(n log k) with no full sort/shuffle.
+    fit_rows = c.orderBy(F.xxhash64("neighbor_id").asc(),
+                         F.col("neighbor_id").asc()).limit(fit_sample_max)
     model = km.fit(
         fit_rows.withColumn("__feat", array_to_vector("__v_neighbor_id")))
     c_cells = model.transform(

@@ -215,8 +215,12 @@ def _with_word_bigrams(docs: DataFrame) -> DataFrame:
     once per row (inlining it in the transform re-evaluated it per
     reference — a measured 14x slowdown at sf0.1)."""
     docs = fanout_scan(docs)
+    # tokenizer contract shared with word_shingle_set_col and the DuckDB
+    # oracle: split on ASCII \s runs, drop empty tokens (Java's split
+    # already drops trailing empties; the filter drops the leading one a
+    # leading separator produces)
     return docs.withColumn(
-        "__toks", F.expr("split(trim(text), '\\\\s+')")
+        "__toks", F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
     ).withColumn(
         "__bigrams",
         F.expr("transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)), "

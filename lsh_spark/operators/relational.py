@@ -465,7 +465,7 @@ def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json("props", "k INT")["k"].alias("k"),
     )
     return (
-        parsed.withColumn("k_bucket", (F.col("k") / 10).cast("int"))
+        parsed.withColumn("k_bucket", F.floor(F.col("k") / 10).cast("int"))
         .groupBy("event_type", "k_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

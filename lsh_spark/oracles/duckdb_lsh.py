@@ -119,7 +119,13 @@ def bigram_shingles_cte(source: str = "documents", id_col: str = "doc_id",
     runs, adjacent pairs joined by one space)."""
     return f"""
   docs AS (SELECT {id_col} AS id, {text_col} AS text FROM {source}),
-  words AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM docs),
+  -- tokenizer contract shared with the Spark paths: ASCII-\s separators
+  -- (spelled out because RE2's \s lacks \x0b), empty tokens dropped
+  words AS (
+    SELECT id,
+           list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
+                       x -> x <> '') AS w
+    FROM docs),
   bg AS (
     SELECT id, unnest(list_transform(
         generate_series(1, greatest(len(w) - 1, 0)),

@@ -23,6 +23,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _write_batch_idempotent(matches: DataFrame, out_dir: str,
+                            batch_id: int) -> None:
+    """foreachBatch provides at-least-once delivery: after a mid-run
+    failure the restarted query REPLAYS the last uncommitted micro-batch,
+    so a bare ``mode("append")`` would duplicate its rows.  Keying the
+    write on ``batch_id`` (one overwritten partition directory per batch)
+    makes the replay rewrite the same files instead — the standard
+    idempotent-sink recipe.  Readers see ``batch_id`` as a discovered
+    partition column; every consumer selects named columns."""
+    matches.write.mode("overwrite").parquet(
+        f"{out_dir}/batch_id={batch_id}")
+
+
 def streaming_similarity_join(
     stream_docs: DataFrame,
     corpus: DataFrame,
@@ -50,7 +63,7 @@ def streaming_similarity_join(
             left_id=left_id, right_id=right_id,
             ngram_width=ngram_width, band_count=band_count,
             band_size=band_size, seed=seed, threshold=threshold)
-        matches.write.mode("append").parquet(out_dir)
+        _write_batch_idempotent(matches, out_dir, batch_id)
 
     return (
         stream_docs.writeStream.foreachBatch(process)
@@ -86,7 +99,7 @@ def streaming_near_dup_against_index(
         matches = lsh_similarity_join_indexed(
             spark, index_table, batch_df, text_col,
             probe_id=id_col, threshold=threshold)
-        matches.write.mode("append").parquet(out_dir)
+        _write_batch_idempotent(matches, out_dir, batch_id)
 
     return (
         stream_docs.writeStream.foreachBatch(process)
@@ -135,7 +148,65 @@ def similarity_join_ab_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
 
     if not os.path.isdir(out_dir) or not any(
-            f.endswith(".parquet") for f in os.listdir(out_dir)):
+            f.startswith("batch_id=") for f in os.listdir(out_dir)):
+        return spark.createDataFrame(
+            [], "probe_id long, corpus_id long, jaccard double")
+    return spark.read.parquet(out_dir).select(
+        "probe_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+def near_dup_index_probe_streaming(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Driver-gate query: the PRODUCTION streaming near-dup shape — a
+    persisted LSH corpus index (``build_lsh_corpus_index``'s bucketed
+    ``_bands``/``_sets`` tables) probed by a document file-stream via
+    ``foreachBatch``.  The corpus is shingled, banded, and shuffled ONCE
+    at index-build time; each micro-batch computes only its own shingle
+    sets and joins against the bucketed tables with no corpus-side
+    exchange (asserted by tests/test_plans.py).
+
+    Same A/B split, banding plan, and threshold as
+    ``similarity_join_ab_streaming``, so it carries the identical exact
+    DuckDB oracle — the recompute twin and the indexed probe must agree
+    to the hash."""
+    from ..operators.lsh_queries import _JOIN_AB_PLAN
+    from ..operators.similarity_join import build_lsh_corpus_index
+    from ..sources.io import _ensure_session_confs, load_table
+
+    _ensure_session_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0).selectExpr(
+        "doc_id AS corpus_id", "text")
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    index = f"lshidx_ab_{tag}"
+    # rebuilt every run so the gate stays hermetic under parameter/code
+    # changes; a deployment builds once and amortizes it across probes
+    build_lsh_corpus_index(
+        corpus, index, text_col="text", id_col="corpus_id",
+        ngram_width=3, band_count=_JOIN_AB_PLAN.band_count,
+        band_size=_JOIN_AB_PLAN.band_size, seed=123)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+        .where(F.col("doc_id") % 2 == 1)
+        .selectExpr("doc_id AS probe_id", "text")
+    )
+    out_dir = f"/tmp/lsh_spark_stream_idx_{tag}"
+    ckpt = f"/tmp/lsh_spark_ckpt_stream_idx_{tag}"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    q = streaming_near_dup_against_index(
+        stream, spark, index, out_dir, ckpt,
+        text_col="text", id_col="probe_id", threshold=0.7)
+    q.awaitTermination()
+
+    if not os.path.isdir(out_dir) or not any(
+            f.startswith("batch_id=") for f in os.listdir(out_dir)):
         return spark.createDataFrame(
             [], "probe_id long, corpus_id long, jaccard double")
     return spark.read.parquet(out_dir).select(
@@ -152,4 +223,6 @@ def _oracle() -> str:
 
 QUERIES = {
     "similarity_join_ab_streaming": (similarity_join_ab_streaming, _oracle()),
+    "near_dup_index_probe_streaming": (near_dup_index_probe_streaming,
+                                       _oracle()),
 }

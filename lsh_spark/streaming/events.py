@@ -380,9 +380,13 @@ def events_user_totals_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "events_user_totals_streaming_sink", "update")
     q.awaitTermination()
     sink = spark.table("events_user_totals_streaming_sink")
+    # keep each user's LAST update = the row with the highest event count
+    # (n_events is genuinely monotone per user); max_by keeps the total
+    # PAIRED with that row, so correctness doesn't hinge on total_value
+    # itself being monotone (it wouldn't be if values could be negative)
     return sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max("total_value").alias("total_value"),
+        F.max_by("total_value", "n_events").alias("total_value"),
     )
 
 
@@ -469,3 +473,88 @@ FROM events e JOIN events c
 
 QUERIES["events_error_click_pairs_streaming"] = (
     events_error_click_pairs_streaming, EVENTS_ERROR_CLICK_PAIRS_ORACLE)
+
+
+LAST_APPEND_PROGRESS: "list | None" = None
+
+
+def events_hourly_append_streaming(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Driver-gate query: the hourly rollup in APPEND mode with a REAL
+    watermark lifecycle — the unbounded-stream form, where a window's row
+    is emitted exactly once, after the watermark passes its end, and its
+    state is evicted (``complete``-mode twins keep all window state on
+    the driver; this shape is what actually survives an infinite stream).
+
+    The events are staged as a two-file time split (early hours, then
+    late hours, ordered by mtime and name) so the watermark ADVANCES
+    between micro-batches and closes the early windows mid-stream —
+    state eviction observably fires (pinned by
+    tests/test_sources.py::test_append_mode_evicts_state), not just at
+    the terminal no-data batch.  Windows inside the trailing 2-hour
+    watermark horizon never emit; the oracle applies the same cutoff
+    (window_end <= max(ts) - 2h, Spark's eviction predicate)."""
+    import os
+    import shutil
+    import time
+
+    from ..sources.io import _ensure_session_confs, load_table
+
+    _ensure_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo.replace(minute=0, second=0, microsecond=0) + (hi - lo) / 2
+    cut = cut.replace(minute=0, second=0, microsecond=0)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = f"/tmp/lsh_spark_stream_append_{tag}"
+    ckpt = f"/tmp/lsh_spark_ckpt_append_{tag}"
+    for d in (stage, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(stage)
+    # stage each half as one file; mtime + name order early-before-late so
+    # the file source replays them as two in-order micro-batches
+    for name, half in (("a_early", ev.where(F.col("ts") < F.lit(cut))),
+                       ("b_late", ev.where(F.col("ts") >= F.lit(cut)))):
+        tmp = f"{stage}/_{name}"
+        half.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(f"{tmp}/{part}", f"{stage}/{name}.parquet")
+        shutil.rmtree(tmp)
+    now = time.time()
+    os.utime(f"{stage}/a_early.parquet", (now - 60, now - 60))
+    os.utime(f"{stage}/b_late.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = run_available_now(agg, "events_hourly_append_sink", "append")
+    q.awaitTermination()
+    # expose per-batch state metrics so tests can pin that eviction
+    # actually fired mid-stream (numRowsRemoved > 0 before the last batch)
+    global LAST_APPEND_PROGRESS
+    LAST_APPEND_PROGRESS = [p for p in q.recentProgress]
+    return spark.table("events_hourly_append_sink").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type", "n_events", "total_value",
+    )
+
+
+EVENTS_HOURLY_APPEND_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS total_value
+FROM events
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+GROUP BY 1, 2
+"""
+
+QUERIES["events_hourly_append_streaming"] = (
+    events_hourly_append_streaming, EVENTS_HOURLY_APPEND_ORACLE)

@@ -121,6 +121,57 @@ def test_word_shingle_set_edges(spark):
     assert sorted(rows[6]) == sorted(want6.tolist())
 
 
+def test_word_tokenizer_contract_three_paths(spark):
+    """The three word-shingle paths (Python kernel, JVM bigram expression,
+    DuckDB oracle) must tokenize identically on whitespace edge cases:
+    leading tab, NBSP, vertical tab, trailing newline (ADVICE r3 — the
+    paths previously disagreed on leading separators / Unicode spaces).
+    Contract: split on ASCII [ \\t\\n\\x0b\\f\\r]+ runs, drop empties;
+    NBSP is NOT a separator."""
+    import duckdb
+    import numpy as np
+
+    from lsh_spark._core.batch import hash_strings_batch
+    from lsh_spark.functions.lsh import word_shingle_set_col
+    from lsh_spark.operators.lsh_queries import _with_word_bigrams
+    from lsh_spark.oracles.duckdb_lsh import bigram_shingles_cte
+
+    texts = ["\tlead tab text", "a\xa0b cd ef", "v\x0bw x", "end nl\n",
+             " \t ", "one", "two  words\tthree"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+
+    def as_u32(vals):
+        return set(np.asarray(vals, dtype=np.int32)
+                   .view(np.uint32).tolist())
+
+    py = {r.doc_id: as_u32(r.s) for r in df.select(
+        "doc_id", word_shingle_set_col("text").alias("s")).collect()}
+
+    jvm = {}
+    for r in _with_word_bigrams(df).select("doc_id", "__bigrams").collect():
+        bgs = list(r["__bigrams"])
+        h = (hash_strings_batch(bgs).astype(np.uint32)
+             if bgs else np.empty(0, dtype=np.uint32))
+        jvm[r.doc_id] = set(h.tolist())
+
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    sql = (f"WITH {bigram_shingles_cte()} "
+           "SELECT id, list(sh) AS hs FROM sh GROUP BY id")
+    ora = {i: {int(v) & 0xFFFFFFFF for v in (hs or [])}
+           for i, hs in con.execute(sql).fetchall()}
+    con.close()
+
+    for i, t in enumerate(texts):
+        assert py[i] == jvm[i], (i, t)
+        assert py[i] == ora.get(i, set()), (i, t)
+    # NBSP text keeps the NBSP inside one token → 3 tokens, 2 bigrams
+    assert len(py[1]) == 2
+    # leading tab must not create an empty token → 2 bigrams, not 3
+    assert len(py[0]) == 2
+
+
 def test_ann_with_single_query(spark):
     from lsh_spark.operators import ann
     from lsh_spark.sources.io import load_table

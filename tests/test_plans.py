@@ -232,3 +232,46 @@ def test_set_reattach_broadcast_is_size_gated(spark):
         assert "ShuffledHashJoin" in _plan(df)
     finally:
         sj._AUTO_BROADCAST_CAP_BYTES = old
+
+
+def test_indexed_probe_no_corpus_side_exchange(spark):
+    """Probing a persisted LSH index must consume BOTH bucketed tables
+    through their buckets: the band join and the set re-attach shuffle
+    only the probe/pair side, never the corpus (the amortization that
+    makes the persisted-index shape pay off at 100 TB)."""
+    import uuid
+
+    from lsh_spark.operators.similarity_join import (
+        build_lsh_corpus_index,
+        lsh_similarity_join_indexed,
+    )
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.where("doc_id >= 250").selectExpr(
+        "doc_id AS corpus_id", "text")
+    probe = docs.where("doc_id < 250").selectExpr(
+        "doc_id AS probe_id", "text")
+    name = f"lsh_pidx_{uuid.uuid4().hex[:8]}"
+    try:
+        build_lsh_corpus_index(
+            corpus, name, text_col="text", id_col="corpus_id",
+            ngram_width=3, band_count=8, band_size=2, seed=123,
+            num_buckets=8)
+        # at sf0.001 Catalyst rightly broadcasts the tiny corpus tables;
+        # disable broadcast to surface the at-scale plan, where both
+        # corpus tables MUST be consumed through their buckets
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got = lsh_similarity_join_indexed(
+            spark, name, probe, "text", probe_id="probe_id",
+            threshold=0.6, broadcast_probe_sets=False)
+        got.count()
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # both persisted tables read bucketed; a "Bucketed: false" marker
+        # would mean the planner fell back to re-shuffling the corpus
+        assert plan.count("Bucketed: true") >= 2, plan
+        assert "Bucketed: false" not in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for suffix in ("_bands", "_sets", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")

@@ -76,3 +76,38 @@ def test_read_text_lines_and_whole(spark, tmp_path):
     whole = {r.value for r in
              read_text(spark, str(tmp_path), whole_file=True).collect()}
     assert whole == {"line one\nline two\n", "solo"}
+
+
+def test_append_mode_evicts_state(spark):
+    """The append-mode hourly rollup must EVICT window state mid-stream:
+    the two-file time split advances the watermark between micro-batches,
+    so some batch before the last removes state rows (the property that
+    keeps the operator finite on an unbounded stream).  Also pins that
+    emitted windows stop at the watermark horizon: no window end may
+    exceed max(ts) - 2h."""
+    import datetime
+
+    from lsh_spark.sources.io import load_table
+    from lsh_spark.streaming import events as se
+
+    out = se.events_hourly_append_streaming(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "append sink empty — no window ever closed"
+
+    progress = se.LAST_APPEND_PROGRESS
+    assert progress, "no progress captured"
+    removed = [
+        sum(op["numRowsRemoved"] for op in p["stateOperators"])
+        for p in progress
+    ]
+    assert sum(removed[:-1]) > 0, (
+        f"state eviction never fired before the final batch: {removed}")
+
+    hi = load_table(spark, "/root/testdata/sf0.001", "events").agg(
+        {"ts": "max"}).first()[0]
+    horizon = hi - datetime.timedelta(hours=2)
+    last_emitted = max(
+        datetime.datetime.strptime(r.hour, "%Y-%m-%d %H:%M:%S")
+        + datetime.timedelta(hours=1)
+        for r in rows)
+    assert last_emitted <= horizon

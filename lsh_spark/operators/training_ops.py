@@ -1,0 +1,399 @@
+"""Training-corpus composition operators: repetition-quality stats,
+benchmark decontamination, deterministic stratified sampling, and
+token-budget shard assignment.
+
+These extend the pipeline suite (``pipeline_queries.py``) with the four
+corpus-construction steps a large-scale LLM data pipeline runs after
+cleaning/dedup: score repetition (Gopher-style quality signals), check
+eval-benchmark contamination, compose the training mixture by stratum,
+and pack documents into near-equal token shards.
+
+Scale shapes (the reason each operator looks the way it does):
+
+  * ``repetition_stats`` is a ZERO-shuffle single scan — every metric is
+    a per-row higher-order-function expression (no explode, no groupBy),
+    so it parallelizes embarrassingly at any corpus size;
+  * ``contamination_overlap`` broadcasts the benchmark n-gram set (eval
+    benchmarks are MBs by construction) so the 100 TB corpus never
+    shuffles — one scan + broadcast semi-probe + per-doc aggregate;
+  * ``stratified_sample`` is a deterministic per-row filter (md5-derived
+    bucket), no shuffle, reproducible across runs/engines — the property
+    mixture re-runs need;
+  * ``shard_assignment`` computes a global running token total WITHOUT a
+    single-partition window: per-chunk subtotals roll up to exclusive
+    chunk offsets (tiny aggregate), which broadcast-join back onto an
+    intra-chunk window — the standard two-level scan decomposition.
+
+Word tokens follow the repo-wide tokenizer contract (see
+``functions/lsh.py::word_shingle_set_col``): maximal runs split on ASCII
+``\\s+``, empty tokens dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import fanout_scan, load_table
+
+QUERIES: dict = {}
+
+
+def _words(col):
+    """ASCII-whitespace word tokens, empties dropped (repo tokenizer
+    contract — matches the DuckDB string_split_regex + filter); NULL text
+    tokenizes to the empty list on both engines."""
+    return F.coalesce(
+        F.filter(F.split(col, "\\s+"), lambda t: t != F.lit("")),
+        F.array().cast("array<string>"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition / diversity stats (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+def repetition_stats_df(docs: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-document repetition & diversity metrics, all computed as
+    per-row JVM expressions (zero shuffle, one scan):
+
+      * ``top_word_frac`` — share of tokens taken by the most frequent
+        word (Gopher's "fraction of chars in most common n-gram" family);
+      * ``dup_trigram_frac`` — share of word trigrams that are repeats
+        of an earlier trigram in the same document;
+      * ``word_entropy`` — Shannon entropy (nats) of the word unigram
+        distribution, ``ln n - (Σ f·ln f)/n`` folded left-to-right over
+        the SORTED distinct words so the oracle reproduces the exact
+        IEEE summation order.
+
+    The O(|distinct|·|tokens|) per-row frequency pass is bounded by
+    document length and runs inside whole-stage codegen — at corpus
+    scale this stays a map-only stage with no exchange at all.
+    """
+    w = _words(F.col(text_col))
+    d = docs.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+    n = F.size("w")
+    # per-distinct-word counts, in sorted word order (parity contract)
+    freqs = F.transform(
+        F.array_sort(F.array_distinct("w")),
+        lambda dw: F.size(F.filter("w", lambda x: x == dw)),
+    )
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        freqs.alias("__f"),
+        tri.alias("__tri"),
+    )
+    ent_terms = F.aggregate(
+        F.transform("__f", lambda f: f.cast("double")
+                    * F.log(f.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(
+            F.when(F.col("n_words") > 0,
+                   F.array_max("__f").cast("double") / F.col("n_words"))
+            .otherwise(F.lit(0.0)), 6).alias("top_word_frac"),
+        F.round(
+            F.when(F.size("__tri") > 0,
+                   1.0 - F.size(F.array_distinct("__tri")).cast("double")
+                   / F.size("__tri"))
+            .otherwise(F.lit(0.0)), 6).alias("dup_trigram_frac"),
+        F.round(
+            F.when(F.col("n_words") > 0,
+                   F.log(F.col("n_words").cast("double"))
+                   - ent_terms / F.col("n_words"))
+            .otherwise(F.lit(0.0)), 6).alias("word_entropy"),
+    )
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats_df(
+        fanout_scan(load_table(spark, sf_dir, "documents")))
+
+
+REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         coalesce(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t != ''), []) AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id, w, len(w) AS n,
+         list_transform(list_sort(list_distinct(w)),
+                        d -> len(list_filter(w, x -> x = d))) AS f,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w) - 2),
+                                  i -> array_to_string(w[i:i+2], ' '))
+              ELSE [] END AS tri
+  FROM toks
+)
+SELECT doc_id,
+       n::BIGINT AS n_words,
+       round(CASE WHEN n > 0
+             THEN list_max(f)::DOUBLE / n ELSE 0.0 END, 6) AS top_word_frac,
+       round(CASE WHEN len(tri) > 0
+             THEN 1.0 - len(list_distinct(tri))::DOUBLE / len(tri)
+             ELSE 0.0 END, 6) AS dup_trigram_frac,
+       round(CASE WHEN n > 0
+             THEN ln(n::DOUBLE)
+                  - list_reduce(
+                      list_prepend(0.0::DOUBLE,
+                        list_transform(f, x -> x::DOUBLE * ln(x::DOUBLE))),
+                      (a, b) -> a + b) / n
+             ELSE 0.0 END, 6) AS word_entropy
+FROM base
+"""
+
+QUERIES["repetition_stats"] = (repetition_stats, REPETITION_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 8           # word n-gram width (decontamination standard range)
+_BENCH_MOD = 50         # doc_id % 50 == 0 plays the held-out benchmark
+
+
+def contamination_overlap_df(docs: DataFrame, *, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             n: int = _CONTAM_N,
+                             bench_mod: int = _BENCH_MOD) -> DataFrame:
+    """Count, per training document, how many of its word 8-grams appear
+    anywhere in the "benchmark" set (docs with ``doc_id % 50 == 0``) —
+    the standard n-gram decontamination check.
+
+    Scale shape: the benchmark n-gram table is small by construction
+    (eval sets are MBs), so it is broadcast and the corpus side is one
+    scan → explode → broadcast semi-probe → per-doc aggregate; the only
+    exchange is the final per-doc count aggregation, keyed by doc_id.
+
+    Returns every non-benchmark document with ``n_overlap`` (distinct
+    matched 8-grams), ``n_ngrams``, and a ``contaminated`` flag.
+    """
+    w = _words(F.col(text_col))
+    ngrams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col).alias("doc_id"), ngrams.alias("__ngrams"))
+    bench = (
+        base.where(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode("__ngrams").alias("ng"))
+        .distinct()
+    )
+    corpus = base.where(F.col("doc_id") % bench_mod != 0)
+    hits = (
+        corpus.select("doc_id", F.explode("__ngrams").alias("ng"))
+        .join(F.broadcast(bench), on="ng", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("ng").alias("n_overlap"))
+    )
+    return (
+        corpus.select("doc_id", F.size("__ngrams").cast("bigint")
+                      .alias("n_ngrams"))
+        .join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint")
+            .alias("n_overlap"),
+            "n_ngrams",
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return contamination_overlap_df(
+        fanout_scan(load_table(spark, sf_dir, "documents")))
+
+
+CONTAMINATION_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         coalesce(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t != ''), []) AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {_CONTAM_N}
+              THEN list_transform(generate_series(1, len(w) - {_CONTAM_N - 1}),
+                                  i -> array_to_string(w[i:i+{_CONTAM_N - 1}], ' '))
+              ELSE [] END AS ngrams
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT unnest(ngrams) AS ng FROM grams
+  WHERE doc_id % {_BENCH_MOD} = 0
+),
+corpus AS (SELECT * FROM grams WHERE doc_id % {_BENCH_MOD} != 0),
+hits AS (
+  SELECT c.doc_id, count(DISTINCT ng) AS n_overlap
+  FROM (SELECT doc_id, unnest(ngrams) AS ng FROM corpus) c
+  WHERE c.ng IN (SELECT ng FROM bench)
+  GROUP BY c.doc_id
+)
+SELECT corpus.doc_id,
+       coalesce(hits.n_overlap, 0)::BIGINT AS n_overlap,
+       len(corpus.ngrams)::BIGINT AS n_ngrams,
+       coalesce(hits.n_overlap, 0) > 0 AS contaminated
+FROM corpus LEFT JOIN hits ON corpus.doc_id = hits.doc_id
+"""
+
+QUERIES["contamination_overlap"] = (contamination_overlap,
+                                    CONTAMINATION_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (training-mixture composition)
+# ---------------------------------------------------------------------------
+
+# per-language keep rates out of 10_000 — the mixture recipe: downsample
+# the dominant stratum, keep the rare ones
+_STRATA_RATES = {"en": 5000, "es": 8000, "zh": 10000}
+_RATE_DEFAULT = 2500
+
+
+def stratified_sample_df(docs: DataFrame) -> DataFrame:
+    """Deterministic per-stratum sampling: a document is kept iff its
+    md5-derived bucket (``doc_id`` → first 8 hex chars → int % 10000)
+    falls under its language's keep rate.
+
+    The bucket is a pure function of the row key, so the sample is (a)
+    reproducible across runs, engines, and partitionings — unlike
+    ``df.sample`` whose output depends on partition layout — and (b) a
+    per-row filter with ZERO shuffle that composes with predicate
+    pushdown.  Exactly how production mixtures pin "the same 50% of
+    CommonCrawl" across pipeline re-runs.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("bigint") % 10000
+    )
+    rate = F.lit(_RATE_DEFAULT)
+    for lang, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", "source", bucket.alias("bucket"))
+        .where(F.col("bucket") < rate)
+        .select("doc_id", "lang", "source", F.col("bucket").cast("bigint")
+                .alias("bucket"))
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample_df(
+        fanout_scan(load_table(spark, sf_dir, "documents")))
+
+
+_RATE_SQL = " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in _STRATA_RATES.items()
+)
+
+STRATIFIED_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, lang, source,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+          % 10000)::BIGINT AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, source, bucket FROM b
+WHERE bucket < CASE {_RATE_SQL} ELSE {_RATE_DEFAULT} END
+"""
+
+QUERIES["stratified_sample"] = (stratified_sample, STRATIFIED_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# token-budget shard assignment (corpus packing)
+# ---------------------------------------------------------------------------
+
+_SHARD_BUDGET = 4000    # tokens per shard
+_CHUNK = 256            # docs per cumsum chunk (see scale note below)
+
+
+def shard_assignment_df(docs: DataFrame, *, budget: int = _SHARD_BUDGET,
+                        chunk: int = _CHUNK) -> DataFrame:
+    """Assign each document (in ``doc_id`` order) to a token-budget
+    shard: ``shard = floor(running_token_total_before_doc / budget)`` —
+    the packing step that turns a cleaned corpus into near-equal
+    training shards.
+
+    A naive ``sum() OVER (ORDER BY doc_id)`` funnels the whole corpus
+    through ONE partition.  This implementation decomposes the global
+    running sum two-level: per-chunk subtotals (one aggregate over
+    ``floor(doc_id / chunk)``), an exclusive prefix over the tiny chunk
+    table, broadcast back onto an intra-chunk window partitioned by
+    chunk — so no stage ever sees more than a chunk in one partition.
+    At 10^10 docs pick ``chunk ≈ sqrt(n)`` (or recurse once more); the
+    decomposition is exact for any chunk size.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") - F.col("doc_id") % chunk).alias("__chunk"),
+    )
+    chunk_offsets = (
+        toks.groupBy("__chunk").agg(F.sum("n_tokens").alias("__chunk_sum"))
+        .select(
+            "__chunk",
+            (F.sum("__chunk_sum").over(
+                Window.orderBy("__chunk")
+                .rowsBetween(Window.unboundedPreceding, -1))
+             ).alias("__offset"),
+        )
+        .fillna(0, subset=["__offset"])
+    )
+    intra = Window.partitionBy("__chunk").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        toks.join(F.broadcast(chunk_offsets), on="__chunk")
+        .select(
+            "doc_id", "n_tokens",
+            (F.col("__offset")
+             + F.coalesce(F.sum("n_tokens").over(intra), F.lit(0)))
+            .alias("__running"),
+        )
+        # `div` is exact BIGINT integral division — no double rounding even
+        # when the running total exceeds 2^53 (a 100 TB corpus is ~10^13
+        # tokens, too close to double precision for a / + floor round-trip)
+        .select("doc_id", "n_tokens",
+                F.expr(f"__running div {budget}").alias("shard"))
+    )
+
+
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_assignment_df(
+        fanout_scan(load_table(spark, sf_dir, "documents")))
+
+
+SHARD_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         len(coalesce(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                             t -> t != ''), []))::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       ((sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+        // {_SHARD_BUDGET})::BIGINT AS shard
+FROM toks
+"""
+
+QUERIES["shard_assignment"] = (shard_assignment, SHARD_ORACLE)

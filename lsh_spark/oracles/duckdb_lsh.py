@@ -119,8 +119,9 @@ def bigram_shingles_cte(source: str = "documents", id_col: str = "doc_id",
     runs, adjacent pairs joined by one space)."""
     return f"""
   docs AS (SELECT {id_col} AS id, {text_col} AS text FROM {source}),
-  -- tokenizer contract shared with the Spark paths: ASCII-\s separators
-  -- (spelled out because RE2's \s lacks \x0b), empty tokens dropped
+  -- tokenizer contract shared with the Spark paths: ASCII-whitespace
+  -- separators (spelled out because RE2's ws class lacks vertical tab),
+  -- empty tokens dropped
   words AS (
     SELECT id,
            list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),

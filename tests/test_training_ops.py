@@ -1,0 +1,186 @@
+"""Unit tests for the training-corpus composition operators
+(``operators/training_ops.py``): handcrafted inputs with known answers,
+plus the structural guarantees the 100 TB shapes rely on (two-level
+cumsum exactness, partition-layout-independent sampling)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from lsh_spark.operators.training_ops import (
+    contamination_overlap_df,
+    repetition_stats_df,
+    shard_assignment_df,
+    stratified_sample_df,
+)
+
+_DOC_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("text", StringType(), True),
+])
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, _DOC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+def test_repetition_known_values(spark):
+    df = _docs(spark, [
+        (1, "a a a a"),          # pure repeat
+        (2, "a b c d"),          # all distinct
+        (3, ""),                 # empty
+        (4, "x y"),              # fewer than 3 words: no trigrams
+    ])
+    out = {r.doc_id: r for r in repetition_stats_df(df).collect()}
+
+    r1 = out[1]
+    assert r1.n_words == 4
+    assert r1.top_word_frac == 1.0
+    # trigrams: "a a a" x2 -> 1 - 1/2
+    assert r1.dup_trigram_frac == 0.5
+    assert r1.word_entropy == 0.0
+
+    r2 = out[2]
+    assert r2.top_word_frac == 0.25
+    assert r2.dup_trigram_frac == 0.0
+    assert r2.word_entropy == round(math.log(4.0), 6)
+
+    r3 = out[3]
+    assert (r3.n_words, r3.top_word_frac, r3.dup_trigram_frac,
+            r3.word_entropy) == (0, 0.0, 0.0, 0.0)
+
+    assert out[4].dup_trigram_frac == 0.0
+
+
+def test_repetition_null_text(spark):
+    df = _docs(spark, [(1, None)])
+    r = repetition_stats_df(df).collect()[0]
+    assert (r.n_words, r.word_entropy) == (0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# contamination_overlap
+# ---------------------------------------------------------------------------
+
+def test_contamination_planted_overlap(spark):
+    bench_text = "b1 b2 b3 b4 b5 b6 b7 b8 b9"      # doc_id 0 -> benchmark
+    df = _docs(spark, [
+        (0, bench_text),
+        # shares the 8-gram b1..b8 (prefix) with the benchmark doc
+        (1, "b1 b2 b3 b4 b5 b6 b7 b8 zzz"),
+        # no 8-gram overlap
+        (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+        # too short for any 8-gram
+        (3, "b1 b2 b3"),
+    ])
+    out = {r.doc_id: r for r in
+           contamination_overlap_df(df, bench_mod=50).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_overlap == 1 and out[1].contaminated
+    assert out[2].n_overlap == 0 and not out[2].contaminated
+    assert out[3].n_ngrams == 0 and out[3].n_overlap == 0
+
+
+def test_contamination_counts_distinct_ngrams_once(spark):
+    # training doc repeats the same contaminated 8-gram twice -> counted 1
+    g = "b1 b2 b3 b4 b5 b6 b7 b8"
+    df = _docs(spark, [(0, g), (1, f"{g} sep {g}")])
+    out = {r.doc_id: r for r in
+           contamination_overlap_df(df, bench_mod=50).collect()}
+    assert out[1].n_overlap == 1
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+def _strat_docs(spark, n=200):
+    rows = [(i, "t", ["en", "es", "zh"][i % 3], "src") for i in range(n)]
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_stratified_bucket_is_md5_derived(spark):
+    # md5('42') first 8 hex = a1d0c6e8 -> 0xa1d0c6e8 % 10000 = 4184
+    # (independently computed in DuckDB)
+    df = _strat_docs(spark, 100)
+    r = (stratified_sample_df(df).where(F.col("doc_id") == 42).collect())
+    assert len(r) == 1 and r[0].bucket == 4184
+
+
+def test_stratified_sample_layout_independent(spark):
+    df = _strat_docs(spark)
+    a = {r.doc_id for r in stratified_sample_df(df).collect()}
+    b = {r.doc_id for r in
+         stratified_sample_df(df.repartition(7, "lang")).collect()}
+    assert a == b and len(a) > 0
+    # zh keeps everything (rate 10000/10000)
+    zh = {i for i in range(200) if i % 3 == 2}
+    assert zh <= a
+
+
+def test_stratified_respects_rates(spark):
+    out = stratified_sample_df(_strat_docs(spark, 3000)).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, 0)
+        by_lang[r.lang] += 1
+    assert by_lang["zh"] == 1000
+    # binomial(1000, p) stays well inside +-6 sigma of the keep rate
+    assert 380 <= by_lang["en"] <= 620
+    assert 720 <= by_lang["es"] <= 880
+
+
+# ---------------------------------------------------------------------------
+# shard_assignment
+# ---------------------------------------------------------------------------
+
+def test_shard_two_level_matches_global_window(spark):
+    # sparse, shuffled doc_ids across several chunk boundaries
+    rows = [(i * 37 % 211, "w " * ((i * 13) % 29 + 1)) for i in range(100)]
+    rows = [(int(i), t.strip()) for i, t in dict(rows).items()]
+    df = _docs(spark, rows)
+    got = {(r.doc_id, r.n_tokens, r.shard)
+           for r in shard_assignment_df(df, budget=50, chunk=16).collect()}
+    naive = (
+        df.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", "\\s+"),
+                            lambda t: t != F.lit(""))).cast("bigint")
+            .alias("n_tokens"))
+        .select(
+            "doc_id", "n_tokens",
+            ((F.sum("n_tokens").over(
+                Window.orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)))
+             ).alias("off"))
+        .select("doc_id", "n_tokens",
+                F.expr("coalesce(off, 0) div 50").alias("shard"))
+    )
+    want = {(r.doc_id, r.n_tokens, r.shard) for r in naive.collect()}
+    assert got == want
+
+
+def test_shard_boundaries_monotone(spark):
+    df = _docs(spark, [(i, "a b c d") for i in range(50)])
+    out = sorted(shard_assignment_df(df, budget=10, chunk=8).collect(),
+                 key=lambda r: r.doc_id)
+    shards = [r.shard for r in out]
+    assert shards == sorted(shards)
+    # 4 tokens/doc, budget 10 -> docs 0,1 shard 0 (offsets 0,4), doc 2
+    # offset 8 -> shard 0, doc 3 offset 12 -> shard 1
+    assert shards[:4] == [0, 0, 0, 1]

@@ -375,7 +375,9 @@ def build_ivf_index(
         .select(F.col("__c.__cell").alias("__cell"),
                 F.col("__c.__cv").alias("centroid"))
     )
-    cent_rows.write.mode("overwrite").saveAsTable(f"{table_name}_centroids")
+    from ..sources.formats import save_table
+
+    save_table(cent_rows, f"{table_name}_centroids", single_file=True)
 
 
 def search_ivf_index(

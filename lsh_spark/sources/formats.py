@@ -55,6 +55,42 @@ def write_parquet(
     w.parquet(path)
 
 
+def clear_stale_table_location(spark: SparkSession, table_name: str) -> None:
+    """Remove a managed table's on-disk location when the directory
+    survives from an earlier session but the (in-memory) catalog has no
+    entry for it — ``mode("overwrite")`` only overwrites tables the
+    catalog KNOWS about, and ``saveAsTable`` fails with
+    LOCATION_ALREADY_EXISTS on the orphaned directory otherwise.  With a
+    persistent metastore the catalog check short-circuits, so this is a
+    no-op outside the stale-orphan case."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    if spark.catalog.tableExists(table_name):
+        return
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme not in ("", "file"):
+        return  # remote warehouse: nothing local to clean
+    loc = os.path.join(wh.path, table_name.lower())
+    if wh.path and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def save_table(df: DataFrame, table_name: str, *,
+               mode: str = "overwrite", single_file: bool = False) -> None:
+    """``saveAsTable`` that stays idempotent across sessions (see
+    :func:`clear_stale_table_location`).  ``single_file=True`` coalesces
+    tiny tables (meta rows, centroid lists) to one partition — a 1-row
+    createDataFrame otherwise inherits defaultParallelism and pays a
+    32-task write for 32 near-empty files (measured ~1.5 s of pure task
+    overhead locally)."""
+    clear_stale_table_location(df.sparkSession, table_name)
+    if single_file:
+        df = df.coalesce(1)
+    df.write.mode(mode).saveAsTable(table_name)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,
@@ -66,7 +102,17 @@ def write_bucketed_table(
 ) -> None:
     """Bucketed managed table: pre-shuffles once at write time so future
     equi-joins/aggregations on ``bucket_by`` skip their exchange entirely —
-    the standard way to amortize a hot join key across many queries."""
+    the standard way to amortize a hot join key across many queries.
+
+    The input is first repartitioned on the bucket columns with exactly
+    ``num_buckets`` partitions: ``repartition``'s murmur3 hash-partitioning
+    matches the bucket-id function, so every task holds exactly one bucket
+    and the table lands as ONE file per bucket.  Without it each of P
+    input partitions writes its own file per bucket — P×B small files
+    (measured locally: 1024 files for a 97k-row table; at 1000 executors ×
+    1000 buckets that is a million files per index build)."""
+    clear_stale_table_location(df.sparkSession, table_name)
+    df = df.repartition(num_buckets, *bucket_by)
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
     if sort_by:
         w = w.sortBy(*sort_by)

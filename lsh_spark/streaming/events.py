@@ -202,8 +202,12 @@ def streaming_near_dup_against_corpus(
     ``sources.formats.write_bucketed_table``) — the join logic is
     unchanged."""
     from ..operators.similarity_join import lsh_similarity_join
+    from ..sources.formats import clear_stale_table_location
 
     corpus.sparkSession.sql(f"DROP TABLE IF EXISTS {sink_table}")
+    # DROP only clears tables the catalog knows; a warehouse directory
+    # orphaned by an earlier session would still fail the first append
+    clear_stale_table_location(corpus.sparkSession, sink_table)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

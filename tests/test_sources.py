@@ -111,3 +111,29 @@ def test_append_mode_evicts_state(spark):
         + datetime.timedelta(hours=1)
         for r in rows)
     assert last_emitted <= horizon
+
+
+def test_bucketed_write_survives_orphaned_warehouse_dir(spark, tmp_path):
+    """A warehouse directory left by a DEAD session (catalog has no entry)
+    must not fail the next build with LOCATION_ALREADY_EXISTS — the gate
+    queries that build persisted indexes rebuild per run, and the driver
+    reuses /root/repo as cwd across rounds."""
+    import os
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from lsh_spark.sources.formats import write_bucketed_table
+
+    name = "orphan_rebuild_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    loc = os.path.join(wh.path, name)
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "stale-file"), "w") as f:
+        f.write("left by a previous session")
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    write_bucketed_table(df, name, bucket_by=["k"], num_buckets=4)
+    assert spark.table(name).count() == 100
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

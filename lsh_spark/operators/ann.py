@@ -378,6 +378,45 @@ def build_ivf_index(
     from ..sources.formats import save_table
 
     save_table(cent_rows, f"{table_name}_centroids", single_file=True)
+    # bucket spec rides with the data for attach_ivf_index (see the LSH
+    # index's meta row for rationale)
+    meta = corpus.sparkSession.range(1).select(
+        F.lit(vec_col).alias("vec_col"),
+        F.lit(id_col).alias("id_col"),
+        F.lit(n_lists).cast("int").alias("n_lists"),
+        F.lit(num_buckets).cast("int").alias("num_buckets"),
+    )
+    save_table(meta, f"{table_name}_meta", single_file=True)
+
+
+def attach_ivf_index(spark, table_name: str,
+                     location_root: str | None = None) -> None:
+    """Re-register a ``build_ivf_index`` written by an earlier session
+    (in-memory catalog loses managed tables between sessions; the files
+    survive).  Reads the bucket spec from the persisted meta row and
+    re-creates the cell-bucketed corpus + centroid tables as external
+    tables over their existing files, keeping ``search_ivf_index``'s
+    exchange-free corpus side."""
+    import os
+
+    from ..sources.formats import (
+        attach_bucketed_table,
+        attach_table,
+        _warehouse_path,
+    )
+
+    root = location_root or _warehouse_path(spark)
+
+    def loc(suffix: str) -> str:
+        name = f"{table_name}_{suffix}" if suffix else table_name
+        return os.path.join(root, name.lower())
+
+    attach_table(spark, f"{table_name}_meta", loc("meta"))
+    m = spark.table(f"{table_name}_meta").first()
+    attach_table(spark, f"{table_name}_centroids", loc("centroids"))
+    attach_bucketed_table(spark, table_name, bucket_by=["__cell"],
+                          num_buckets=m.num_buckets, sort_by=["__cell"],
+                          location=loc(""))
 
 
 def search_ivf_index(

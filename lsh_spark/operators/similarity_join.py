@@ -511,10 +511,48 @@ def build_lsh_corpus_index(
         F.lit(band_count).cast("int").alias("band_count"),
         F.lit(band_size).cast("int").alias("band_size"),
         F.lit(seed).cast("int").alias("seed"),
+        # the bucket spec rides with the data so attach_lsh_corpus_index
+        # can re-register the tables in a later session without guessing
+        F.lit(num_buckets).cast("int").alias("num_buckets"),
     )
     from ..sources.formats import save_table
 
     save_table(meta, f"{table_name}_meta", single_file=True)
+
+
+def attach_lsh_corpus_index(spark, table_name: str,
+                            location_root: str | None = None) -> None:
+    """Re-register a ``build_lsh_corpus_index`` written by an EARLIER
+    session: the default catalog is in-memory, so the bucketed tables'
+    files survive in the warehouse but the new session cannot see them —
+    exactly the amortization the index exists for.  Reads the bucket spec
+    from the persisted meta row and re-creates all three tables as
+    external tables over their existing files (bucket metadata included,
+    so probes keep their exchange-free corpus side).
+
+    ``location_root``: directory containing the ``<table_name>_bands`` /
+    ``_sets`` / ``_meta`` directories (defaults to the session warehouse).
+    No-op for tables the catalog already knows."""
+    import os
+
+    from ..sources.formats import (
+        attach_bucketed_table,
+        attach_table,
+        _warehouse_path,
+    )
+
+    root = location_root or _warehouse_path(spark)
+
+    def loc(suffix: str) -> str:
+        return os.path.join(root, f"{table_name}_{suffix}".lower())
+
+    attach_table(spark, f"{table_name}_meta", loc("meta"))
+    m = spark.table(f"{table_name}_meta").first()
+    attach_bucketed_table(spark, f"{table_name}_bands",
+                          bucket_by=["band_idx", "band_hash"],
+                          num_buckets=m.num_buckets, location=loc("bands"))
+    attach_bucketed_table(spark, f"{table_name}_sets", bucket_by=["__rid"],
+                          num_buckets=m.num_buckets, location=loc("sets"))
 
 
 def lsh_similarity_join_indexed(

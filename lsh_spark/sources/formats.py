@@ -189,3 +189,64 @@ def read_text(spark: SparkSession, path: str, *,
     row per file with ``wholetext`` — the front door for document
     pipelines whose corpus arrives as plain text files."""
     return spark.read.text(path, wholetext=whole_file)
+
+
+def _warehouse_path(spark: SparkSession) -> str:
+    from urllib.parse import urlparse
+
+    return urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+
+
+def attach_table(spark: SparkSession, table_name: str,
+                 location: str | None = None) -> None:
+    """(Re-)register an on-disk parquet table in the catalog as an
+    EXTERNAL table.  The default catalog is in-memory: managed tables
+    written by one session are invisible to the next even though their
+    files survive in the warehouse — which would defeat the whole point
+    of a persisted index.  ``location`` defaults to the table's warehouse
+    directory.  No-op if the catalog already knows the table."""
+    import os
+
+    if spark.catalog.tableExists(table_name):
+        return
+    location = location or os.path.join(_warehouse_path(spark),
+                                        table_name.lower())
+    schema = spark.read.parquet(location).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in schema.fields)
+    spark.sql(f"CREATE TABLE {table_name} ({cols}) USING parquet "
+              f"LOCATION '{location}'")
+
+
+def attach_bucketed_table(
+    spark: SparkSession,
+    table_name: str,
+    *,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    location: str | None = None,
+) -> None:
+    """:func:`attach_table` for a table written by
+    :func:`write_bucketed_table`: re-registers it WITH its bucket spec so
+    joins/aggregations on ``bucket_by`` keep skipping their exchange in
+    the new session.  The spec must match the one used at write time —
+    callers persist it alongside the data (e.g. the LSH index meta row)
+    rather than trusting a human to remember it."""
+    import os
+
+    if spark.catalog.tableExists(table_name):
+        return
+    location = location or os.path.join(_warehouse_path(spark),
+                                        table_name.lower())
+    schema = spark.read.parquet(location).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in schema.fields)
+    clustered = ", ".join(f"`{c}`" for c in bucket_by)
+    sorted_sql = (
+        f"SORTED BY ({', '.join(f'`{c}`' for c in sort_by)}) "
+        if sort_by else "")
+    spark.sql(
+        f"CREATE TABLE {table_name} ({cols}) USING parquet "
+        f"CLUSTERED BY ({clustered}) {sorted_sql}"
+        f"INTO {num_buckets} BUCKETS LOCATION '{location}'")

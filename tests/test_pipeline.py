@@ -332,3 +332,92 @@ def test_persisted_ivf_index_matches_in_memory_search(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql(f"DROP TABLE IF EXISTS {name}_centroids")
+
+
+def test_attach_lsh_index_cross_session(spark, tmp_path):
+    """Simulate the next-session deployment shape: the index files exist
+    but the (in-memory) catalog has no entries — attach re-registers them
+    WITH their bucket spec and probes return identical results."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.similarity_join import (
+        attach_lsh_corpus_index,
+        build_lsh_corpus_index,
+        lsh_similarity_join_indexed,
+    )
+    from lsh_spark.sources.formats import _warehouse_path
+    from lsh_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0).selectExpr(
+        "doc_id AS corpus_id", "text")
+    probe = docs.where(F.col("doc_id") % 2 == 1).limit(40).selectExpr(
+        "doc_id AS probe_id", "text")
+
+    for t in ("atchsrc", "atchnew"):
+        for sfx in ("bands", "sets", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{sfx}")
+    build_lsh_corpus_index(corpus, "atchsrc", text_col="text",
+                           id_col="corpus_id", ngram_width=3,
+                           band_count=8, band_size=2, seed=123,
+                           num_buckets=8)
+    want = sorted(
+        tuple(r) for r in lsh_similarity_join_indexed(
+            spark, "atchsrc", probe, "text", probe_id="probe_id",
+            threshold=0.5).collect())
+
+    # "new session": files on disk, catalog empty — copy the table dirs
+    # to a fresh location root and attach under a new index name
+    wh = _warehouse_path(spark)
+    for sfx in ("bands", "sets", "meta"):
+        shutil.copytree(os.path.join(wh, f"atchsrc_{sfx}"),
+                        tmp_path / f"atchnew_{sfx}")
+    attach_lsh_corpus_index(spark, "atchnew", location_root=str(tmp_path))
+
+    got = sorted(
+        tuple(r) for r in lsh_similarity_join_indexed(
+            spark, "atchnew", probe, "text", probe_id="probe_id",
+            threshold=0.5).collect())
+    assert got == want and len(got) > 0
+    # the re-registered table carries its bucket spec (exchange-free reads)
+    desc = spark.sql("DESCRIBE EXTENDED atchnew_bands").collect()
+    desc_txt = "\n".join(f"{r.col_name} {r.data_type}" for r in desc)
+    assert "Num Buckets 8" in desc_txt
+    # attach is idempotent
+    attach_lsh_corpus_index(spark, "atchnew", location_root=str(tmp_path))
+
+
+def test_attach_ivf_index_cross_session(spark, tmp_path):
+    import os
+    import shutil
+
+    from lsh_spark.operators.ann import (
+        attach_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from lsh_spark.sources.formats import _warehouse_path
+    from lsh_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.limit(10)
+    for t in ("ivfsrc", "ivfnew"):
+        for sfx in ("", "_centroids", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{sfx}")
+    build_ivf_index(emb, "ivfsrc", n_lists=4, n_iters=1, num_buckets=4)
+    want = sorted(tuple(r) for r in search_ivf_index(
+        spark, "ivfsrc", queries, k=5, n_probe=2).collect())
+
+    wh = _warehouse_path(spark)
+    for sfx in ("", "_centroids", "_meta"):
+        shutil.copytree(os.path.join(wh, f"ivfsrc{sfx}"),
+                        tmp_path / f"ivfnew{sfx}")
+    attach_ivf_index(spark, "ivfnew", location_root=str(tmp_path))
+    got = sorted(tuple(r) for r in search_ivf_index(
+        spark, "ivfnew", queries, k=5, n_probe=2).collect())
+    assert got == want and len(got) > 0

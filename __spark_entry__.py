@@ -75,6 +75,9 @@ def _registry() -> dict[str, tuple[Callable, str | None]]:
 
     merged.update(streaming_events.QUERIES)
     merged.update(streaming_documents.QUERIES)
+    # late additions register AFTER the streaming families so the earlier
+    # registry positions (and their driver-row history) stay stable
+    merged.update(relational.QUERIES_LATE)
     ordered = {k: v for k, v in merged.items() if k not in _REDUNDANT_TAIL}
     for k in _REDUNDANT_TAIL:
         if k in merged:

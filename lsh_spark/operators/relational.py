@@ -634,3 +634,122 @@ WHERE rank <= 10
 QUERIES["errors_with_nearby_clicks"] = (
     errors_with_nearby_clicks, RANGE_JOIN_ORACLE)
 QUERIES["top_terms_per_lang"] = (top_terms_per_lang, TOP_TERMS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions (registered AFTER the streaming families so earlier
+# registry positions — and their driver-row history — stay stable)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.window import Window
+
+QUERIES_LATE: dict = {}
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated-minimum query over the tables this lake
+    has (no partsupp): for every small part (``p_size < 15``), the
+    supplier(s) whose lineitem achieved the LOWEST extended price for
+    that part — i.e. ``WHERE price = (SELECT min(price) ... WHERE
+    l_partkey = p_partkey)`` decorrelated into a window minimum.
+
+    Scale shape: part is filtered then broadcast; the window partitions
+    by ``l_partkey`` over the already part-pruned join output, so the one
+    shuffle is keyed by partkey (no correlated re-scan per row — the
+    subquery form would rescan lineitem per part on a naive engine);
+    supplier/nation are broadcast dims."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") < 15)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    priced = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("p_partkey", "p_brand", "l_suppkey",
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                .alias("__price"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        priced.withColumn("__min_price", F.min("__price").over(w))
+        .where(F.col("__price") == F.col("__min_price"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey", "p_brand", "s_name",
+            F.col("n_name").alias("supplier_nation"),
+            F.col("__min_price").cast("double").alias("min_price"),
+        )
+    )
+
+
+MIN_COST_SUPPLIER_ORACLE = """
+WITH priced AS (
+  SELECT p.p_partkey, p.p_brand, l.l_suppkey,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_size < 15
+),
+m AS (
+  SELECT *, min(price) OVER (PARTITION BY p_partkey) AS min_p
+  FROM priced
+)
+SELECT m.p_partkey, m.p_brand, s.s_name,
+       n.n_name AS supplier_nation,
+       CAST(m.min_p AS DOUBLE) AS min_price
+FROM m
+JOIN supplier s ON m.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE m.price = m.min_p
+"""
+
+QUERIES_LATE["min_cost_supplier"] = (min_cost_supplier,
+                                     MIN_COST_SUPPLIER_ORACLE)
+
+
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped "large orders" query: orders whose total lineitem
+    quantity exceeds 250, with their customer — the aggregate-then-
+    semi-join-back pattern (``HAVING`` feeding an ``IN`` subquery).
+
+    Scale shape: the qualifying-order set is produced by ONE lineitem
+    hash-aggregate (map-side partial combine does most of the work); the
+    join back to orders is keyed on orderkey and customer is a broadcast
+    dim — no repeated scan of lineitem for the IN-list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+             .alias("__qty"))
+        .where(F.col("__qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .alias("o_totalprice"),
+            F.col("__qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+LARGE_QTY_ORDERS_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY l_orderkey HAVING qty > 250
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+       CAST(big.qty AS DOUBLE) AS total_qty
+FROM big
+JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+QUERIES_LATE["large_quantity_orders"] = (large_quantity_orders,
+                                         LARGE_QTY_ORDERS_ORACLE)

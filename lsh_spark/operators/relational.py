@@ -753,3 +753,73 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 
 QUERIES_LATE["large_quantity_orders"] = (large_quantity_orders,
                                          LARGE_QTY_ORDERS_ORACLE)
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analytics: users who completed
+    view → click → purchase IN ORDER — each stage's timestamp is the
+    FIRST occurrence strictly after the previous stage (the standard
+    ordered-funnel semantics, not mere presence of all three types).
+
+    Scale shape: three conditional min-aggregates keyed by user_id, each
+    chained through an equi-join on user_id — every stage is one
+    partial-combined hash aggregate plus a co-keyed join, so the whole
+    funnel re-uses a single user_id partitioning and never sorts or
+    windows the raw event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("__t_view"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, on="user_id")
+        .where(F.col("ts") > F.col("__t_view"))
+        .groupBy("user_id")
+        .agg(F.first("__t_view").alias("__t_view"),
+             F.min("ts").alias("__t_click"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, on="user_id")
+        .where(F.col("ts") > F.col("__t_click"))
+        .groupBy("user_id")
+        .agg(F.first("__t_view").alias("__t_view"),
+             F.first("__t_click").alias("__t_click"),
+             F.min("ts").alias("__t_purchase"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return t3.select(
+        "user_id",
+        F.date_format("__t_view", fmt).alias("first_view"),
+        F.date_format("__t_click", fmt).alias("first_click_after_view"),
+        F.date_format("__t_purchase", fmt).alias("first_purchase_after_click"),
+    )
+
+
+EVENTS_FUNNEL_ORACLE = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, any_value(t1.t_view) AS t_view, min(e.ts) AS t_click
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t_view
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, any_value(t2.t_view) AS t_view,
+         any_value(t2.t_click) AS t_click, min(e.ts) AS t_purchase
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+  GROUP BY e.user_id
+)
+SELECT user_id,
+       strftime(t_view, '%Y-%m-%d %H:%M:%S') AS first_view,
+       strftime(t_click, '%Y-%m-%d %H:%M:%S') AS first_click_after_view,
+       strftime(t_purchase, '%Y-%m-%d %H:%M:%S') AS first_purchase_after_click
+FROM t3
+"""
+
+QUERIES_LATE["events_funnel"] = (events_funnel, EVENTS_FUNNEL_ORACLE)

@@ -137,3 +137,27 @@ def test_bucketed_write_survives_orphaned_warehouse_dir(spark, tmp_path):
     write_bucketed_table(df, name, bucket_by=["k"], num_buckets=4)
     assert spark.table(name).count() == 100
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_write_one_file_per_bucket(spark, tmp_path):
+    """The pre-write repartition must keep bucketed tables at one file
+    per bucket: without it every input partition writes its own file per
+    bucket (P x B small files — the metadata scale-killer)."""
+    import os
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from lsh_spark.sources.formats import write_bucketed_table
+
+    name = "bucket_filecount_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    df = (spark.range(10_000).repartition(8)
+          .select("id", (F.col("id") % 97).alias("k")))
+    write_bucketed_table(df, name, bucket_by=["k"], num_buckets=4)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    files = [f for f in os.listdir(os.path.join(wh, name))
+             if f.endswith(".parquet")]
+    assert len(files) <= 4, files
+    assert spark.table(name).count() == 10_000
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

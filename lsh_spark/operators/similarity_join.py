@@ -54,8 +54,13 @@ from ..plans.cache import track
 
 def _batch_jaccard(va: list, vb: list) -> "np.ndarray":
     """|A∩B|/|A∪B| for aligned lists of sorted-unique int32 arrays — one
-    vectorized merge for the whole batch."""
+    vectorized merge for the whole batch.  The row-tagged concatenations
+    are globally sorted by construction, so the overlap count is one
+    radix-stable merge (``sorted_intersect_counts``), not a comparison
+    sort."""
     import numpy as np
+
+    from .._core.batch import sorted_intersect_counts
 
     la = np.fromiter((len(x) for x in va), dtype=np.int64, count=len(va))
     lb = np.fromiter((len(x) for x in vb), dtype=np.int64, count=len(vb))
@@ -66,8 +71,7 @@ def _batch_jaccard(va: list, vb: list) -> "np.ndarray":
     kb = (np.repeat(rows, lb) << 32) | (
         np.concatenate(vb).astype(np.int64) & 0xFFFFFFFF
         if lb.sum() else np.empty(0, dtype=np.int64))
-    inter = np.intersect1d(ka, kb, assume_unique=True)
-    ni = np.bincount(inter >> 32, minlength=len(va))
+    ni = sorted_intersect_counts(ka, kb, len(va))
     union = la + lb - ni
     return np.where(union > 0, ni / np.maximum(union, 1), 0.0)
 

@@ -44,7 +44,8 @@ from ..plans.cache import track
 # Exact-Jaccard verification (the reference's set ratio,
 # ``shingleset.rs:50-57``: 0.0 when either side is empty) runs as ONE
 # mapInPandas pass: a vectorized numpy batch-merge (values row-tagged in
-# the high 32 bits, one intersect1d per Arrow batch) that filters and
+# the high 32 bits, one radix-stable merge per Arrow batch — see
+# ``_core.batch.sorted_intersect_counts``) that filters and
 # projects in the same pass.  Measured on the sf0.1 flagship workload
 # (5.2M pairs): the batch merge is 3.6× faster than Catalyst
 # ``array_intersect`` (per-row hash-set builds cost ~55 µs/pair), and the
@@ -613,3 +614,37 @@ def lsh_similarity_join_indexed(
     if keep_similarity:
         cols.append(F.col("__jaccard").alias("jaccard"))
     return verified.select(*cols)
+
+
+def extend_lsh_corpus_index(
+    corpus_delta: DataFrame,
+    table_name: str,
+) -> None:
+    """Incrementally grow a persisted ``build_lsh_corpus_index`` with new
+    documents: shingle/band ONLY the delta (using the banding parameters
+    pinned in the index's meta row — drift is impossible) and APPEND to
+    the bucketed ``_bands``/``_sets`` tables.  Spark honors the existing
+    bucket spec on append, so probes keep their exchange-free corpus side
+    (pinned by tests).
+
+    This is the daily-ingest shape at scale: the corpus-wide shuffle
+    happened once at build time; each increment shuffles only the delta.
+
+    Caller contract: delta ids must be NEW (not already indexed) — id
+    dedup against the index is a full ``_sets`` scan, exactly the cost
+    this operator exists to avoid; dedup the delta upstream (e.g. with
+    ``lsh_dedup_keep_first``) if ids can repeat."""
+    from ..sources.formats import write_bucketed_table
+
+    spark = corpus_delta.sparkSession
+    m = spark.table(f"{table_name}_meta").first()
+    sets = _with_sets(corpus_delta, m.id_col, m.text_col, m.ngram_width,
+                      "__rid", "__rset")
+    track(sets.persist(StorageLevel.MEMORY_AND_DISK))
+    blocks = _band_blocks(sets, "__rid", "__rset",
+                          m.band_count, m.band_size, m.seed)
+    write_bucketed_table(blocks, f"{table_name}_bands",
+                         bucket_by=["band_idx", "band_hash"],
+                         num_buckets=m.num_buckets, mode="append")
+    write_bucketed_table(sets, f"{table_name}_sets", bucket_by=["__rid"],
+                         num_buckets=m.num_buckets, mode="append")

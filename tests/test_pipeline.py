@@ -421,3 +421,48 @@ def test_attach_ivf_index_cross_session(spark, tmp_path):
     got = sorted(tuple(r) for r in search_ivf_index(
         spark, "ivfnew", queries, k=5, n_probe=2).collect())
     assert got == want and len(got) > 0
+
+
+def test_extend_lsh_index_matches_full_rebuild(spark):
+    """Incremental append: building on half the corpus then extending
+    with the other half must probe IDENTICALLY to one full build, and
+    the appended tables must keep their bucket spec."""
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.similarity_join import (
+        build_lsh_corpus_index,
+        extend_lsh_corpus_index,
+        lsh_similarity_join_indexed,
+    )
+    from lsh_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0).selectExpr(
+        "doc_id AS corpus_id", "text")
+    probe = docs.where(F.col("doc_id") % 2 == 1).limit(40).selectExpr(
+        "doc_id AS probe_id", "text")
+    half1 = corpus.where(F.col("corpus_id") % 4 == 0)
+    half2 = corpus.where(F.col("corpus_id") % 4 == 2)
+
+    for t in ("extfull", "extinc"):
+        for sfx in ("bands", "sets", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{sfx}")
+    kw = dict(text_col="text", id_col="corpus_id", ngram_width=3,
+              band_count=8, band_size=2, seed=123, num_buckets=8)
+    build_lsh_corpus_index(corpus, "extfull", **kw)
+    build_lsh_corpus_index(half1, "extinc", **kw)
+    extend_lsh_corpus_index(half2, "extinc")
+
+    want = sorted(tuple(r) for r in lsh_similarity_join_indexed(
+        spark, "extfull", probe, "text", probe_id="probe_id",
+        threshold=0.5).collect())
+    got = sorted(tuple(r) for r in lsh_similarity_join_indexed(
+        spark, "extinc", probe, "text", probe_id="probe_id",
+        threshold=0.5).collect())
+    assert got == want and len(got) > 0
+    # bucketing survives the append: a groupBy on the bucket key of the
+    # appended table plans with no Exchange
+    plan = (spark.table("extinc_sets").groupBy("__rid").count()
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan

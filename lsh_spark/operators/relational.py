@@ -823,3 +823,83 @@ FROM t3
 """
 
 QUERIES_LATE["events_funnel"] = (events_funnel, EVENTS_FUNNEL_ORACLE)
+
+
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (crosstab): per user, event counts spread across one column
+    per event type plus that user's total value.  The pivot values are
+    enumerated explicitly — with them Spark plans ONE aggregate pass
+    (conditional counts), without them it must first scan for the
+    distinct values (an extra job before the real one)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    totals = ev.groupBy("user_id").agg(
+        F.expr("CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)")
+        .alias("total_value"))
+    out_cols = [F.coalesce(F.col(t), F.lit(0)).cast("bigint")
+                .alias(f"n_{t}") for t in types]
+    return piv.join(totals, on="user_id").select(
+        "user_id", *out_cols, "total_value")
+
+
+EVENTS_TYPE_PIVOT_ORACLE = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_value
+FROM events GROUP BY user_id
+"""
+
+QUERIES_LATE["events_type_pivot"] = (events_type_pivot,
+                                     EVENTS_TYPE_PIVOT_ORACLE)
+
+
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (full grouping-sets lattice) over returnflag × linestatus:
+    every combination including both margins and the grand total, with
+    GROUPING markers distinguishing real NULLs from subtotal rows.  One
+    expand+aggregate pass — the grouping-sets expansion happens map-side,
+    so the shuffle carries each input row once per lattice level but
+    never re-scans the source."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            # grouping() must be evaluated inside the cube aggregate
+            # (Spark rejects it in a later projection)
+            F.grouping("l_returnflag").cast("int").alias("g_returnflag"),
+            F.grouping("l_linestatus").cast("int").alias("g_linestatus"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)"
+                   " AS DOUBLE)").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "g_returnflag", "g_linestatus", "n_rows", "sum_qty",
+        )
+    )
+
+
+LINEITEM_CUBE_ORACLE = """
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_returnflag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_linestatus,
+       count(*) AS n_rows,
+       CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+QUERIES_LATE["lineitem_cube"] = (lineitem_cube, LINEITEM_CUBE_ORACLE)

@@ -42,7 +42,33 @@ from pyspark.sql import DataFrame, SparkSession
 #     structurally-identical high_value_order_customers semi-join row;
 #   * text_stats is pure JVM column arithmetic, green in r2/r3 for
 #     unchanged code, and its harder sibling text_quality keeps its row.
+# Round-4 additions to the tail (same hedging logic: the round-4 registry
+# has more never-checked queries than a 50-row cap can cover, so queries
+# whose correctness has the strongest NON-driver evidence cede their
+# slots; all are hash-match green in r3 — most in r2 too — for code
+# untouched since):
+#   * top_orders_per_customer / high_value_order_customers: green r1-r3;
+#     the window-rank and semi-join families keep driver rows via
+#     min_cost_supplier and large_quantity_orders;
+#   * euclidean_signatures: bit-pinned by the reference golden vectors,
+#     and the euclidean band machinery keeps driver coverage through
+#     ann_lsh_topk + embedding_near_dup_lsh_pairs;
+#   * ann_topk: the brute-force baseline; all three harder ANN variants
+#     (lsh/ivf/ivf_flat) keep their rows;
+#   * media_features: the strictly-harder media_raw_features (real RAW
+#     decode) keeps its row;
+#   * kmv_doc_stats / doc_fingerprints / distinct_ngram_counts:
+#     deterministic per-row transforms, green r3, pinned by pytest
+#     property/exact-twin tests.
 _REDUNDANT_TAIL = [
+    "top_orders_per_customer",
+    "high_value_order_customers",
+    "euclidean_signatures",
+    "ann_topk",
+    "media_features",
+    "kmv_doc_stats",
+    "doc_fingerprints",
+    "distinct_ngram_counts",
     "event_type_distribution",
     "part_brand_stats",
     "customers_without_orders",
@@ -78,6 +104,7 @@ def _registry() -> dict[str, tuple[Callable, str | None]]:
     # late additions register AFTER the streaming families so the earlier
     # registry positions (and their driver-row history) stay stable
     merged.update(relational.QUERIES_LATE)
+    merged.update(pipeline_queries.QUERIES_LATE)
     ordered = {k: v for k, v in merged.items() if k not in _REDUNDANT_TAIL}
     for k in _REDUNDANT_TAIL:
         if k in merged:

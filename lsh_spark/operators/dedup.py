@@ -248,3 +248,68 @@ def embedding_near_dup_lsh(
         .where(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def semantic_dedup_cells(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 32,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: cluster embeddings with the
+    training-free IVF coarse quantizer (the ``n_lists`` lowest-id vectors
+    are the centroids — fully deterministic, so a DuckDB oracle reproduces
+    cells AND verdicts), then keep, within each cell, only vectors with no
+    lower-id cell-mate at cosine ≥ ``threshold``.
+
+    Returns every input row as (``id_col``, cell, is_representative) —
+    the assignment plus the retention verdict.
+
+    100 TB shape: cell assignment is a zero-shuffle projection against the
+    broadcast centroid array (same kernel as ``ann.ivf_flat_topk``); the
+    candidate stage self-joins (id, cell) pairs ONLY — vectors re-attach
+    to candidate pairs by id, so shuffle payloads are ids, never the
+    embedding column, and pair volume is bounded by within-cell sizes
+    instead of |corpus|².  Raising ``n_lists`` is the knob that caps cell
+    width as the corpus grows."""
+    from .ann import _cells_array, _ivf_dists
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    cents = F.broadcast(_cells_array(df, id_col, vec_col, n_lists))
+    assigned = (
+        base.crossJoin(cents)
+        .withColumn("__cell",
+                    F.array_min(_ivf_dists("__v"))["cell"].cast("int"))
+        .select("__id", "__v", "__cell")
+    )
+    ids = assigned.select("__id", "__cell")
+    a = ids.select(F.col("__id").alias("id_a"), "__cell")
+    b = ids.select(F.col("__id").alias("id_b"), "__cell")
+    pairs = (
+        a.join(b, on="__cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    va = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    dropped = (
+        pairs.join(va, on="id_a").join(vb, on="id_b")
+        .where(F.round(cosine("__va", "__vb"), 6) >= threshold)
+        .select(F.col("id_b").alias("__id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__dropped", F.lit(True)),
+                      on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cell").alias("cell"),
+            F.coalesce(~F.col("__dropped"), F.lit(True))
+            .alias("is_representative"),
+        )
+    )

@@ -792,3 +792,60 @@ WHERE c.id NOT IN (SELECT id_b FROM ver)
 
 
 QUERIES["clean_corpus"] = (clean_corpus, _clean_corpus_oracle())
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (late registration: keeps earlier registry
+# positions — and their driver-row history — stable)
+# ---------------------------------------------------------------------------
+
+_SEM_LISTS = 32
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup over the embeddings table: cluster
+    with the deterministic training-free quantizer, keep within each cell
+    only vectors with no lower-id cell-mate at cosine ≥ threshold.  The
+    whole index — cells, candidate pairs, verdicts — reproduces in the
+    DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup_cells(
+        emb, n_lists=_SEM_LISTS, threshold=_EMB_DUP_THRESHOLD)
+
+
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH cent0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+  ORDER BY vec_id LIMIT {_SEM_LISTS}
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, cv FROM cent0
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_SQDIST.format(a='v', b='cv')} ASC, cell ASC) AS r
+  FROM base CROSS JOIN cent
+),
+cells AS (SELECT vec_id, v, cell FROM assign WHERE r = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0
+                    AND sqrt(list_dot_product(b.v, b.v)) > 0
+              THEN list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v)))
+              ELSE 0.0 END, 6) >= {_EMB_DUP_THRESHOLD}
+)
+SELECT c.vec_id, c.cell::INT AS cell,
+       c.vec_id NOT IN (SELECT vec_id FROM dropped) AS is_representative
+FROM cells c
+"""
+
+
+QUERIES_LATE = {
+    "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_ORACLE),
+}

@@ -903,3 +903,86 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 QUERIES_LATE["lineitem_cube"] = (lineitem_cube, LINEITEM_CUBE_ORACLE)
+
+
+def events_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention analytics: users grouped by the ISO week of their
+    FIRST event (the cohort), counted per (cohort, weeks-since-cohort)
+    activity cell — the classic retention triangle.
+
+    Scale shape: one user-keyed aggregate finds first-event times, the
+    events stream joins it on the SAME user_id key (the aggregate's
+    partitioning is reused — no second full shuffle of events beyond the
+    join), and the retention cells come from a map-side-combinable
+    count-distinct aggregate over (cohort_week, week_offset)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("__first_ts"))
+    joined = ev.join(firsts, on="user_id")
+    cohort = F.date_trunc("week", F.col("__first_ts"))
+    week = F.date_trunc("week", F.col("ts"))
+    return (
+        joined.select(
+            F.date_format(cohort, "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(week, cohort) / 7).cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+EVENTS_WEEKLY_COHORTS_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+)
+SELECT strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+       (date_diff('day', date_trunc('week', f.first_ts),
+                  date_trunc('week', e.ts)) // 7)::INT AS week_offset,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+"""
+
+QUERIES_LATE["events_weekly_cohorts"] = (events_weekly_cohorts,
+                                         EVENTS_WEEKLY_COHORTS_ORACLE)
+
+
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer-order histogram: orders per customer
+    (excluding the low-priority band), INCLUDING zero-order customers,
+    rolled into a (order_count → customer count) distribution.
+
+    Scale shape: the per-customer counts come from ONE orders aggregate
+    (map-side combine), which is then outer-joined to the customer keys —
+    never the other way around (joining raw orders to customers first
+    would shuffle the fact table wider than needed); the final histogram
+    aggregate is tiny."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.where(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey").agg(F.count("*").alias("__n"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+CUSTOMER_ORDER_COUNTS_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n FROM orders
+  WHERE o_orderpriority <> '5-LOW' GROUP BY 1
+),
+counts AS (
+  SELECT coalesce(p.n, 0) AS c_count
+  FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+)
+SELECT c_count, count(*) AS custdist FROM counts GROUP BY 1
+"""
+
+QUERIES_LATE["customer_order_counts"] = (customer_order_counts,
+                                         CUSTOMER_ORDER_COUNTS_ORACLE)

@@ -466,3 +466,43 @@ def test_extend_lsh_index_matches_full_rebuild(spark):
     plan = (spark.table("extinc_sets").groupBy("__rid").count()
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_semantic_dedup_cells_drops_within_cell_dups(spark):
+    """Planted near-identical vectors in the same cell: only the lowest id
+    survives; distant vectors stay representative; every input row comes
+    back exactly once with its cell assignment."""
+    from lsh_spark.operators.dedup import semantic_dedup_cells
+
+    rows = [
+        # ids 0..3 are the centroids (n_lists=4): four well-separated axes
+        (0, [10.0, 0.0, 0.0]),
+        (1, [0.0, 10.0, 0.0]),
+        (2, [0.0, 0.0, 10.0]),
+        (3, [-10.0, -10.0, -10.0]),
+        # near-dups of centroid 0's direction → same cell, cosine ≈ 1
+        (10, [9.0, 0.1, 0.0]),
+        (11, [8.0, 0.05, 0.0]),
+        # same cell as centroid 1 but far in angle from everything there?
+        # no — aligned with axis 1, so it collides with id 1 at cos≈1
+        (12, [0.0, 7.0, 0.2]),
+        # lands in cell 2 (closest to [0,0,10]) but at cos≈0.71 from the
+        # centroid — below threshold, so it survives despite sharing a cell
+        (13, [3.0, 4.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_cells(df, n_lists=4, threshold=0.95).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(out) == len(rows)
+    # lowest id per similarity group survives
+    assert by_id[0].is_representative
+    assert not by_id[10].is_representative
+    assert not by_id[11].is_representative
+    assert by_id[1].is_representative
+    assert not by_id[12].is_representative
+    # 13 shares cell 2 with the centroid but is angularly distant → survives
+    assert by_id[13].is_representative
+    assert by_id[13].cell == by_id[2].cell
+    # cell assignment: near-dups share their centroid's cell
+    assert by_id[10].cell == by_id[0].cell == by_id[11].cell
+    assert by_id[12].cell == by_id[1].cell

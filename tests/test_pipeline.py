@@ -483,8 +483,7 @@ def test_semantic_dedup_cells_drops_within_cell_dups(spark):
         # near-dups of centroid 0's direction → same cell, cosine ≈ 1
         (10, [9.0, 0.1, 0.0]),
         (11, [8.0, 0.05, 0.0]),
-        # same cell as centroid 1 but far in angle from everything there?
-        # no — aligned with axis 1, so it collides with id 1 at cos≈1
+        # aligned with axis 1 → cell 1, collides with id 1 at cos≈1
         (12, [0.0, 7.0, 0.2]),
         # lands in cell 2 (closest to [0,0,10]) but at cos≈0.71 from the
         # centroid — below threshold, so it survives despite sharing a cell

@@ -76,3 +76,34 @@ def tune_bands(
             f"{max_signature_size} reaches recall {target_recall} at "
             f"threshold {threshold}")
     return best
+
+
+def euclidean_collision_probability(distance: float, bucket_width: float) -> float:
+    """Per-projection collision probability of p-stable Euclidean LSH for
+    two points at ``distance`` (Datar et al. 2004): the probability two
+    points land in the same width-``bucket_width`` bucket of a random
+    Gaussian projection."""
+    from math import erf, exp, pi, sqrt
+
+    if distance <= 0:
+        return 1.0
+    c = bucket_width / distance
+    phi_neg = 0.5 * (1.0 + erf(-c / sqrt(2.0)))
+    return (1.0 - 2.0 * phi_neg
+            - (2.0 / (sqrt(2.0 * pi) * c)) * (1.0 - exp(-c * c / 2.0)))
+
+
+def euclidean_banding_pass_rate(
+    distance: float, bucket_width: float, band_count: int, band_size: int,
+) -> float:
+    """P(≥1 band collides) for a pair at ``distance`` under
+    (band_count, band_size) Euclidean-LSH banding — the S-curve of the
+    Euclidean family, used to predict whether banding actually blocks.
+
+    For unit-norm embeddings an unrelated pair sits near distance √2
+    (cosine ≈ 0), so ``euclidean_banding_pass_rate(sqrt(2), w, b, r)``
+    estimates the background pass rate: if it is high, the blocking join
+    degenerates into the full cross product and a verify-first plan wins
+    (see ``dedup.embedding_near_dup_lsh``)."""
+    p = euclidean_collision_probability(distance, bucket_width)
+    return collision_probability(p, band_count, band_size)

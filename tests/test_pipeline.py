@@ -505,3 +505,57 @@ def test_semantic_dedup_cells_drops_within_cell_dups(spark):
     # cell assignment: near-dups share their centroid's cell
     assert by_id[10].cell == by_id[0].cell == by_id[11].cell
     assert by_id[12].cell == by_id[1].cell
+
+
+def test_allpairs_tile_kernel_matches_jvm_crossjoin(spark):
+    """The blocked-tile cosine kernel must reproduce the JVM fold-based
+    crossJoin pair scoring bit for bit (same rounded values, same pairs),
+    including across block boundaries and for zero vectors."""
+    import random
+
+    from lsh_spark.functions.vector import cosine as jvm_cosine
+    from lsh_spark.operators.dedup import embedding_allpairs_cosine
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    rows.append((80, [0.0] * 16))  # zero vector → cosine defined as 0.0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    tile = embedding_allpairs_cosine(df, threshold=0.2, block_count=5)
+    base = df.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = base.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(jvm_cosine("va", "vb"), 6))
+        .where(F.col("cosine_sim") >= 0.2)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+    t = {(r.id_a, r.id_b): r.cosine_sim for r in tile.collect()}
+    s = {(r.id_a, r.id_b): r.cosine_sim for r in brute.collect()}
+    assert t == s and len(t) > 0
+
+
+def test_embedding_near_dup_strategies_agree(spark):
+    """block and verify_first are two physical plans for one logical
+    result — they must return identical pair sets and values."""
+    import random
+
+    from lsh_spark.operators.dedup import embedding_near_dup_lsh
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+        if i % 7 == 0:  # planted near-dups
+            rows.append((1000 + i, [x + rng.gauss(0, 0.05) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.8, bucket_width=2.0, band_count=8, band_size=1,
+              seed=123)
+    blk = embedding_near_dup_lsh(df, strategy="block", **kw)
+    vf = embedding_near_dup_lsh(df, strategy="verify_first", block_count=4,
+                                **kw)
+    b = {(r.id_a, r.id_b): r.cosine_sim for r in blk.collect()}
+    v = {(r.id_a, r.id_b): r.cosine_sim for r in vf.collect()}
+    assert b == v and len(b) > 0

@@ -77,6 +77,100 @@ def _batch_jaccard(va: list, vb: list) -> "np.ndarray":
     return np.where(union > 0, ni / np.maximum(union, 1), 0.0)
 
 
+def _collect_sets_broadcast(sets: DataFrame, id_alias: str, set_alias: str):
+    """Flatten the cached (id, sorted-set) table into three numpy arrays —
+    (sorted_ids, offsets, flat_values) — and broadcast them to the Python
+    workers.  Same driver-side data volume as the JVM broadcast-hash join
+    this replaces (that join also collects the build side to the driver),
+    but the verify kernel can then gather sets BY ID: candidate pairs
+    cross the Arrow boundary as bare (id_a, id_b) rows instead of
+    carrying two ~KB set payloads each — on the sf0.1 flagship that cuts
+    the UDF input from ~5 GB to ~35 MB."""
+    import numpy as np
+
+    pdf = sets.select(id_alias, set_alias).toPandas()
+    ids = pdf[id_alias].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    arrs = pdf[set_alias].to_numpy()[order]
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                       count=len(arrs))
+    offsets = np.zeros(len(arrs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = (np.concatenate(arrs).astype(np.int32) if lens.sum()
+            else np.empty(0, dtype=np.int32))
+    from ..plans.cache import track_broadcast
+
+    return track_broadcast(sets.sparkSession.sparkContext.broadcast(
+        (ids[order], offsets, flat)))
+
+
+def _gather_segments(flat, offsets, idx, lens):
+    """Vectorized multi-segment gather: concatenation of
+    ``flat[offsets[i]:offsets[i]+lens_by_row[i]]`` for each i in idx."""
+    import numpy as np
+
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype)
+    out_starts = np.cumsum(lens) - lens
+    within = np.arange(total, dtype=np.int64) - np.repeat(out_starts, lens)
+    return flat[np.repeat(offsets[idx], lens) + within]
+
+
+def _verify_pairs_from_broadcast(pairs: DataFrame, id_a: str, id_b: str,
+                                 bc_a, bc_b, threshold: float,
+                                 out_sim: str) -> DataFrame:
+    """Exact-Jaccard verification over BARE id pairs: shingle sets come
+    from the broadcast flat tables (``_collect_sets_broadcast``), the
+    size-ratio prune and the radix-stable merge both run inside the
+    kernel.  Bit-identical results to the attach-join path (same merge,
+    same prune inequality) with none of its per-pair set shipping."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from .._core.batch import sorted_intersect_counts
+
+    src = pairs.select(id_a, id_b)
+    schema = StructType([
+        src.schema[id_a], src.schema[id_b],
+        StructField(out_sim, DoubleType(), True),
+    ])
+
+    def verify(batches):
+        ids_a, off_a, flat_a = bc_a.value
+        ids_b, off_b, flat_b = bc_b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = np.searchsorted(ids_a, pdf[id_a].to_numpy(dtype=np.int64))
+            ib = np.searchsorted(ids_b, pdf[id_b].to_numpy(dtype=np.int64))
+            la = off_a[ia + 1] - off_a[ia]
+            lb = off_b[ib + 1] - off_b[ib]
+            # exact size-ratio prune: jaccard > t needs
+            # min(|A|,|B|) > t*max(|A|,|B|) — zero false negatives
+            ok = np.minimum(la, lb) > threshold * np.maximum(la, lb)
+            if not ok.any():
+                continue
+            ia, ib, la, lb = ia[ok], ib[ok], la[ok], lb[ok]
+            n = len(ia)
+            rows = np.arange(n, dtype=np.int64)
+            ka = (np.repeat(rows, la) << 32) | (
+                _gather_segments(flat_a, off_a, ia, la).astype(np.int64)
+                & 0xFFFFFFFF)
+            kb = (np.repeat(rows, lb) << 32) | (
+                _gather_segments(flat_b, off_b, ib, lb).astype(np.int64)
+                & 0xFFFFFFFF)
+            ni = sorted_intersect_counts(ka, kb, n)
+            union = la + lb - ni
+            j = np.where(union > 0, ni / np.maximum(union, 1), 0.0)
+            keep = j > threshold
+            out = pdf.loc[ok, [id_a, id_b]].iloc[keep].copy()
+            out[out_sim] = j[keep]
+            yield out
+
+    return src.mapInPandas(verify, schema=schema)
+
+
 def _verify_pairs(joined: DataFrame, id_a: str, id_b: str, set_a: str,
                   set_b: str, threshold: float, out_sim: str) -> DataFrame:
     """One-pass exact verification: (ids, sets) rows → surviving
@@ -228,20 +322,28 @@ def lsh_similarity_join(
         .select("__lid", "__rid")
         .dropDuplicates(["__lid", "__rid"])
     )
-    cand = (
-        pairs.join(_maybe_broadcast(l_sets, "__lset", broadcast_sets),
-                   on="__lid")
-        .join(_maybe_broadcast(r_sets, "__rset", broadcast_sets),
-              on="__rid")
-        # exact pruning: jaccard > t requires min(|A|,|B|) > t*max(|A|,|B|)
-        # (|A∩B| <= min, |A∪B| >= max) — skips the intersect for pairs the
-        # size ratio already rules out, with zero false negatives
-        .where(
-            F.least(F.size("__lset"), F.size("__rset"))
-            > threshold * F.greatest(F.size("__lset"), F.size("__rset")))
-    )
-    verified = _verify_pairs(cand, "__lid", "__rid", "__lset", "__rset",
-                             threshold, "__jaccard")
+    if (_should_broadcast(l_sets, "__lset", broadcast_sets)
+            and _should_broadcast(r_sets, "__rset", broadcast_sets)):
+        bc_l = _collect_sets_broadcast(l_sets, "__lid", "__lset")
+        bc_r = _collect_sets_broadcast(r_sets, "__rid", "__rset")
+        verified = _verify_pairs_from_broadcast(
+            pairs, "__lid", "__rid", bc_l, bc_r, threshold, "__jaccard")
+    else:
+        cand = (
+            pairs.join(_maybe_broadcast(l_sets, "__lset", broadcast_sets),
+                       on="__lid")
+            .join(_maybe_broadcast(r_sets, "__rset", broadcast_sets),
+                  on="__rid")
+            # exact pruning: jaccard > t requires
+            # min(|A|,|B|) > t*max(|A|,|B|) (|A∩B| <= min, |A∪B| >= max) —
+            # skips the intersect for pairs the size ratio already rules
+            # out, with zero false negatives
+            .where(
+                F.least(F.size("__lset"), F.size("__rset"))
+                > threshold * F.greatest(F.size("__lset"), F.size("__rset")))
+        )
+        verified = _verify_pairs(cand, "__lid", "__rid", "__lset", "__rset",
+                                 threshold, "__jaccard")
     out_l = left_id if left_id != right_id else f"{left_id}_left"
     out_r = right_id if left_id != right_id else f"{right_id}_right"
     cols = [F.col("__lid").alias(out_l), F.col("__rid").alias(out_r)]
@@ -288,15 +390,19 @@ def lsh_self_dedup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if broadcast_sets:
+        # under the cap: ship the sets ONCE to each worker and verify
+        # bare id pairs in the kernel (prune + merge inside) — no attach
+        # joins, no per-pair set payload through Arrow
+        bc = _collect_sets_broadcast(sets, "__id", "__set")
+        return _verify_pairs_from_broadcast(
+            pairs, "id_a", "id_b", bc, bc, threshold, "jaccard")
     sets_a = sets.select(F.col("__id").alias("id_a"), F.col("__set").alias("__set_a"))
     sets_b = sets.select(F.col("__id").alias("id_b"), F.col("__set").alias("__set_b"))
-    if broadcast_sets:
-        sets_a, sets_b = F.broadcast(sets_a), F.broadcast(sets_b)
-    else:
-        # past the broadcast cap: hash-build on the (smaller) sets side
-        # instead of sort-merge sorting the much larger pair stream
-        sets_a = sets_a.hint("shuffle_hash")
-        sets_b = sets_b.hint("shuffle_hash")
+    # past the broadcast cap: hash-build on the (smaller) sets side
+    # instead of sort-merge sorting the much larger pair stream
+    sets_a = sets_a.hint("shuffle_hash")
+    sets_b = sets_b.hint("shuffle_hash")
     cand = (
         pairs.join(sets_a, on="id_a")
         .join(sets_b, on="id_b")

@@ -18,6 +18,7 @@ import weakref
 from pyspark.sql import DataFrame
 
 _TRACKED: list[weakref.ReferenceType] = []
+_TRACKED_BROADCASTS: list = []
 
 
 def track(df: DataFrame) -> DataFrame:
@@ -26,8 +27,18 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_broadcast(bc):
+    """Register an operator-created Broadcast variable for later release
+    (verify kernels broadcast flattened set tables; without explicit
+    destroy a long-lived session accumulates one copy per operator run
+    in every executor/python worker)."""
+    _TRACKED_BROADCASTS.append(bc)
+    return bc
+
+
 def release_intermediates() -> int:
-    """Unpersist every tracked intermediate still alive; returns the count.
+    """Unpersist every tracked intermediate still alive and destroy
+    tracked broadcasts; returns the count released.
 
     Call between operator runs in a long-lived session to keep executor
     storage from accumulating dead cached partitions."""
@@ -42,4 +53,11 @@ def release_intermediates() -> int:
             released += 1
         except Exception:
             pass  # session already stopped — nothing to release
+    while _TRACKED_BROADCASTS:
+        bc = _TRACKED_BROADCASTS.pop()
+        try:
+            bc.destroy()
+            released += 1
+        except Exception:
+            pass
     return released

@@ -215,7 +215,13 @@ def _should_broadcast(sets: DataFrame, set_col: str,
 
     ``flag``: True forces broadcast, False forces the shuffle join, None
     (default) estimates bytes as rows × (4·avg|set| + 48) from the cached
-    table and broadcasts only under ``_AUTO_BROADCAST_CAP_BYTES``."""
+    table and broadcasts only under ``_AUTO_BROADCAST_CAP_BYTES``.
+
+    Catalyst's own ``Statistics.sizeInBytes`` is deliberately NOT used
+    here: for UDF-derived projections it is propagated from the file-scan
+    estimate of the *input* columns (the text), which bears no relation
+    to the shingle-set payload actually broadcast — the one cheap agg over
+    the already-cached sets is the accurate signal."""
     if flag is not None:
         return flag
     row = sets.agg(F.count(F.lit(1)).alias("n"),

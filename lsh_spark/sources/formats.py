@@ -183,6 +183,18 @@ def read_avro(spark: SparkSession, path: str,
         ) from exc
 
 
+def write_avro(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Avro sink, gated exactly like ``read_avro`` (the datasource module
+    is a deployment add-on, not part of the pip distribution)."""
+    try:
+        df.write.mode(mode).format("avro").save(path)
+    except Exception as exc:
+        raise RuntimeError(
+            "the spark-avro datasource module is not on the classpath; "
+            "add org.apache.spark:spark-avro_2.13 to spark.jars.packages"
+        ) from exc
+
+
 def read_text(spark: SparkSession, path: str, *,
               whole_file: bool = False) -> DataFrame:
     """Raw-text corpus ingest: one row per line (``value`` string), or one

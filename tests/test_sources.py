@@ -66,6 +66,15 @@ def test_read_avro_gated(spark, tmp_path):
         read_avro(spark, str(tmp_path / "missing.avro"))
 
 
+def test_write_avro_gated(spark, tmp_path):
+    import pytest
+
+    from lsh_spark.sources.formats import write_avro
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        write_avro(spark.range(3), str(tmp_path / "out.avro"))
+
+
 def test_read_text_lines_and_whole(spark, tmp_path):
     from lsh_spark.sources.formats import read_text
 

@@ -275,3 +275,27 @@ def test_indexed_probe_no_corpus_side_exchange(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         for suffix in ("_bands", "_sets", "_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+
+
+def test_broadcast_kernel_verify_has_no_attach_joins(spark):
+    """Under the broadcast cap the verification stage consumes BARE id
+    pairs: exactly one join in the whole plan (the band-blocking
+    equi-join) and no shingle-set column downstream of it."""
+    from lsh_spark.operators.similarity_join import lsh_self_dedup_pairs
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = lsh_self_dedup_pairs(docs, "text", id_col="doc_id", ngram_width=3,
+                              band_count=8, band_size=2, seed=123,
+                              threshold=0.6, broadcast_sets=True)
+    import re
+
+    plan = _plan(df)
+    # formatted explain prints each node twice (tree line + detail
+    # header) — count the numbered detail headers only
+    n_joins = len(re.findall(
+        r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+        plan, re.M))
+    assert n_joins == 1, f"expected only the band join, got {n_joins}"
+    # the sets never re-attach: the verify stage is a bare-ids Python map
+    assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan

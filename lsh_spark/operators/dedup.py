@@ -399,7 +399,15 @@ def embedding_allpairs_cosine(
     def _score(key, pdf):
         bi, bj = key
         ids = pdf["__id"].to_numpy()
-        mat = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        vecs = pdf["__v"].to_numpy()
+        dims = {len(v) for v in vecs}
+        if len(dims) > 1:
+            # mirror the reference's lsh_euclidean contract
+            # (src/euclidean_hash.rs:31-45): one shared length per batch
+            raise ValueError(
+                "embedding arrays must share one length; "
+                f"got lengths {sorted(dims)}")
+        mat = np.stack(vecs).astype(np.float64)
         blk = pdf["__blk"].to_numpy()
         left = blk == bi
         l_ids, r_ids = ids[left], ids[~left]

@@ -194,3 +194,28 @@ def test_text_functions_on_empty_string(spark):
     ).collect()
     for r in rows:
         assert r.tc == 0 and r.wc == 0 and r.sr == 0.0 and r.lg == "en"
+
+
+def test_allpairs_kernel_rejects_ragged_vectors(spark):
+    """The tile kernel enforces the reference's same-length-array rule
+    (src/euclidean_hash.rs:31-45) with a clear error instead of numpy's
+    opaque stack failure."""
+    import pytest
+
+    from lsh_spark.operators.dedup import embedding_allpairs_cosine
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="share one length"):
+        embedding_allpairs_cosine(df, threshold=0.1, block_count=1).collect()
+
+
+def test_allpairs_kernel_zero_and_single_rows(spark):
+    from lsh_spark.operators.dedup import embedding_allpairs_cosine
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_allpairs_cosine(empty, threshold=0.5).count() == 0
+    one = spark.createDataFrame([(7, [1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    assert embedding_allpairs_cosine(one, threshold=0.5).count() == 0

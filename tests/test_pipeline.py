@@ -559,3 +559,20 @@ def test_embedding_near_dup_strategies_agree(spark):
     b = {(r.id_a, r.id_b): r.cosine_sim for r in blk.collect()}
     v = {(r.id_a, r.id_b): r.cosine_sim for r in vf.collect()}
     assert b == v and len(b) > 0
+
+
+def test_pair_verify_paths_agree(spark):
+    """broadcast-kernel verification (bare id pairs + broadcast set
+    tables) and the shuffle-attach path are two physical plans for one
+    logical result — identical pairs AND identical jaccard doubles."""
+    from lsh_spark.operators.similarity_join import lsh_self_dedup_pairs
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    kw = dict(id_col="doc_id", ngram_width=3, band_count=6, band_size=6,
+              seed=123, threshold=0.8)
+    bc = lsh_self_dedup_pairs(docs, "text", broadcast_sets=True, **kw)
+    sh = lsh_self_dedup_pairs(docs, "text", broadcast_sets=False, **kw)
+    a = {(r.id_a, r.id_b): r.jaccard for r in bc.collect()}
+    b = {(r.id_a, r.id_b): r.jaccard for r in sh.collect()}
+    assert a == b and len(a) > 0

@@ -93,3 +93,36 @@ def test_shingle_order_irrelevant(pair, w):
     a = shingle_set_from_shingles(pair)
     b = shingle_set_from_shingles(list(reversed(pair)) + pair)
     assert np.array_equal(a, b)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.integers(0, 2**32 - 1), max_size=40),
+            st.lists(st.integers(0, 2**32 - 1), max_size=40),
+        ),
+        max_size=30,
+    )
+)
+def test_sorted_intersect_counts_matches_python_sets(pairs):
+    """The radix-stable merge must equal |set(A) ∩ set(B)| per row for
+    arbitrary u32 sets (including empties and shared values across rows)."""
+    import numpy as np
+
+    from lsh_spark._core.batch import sorted_intersect_counts
+
+    n = len(pairs)
+    ka_parts, kb_parts, want = [], [], []
+    for row, (a, b) in enumerate(pairs):
+        sa, sb = sorted(set(a)), sorted(set(b))
+        want.append(len(set(a) & set(b)))
+        ka_parts.append((np.int64(row) << 32)
+                        | np.array(sa, dtype=np.int64))
+        kb_parts.append((np.int64(row) << 32)
+                        | np.array(sb, dtype=np.int64))
+    ka = (np.concatenate(ka_parts) if ka_parts
+          else np.empty(0, dtype=np.int64))
+    kb = (np.concatenate(kb_parts) if kb_parts
+          else np.empty(0, dtype=np.int64))
+    got = sorted_intersect_counts(ka, kb, n)
+    assert got.tolist() == want

@@ -59,8 +59,12 @@ from pyspark.sql import DataFrame, SparkSession
 #     decode) keeps its row;
 #   * kmv_doc_stats / doc_fingerprints / distinct_ngram_counts:
 #     deterministic per-row transforms, green r3, pinned by pytest
-#     property/exact-twin tests.
+#     property/exact-twin tests;
+#   * events_hourly: green r1-r3 unchanged, and BOTH its streaming twins
+#     (events_hourly_streaming, events_hourly_append_streaming — same
+#     rollup through the watermark path) keep driver rows.
 _REDUNDANT_TAIL = [
+    "events_hourly",
     "top_orders_per_customer",
     "high_value_order_customers",
     "euclidean_signatures",

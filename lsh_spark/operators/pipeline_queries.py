@@ -849,3 +849,55 @@ FROM cells c
 QUERIES_LATE = {
     "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_ORACLE),
 }
+
+
+def documents_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-emulation gate query: apply a deterministic revision delta to
+    the corpus (every ``doc_id % 7 == 0`` document gets a revised text;
+    every ``doc_id % 97 == 0`` spawns a new document at ``id + 1e6``) and
+    return the resulting snapshot — the incremental-corpus primitive
+    (``operators.merge.upsert``: broadcast anti-join + union, no shuffle
+    beyond the join)."""
+    from .merge import upsert
+
+    docs = load_table(spark, sf_dir, "documents")
+    revisions = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [rev2]")))
+    )
+    inserts = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.lit("new: "), F.col("text")))
+    )
+    merged = upsert(docs, revisions.unionByName(inserts), "doc_id")
+    return merged.select(
+        "doc_id", "lang", "source",
+        F.length("text").cast("long").alias("n_chars_after"))
+
+
+DOCUMENTS_UPSERT_ORACLE = """
+WITH revisions AS (
+  SELECT doc_id, text || ' [rev2]' AS text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+),
+inserts AS (
+  SELECT doc_id + 1000000 AS doc_id, 'new: ' || text AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 97 = 0
+),
+updates AS (
+  SELECT * FROM revisions UNION ALL SELECT * FROM inserts
+),
+merged AS (
+  SELECT * FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM updates)
+  UNION ALL SELECT * FROM updates
+)
+SELECT doc_id, lang, source, length(text)::BIGINT AS n_chars_after
+FROM merged
+"""
+
+
+QUERIES_LATE["documents_upsert"] = (documents_upsert,
+                                    DOCUMENTS_UPSERT_ORACLE)

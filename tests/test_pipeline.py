@@ -576,3 +576,55 @@ def test_pair_verify_paths_agree(spark):
     a = {(r.id_a, r.id_b): r.jaccard for r in bc.collect()}
     b = {(r.id_a, r.id_b): r.jaccard for r in sh.collect()}
     assert a == b and len(a) > 0
+
+
+def test_upsert_replaces_and_inserts(spark):
+    from lsh_spark.operators.merge import upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "v", "n"])
+    updates = spark.createDataFrame(
+        [(2, "B2", 21), (9, "new", 90)], ["k", "v", "n"])
+    got = {r.k: (r.v, r.n) for r in upsert(target, updates, "k").collect()}
+    assert got == {1: ("a", 10), 2: ("B2", 21), 3: ("c", 30), 9: ("new", 90)}
+
+
+def test_scd2_apply_versions_and_closes(spark):
+    import datetime as dt
+
+    from lsh_spark.operators.merge import scd2_apply
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 2, 1)
+    t2 = dt.datetime(2024, 3, 1)
+    history = spark.createDataFrame(
+        [(1, "v1", t0, None, True), (2, "w1", t0, None, True)],
+        "k long, v string, valid_from timestamp, valid_to timestamp, "
+        "is_current boolean")
+    updates = spark.createDataFrame(
+        [(1, "v2", t1), (1, "v3", t2)], "k long, v string, ts timestamp")
+    out = scd2_apply(history, updates, "k", ts_col="ts").collect()
+    rows = {(r.k, r.v): r for r in out}
+    assert len(out) == 4
+    # untouched key passes through open
+    assert rows[(2, "w1")].is_current and rows[(2, "w1")].valid_to is None
+    # old open row closes at the first update ts
+    assert not rows[(1, "v1")].is_current
+    assert rows[(1, "v1")].valid_to == t1
+    # chained versions: v2 closed at t2, v3 open
+    assert not rows[(1, "v2")].is_current and rows[(1, "v2")].valid_to == t2
+    assert rows[(1, "v3")].is_current and rows[(1, "v3")].valid_to is None
+    # any historical instant has exactly one valid row per touched key
+    for instant in (t0, t1, t2):
+        live = [r for r in out if r.k == 1 and r.valid_from <= instant
+                and (r.valid_to is None or instant < r.valid_to)]
+        assert len(live) == 1, instant
+
+
+def test_unpivot_melts_wide_columns(spark):
+    from lsh_spark.operators.merge import unpivot
+
+    df = spark.createDataFrame([(1, 10.0, 20.0)], ["id", "m_a", "m_b"])
+    got = {(r.id, r.variable): r.value
+           for r in unpivot(df, ["id"], ["m_a", "m_b"]).collect()}
+    assert got == {(1, "m_a"): 10.0, (1, "m_b"): 20.0}

@@ -195,41 +195,38 @@ def test_plan_construction_runs_no_jobs(spark):
         assert ran == [], f"{build.__name__} ran jobs at plan time: {ran}"
 
 
-def test_set_reattach_broadcast_is_size_gated(spark):
-    """The verification joins broadcast the (id, shingle-set) table only
-    while its estimated bytes fit the cap — small corpus broadcasts, a
-    corpus past the cap falls back to shuffling by pair ids (the 100 TB
-    path), and the estimate itself comes from one agg over the cached
-    sets (never an unconditional broadcast)."""
+def test_set_reattach_is_size_gated(spark):
+    """Under the broadcast cap the verification consumes BARE id pairs
+    (broadcast-kernel path — no attach joins at all); past the cap it
+    falls back to re-attaching sets with shuffle-hash-hinted joins (the
+    100 TB shape: hash-build on the sets side instead of sort-merge
+    sorting the far larger pair stream).  The gate estimate comes from
+    one agg over the cached sets, never an unconditional broadcast."""
     from lsh_spark.operators import similarity_join as sj
     from lsh_spark.sources.io import load_table
 
     docs = load_table(spark, SF_DIR, "documents")
 
-    def analyzed():
-        df = sj.lsh_self_dedup_pairs(
+    def query():
+        return sj.lsh_self_dedup_pairs(
             docs, "text", id_col="doc_id", ngram_width=3, band_count=4,
             band_size=3, seed=123, threshold=0.6)
-        return df._jdf.queryExecution().analyzed().toString()
 
-    # sf0.001 sets are ~100 KB -> under the cap -> hint applied (Catalyst
-    # may still broadcast small cached tables on its own stats, so the
-    # gate is asserted at the logical level: hint present vs absent)
-    assert "Hint" in analyzed()
+    # sf0.001 sets are ~100 KB -> under the cap -> kernel path: the only
+    # join in the plan is the band-blocking join, sets never re-attach
+    plan = _plan(query())
+    assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+    assert "__set_a" not in plan and "__set_b" not in plan
 
-    # shrink the cap below any real corpus -> broadcast hint replaced by a
-    # shuffle-hash hint (hash-build on the sets side instead of sort-merge
-    # sorting the far larger pair stream — the 100 TB fallback shape)
+    # shrink the cap below any real corpus -> attach path with
+    # shuffle-hash hints
     old = sj._AUTO_BROADCAST_CAP_BYTES
     sj._AUTO_BROADCAST_CAP_BYTES = 1
     try:
-        plan = analyzed()
-        assert "broadcast" not in plan.lower()
-        assert "shuffle_hash" in plan.lower()
-        df = sj.lsh_self_dedup_pairs(
-            docs, "text", id_col="doc_id", ngram_width=3, band_count=4,
-            band_size=3, seed=123, threshold=0.6)
-        assert "ShuffledHashJoin" in _plan(df)
+        analyzed = query()._jdf.queryExecution().analyzed().toString()
+        assert "broadcast" not in analyzed.lower()
+        assert "shuffle_hash" in analyzed.lower()
+        assert "ShuffledHashJoin" in _plan(query())
     finally:
         sj._AUTO_BROADCAST_CAP_BYTES = old
 

@@ -170,3 +170,56 @@ def test_bucketed_write_one_file_per_bucket(spark, tmp_path):
     assert len(files) <= 4, files
     assert spark.table(name).count() == 10_000
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from lsh_spark.sources.layout import compact_parquet
+
+    src = str(tmp_path / "many")
+    spark.range(100000).repartition(40).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 40
+    out = str(tmp_path / "few")
+    n = compact_parquet(spark, src, out, target_mb=512)
+    files = glob.glob(f"{out}/*.parquet")
+    assert n == 1 and len(files) == 1
+    assert spark.read.parquet(out).count() == 100000
+
+
+def test_zorder_clusters_both_columns(spark, tmp_path):
+    """After z-ordering on (x, y), row-group min/max ranges must be tight
+    on BOTH columns — i.e. each output file covers a small sub-rectangle,
+    so a predicate on either column can prune files.  A plain sort on x
+    leaves y spanning the full domain in every file."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from lsh_spark.sources.layout import zorder_by
+
+    n = 40000
+    df = (spark.range(n)
+          .select((F.col("id") % 200).alias("x"),
+                  (F.col("id") / 200).cast("long").alias("y")))
+    out = str(tmp_path / "z")
+    zorder_by(df, ["x", "y"]).write.parquet(out)
+
+    import glob
+
+    spans_x, spans_y = [], []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            cols = {md.row_group(rg).column(i).path_in_schema:
+                    md.row_group(rg).column(i).statistics
+                    for i in range(md.row_group(rg).num_columns)}
+            spans_x.append(cols["x"].max - cols["x"].min)
+            spans_y.append(cols["y"].max - cols["y"].min)
+    # each file's row groups must cover well under the full 0..199 x-range
+    # AND well under the full 0..199 y-range
+    assert sum(spans_x) / len(spans_x) < 140
+    assert sum(spans_y) / len(spans_y) < 140
+    # round-trip content unchanged
+    got = spark.read.parquet(out)
+    assert got.count() == n
+    assert got.agg(F.sum("x")).first()[0] == df.agg(F.sum("x")).first()[0]

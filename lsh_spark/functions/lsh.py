@@ -324,6 +324,36 @@ def minhash_bands_from_set(col, band_count: int, band_size: int, seed: int) -> C
     return _udf(col)
 
 
+def minhash_bands_from_set_multi(col, band_count: int, band_size: int,
+                                 seeds: "tuple[int, ...]") -> Column:
+    """Banded MinHash for SEVERAL seeds in ONE Arrow pass: the returned
+    array is the per-seed band arrays concatenated in seed order, so
+    element ``rot * band_count + i`` is band ``i`` of rotation ``rot`` —
+    the exact ``band_idx`` layout the seed-rotation join uses.  Fusing
+    the rotations saves one full Arrow round-trip + set-column decode
+    per extra seed (the hashing work itself is per-seed regardless)."""
+    from .._core.batch import minhash_from_window_hashes
+
+    @pandas_udf(_LONG_ARRAY)
+    def _udf(s: pd.Series) -> pd.Series:
+        mask = np.array([v is not None for v in s], dtype=bool)
+        lens = np.array([len(v) if ok else 0 for v, ok in zip(s, mask)],
+                        dtype=np.int64)
+        offs = np.zeros(len(s) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        flat = (np.concatenate([np.asarray(v, dtype=np.int32) for v, ok
+                                in zip(s, mask) if ok and len(v)])
+                .view(np.uint32).astype(np.uint64)
+                if lens.sum() else np.empty(0, dtype=np.uint64))
+        mats = [
+            minhash_from_window_hashes(flat, offs, band_count, band_size, sd)
+            for sd in seeds
+        ]
+        return _u64_rows_to_long(np.hstack(mats), mask, low32=False)
+
+    return _udf(col)
+
+
 def jaccard_from_sets(col_a, col_b) -> Column:
     """Exact Jaccard between two materialized shingle-set columns."""
 

@@ -272,23 +272,22 @@ def _band_blocks(sets: DataFrame, id_alias: str, set_alias: str,
     key column, so the blocking join still shuffles two ints per row and
     combined recall is 1-∏(1-r_i) with zero payload overhead."""
     seeds = (seed,) if isinstance(seed, int) else tuple(seed)
-    parts = []
-    for rot, s in enumerate(seeds):
+    if len(seeds) == 1:
         bands = minhash_bands_from_set(
-            F.col(set_alias), band_count, band_size, s)
-        part = (
-            sets.withColumn("__bands", bands)
-            .select(id_alias,
-                    F.posexplode("__bands").alias("band_idx", "band_hash"))
-        )
-        if rot:
-            part = part.withColumn(
-                "band_idx", F.col("band_idx") + rot * band_count)
-        parts.append(part)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+            F.col(set_alias), band_count, band_size, seeds[0])
+    else:
+        # all rotations in ONE Arrow pass; the concatenated layout IS the
+        # fused band index (rot * band_count + i), so a single posexplode
+        # replaces the per-rotation union
+        from ..functions.lsh import minhash_bands_from_set_multi
+
+        bands = minhash_bands_from_set_multi(
+            F.col(set_alias), band_count, band_size, seeds)
+    return (
+        sets.withColumn("__bands", bands)
+        .select(id_alias,
+                F.posexplode("__bands").alias("band_idx", "band_hash"))
+    )
 
 
 def lsh_similarity_join(

@@ -166,6 +166,80 @@ def _ivf_dists(vec: str) -> "F.Column":
             ct["__cell"].alias("cell")))
 
 
+def _collect_centroids(cents: DataFrame):
+    """Materialize the (n_lists-row) centroid table to numpy and
+    broadcast it to the Python workers.  Runs one tiny driver job at
+    plan-construction time — the SAME data the in-plan broadcast would
+    collect to the driver at execution (cf. ``_should_broadcast`` /
+    ``_collect_sets_broadcast`` in similarity_join), traded for removing
+    the rows × cells × dim INTERPRETED expression work of the HOF
+    distance fold (higher-order functions never enter whole-stage
+    codegen; measured superlinear wall growth once cells scale with the
+    corpus)."""
+    import numpy as np
+
+    from ..plans.cache import track_broadcast
+
+    row = cents.first()["__cents"]
+    order = sorted(row, key=lambda r: r["__cell"])
+    cells = np.array([r["__cell"] for r in order], dtype=np.int32)
+    mat = np.array([list(r["__cv"]) for r in order], dtype=np.float64)
+    sc = cents.sparkSession.sparkContext
+    return track_broadcast(sc.broadcast((cells, mat)))
+
+
+def _assign_cells_pandas(df: DataFrame, bc, vec_field: str,
+                         *, n_probe: "int | None" = None) -> DataFrame:
+    """Append ``__cell`` via the numpy mirror of the HOF distance fold:
+    d2 = (dot(a,a) - (2·dot(a,b))) + dot(b,b) with dimension-major
+    accumulation — the exact sequential IEEE sequence of
+    ``_sqdist_mirror``, so argmin/top-``n_probe`` cells (ties broken by
+    ascending cell, via first-occurrence argmin / stable argsort over
+    the cell-ordered columns) are bit-identical to the in-plan HOF form
+    and to the DuckDB oracle.
+
+    ``n_probe=None`` appends the single nearest cell; an integer
+    replicates each row once per probed cell."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields)
+                        + [StructField("__cell", IntegerType())])
+
+    def tile_dots(A, B):
+        acc = np.zeros((A.shape[0], B.shape[0]))
+        for kk in range(A.shape[1]):
+            acc += np.outer(A[:, kk], B[:, kk])
+        return acc
+
+    def row_sq(A):
+        acc = np.zeros(A.shape[0])
+        for kk in range(A.shape[1]):
+            acc += A[:, kk] * A[:, kk]
+        return acc
+
+    def gen(batches):
+        cells, C = bc.value
+        bb = row_sq(C)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_field].to_numpy()).astype(np.float64)
+            aa = row_sq(M)
+            d2 = (aa[:, None] - (2.0 * tile_dots(M, C))) + bb[None, :]
+            if n_probe is None:
+                out = pdf.copy()
+                out["__cell"] = cells[d2.argmin(axis=1)]
+                yield out
+            else:
+                top = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+                rep = pdf.loc[pdf.index.repeat(top.shape[1])].copy()
+                rep["__cell"] = cells[top].ravel()
+                yield rep
+
+    return df.mapInPandas(gen, schema)
+
+
 def _ivf_search(
     corpus: DataFrame,
     queries: DataFrame,
@@ -176,25 +250,16 @@ def _ivf_search(
     k: int,
     n_probe: int,
 ) -> DataFrame:
-    """Shared IVF search stage: assign corpus to cells (zero-shuffle argmin
-    over the broadcast centroid array), probe ``n_probe`` cells per query,
-    exact cosine rerank inside."""
-    cents = F.broadcast(cents)
-    c_cells = (
-        _ivf_prep(corpus, id_col, vec_col, "neighbor_id").crossJoin(cents)
-        .withColumn("__cell",
-                    F.array_min(_ivf_dists("__v_neighbor_id"))["cell"])
-        .select("neighbor_id", "__v_neighbor_id", "__cell")
-    )
-    probes = (
-        _ivf_prep(queries, id_col, vec_col, "query_id").crossJoin(cents)
-        .withColumn("__probe",
-                    F.slice(F.array_sort(_ivf_dists("__v_query_id")),
-                            1, n_probe))
-        .select("query_id", "__v_query_id",
-                F.explode("__probe").alias("__p"))
-        .select("query_id", "__v_query_id", F.col("__p.cell").alias("__cell"))
-    )
+    """Shared IVF search stage: assign corpus to cells (zero-shuffle
+    numpy argmin against the broadcast centroid matrix), probe
+    ``n_probe`` cells per query, exact cosine rerank inside."""
+    bc = _collect_centroids(cents)
+    c_cells = _assign_cells_pandas(
+        _ivf_prep(corpus, id_col, vec_col, "neighbor_id"), bc,
+        "__v_neighbor_id")
+    probes = _assign_cells_pandas(
+        _ivf_prep(queries, id_col, vec_col, "query_id"), bc,
+        "__v_query_id", n_probe=n_probe)
     scored = (
         probes.join(c_cells, on="__cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -361,10 +426,9 @@ def build_ivf_index(
     cents = lloyd_centroids(corpus, vec_col=vec_col, id_col=id_col,
                             n_lists=n_lists, n_iters=n_iters)
     assigned = (
-        _ivf_prep(corpus, id_col, vec_col, "neighbor_id")
-        .crossJoin(F.broadcast(cents))
-        .withColumn("__cell",
-                    F.array_min(_ivf_dists("__v_neighbor_id"))["cell"])
+        _assign_cells_pandas(
+            _ivf_prep(corpus, id_col, vec_col, "neighbor_id"),
+            _collect_centroids(cents), "__v_neighbor_id")
         .select("neighbor_id", F.col("__v_neighbor_id").alias("vec"),
                 "__cell")
     )
@@ -438,16 +502,9 @@ def search_ivf_index(
         F.sort_array(F.collect_list(
             F.struct("__cell", F.col("centroid").alias("__cv"))))
         .alias("__cents"))
-    probes = (
-        _ivf_prep(queries, id_col, vec_col, "query_id")
-        .crossJoin(F.broadcast(cents))
-        .withColumn("__probe",
-                    F.slice(F.array_sort(_ivf_dists("__v_query_id")),
-                            1, n_probe))
-        .select("query_id", "__v_query_id",
-                F.explode("__probe").alias("__p"))
-        .select("query_id", "__v_query_id", F.col("__p.cell").alias("__cell"))
-    )
+    probes = _assign_cells_pandas(
+        _ivf_prep(queries, id_col, vec_col, "query_id"),
+        _collect_centroids(cents), "__v_query_id", n_probe=n_probe)
     scored = (
         probes.join(spark.table(table_name), on="__cell")
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -301,19 +301,21 @@ def semantic_dedup_cells(
     embedding column, and pair volume is bounded by within-cell sizes
     instead of |corpus|².  Raising ``n_lists`` is the knob that caps cell
     width as the corpus grows."""
-    from .ann import _cells_array, _ivf_dists
+    from pyspark import StorageLevel
+
+    from ..plans.cache import track
+    from .ann import _assign_cells_pandas, _cells_array, _collect_centroids
 
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    cents = F.broadcast(_cells_array(df, id_col, vec_col, n_lists))
-    assigned = (
-        base.crossJoin(cents)
-        .withColumn("__cell",
-                    F.array_min(_ivf_dists("__v"))["cell"].cast("int"))
-        .select("__id", "__v", "__cell")
-    )
+    # the input lineage feeds four consumers (centroids, assignment, and
+    # both pair-side re-attaches); persist it once so a computed input
+    # (e.g. a transform chain) is not re-evaluated per consumer
+    base = track(base.persist(StorageLevel.MEMORY_AND_DISK))
+    bc = _collect_centroids(_cells_array(base, "__id", "__v", n_lists))
+    assigned = _assign_cells_pandas(base, bc, "__v")
     ids = assigned.select("__id", "__cell")
     a = ids.select(F.col("__id").alias("id_a"), "__cell")
     b = ids.select(F.col("__id").alias("id_b"), "__cell")

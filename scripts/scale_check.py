@@ -88,5 +88,63 @@ def main() -> None:
     spark.stop()
 
 
+
+
+def vectors() -> None:
+    """Vector-family scale check: replicate embeddings N× (fresh ids,
+    small deterministic perturbation via id-seeded linear shift) and run
+    cell-blocked semantic dedup + IVF-flat search."""
+    from lsh_spark.operators.ann import ivf_flat_topk
+    from lsh_spark.operators.dedup import semantic_dedup_cells
+    from lsh_spark.plans import get_spark
+    from lsh_spark.sources.io import load_table
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 5, 20]
+    spark = get_spark(app_name="lsh_spark-scale-check-vec")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n_base = base.count()
+    for rep in reps:
+        emb = (
+            base.crossJoin(spark.range(rep).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("vec_id") * rep + F.col("__rep")).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x + (F.col("__rep") % 7).cast("float")
+                    * F.lit(0.001) * (i % 3).cast("float")
+                ).alias("embedding"),
+            )
+        )
+        n = n_base * rep
+        # production inputs are tables, not lazy transform chains —
+        # materialize the replica so operator timings measure the
+        # operators, and scale cells LINEARLY with rows so cell width
+        # (hence pairs per row) stays constant
+        from pyspark import StorageLevel
+
+        emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+        emb.count()
+        n_lists = 32 * rep
+        t0 = time.perf_counter()
+        n_reps = (semantic_dedup_cells(emb, n_lists=n_lists, threshold=0.95)
+                  .where("is_representative").count())
+        t_sem = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_hits = ivf_flat_topk(
+            emb, emb.where(F.col("vec_id") < 10), k=10,
+            n_lists=n_lists, n_probe=4).count()
+        t_ivf = time.perf_counter() - t0
+        print(
+            f"rep={rep:3d} rows={n:8d} cells={n_lists:4d}  "
+            f"semantic_dedup={t_sem:7.1f}s ({n_reps} reps)  "
+            f"ivf_flat={t_ivf:7.1f}s ({n_hits} hits)", flush=True)
+        spark.catalog.clearCache()
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--vectors":
+        vectors()
+    else:
+        main()

@@ -346,12 +346,14 @@ def lloyd_centroids(
                 F.col("__c.__cv").alias("__cv"))
     )
     for _ in range(n_iters):
-        cents_row = F.broadcast(cent.agg(F.sort_array(
-            F.collect_list(F.struct("__cell", "__cv"))).alias("__cents")))
-        assigned = (
-            vecs.crossJoin(cents_row)
-            .withColumn("__cell", F.array_min(_ivf_dists("__v"))["cell"])
-        )
+        cents_row = cent.agg(F.sort_array(
+            F.collect_list(F.struct("__cell", "__cv"))).alias("__cents"))
+        # assignment via the numpy mirror kernel (see _assign_cells_pandas
+        # — the in-plan HOF fold is interpreted and costs rows×cells×dim
+        # per iteration); each iteration is inherently sequential, so the
+        # per-iteration centroid collect adds no extra synchronization
+        assigned = _assign_cells_pandas(
+            vecs, _collect_centroids(cents_row), "__v")
         new_cent = (
             assigned.select(
                 "__cell", F.posexplode("__v").alias("__pos", "__val"))

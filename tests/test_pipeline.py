@@ -628,3 +628,53 @@ def test_unpivot_melts_wide_columns(spark):
     got = {(r.id, r.variable): r.value
            for r in unpivot(df, ["id"], ["m_a", "m_b"]).collect()}
     assert got == {(1, "m_a"): 10.0, (1, "m_b"): 20.0}
+
+
+def test_assignment_kernel_matches_hof_reference(spark):
+    """The numpy cell-assignment kernel must reproduce the in-plan HOF
+    distance fold bit for bit: same argmin cell for every vector, same
+    top-n_probe cells in the same order — including distance ties (the
+    duplicated vector pair)."""
+    import random
+
+    from lsh_spark.operators.ann import (
+        _assign_cells_pandas,
+        _cells_array,
+        _collect_centroids,
+        _ivf_dists,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(8)]) for i in range(300)]
+    rows.append((300, list(rows[5][1])))  # exact duplicate → tied argmin
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.select("vec_id", F.col("embedding").cast("array<double>").alias("__v"))
+    cents = _cells_array(df, "vec_id", "embedding", 12)
+
+    hof = {
+        r.vec_id: r.cell for r in
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("cell", F.array_min(_ivf_dists("__v"))["cell"])
+        .collect()
+    }
+    kern = {
+        r.vec_id: r["__cell"] for r in
+        _assign_cells_pandas(base, _collect_centroids(cents), "__v")
+        .collect()
+    }
+    assert kern == hof
+
+    hof_probe = {
+        (r.vec_id, r.pos): r.p["cell"] for r in
+        base.crossJoin(F.broadcast(cents))
+        .select("vec_id", F.posexplode(
+            F.slice(F.array_sort(_ivf_dists("__v")), 1, 3)).alias("pos", "p"))
+        .collect()
+    }
+    kern_probe = {}
+    for r in _assign_cells_pandas(
+            base, _collect_centroids(cents), "__v", n_probe=3).collect():
+        k = r.vec_id
+        pos = sum(1 for (kk, _p) in kern_probe if kk == k)
+        kern_probe[(k, pos)] = r["__cell"]
+    assert kern_probe == hof_probe

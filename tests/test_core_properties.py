@@ -126,3 +126,32 @@ def test_sorted_intersect_counts_matches_python_sets(pairs):
           else np.empty(0, dtype=np.int64))
     got = sorted_intersect_counts(ka, kb, n)
     assert got.tolist() == want
+
+
+@given(
+    st.lists(st.lists(st.integers(0, 1000), max_size=20), min_size=1,
+             max_size=25),
+    st.data(),
+)
+def test_gather_segments_matches_per_row_slicing(rows, data):
+    """The vectorized multi-segment gather must equal naive per-row
+    slicing for arbitrary segment layouts and index multisets (repeats
+    and out-of-order indices included)."""
+    import numpy as np
+
+    from lsh_spark.operators.similarity_join import _gather_segments
+
+    lens0 = np.array([len(r) for r in rows], dtype=np.int64)
+    offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(lens0, out=offsets[1:])
+    flat = (np.concatenate([np.array(r, dtype=np.int32) for r in rows])
+            if lens0.sum() else np.empty(0, dtype=np.int32))
+    idx = np.array(
+        data.draw(st.lists(st.integers(0, len(rows) - 1), max_size=40)),
+        dtype=np.int64)
+    lens = offsets[idx + 1] - offsets[idx] if len(idx) else np.empty(
+        0, dtype=np.int64)
+    got = _gather_segments(flat, offsets, idx, lens)
+    want = (np.concatenate([flat[offsets[i]:offsets[i + 1]] for i in idx])
+            if len(idx) and lens.sum() else np.empty(0, dtype=np.int32))
+    assert got.tolist() == want.tolist()

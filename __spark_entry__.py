@@ -42,46 +42,37 @@ from pyspark.sql import DataFrame, SparkSession
 #     structurally-identical high_value_order_customers semi-join row;
 #   * text_stats is pure JVM column arithmetic, green in r2/r3 for
 #     unchanged code, and its harder sibling text_quality keeps its row.
-# Round-4 additions to the tail (same hedging logic: the round-4 registry
-# has more never-checked queries than a 50-row cap can cover, so queries
-# whose correctness has the strongest NON-driver evidence cede their
-# slots; all are hash-match green in r3 — most in r2 too — for code
-# untouched since):
-#   * top_orders_per_customer / high_value_order_customers: green r1-r3;
-#     the window-rank and semi-join families keep driver rows via
-#     min_cost_supplier and large_quantity_orders;
-#   * euclidean_signatures: bit-pinned by the reference golden vectors,
-#     and the euclidean band machinery keeps driver coverage through
-#     ann_lsh_topk + embedding_near_dup_lsh_pairs;
-#   * ann_topk: the brute-force baseline; all three harder ANN variants
-#     (lsh/ivf/ivf_flat) keep their rows;
-#   * media_features: the strictly-harder media_raw_features (real RAW
-#     decode) keeps its row;
-#   * kmv_doc_stats / doc_fingerprints / distinct_ngram_counts:
-#     deterministic per-row transforms, green r3, pinned by pytest
-#     property/exact-twin tests;
-#   * events_hourly: green r1-r3 unchanged, and BOTH its streaming twins
-#     (events_hourly_streaming, events_hourly_append_streaming — same
-#     rollup through the watermark path) keep driver rows.
+# Round-5 TAIL ROTATION (per the round-4 verdict item 4): the 18 queries
+# demoted in round 4 are promoted back into the head this round so the
+# union of r4+r5 driver rows covers all 68 registry queries.  The new
+# tail is 18 queries that (a) earned green rows+schema+hash driver rows
+# in CORRECTNESS_r04.json for code unchanged since, and (b) carry the
+# strongest non-driver evidence (exact DuckDB oracles exercised by the
+# local sf0.01 gate replica in tests/test_entry_oracle.py, plus pytest
+# pins).  All are cheap relational/analytic aggregates whose operator
+# families keep head coverage through harder siblings (the windows /
+# semi-joins / rollups reappear inside clean_corpus, the streaming
+# twins, and the pair queries).  scripts/check_artifact_coverage.py
+# keeps the artifact-vs-registry diff machine-checkable.
 _REDUNDANT_TAIL = [
-    "events_hourly",
-    "top_orders_per_customer",
-    "high_value_order_customers",
-    "euclidean_signatures",
-    "ann_topk",
-    "media_features",
-    "kmv_doc_stats",
-    "doc_fingerprints",
-    "distinct_ngram_counts",
-    "event_type_distribution",
-    "part_brand_stats",
-    "customers_without_orders",
-    "text_stats",
-    "dedup_exact",
-    "dedup_normalized",
-    "euclidean32_signatures",
-    "minhash32_shingle_signatures",
-    "minhash32_signatures",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "supplier_nation_rollup",
+    "events_sessionize",
+    "events_props_stats",
+    "asof_purchase_last_click",
+    "errors_with_nearby_clicks",
+    "top_terms_per_lang",
+    "text_quality",
+    "customer_order_counts",
+    "events_funnel",
+    "events_type_pivot",
+    "lineitem_cube",
+    "events_weekly_cohorts",
+    "large_quantity_orders",
+    "min_cost_supplier",
 ]
 
 

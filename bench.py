@@ -1,7 +1,14 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+SHORT JSON line on stdout: {"metric": ..., "value": total_sec,
+"unit": "sec", "sf": ..., "n_queries": N}.
+
+The per-query timing dict lives in BENCH_DETAIL.json (repo root) and is
+mirrored to stderr.  It is deliberately NOT part of the stdout line: the
+driver captures only a bounded tail of stdout and truncates from the
+FRONT, so at 68 registered queries the old single all-in-one line
+(~2.3 KB) lost its leading "metric"/"value" keys and round 4 recorded
+"parsed": null.  A short final line is robust to any registry growth.
 """
 
 from __future__ import annotations
@@ -92,12 +99,31 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
         "metric": "total_query_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+    }
+    # full per-query detail: stderr (driver logs) + a stable file path
+    print(json.dumps(detail), file=sys.stderr)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass
+    out = {
+        "metric": "total_query_seconds",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "detail_file": "BENCH_DETAIL.json",
     }
     print(json.dumps(out))
     spark.stop()

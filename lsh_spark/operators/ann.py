@@ -180,7 +180,12 @@ def _collect_centroids(cents: DataFrame):
 
     from ..plans.cache import track_broadcast
 
-    row = cents.first()["__cents"]
+    head = cents.first()
+    row = head["__cents"] if head is not None else None
+    if not row:
+        raise ValueError(
+            "no centroids: the corpus is empty or n_lists == 0 — IVF "
+            "needs at least one non-null vector and one list")
     order = sorted(row, key=lambda r: r["__cell"])
     cells = np.array([r["__cell"] for r in order], dtype=np.int32)
     mat = np.array([list(r["__cv"]) for r in order], dtype=np.float64)

@@ -49,6 +49,7 @@ def scd2_apply(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     current_flag: str = "is_current",
+    broadcast_updates: bool = True,
 ) -> DataFrame:
     """Slowly-changing-dimension type 2: ``history`` rows carry
     (``valid_from``, ``valid_to``, ``current_flag``); ``updates`` carry
@@ -62,10 +63,18 @@ def scd2_apply(
       the latest staying open (``valid_to`` NULL, current).
 
     The window partitions by key over the UPDATES only — the full
-    history is never sorted or shuffled beyond the one anti-join."""
-    upd_keys = F.broadcast(updates.select(key).distinct())
-    first_ts = F.broadcast(
-        updates.groupBy(key).agg(F.min(ts_col).alias("__first_ts")))
+    history is never sorted or shuffled beyond the one anti-join.
+
+    ``broadcast_updates`` (default True — daily deltas are tiny next to
+    the history) forces a broadcast of the delta's key/first-ts tables;
+    pass False for a delta too large to collect to the driver and the
+    joins take the regular shuffle path (AQE may still pick broadcast
+    from runtime stats)."""
+    upd_keys = updates.select(key).distinct()
+    first_ts = updates.groupBy(key).agg(F.min(ts_col).alias("__first_ts"))
+    if broadcast_updates:
+        upd_keys = F.broadcast(upd_keys)
+        first_ts = F.broadcast(first_ts)
 
     untouched = history.join(upd_keys, on=key, how="left_anti")
     closed = (
@@ -95,8 +104,19 @@ def unpivot(df: DataFrame, id_cols: list[str], value_cols: list[str],
             *, var_name: str = "variable",
             value_name: str = "value") -> DataFrame:
     """Melt wide columns into (variable, value) rows via the built-in
-    ``stack`` table generator — one narrow projection, zero shuffle."""
-    pairs = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    ``stack`` table generator — one narrow projection, zero shuffle.
+
+    Column names are escaped into the generated expression (backticks
+    doubled inside identifiers, quotes escaped inside the label
+    literals), so arbitrary names cannot break or inject into it."""
+
+    def lit(c: str) -> str:
+        return "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    def ident(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
+    pairs = ", ".join(f"{lit(c)}, {ident(c)}" for c in value_cols)
     expr = (f"stack({len(value_cols)}, {pairs}) "
-            f"as (`{var_name}`, `{value_name}`)")
-    return df.selectExpr(*id_cols, expr)
+            f"as ({ident(var_name)}, {ident(value_name)})")
+    return df.selectExpr(*[ident(c) for c in id_cols], expr)

@@ -124,7 +124,10 @@ def _verify_pairs_from_broadcast(pairs: DataFrame, id_a: str, id_b: str,
     from the broadcast flat tables (``_collect_sets_broadcast``), the
     size-ratio prune and the radix-stable merge both run inside the
     kernel.  Bit-identical results to the attach-join path (same merge,
-    same prune inequality) with none of its per-pair set shipping."""
+    same prune inequality) with none of its per-pair set shipping —
+    including its join semantics: a pair id absent from a broadcast
+    table is DROPPED (an inner join would not have produced the row),
+    not silently matched to the nearest id."""
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -136,19 +139,30 @@ def _verify_pairs_from_broadcast(pairs: DataFrame, id_a: str, id_b: str,
         StructField(out_sim, DoubleType(), True),
     ])
 
+    def lookup(ids, wanted):
+        """searchsorted + membership mask: (index, found) pairs."""
+        idx = np.searchsorted(ids, wanted)
+        idx = np.minimum(idx, max(len(ids) - 1, 0))
+        found = (ids[idx] == wanted) if len(ids) else np.zeros(
+            len(wanted), dtype=bool)
+        return idx, found
+
     def verify(batches):
         ids_a, off_a, flat_a = bc_a.value
         ids_b, off_b, flat_b = bc_b.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            ia = np.searchsorted(ids_a, pdf[id_a].to_numpy(dtype=np.int64))
-            ib = np.searchsorted(ids_b, pdf[id_b].to_numpy(dtype=np.int64))
+            ia, fa = lookup(ids_a, pdf[id_a].to_numpy(dtype=np.int64))
+            ib, fb = lookup(ids_b, pdf[id_b].to_numpy(dtype=np.int64))
             la = off_a[ia + 1] - off_a[ia]
             lb = off_b[ib + 1] - off_b[ib]
             # exact size-ratio prune: jaccard > t needs
-            # min(|A|,|B|) > t*max(|A|,|B|) — zero false negatives
-            ok = np.minimum(la, lb) > threshold * np.maximum(la, lb)
+            # min(|A|,|B|) > t*max(|A|,|B|) — zero false negatives;
+            # ids missing from the broadcast behave like the join path
+            # (the pair simply does not survive)
+            ok = (fa & fb
+                  & (np.minimum(la, lb) > threshold * np.maximum(la, lb)))
             if not ok.any():
                 continue
             ia, ib, la, lb = ia[ok], ib[ok], la[ok], lb[ok]
@@ -228,6 +242,16 @@ def _should_broadcast(sets: DataFrame, set_col: str,
                    F.avg(F.size(set_col)).alias("sz")).first()
     est = row["n"] * (4.0 * (row["sz"] or 0.0) + 48.0)
     return est <= _AUTO_BROADCAST_CAP_BYTES
+
+
+def _integer_ids(sets: DataFrame, id_alias: str) -> bool:
+    """The broadcast-verify kernel gathers sets by id through int64 numpy
+    arrays; non-integer id columns (strings, decimals) must take the
+    attach-join path, which joins on the Spark type directly."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    return isinstance(sets.schema[id_alias].dataType,
+                      (ByteType, ShortType, IntegerType, LongType))
 
 
 def _maybe_broadcast(sets: DataFrame, set_col: str,
@@ -327,7 +351,8 @@ def lsh_similarity_join(
         .select("__lid", "__rid")
         .dropDuplicates(["__lid", "__rid"])
     )
-    if (_should_broadcast(l_sets, "__lset", broadcast_sets)
+    if (_integer_ids(l_sets, "__lid") and _integer_ids(r_sets, "__rid")
+            and _should_broadcast(l_sets, "__lset", broadcast_sets)
             and _should_broadcast(r_sets, "__rset", broadcast_sets)):
         bc_l = _collect_sets_broadcast(l_sets, "__lid", "__lset")
         bc_r = _collect_sets_broadcast(r_sets, "__rid", "__rset")
@@ -384,7 +409,8 @@ def lsh_self_dedup_pairs(
     sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set",
                       shingle=shingle)
     track(sets.persist(StorageLevel.MEMORY_AND_DISK))
-    broadcast_sets = _should_broadcast(sets, "__set", broadcast_sets)
+    broadcast_sets = (_integer_ids(sets, "__id")
+                      and _should_broadcast(sets, "__set", broadcast_sets))
     blocks = _band_blocks(sets, "__id", "__set", band_count, band_size, seed)
 
     a = blocks.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")

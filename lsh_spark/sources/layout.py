@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 
 def dir_parquet_bytes(path: str) -> int:
     """Total bytes of the parquet files under ``path`` (driver-side file
-    listing — no Spark job)."""
+    listing — no Spark job).  LOCAL-filesystem paths only: object-store
+    URIs (s3://, hdfs://) need a listing through the store's client; on
+    such a deployment, size via the FileSystem API instead."""
     total = 0
     for root, _dirs, files in os.walk(path):
         total += sum(os.path.getsize(os.path.join(root, f))
@@ -42,9 +44,14 @@ def compact_parquet(
     """Rewrite the parquet directory at ``path`` into ``out_path`` with
     ~``target_mb``-sized files; returns the output file count.
 
-    File count derives from actual input bytes (footer-inclusive), so no
-    count/sample job runs before the single rewrite job.  ``coalesce``
-    (not ``repartition``) keeps the rewrite shuffle-free when shrinking."""
+    File count derives from actual input bytes (footer-inclusive, local
+    FS only — see ``dir_parquet_bytes``), so no count/sample job runs
+    before the single rewrite job.  ``coalesce`` (not ``repartition``)
+    keeps the rewrite shuffle-free when shrinking."""
+    if os.path.realpath(out_path) == os.path.realpath(path):
+        raise ValueError(
+            "compact_parquet out_path must differ from path: an "
+            "overwrite-in-place would truncate the input mid-scan")
     n_files = max(1, -(-dir_parquet_bytes(path) // (target_mb << 20)))
     df = spark.read.parquet(path)
     part = df.rdd.getNumPartitions()

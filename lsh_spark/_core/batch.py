@@ -191,6 +191,135 @@ def sorted_intersect_counts(ka: np.ndarray, kb: np.ndarray,
     return np.bincount((hits >> shift).astype(np.int64), minlength=n_rows)
 
 
+def segment_sequential_sums(values: np.ndarray, starts: np.ndarray,
+                            lens: np.ndarray) -> np.ndarray:
+    """Per-segment SEQUENTIAL left fold ``((0.0 + v0) + v1) + ...`` —
+    bit-identical to Spark's ``F.aggregate`` / DuckDB's ``list_reduce``
+    IEEE summation order, which a plain ``np.add.reduceat``/``np.sum``
+    would break (numpy uses pairwise summation; measured bit-divergent
+    on mixed-magnitude inputs).
+
+    Vectorized column-major, the same idiom as the all-pairs tile
+    kernel: step k adds element k of every still-live segment, so each
+    segment's accumulator sees its values strictly left-to-right while
+    the work per step stays one numpy gather across segments.  Segments
+    are processed longest-first so the live prefix only shrinks."""
+    n = starts.shape[0]
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    order = np.argsort(-lens, kind="stable")
+    s_starts = starts[order]
+    s_lens = lens[order]
+    acc = np.zeros(n, dtype=np.float64)
+    active = int(np.count_nonzero(s_lens > 0))
+    k = 0
+    while active:
+        acc[:active] += values[s_starts[:active] + k]
+        k += 1
+        while active and s_lens[active - 1] <= k:
+            active -= 1
+    out[order] = acc
+    return out
+
+
+# ASCII-whitespace tokenizer — the repo-wide word-token contract
+# (``functions/lsh.py::word_shingle_set_col``: Spark ``split(text,
+# '\\s+')`` with empties dropped; Java regex \s is exactly this ASCII
+# class, and the DuckDB oracles use the same explicit class).
+import re as _re
+
+_WS_RE = _re.compile("[ \t\n\x0b\x0c\r]+")
+
+
+def tokenize_words(texts) -> list[list[str]]:
+    """Whitespace word tokens per text, empties dropped, None → []."""
+    return [[w for w in _WS_RE.split(t) if w] if t else [] for t in texts]
+
+
+def repetition_stats_batch(texts) -> tuple[np.ndarray, ...]:
+    """Per-document repetition/diversity raw statistics for one batch:
+    (n_words, max_word_count, n_trigrams, n_distinct_trigrams,
+    entropy_term_sum).
+
+    Replaces the interpreted higher-order-function frequency pass
+    (``transform(array_sort(array_distinct(w)), dw -> size(filter(w,
+    x -> x = dw)))`` — O(|distinct|·|tokens|) per row at interpreter
+    speed) with O(W log W) whole-batch numpy: factorize tokens once,
+    tag each with its row in the high 32 bits of an int64 key whose low
+    bits are the token's LEXICOGRAPHIC rank, and one radix-friendly
+    sort delivers every row's distinct counts in sorted-word order —
+    the order the entropy fold is defined over (parity contract with
+    the DuckDB oracle's ``list_sort(list_distinct(w))``).  Python str
+    comparison is codepoint order = UTF-8 binary order, matching both
+    Spark's ``array_sort`` and DuckDB's ``list_sort`` on strings.
+
+    The entropy term sum ``Σ f·ln f`` uses ``segment_sequential_sums``
+    so the IEEE fold order matches ``F.aggregate``/``list_reduce``
+    exactly; divisions / ln(n) / rounding stay JVM-side in the caller
+    so the final projection is shared with the oracle expression."""
+    import pandas as pd
+
+    tokens = tokenize_words(texts)
+    n_rows = len(tokens)
+    lens = np.fromiter((len(w) for w in tokens), dtype=np.int64,
+                       count=n_rows)
+    max_f = np.zeros(n_rows, dtype=np.int64)
+    n_tri = np.maximum(lens - 2, 0)
+    tri_distinct = np.zeros(n_rows, dtype=np.int64)
+    ent = np.zeros(n_rows, dtype=np.float64)
+    flat = [w for ws in tokens for w in ws]
+    if not flat:
+        return lens, max_f, n_tri, tri_distinct, ent
+
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    uniques = np.asarray(uniques, dtype=object)
+    rank = np.empty(len(uniques), dtype=np.int64)
+    rank[np.argsort(uniques, kind="stable")] = np.arange(
+        len(uniques), dtype=np.int64)
+
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    keys = (rows << 32) | rank[codes]
+    keys.sort(kind="stable")
+    boundary = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    starts = np.concatenate([np.zeros(1, dtype=np.int64), boundary])
+    ends = np.concatenate([boundary,
+                           np.array([keys.shape[0]], dtype=np.int64)])
+    counts = ends - starts                       # per (row, word), word-sorted
+    drows = (keys[starts] >> 32).astype(np.int64)
+    rstarts = np.flatnonzero(
+        np.concatenate([[True], drows[1:] != drows[:-1]]))
+    seg_rows = drows[rstarts]
+    max_f[seg_rows] = np.maximum.reduceat(counts, rstarts)
+    seg_lens = np.diff(np.concatenate(
+        [rstarts, np.array([counts.shape[0]], dtype=np.int64)]))
+    cf = counts.astype(np.float64)
+    ent[seg_rows] = segment_sequential_sums(cf * np.log(cf), rstarts,
+                                            seg_lens)
+
+    total_tri = int(n_tri.sum())
+    if total_tri:
+        tok_starts = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(lens[:-1], out=tok_starts[1:])
+        tri_offs = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(n_tri[:-1], out=tri_offs[1:])
+        within = (np.arange(total_tri, dtype=np.int64)
+                  - np.repeat(tri_offs, n_tri))
+        t0 = np.repeat(tok_starts, n_tri) + within
+        # distinct (row, trigram) count: words contain no whitespace, so
+        # the space-joined trigram string is injective in its code triple
+        trows = np.repeat(np.arange(n_rows, dtype=np.int64), n_tri)
+        c0, c1, c2 = codes[t0], codes[t0 + 1], codes[t0 + 2]
+        order = np.lexsort((c2, c1, c0, trows))
+        a0, a1, a2, ar = c0[order], c1[order], c2[order], trows[order]
+        new = np.concatenate([[True], (ar[1:] != ar[:-1])
+                              | (a0[1:] != a0[:-1])
+                              | (a1[1:] != a1[:-1])
+                              | (a2[1:] != a2[:-1])])
+        tri_distinct = np.bincount(ar[new], minlength=n_rows)
+    return lens, max_f, n_tri, tri_distinct, ent
+
+
 def _rowtag_unique(
     hashes: np.ndarray, offsets: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

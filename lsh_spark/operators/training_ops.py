@@ -55,8 +55,8 @@ def _words(col):
 
 def repetition_stats_df(docs: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
-    """Per-document repetition & diversity metrics, all computed as
-    per-row JVM expressions (zero shuffle, one scan):
+    """Per-document repetition & diversity metrics — one zero-shuffle
+    scan, raw counts from an Arrow batch kernel, final arithmetic JVM:
 
       * ``top_word_frac`` — share of tokens taken by the most frequent
         word (Gopher's "fraction of chars in most common n-gram" family);
@@ -67,53 +67,66 @@ def repetition_stats_df(docs: DataFrame, *, id_col: str = "doc_id",
         the SORTED distinct words so the oracle reproduces the exact
         IEEE summation order.
 
-    The O(|distinct|·|tokens|) per-row frequency pass is bounded by
-    document length and runs inside whole-stage codegen — at corpus
-    scale this stays a map-only stage with no exchange at all.
+    The per-distinct-word frequency pass previously ran as a nested
+    interpreted higher-order function — O(|distinct|·|tokens|) per row
+    at interpreter speed (HOFs never enter whole-stage codegen): fine
+    on ~300-char docs, quadratic on real training documents (a
+    100k-token doc with 20k distinct words is 2×10⁹ interpreted ops in
+    one task).  It is now ``_core.batch.repetition_stats_batch``: one
+    factorize + radix-friendly row-tagged sort per Arrow batch,
+    O(W log W) in total tokens, with the entropy fold's IEEE order
+    preserved by a column-major sequential segment sum.  Only integer
+    counts and the fold cross the kernel boundary; every division,
+    ``ln``, and rounding stays in the JVM projection, identical to the
+    oracle's expression tree.
     """
-    w = _words(F.col(text_col))
-    d = docs.select(F.col(id_col).alias("doc_id"), w.alias("w"))
-    n = F.size("w")
-    # per-distinct-word counts, in sorted word order (parity contract)
-    freqs = F.transform(
-        F.array_sort(F.array_distinct("w")),
-        lambda dw: F.size(F.filter("w", lambda x: x == dw)),
-    )
-    tri = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    d = d.select(
-        "doc_id",
-        n.alias("n_words"),
-        freqs.alias("__f"),
-        tri.alias("__tri"),
-    )
-    ent_terms = F.aggregate(
-        F.transform("__f", lambda f: f.cast("double")
-                    * F.log(f.cast("double"))),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)
+                      .alias("__text"))
+    schema = StructType([
+        src.schema["doc_id"],
+        StructField("n_words", LongType()),
+        StructField("__max_f", LongType()),
+        StructField("__n_tri", LongType()),
+        StructField("__n_tri_d", LongType()),
+        StructField("__ent", DoubleType()),
+    ])
+
+    def stats(batches):
+        from .._core.batch import repetition_stats_batch
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n, mx, tri, trid, ent = repetition_stats_batch(
+                list(pdf["__text"]))
+            out = pdf[["doc_id"]].copy()
+            out["n_words"] = n
+            out["__max_f"] = mx
+            out["__n_tri"] = tri
+            out["__n_tri_d"] = trid
+            out["__ent"] = ent
+            yield out
+
+    d = src.mapInPandas(stats, schema=schema)
     return d.select(
         "doc_id",
-        F.col("n_words").cast("bigint").alias("n_words"),
+        "n_words",
         F.round(
             F.when(F.col("n_words") > 0,
-                   F.array_max("__f").cast("double") / F.col("n_words"))
+                   F.col("__max_f").cast("double") / F.col("n_words"))
             .otherwise(F.lit(0.0)), 6).alias("top_word_frac"),
         F.round(
-            F.when(F.size("__tri") > 0,
-                   1.0 - F.size(F.array_distinct("__tri")).cast("double")
-                   / F.size("__tri"))
+            F.when(F.col("__n_tri") > 0,
+                   1.0 - F.col("__n_tri_d").cast("double")
+                   / F.col("__n_tri"))
             .otherwise(F.lit(0.0)), 6).alias("dup_trigram_frac"),
         F.round(
             F.when(F.col("n_words") > 0,
                    F.log(F.col("n_words").cast("double"))
-                   - ent_terms / F.col("n_words"))
+                   - F.col("__ent") / F.col("n_words"))
             .otherwise(F.lit(0.0)), 6).alias("word_entropy"),
     )
 

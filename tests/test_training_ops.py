@@ -67,6 +67,78 @@ def test_repetition_null_text(spark):
     assert (r.n_words, r.word_entropy) == (0, 0.0)
 
 
+def _rep_mirror(text):
+    """Straightforward per-row mirror of the repetition metrics with the
+    contract fold order (sorted distinct words, sequential float adds) —
+    the independent check for the batch kernel."""
+    import re
+    from collections import Counter
+
+    toks = ([w for w in re.split("[ \t\n\x0b\x0c\r]+", text) if w]
+            if text else [])
+    n = len(toks)
+    c = Counter(toks)
+    ent = 0.0
+    for wd in sorted(c):
+        f = float(c[wd])
+        ent = ent + f * math.log(f)
+    tris = [" ".join(toks[i:i + 3]) for i in range(n - 2)] if n >= 3 else []
+    return {
+        "n_words": n,
+        "top_word_frac": (max(c.values()) / n) if n else 0.0,
+        "dup_trigram_frac": (1.0 - len(set(tris)) / len(tris)) if tris
+        else 0.0,
+        "word_entropy": (math.log(n) - ent / n) if n else 0.0,
+    }
+
+
+def test_repetition_long_document_linear_kernel(spark):
+    # the HOF form this kernel replaced was O(|distinct|*|tokens|) per
+    # row — a >=50k-token document with thousands of distinct words is
+    # exactly the shape that made it quadratic; the Arrow kernel must
+    # handle it AND agree with the per-row mirror on every metric
+    rng_words = [f"w{(i * i * 7919) % 4001}" for i in range(55_000)]
+    seps = [" ", "\t", "\n", "\x0b", "\x0c", "\r", "  \t "]
+    long_text = "".join(w + seps[i % len(seps)]
+                        for i, w in enumerate(rng_words))
+    rows = [
+        (1, long_text),
+        (2, "münchen zürich münchen été zürich"),  # non-ASCII
+        (3, "solo"),
+        (4, None),
+        (5, " \t\n "),
+    ]
+    out = {r.doc_id: r for r in
+           repetition_stats_df(_docs(spark, rows)).collect()}
+    for doc_id, text in rows:
+        want = _rep_mirror(text)
+        got = out[doc_id]
+        assert got.n_words == want["n_words"], doc_id
+        for k in ("top_word_frac", "dup_trigram_frac", "word_entropy"):
+            # df values are rounded to 6dp; the mirror is unrounded
+            assert math.isclose(getattr(got, k), want[k], abs_tol=5.1e-7), \
+                (doc_id, k, getattr(got, k), want[k])
+
+
+def test_repetition_kernel_matches_mirror_randomized(spark):
+    import random
+
+    rnd = random.Random(123)
+    vocab = [f"t{j}" for j in range(40)] + ["é", "ß", "漢"]
+    rows = []
+    for i in range(60):
+        n = rnd.randrange(0, 30)
+        rows.append((i, " ".join(rnd.choice(vocab) for _ in range(n))))
+    out = {r.doc_id: r for r in
+           repetition_stats_df(_docs(spark, rows)).collect()}
+    for doc_id, text in rows:
+        want = _rep_mirror(text)
+        got = out[doc_id]
+        assert got.n_words == want["n_words"]
+        for k in ("top_word_frac", "dup_trigram_frac", "word_entropy"):
+            assert math.isclose(getattr(got, k), want[k], abs_tol=5.1e-7)
+
+
 # ---------------------------------------------------------------------------
 # contamination_overlap
 # ---------------------------------------------------------------------------

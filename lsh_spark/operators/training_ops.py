@@ -337,11 +337,39 @@ QUERIES["stratified_sample"] = (stratified_sample, STRATIFIED_ORACLE)
 # ---------------------------------------------------------------------------
 
 _SHARD_BUDGET = 4000    # tokens per shard
-_CHUNK = 256            # docs per cumsum chunk (see scale note below)
+_CHUNK_FLOOR = 256      # smallest auto-derived cumsum chunk
+
+
+def _auto_chunk(id_span: int) -> int:
+    """Chunk width for ``shard_assignment_df``'s two-level running sum:
+    the next power of two ≥ sqrt(id span), floored at ``_CHUNK_FLOOR``.
+    Balancing the two levels at ~sqrt(span) keeps BOTH single-partition
+    stages (the chunk-offset prefix window of span/chunk rows and the
+    intra-chunk window of ≤ chunk rows) under ~10^6 rows for any corpus
+    up to ~10^12 ids — past that, recurse the same decomposition once
+    (span^(1/3) per level)."""
+    import math
+
+    if id_span <= 1:
+        return _CHUNK_FLOOR
+    return max(_CHUNK_FLOOR, 1 << math.ceil(math.log2(math.sqrt(id_span))))
+
+
+def _auto_chunk_col(span):
+    """In-plan Column mirror of :func:`_auto_chunk` — the derivation
+    runs INSIDE the job (scalar bounds row, broadcast cross join), so
+    plan construction stays zero-jobs.  Exactness: log2/sqrt land on
+    representable powers of two at every decision boundary, so the
+    JVM and Python mirrors agree (pinned by a grid test)."""
+    span_d = F.greatest(span, F.lit(1)).cast("double")
+    return F.greatest(
+        F.lit(_CHUNK_FLOOR).cast("long"),
+        F.pow(F.lit(2.0), F.ceil(F.log2(F.sqrt(span_d)))).cast("long"),
+    )
 
 
 def shard_assignment_df(docs: DataFrame, *, budget: int = _SHARD_BUDGET,
-                        chunk: int = _CHUNK) -> DataFrame:
+                        chunk: "int | None" = None) -> DataFrame:
     """Assign each document (in ``doc_id`` order) to a token-budget
     shard: ``shard = floor(running_token_total_before_doc / budget)`` —
     the packing step that turns a cleaned corpus into near-equal
@@ -353,14 +381,32 @@ def shard_assignment_df(docs: DataFrame, *, budget: int = _SHARD_BUDGET,
     ``floor(doc_id / chunk)``), an exclusive prefix over the tiny chunk
     table, broadcast back onto an intra-chunk window partitioned by
     chunk — so no stage ever sees more than a chunk in one partition.
-    At 10^10 docs pick ``chunk ≈ sqrt(n)`` (or recurse once more); the
-    decomposition is exact for any chunk size.
+
+    ``chunk=None`` (default) auto-sizes the chunk to the next power of
+    two ≥ sqrt(doc_id span), derived in-plan from a broadcast min/max
+    bounds row — both levels stay ≤ ~sqrt(span) rows per partition at
+    ANY corpus size (≲10^12 ids) with no caller tuning and no driver
+    job.  An explicit ``chunk`` pins the width (the decomposition is
+    exact for any value, so results never depend on it).
     """
-    toks = docs.select(
+    base = docs.select(
         "doc_id",
         F.size(_words(F.col("text"))).cast("bigint").alias("n_tokens"),
-        (F.col("doc_id") - F.col("doc_id") % chunk).alias("__chunk"),
     )
+    if chunk is None:
+        bounds = docs.select("doc_id").agg(
+            F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi"))
+        chunk_col = _auto_chunk_col(F.col("__hi") - F.col("__lo") + 1)
+        toks = base.crossJoin(F.broadcast(bounds)).select(
+            "doc_id", "n_tokens",
+            (F.col("doc_id") - F.col("doc_id") % chunk_col)
+            .alias("__chunk"),
+        )
+    else:
+        toks = base.select(
+            "doc_id", "n_tokens",
+            (F.col("doc_id") - F.col("doc_id") % chunk).alias("__chunk"),
+        )
     chunk_offsets = (
         toks.groupBy("__chunk").agg(F.sum("n_tokens").alias("__chunk_sum"))
         .select(

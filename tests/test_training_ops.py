@@ -247,6 +247,47 @@ def test_shard_two_level_matches_global_window(spark):
     assert got == want
 
 
+def test_shard_auto_chunk_pinned_sizes():
+    from lsh_spark.operators.training_ops import _auto_chunk
+
+    # two synthetic corpus sizes pin the derivation: sqrt(1e5) = 316 ->
+    # 512 (above the floor), sqrt(1e12) = 1e6 -> 2^20
+    assert _auto_chunk(100_000) == 512
+    assert _auto_chunk(10**12) == 1 << 20
+    # the floor binds for small corpora; degenerate spans stay sane
+    assert _auto_chunk(5_000) == 256
+    assert _auto_chunk(0) == 256
+    assert _auto_chunk(1) == 256
+
+
+def test_shard_auto_chunk_column_mirror_parity(spark):
+    from lsh_spark.operators.training_ops import _auto_chunk, _auto_chunk_col
+
+    spans = [0, 1, 2, 255, 256, 257, 65_536, 65_537, 100_000,
+             2**40 - 1, 2**40, 10**12]
+    rows = spark.range(len(spans)).select(
+        F.col("id"),
+        _auto_chunk_col(
+            F.element_at(F.array(*[F.lit(s).cast("long") for s in spans]),
+                         F.col("id").cast("int") + 1)).alias("c"),
+    ).collect()
+    got = {int(r.id): r.c for r in rows}
+    for i, s in enumerate(spans):
+        assert got[i] == _auto_chunk(s), (s, got[i], _auto_chunk(s))
+
+
+def test_shard_auto_chunk_matches_global_window(spark):
+    rows = [(i * 41 % 1009, "w " * ((i * 7) % 23 + 1)) for i in range(150)]
+    rows = [(int(i), t.strip()) for i, t in dict(rows).items()]
+    df = _docs(spark, rows)
+    got = {(r.doc_id, r.n_tokens, r.shard)
+           for r in shard_assignment_df(df, budget=40).collect()}
+    explicit = {(r.doc_id, r.n_tokens, r.shard)
+                for r in shard_assignment_df(df, budget=40,
+                                             chunk=32).collect()}
+    assert got == explicit and len(got) == len(rows)
+
+
 def test_shard_boundaries_monotone(spark):
     df = _docs(spark, [(i, "a b c d") for i in range(50)])
     out = sorted(shard_assignment_df(df, budget=10, chunk=8).collect(),

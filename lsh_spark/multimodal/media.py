@@ -126,19 +126,32 @@ def decode_raw_video(content: bytes) -> dict | None:
             "_frames": frames.reshape(n, h, w)}
 
 
+def _decode_image(content: bytes) -> dict | None:
+    """Image decode chain: RAWI, then REAL PNG (pure-stdlib zlib codec,
+    ``multimodal.png`` — the one compressed format decodable without
+    external libraries).  None → foreign bytes."""
+    meta = decode_raw_image(content)
+    if meta is not None:
+        return meta
+    from .png import decode_png
+
+    return decode_png(content)
+
+
 _RAW_DECODERS = {
-    "image": decode_raw_image,
+    "image": _decode_image,
     "audio": decode_raw_audio,
     "video": decode_raw_video,
 }
 
 
 def _decode(kind: str, content: bytes) -> dict:
-    """RAW formats decode for real; anything else falls back to the
-    deterministic stub (compressed codecs need external libs).  Bytes
-    that merely *start* with a RAW magic but fail length validation are
-    treated as foreign (stub fallback) — the batch pipeline must stay
-    total; strict deployments call ``decode_raw_*`` directly."""
+    """RAW formats and PNG images decode for real; anything else falls
+    back to the deterministic stub (remaining compressed codecs need
+    external libs).  Bytes that merely *start* with a known magic but
+    fail validation are treated as foreign (stub fallback) — the batch
+    pipeline must stay total; strict deployments call the ``decode_*``
+    functions directly."""
     raw = _RAW_DECODERS.get(kind)
     try:
         meta = raw(content) if raw else None
@@ -283,24 +296,31 @@ def encode_raw_image(pixels) -> bytes:
 
 
 def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
-    """Image resize (``mapInPandas``, batch-at-a-time).  RAWI payloads are
-    REALLY resized — nearest-neighbor resample over the decoded pixel
-    array, re-encoded as RAWI — so downstream stages keep operating on
-    decodable images.  Foreign payloads (compressed formats, no codec in
-    this environment) fall back to a deterministic digest-derived stand-in
-    with the same ``bytes -> bytes`` contract a PIL/opencv decoder would
-    implement."""
+    """Image resize (``mapInPandas``, batch-at-a-time).  RAWI and PNG
+    payloads are REALLY resized — nearest-neighbor resample over the
+    decoded pixel array, re-encoded in the source's own format (RAWI →
+    RAWI, PNG → PNG) — so downstream stages keep operating on decodable
+    images.  Foreign payloads (remaining compressed formats, no codec in
+    this environment) fall back to a deterministic digest-derived
+    stand-in with the same ``bytes -> bytes`` contract a PIL/opencv
+    decoder would implement."""
     import numpy as np
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import decode_png, encode_png
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 if r["kind"] != "image" or r["content"] is None:
                     continue
                 content = bytes(r["content"])
+                encode = encode_raw_image
                 try:
                     meta = decode_raw_image(content)
+                    if meta is None:
+                        meta = decode_png(content)
+                        encode = encode_png
                 except ValueError:
                     meta = None
                 if meta is not None:
@@ -310,7 +330,7 @@ def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
                     ys = (np.arange(height) * h_src) // height
                     xs = (np.arange(width) * w_src) // width
                     out = np.ascontiguousarray(px[ys[:, None], xs[None, :], :])
-                    payload = encode_raw_image(out)
+                    payload = encode(out)
                 else:
                     digest = hashlib.sha256(content).digest()
                     payload = (digest * ((width * height) // 32 + 1))[

@@ -41,4 +41,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Avro datasource opt-in: the pip pyspark distribution omits the
+    # spark-avro module; on a network-enabled deployment set
+    # LSH_SPARK_AVRO_PACKAGE=org.apache.spark:spark-avro_2.13:<ver> (or
+    # any coordinate) and read_avro/write_avro light up.  Appended, not
+    # replaced, so a caller-supplied spark.jars.packages survives.
+    avro_pkg = os.environ.get("LSH_SPARK_AVRO_PACKAGE")
+    if avro_pkg:
+        builder = builder.config("spark.jars.packages", avro_pkg)
     return builder.getOrCreate()

@@ -143,8 +143,110 @@ def vectors() -> None:
     spark.stop()
 
 
+def indexes() -> None:
+    """Index-lifecycle scale check: replicate the corpus N× and measure
+    BUILD wall (grows with the corpus — paid once) vs PROBE wall for a
+    FIXED-size probe set (should stay ~flat — the amortization claim of
+    the persisted bucketed indexes: probes shuffle only the probe side,
+    the corpus side reads matching buckets with no exchange)."""
+    from pyspark import StorageLevel
+
+    from lsh_spark.operators.ann import build_ivf_index, search_ivf_index
+    from lsh_spark.operators.similarity_join import (
+        build_lsh_corpus_index,
+        lsh_similarity_join_indexed,
+    )
+    from lsh_spark.plans import get_spark
+    from lsh_spark.sources.io import load_table
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 5, 20]
+    spark = get_spark(app_name="lsh_spark-scale-check-idx")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n_base = base.count()
+    # fixed probe set: 500 lightly perturbed docs — constant work per rep
+    probe = (
+        base.where(F.col("doc_id") % 10 == 3).limit(500)
+        .select(F.col("doc_id").alias("probe_id"),
+                F.concat(F.col("text"), F.lit(" probetail")).alias("text"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    probe.count()
+    emb_base = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n_emb = emb_base.count()
+    queries = emb_base.where(F.col("vec_id") < 50).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    queries.count()
+
+    for rep in reps:
+        docs = (
+            base.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("doc_id") * rep + F.col("__rep")).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail"),
+                         F.col("__rep").cast("string")).alias("text"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        docs.count()
+        name = f"scalecheck_lsh_{rep}"
+        t0 = time.perf_counter()
+        build_lsh_corpus_index(docs, name, text_col="text",
+                               id_col="doc_id", ngram_width=3,
+                               band_count=6, band_size=6, seed=123)
+        t_build = time.perf_counter() - t0
+        t_probe = float("inf")
+        for _ in range(2):          # best-of-2: damp host noise
+            t0 = time.perf_counter()
+            n_hits = lsh_similarity_join_indexed(
+                spark, name, probe, "text", probe_id="probe_id",
+                threshold=0.7).count()
+            t_probe = min(t_probe, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+
+        emb = (
+            emb_base.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("vec_id") * rep + F.col("__rep")).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x + (F.col("__rep") % 7).cast("float")
+                    * F.lit(0.001) * (i % 3).cast("float")
+                ).alias("embedding"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        emb.count()
+        vname = f"scalecheck_ivf_{rep}"
+        n_lists = 32 * rep          # constant cell width as rows grow
+        t0 = time.perf_counter()
+        build_ivf_index(emb, vname, n_lists=n_lists)
+        t_vbuild = time.perf_counter() - t0
+        t_vprobe = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_vhits = search_ivf_index(spark, vname, queries, k=10,
+                                       n_probe=4).count()
+            t_vprobe = min(t_vprobe, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        print(
+            f"rep={rep:3d} rows={n_base * rep:8d}  "
+            f"lsh_build={t_build:6.1f}s lsh_probe={t_probe:6.1f}s "
+            f"({n_hits} hits)  | emb_rows={n_emb * rep:7d} "
+            f"ivf_build={t_vbuild:6.1f}s ivf_probe={t_vprobe:6.1f}s "
+            f"({n_vhits} hits)", flush=True)
+        for t in (f"{name}_bands", f"{name}_sets", f"{name}_meta",
+                  vname, f"{vname}_centroids", f"{vname}_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        docs.unpersist()
+        emb.unpersist()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--vectors":
         vectors()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--indexes":
+        indexes()
     else:
         main()

@@ -1,0 +1,166 @@
+"""Tests for the pure-stdlib PNG codec (``lsh_spark.multimodal.png``)
+and its wiring into the media pipeline: encode/decode round-trips, all
+five scanline filters (hand-filtered fixtures), palette expansion,
+corruption handling, and the Spark-side decode/resize paths."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from lsh_spark.multimodal.png import _MAGIC, decode_png, encode_png
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _rand_px(h, w, c, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("c", [1, 2, 3, 4])
+def test_round_trip_all_color_types(c):
+    px = _rand_px(7, 5, c, seed=c)
+    meta = decode_png(encode_png(px))
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (5, 7, 1)
+    assert np.array_equal(meta["_pixels"], px)
+
+
+def test_round_trip_2d_gray_input():
+    px = _rand_px(4, 6, 1, seed=9)
+    meta = decode_png(encode_png(px[:, :, 0]))   # 2-D accepted
+    assert np.array_equal(meta["_pixels"], px)
+
+
+def _filter_row(ftype: int, row: np.ndarray, prior: np.ndarray,
+                bpp: int) -> np.ndarray:
+    """Reference implementation of PNG FILTERING (the encoder side) —
+    the inverse of the decoder's unfiltering, per the spec."""
+    out = np.zeros_like(row)
+    for i in range(len(row)):
+        a = int(row[i - bpp]) if i >= bpp else 0       # raw left
+        b = int(prior[i])
+        cc = int(prior[i - bpp]) if i >= bpp else 0
+        x = int(row[i])
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x - a) & 0xFF
+        elif ftype == 2:
+            out[i] = (x - b) & 0xFF
+        elif ftype == 3:
+            out[i] = (x - ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:
+            p = a + b - cc
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            out[i] = (x - pred) & 0xFF
+    return out
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_unfilter_each_filter_type(ftype):
+    # every scanline carries the same filter; decode must invert the
+    # reference filtering exactly
+    px = _rand_px(6, 4, 3, seed=ftype + 10)
+    h, w, c = px.shape
+    flat = px.reshape(h, w * c)
+    lines = []
+    for y in range(h):
+        prior = flat[y - 1] if y else np.zeros(w * c, dtype=np.uint8)
+        lines.append(bytes([ftype])
+                     + _filter_row(ftype, flat[y], prior, c).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _chunk(b"IEND", b""))
+    meta = decode_png(blob)
+    assert np.array_equal(meta["_pixels"], px), f"filter {ftype}"
+
+
+def test_mixed_filters_and_split_idat():
+    px = _rand_px(5, 3, 4, seed=42)
+    h, w, c = px.shape
+    flat = px.reshape(h, w * c)
+    lines = []
+    for y in range(h):
+        ftype = y % 5
+        prior = flat[y - 1] if y else np.zeros(w * c, dtype=np.uint8)
+        lines.append(bytes([ftype])
+                     + _filter_row(ftype, flat[y], prior, c).tobytes())
+    comp = zlib.compress(b"".join(lines))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    # IDAT split across two chunks must concatenate before inflate
+    blob = (_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", comp[:7]) + _chunk(b"IDAT", comp[7:])
+            + _chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(blob)["_pixels"], px)
+
+
+def test_palette_image_expands_to_rgb():
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                       dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    h, w = idx.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    blob = (_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", palette.tobytes())
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    meta = decode_png(blob)
+    assert np.array_equal(meta["_pixels"], palette[idx])
+
+
+def test_foreign_bytes_return_none_corrupt_raise():
+    assert decode_png(b"not a png at all") is None
+    assert decode_png(None) is None
+    good = encode_png(_rand_px(3, 3, 3))
+    # flip one payload byte -> CRC mismatch
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_png(good[:30])        # truncated mid-chunk
+    # 16-bit depth is unsupported, must raise (caller falls back)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    blob = (_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(blob)
+
+
+def test_extract_features_decodes_png_for_real(spark):
+    from lsh_spark.multimodal.media import MEDIA_SCHEMA, extract_features
+
+    px = _rand_px(11, 13, 3, seed=5)
+    rows = [(1, "image", bytearray(encode_png(px)), "image/png"),
+            (2, "image", bytearray(b"JFIF-ish opaque bytes"), "image/jpeg")]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_features(media).collect()}
+    # PNG: REAL dimensions from the decoded header/pixels
+    assert (out[1].width, out[1].height, out[1].n_frames) == (13, 11, 1)
+    # foreign compressed bytes keep the deterministic stub contract
+    assert out[2].width is not None
+
+
+def test_resize_images_resizes_png_and_reencodes_png(spark):
+    from lsh_spark.multimodal.media import MEDIA_SCHEMA, resize_images
+
+    px = _rand_px(8, 8, 3, seed=6)
+    media = spark.createDataFrame(
+        [(7, "image", bytearray(encode_png(px)), "image/png")], MEDIA_SCHEMA)
+    r = resize_images(media, width=4, height=4).collect()[0]
+    assert (r.width, r.height) == (4, 4)
+    meta = decode_png(bytes(r.content))
+    assert meta is not None and (meta["width"], meta["height"]) == (4, 4)
+    # nearest-neighbor: dst (y,x) pulls src (2y, 2x) for an 8->4 shrink
+    want = px[::2, ::2, :]
+    assert np.array_equal(meta["_pixels"], want)

@@ -73,6 +73,11 @@ _REDUNDANT_TAIL = [
     "events_weekly_cohorts",
     "large_quantity_orders",
     "min_cost_supplier",
+    # round-5 NEW query: appended to the tail so the curated head-50 —
+    # chosen to close the r4 driver-row gap — keeps its positions; it
+    # carries the local sf0.01 gate-replica row + pytest until the next
+    # rotation gives it a driver row
+    "dup_ngram_stats",
 ]
 
 

@@ -273,6 +273,122 @@ QUERIES["contamination_overlap"] = (contamination_overlap,
 
 
 # ---------------------------------------------------------------------------
+# cross-document duplicated-span stats (corpus self-duplication signal)
+# ---------------------------------------------------------------------------
+
+_DUPSPAN_N = 8          # word n-gram width
+_DUPSPAN_MIN_DOCS = 2   # a span is "duplicated" once >= 2 docs carry it
+
+
+def dup_ngram_stats_df(docs: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = _DUPSPAN_N,
+                       min_docs: int = _DUPSPAN_MIN_DOCS) -> DataFrame:
+    """Per-document corpus-self-duplication signal: the fraction of a
+    document's word ``n``-grams that appear in ≥ ``min_docs`` DISTINCT
+    documents — the "duplicated span" quality stat of the Gopher /
+    RefinedWeb pipelines (their line-level variant degenerates on
+    single-line corpora; the n-gram form measures the same cross-doc
+    copying at span granularity).  Complements
+    ``contamination_overlap``: that checks the corpus against a held-out
+    benchmark, this checks the corpus against itself.
+
+    Scale shape: n-grams shuffle as md5 digests, never as span text
+    (constant 32-byte keys regardless of n) — one frequency aggregate
+    keyed by digest, a semi-join of the (doc_id, digest) stream against
+    the duplicated-digest set (both sides already partitioned by the
+    digest from the aggregate), and a final per-doc count.  md5 is
+    chosen for cross-engine parity with the DuckDB oracle; a
+    deployment that needs to halve the shuffle width can swap
+    ``F.xxhash64`` in (no oracle twin).
+
+    Returns every document with ``n_ngrams``, ``n_dup`` (occurrences
+    whose span is cross-doc duplicated) and ``dup_frac``.
+    """
+    w = _words(F.col(text_col))
+    ngrams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       ngrams.alias("__ngrams"))
+    grams = (
+        base.select("doc_id", F.explode("__ngrams").alias("__ng"))
+        .select("doc_id", F.md5("__ng").alias("gh"))
+    )
+    hot = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("gh")
+    )
+    dup_counts = (
+        grams.join(hot, on="gh", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        base.select("doc_id",
+                    F.size("__ngrams").cast("bigint").alias("n_ngrams"))
+        .join(dup_counts, on="doc_id", how="left")
+        .select(
+            "doc_id", "n_ngrams",
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
+            F.round(
+                F.when(F.col("n_ngrams") > 0,
+                       F.coalesce("n_dup", F.lit(0)).cast("double")
+                       / F.col("n_ngrams"))
+                .otherwise(F.lit(0.0)), 6).alias("dup_frac"),
+        )
+    )
+
+
+def dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_ngram_stats_df(
+        fanout_scan(load_table(spark, sf_dir, "documents")))
+
+
+DUPSPAN_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         coalesce(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t != ''), []) AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {_DUPSPAN_N}
+              THEN list_transform(generate_series(1, len(w) - {_DUPSPAN_N - 1}),
+                                  i -> array_to_string(w[i:i+{_DUPSPAN_N - 1}], ' '))
+              ELSE [] END AS ngrams
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, md5(unnest(ngrams)) AS gh FROM base
+),
+hot AS (
+  SELECT gh FROM grams GROUP BY gh
+  HAVING count(DISTINCT doc_id) >= {_DUPSPAN_MIN_DOCS}
+),
+dup AS (
+  SELECT doc_id, count(*) AS n_dup
+  FROM grams WHERE gh IN (SELECT gh FROM hot)
+  GROUP BY doc_id
+)
+SELECT base.doc_id,
+       len(base.ngrams)::BIGINT AS n_ngrams,
+       coalesce(dup.n_dup, 0)::BIGINT AS n_dup,
+       round(CASE WHEN len(base.ngrams) > 0
+             THEN coalesce(dup.n_dup, 0)::DOUBLE / len(base.ngrams)
+             ELSE 0.0 END, 6) AS dup_frac
+FROM base LEFT JOIN dup ON base.doc_id = dup.doc_id
+"""
+
+QUERIES["dup_ngram_stats"] = (dup_ngram_stats, DUPSPAN_ORACLE)
+
+
+# ---------------------------------------------------------------------------
 # deterministic stratified sampling (training-mixture composition)
 # ---------------------------------------------------------------------------
 

@@ -172,6 +172,40 @@ def test_contamination_counts_distinct_ngrams_once(spark):
 
 
 # ---------------------------------------------------------------------------
+# dup_ngram_stats (corpus self-duplication)
+# ---------------------------------------------------------------------------
+
+def test_dup_ngram_planted_spans(spark):
+    from lsh_spark.operators.training_ops import dup_ngram_stats_df
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"            # one shared 8-gram
+    df = _docs(spark, [
+        (1, f"{shared} aaa bbb"),                  # carries the shared span
+        (2, f"zzz {shared}"),                      # carries it too
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),         # fully unique
+        (4, "w1 w2 w3"),                           # too short for 8-grams
+    ])
+    out = {r.doc_id: r for r in dup_ngram_stats_df(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1: 3 ngrams total, exactly one (the leading window) duplicated
+    assert out[1].n_ngrams == 3 and out[1].n_dup == 1
+    assert out[2].n_ngrams == 2 and out[2].n_dup == 1
+    assert out[2].dup_frac == 0.5
+    assert out[3].n_dup == 0 and not out[3].dup_frac
+    assert (out[4].n_ngrams, out[4].n_dup, out[4].dup_frac) == (0, 0, 0.0)
+
+
+def test_dup_ngram_within_doc_repeat_not_duplicated(spark):
+    from lsh_spark.operators.training_ops import dup_ngram_stats_df
+
+    # the same span twice in ONE doc is not cross-doc duplication
+    g = "r1 r2 r3 r4 r5 r6 r7 r8"
+    df = _docs(spark, [(1, f"{g} mid {g}"), (2, "x1 x2 x3 x4 x5 x6 x7 x8")])
+    out = {r.doc_id: r for r in dup_ngram_stats_df(df).collect()}
+    assert out[1].n_dup == 0 and out[2].n_dup == 0
+
+
+# ---------------------------------------------------------------------------
 # stratified_sample
 # ---------------------------------------------------------------------------
 

@@ -484,6 +484,51 @@ def _auto_chunk_col(span):
     )
 
 
+def _exclusive_running_sum(df: DataFrame, *, key_col: str, val_col: str,
+                           out_col: str,
+                           chunk: "int | None" = None) -> DataFrame:
+    """Exact exclusive running sum of ``val_col`` in ``key_col`` order
+    (keys assumed unique) WITHOUT a single-partition global window: the
+    two-level decomposition — per-chunk subtotals, an exclusive prefix
+    over the small chunk table, broadcast back onto an intra-chunk
+    window — shared by ``shard_assignment_df`` and
+    ``pack_sequences_df``.  ``chunk=None`` auto-sizes in-plan from the
+    key span (see ``_auto_chunk_col``); all arithmetic stays BIGINT."""
+    if chunk is None:
+        bounds = df.select(key_col).agg(
+            F.min(key_col).alias("__lo"), F.max(key_col).alias("__hi"))
+        chunk_col = _auto_chunk_col(F.col("__hi") - F.col("__lo") + 1)
+        t = df.crossJoin(F.broadcast(bounds)).select(
+            *df.columns,
+            (F.col(key_col) - F.col(key_col) % chunk_col).alias("__chunk"))
+    else:
+        t = df.select(
+            *df.columns,
+            (F.col(key_col) - F.col(key_col) % chunk).alias("__chunk"))
+    chunk_offsets = (
+        t.groupBy("__chunk").agg(F.sum(val_col).alias("__chunk_sum"))
+        .select(
+            "__chunk",
+            (F.sum("__chunk_sum").over(
+                Window.orderBy("__chunk")
+                .rowsBetween(Window.unboundedPreceding, -1))
+             ).alias("__offset"),
+        )
+        .fillna(0, subset=["__offset"])
+    )
+    intra = Window.partitionBy("__chunk").orderBy(key_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        t.join(F.broadcast(chunk_offsets), on="__chunk")
+        .select(
+            *df.columns,
+            (F.col("__offset")
+             + F.coalesce(F.sum(val_col).over(intra), F.lit(0)))
+            .alias(out_col),
+        )
+    )
+
+
 def shard_assignment_df(docs: DataFrame, *, budget: int = _SHARD_BUDGET,
                         chunk: "int | None" = None) -> DataFrame:
     """Assign each document (in ``doc_id`` order) to a token-budget
@@ -509,47 +554,14 @@ def shard_assignment_df(docs: DataFrame, *, budget: int = _SHARD_BUDGET,
         "doc_id",
         F.size(_words(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
-    if chunk is None:
-        bounds = docs.select("doc_id").agg(
-            F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi"))
-        chunk_col = _auto_chunk_col(F.col("__hi") - F.col("__lo") + 1)
-        toks = base.crossJoin(F.broadcast(bounds)).select(
-            "doc_id", "n_tokens",
-            (F.col("doc_id") - F.col("doc_id") % chunk_col)
-            .alias("__chunk"),
-        )
-    else:
-        toks = base.select(
-            "doc_id", "n_tokens",
-            (F.col("doc_id") - F.col("doc_id") % chunk).alias("__chunk"),
-        )
-    chunk_offsets = (
-        toks.groupBy("__chunk").agg(F.sum("n_tokens").alias("__chunk_sum"))
-        .select(
-            "__chunk",
-            (F.sum("__chunk_sum").over(
-                Window.orderBy("__chunk")
-                .rowsBetween(Window.unboundedPreceding, -1))
-             ).alias("__offset"),
-        )
-        .fillna(0, subset=["__offset"])
-    )
-    intra = Window.partitionBy("__chunk").orderBy("doc_id") \
-        .rowsBetween(Window.unboundedPreceding, -1)
-    return (
-        toks.join(F.broadcast(chunk_offsets), on="__chunk")
-        .select(
-            "doc_id", "n_tokens",
-            (F.col("__offset")
-             + F.coalesce(F.sum("n_tokens").over(intra), F.lit(0)))
-            .alias("__running"),
-        )
-        # `div` is exact BIGINT integral division — no double rounding even
-        # when the running total exceeds 2^53 (a 100 TB corpus is ~10^13
-        # tokens, too close to double precision for a / + floor round-trip)
-        .select("doc_id", "n_tokens",
-                F.expr(f"__running div {budget}").alias("shard"))
-    )
+    run = _exclusive_running_sum(base, key_col="doc_id",
+                                 val_col="n_tokens", out_col="__running",
+                                 chunk=chunk)
+    # `div` is exact BIGINT integral division — no double rounding even
+    # when the running total exceeds 2^53 (a 100 TB corpus is ~10^13
+    # tokens, too close to double precision for a / + floor round-trip)
+    return run.select("doc_id", "n_tokens",
+                      F.expr(f"__running div {budget}").alias("shard"))
 
 
 def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,3 +584,76 @@ FROM toks
 """
 
 QUERIES["shard_assignment"] = (shard_assignment, SHARD_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (fixed-capacity training sequences)
+# ---------------------------------------------------------------------------
+
+def pack_sequences_df(docs: DataFrame, *, max_len: int = 2048,
+                      shard_budget: "int | None" = None) -> DataFrame:
+    """Pack documents into fixed-capacity training sequences: greedy
+    next-fit in ``doc_id`` order, with the greedy state bounded to
+    token-budget SHARDS — the distributed-exact formulation (a global
+    greedy scan would serialize the corpus through one task; bounding
+    the fill state to a shard of ``shard_budget`` tokens keeps packing
+    deterministic and parallel, at the cost of at most one partial
+    sequence per shard boundary vs the global scan).
+
+    Stages, all previously-built machinery:
+      1. ``shard_assignment_df`` (exact two-level running sum) assigns
+         ~``shard_budget``-token shards;
+      2. ``applyInPandas`` per shard runs the tiny next-fit loop (a
+         shard holds ~``shard_budget``/avg_len docs — bounded memory);
+      3. a second ``_exclusive_running_sum`` over per-shard sequence
+         counts converts shard-local sequence indexes into GLOBAL dense
+         ``seq_id``s without a single-partition window.
+
+    Documents longer than ``max_len`` occupy one sequence alone and are
+    flagged ``truncated`` (the padding/attention layout downstream
+    tokenizers expect).  Returns (doc_id, n_tokens, seq_id, seq_pos,
+    truncated); ``seq_pos`` is the token offset within the sequence.
+    """
+    from pyspark.sql.types import (BooleanType, LongType, StructField,
+                                   StructType)
+
+    shard_budget = shard_budget or max_len * 512
+    assigned = shard_assignment_df(docs, budget=shard_budget)
+    schema = StructType(list(assigned.schema.fields) + [
+        StructField("seq_in_shard", LongType()),
+        StructField("seq_pos", LongType()),
+        StructField("truncated", BooleanType()),
+    ])
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seqs, poss, truncs = [], [], []
+        seq, fill = 0, 0
+        for t in pdf["n_tokens"]:
+            t_eff = min(int(t), max_len)
+            if fill + t_eff > max_len and fill > 0:
+                seq += 1
+                fill = 0
+            seqs.append(seq)
+            poss.append(fill)
+            truncs.append(int(t) > max_len)
+            fill += t_eff
+        pdf["seq_in_shard"] = seqs
+        pdf["seq_pos"] = poss
+        pdf["truncated"] = truncs
+        return pdf
+
+    packed = assigned.groupBy("shard").applyInPandas(pack, schema)
+    counts = packed.groupBy("shard").agg(
+        (F.max("seq_in_shard") + 1).alias("__n_seqs"))
+    offs = _exclusive_running_sum(counts, key_col="shard",
+                                  val_col="__n_seqs",
+                                  out_col="__seq_off")
+    return (
+        packed.join(offs.select("shard", "__seq_off"), on="shard")
+        .select(
+            "doc_id", "n_tokens",
+            (F.col("__seq_off") + F.col("seq_in_shard")).alias("seq_id"),
+            "seq_pos", "truncated",
+        )
+    )

@@ -322,6 +322,80 @@ def test_shard_auto_chunk_matches_global_window(spark):
     assert got == explicit and len(got) == len(rows)
 
 
+def _pack_mirror(rows, max_len, shard_budget):
+    """Independent mirror of pack_sequences_df's full two-stage
+    definition (shard by running token total, next-fit per shard,
+    global dense seq ids)."""
+    import re
+    from collections import defaultdict
+
+    def ntok(t):
+        return len([w for w in re.split("[ \t\n\x0b\x0c\r]+", t) if w]) \
+            if t else 0
+
+    toks = sorted((i, ntok(t)) for i, t in rows)
+    running, per = 0, []
+    for i, n in toks:
+        per.append((i, n, running // shard_budget))
+        running += n
+    by = defaultdict(list)
+    for i, n, s in per:
+        by[s].append((i, n))
+    out, nseqs = {}, {}
+    for s in sorted(by):
+        seq, fill = 0, 0
+        for i, n in by[s]:
+            te = min(n, max_len)
+            if fill + te > max_len and fill > 0:
+                seq, fill = seq + 1, 0
+            out[i] = (n, s, seq, fill, n > max_len)
+            fill += te
+        nseqs[s] = seq + 1
+    off, acc = {}, 0
+    for s in sorted(nseqs):
+        off[s] = acc
+        acc += nseqs[s]
+    return {i: (n, off[s] + q, p, tr)
+            for i, (n, s, q, p, tr) in out.items()}
+
+
+def test_pack_sequences_matches_mirror(spark):
+    from lsh_spark.operators.training_ops import pack_sequences_df
+
+    rows = [(int(i * 29 % 401), "tok " * ((i * 11) % 37 + 1))
+            for i in range(80)]
+    rows = [(i, t.strip()) for i, t in dict(rows).items()]
+    rows.append((999, "big " * 50))        # longer than max_len
+    rows.append((998, ""))                 # zero tokens
+    df = _docs(spark, rows)
+    got = {r.doc_id: (r.n_tokens, r.seq_id, r.seq_pos, r.truncated)
+           for r in pack_sequences_df(df, max_len=24,
+                                      shard_budget=100).collect()}
+    want = _pack_mirror(rows, 24, 100)
+    assert got == want
+
+
+def test_pack_sequences_invariants(spark):
+    from collections import defaultdict
+
+    from lsh_spark.operators.training_ops import pack_sequences_df
+
+    rows = [(i, "w " * ((i * 13) % 31 + 1)) for i in range(120)]
+    rows = [(i, t.strip()) for i, t in rows]
+    out = pack_sequences_df(_docs(spark, rows), max_len=20,
+                            shard_budget=90).collect()
+    # dense global seq ids
+    seq_ids = sorted({r.seq_id for r in out})
+    assert seq_ids == list(range(len(seq_ids)))
+    # capacity respected: effective tokens per sequence <= max_len
+    fill = defaultdict(int)
+    for r in out:
+        fill[r.seq_id] += min(r.n_tokens, 20)
+        assert r.seq_pos + min(r.n_tokens, 20) <= 20
+        assert r.truncated == (r.n_tokens > 20)
+    assert all(v <= 20 for v in fill.values())
+
+
 def test_shard_boundaries_monotone(spark):
     df = _docs(spark, [(i, "a b c d") for i in range(50)])
     out = sorted(shard_assignment_df(df, budget=10, chunk=8).collect(),

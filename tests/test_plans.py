@@ -296,3 +296,53 @@ def test_broadcast_kernel_verify_has_no_attach_joins(spark):
     assert n_joins == 1, f"expected only the band join, got {n_joins}"
     # the sets never re-attach: the verify stage is a bare-ids Python map
     assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+
+
+def _single_partition_inputs(plan: str) -> list[str]:
+    """The ``Input [..]`` column list of every SinglePartition exchange
+    in a formatted plan (detail blocks print Input then Arguments)."""
+    last_input = ""
+    found = []
+    for line in plan.splitlines():
+        if line.startswith("Input ["):
+            last_input = line
+        elif line.startswith("Arguments: SinglePartition"):
+            found.append(last_input)
+    return found
+
+
+def test_repetition_stats_map_only_no_hash_shuffle(spark):
+    # the Arrow kernel pass is a narrow map stage: scan (+ the fanout
+    # round-robin spread of a single-file input) -> mapInPandas ->
+    # projection; NO hash/range shuffle anywhere — the map-only property
+    # the operator's 100 TB claim rests on
+    from lsh_spark.operators.training_ops import repetition_stats
+
+    plan = _plan(repetition_stats(spark, SF_DIR))
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_dup_ngram_stats_jvm_only_and_digest_keys(spark):
+    # span frequency/semi-join runs entirely JVM-side (no Python UDF)
+    # and shuffles md5 digests (gh), never the span text (__ng)
+    from lsh_spark.operators.training_ops import dup_ngram_stats
+
+    plan = _plan(dup_ngram_stats(spark, SF_DIR))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "hashpartitioning(gh" in plan
+    assert "hashpartitioning(__ng" not in plan
+
+
+def test_shard_assignment_auto_chunk_no_global_window(spark):
+    # the auto-chunked running sum funnels ONLY tiny relations through
+    # single-partition exchanges (the min/max bounds rows and the
+    # chunk-subtotal table) — never the per-document token stream
+    from lsh_spark.operators.training_ops import shard_assignment
+
+    plan = _plan(shard_assignment(spark, SF_DIR))
+    singles = _single_partition_inputs(plan)
+    assert singles, "expected the chunk-prefix single-partition exchange"
+    for inp in singles:
+        assert "doc_id" not in inp and "n_tokens" not in inp, inp

@@ -493,7 +493,19 @@ def _exclusive_running_sum(df: DataFrame, *, key_col: str, val_col: str,
     over the small chunk table, broadcast back onto an intra-chunk
     window — shared by ``shard_assignment_df`` and
     ``pack_sequences_df``.  ``chunk=None`` auto-sizes in-plan from the
-    key span (see ``_auto_chunk_col``); all arithmetic stays BIGINT."""
+    key span (see ``_auto_chunk_col``); all arithmetic stays BIGINT.
+
+    The chunked input is persisted (lazily — no plan-time job): the
+    subtotal aggregate and the offset attach both consume it, and
+    without the cache each branch would re-evaluate the upstream
+    subtree — for ``shard_assignment`` that is a second full corpus
+    scan + tokenization at 100 TB.  The cached relation is the NARROW
+    (key, val, chunk) projection, ~24 B/row, and is registered with
+    ``plans.cache.track`` for release."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..plans.cache import track
+
     if chunk is None:
         bounds = df.select(key_col).agg(
             F.min(key_col).alias("__lo"), F.max(key_col).alias("__hi"))
@@ -505,6 +517,7 @@ def _exclusive_running_sum(df: DataFrame, *, key_col: str, val_col: str,
         t = df.select(
             *df.columns,
             (F.col(key_col) - F.col(key_col) % chunk).alias("__chunk"))
+    t = track(t.persist(StorageLevel.MEMORY_AND_DISK))
     chunk_offsets = (
         t.groupBy("__chunk").agg(F.sum(val_col).alias("__chunk_sum"))
         .select(

@@ -243,10 +243,69 @@ def indexes() -> None:
     spark.stop()
 
 
+def training() -> None:
+    """Training-op scale check: dup_ngram_stats (span frequency — the
+    one round-5 op with a corpus-wide shuffle) and pack_sequences
+    (shard-bounded packing) on the replicated corpus."""
+    from pyspark import StorageLevel
+
+    from lsh_spark.operators.training_ops import (
+        dup_ngram_stats_df,
+        pack_sequences_df,
+        shard_assignment_df,
+    )
+    from lsh_spark.plans import get_spark
+    from lsh_spark.sources.io import load_table
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 5, 20]
+    spark = get_spark(app_name="lsh_spark-scale-check-train")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n_base = base.count()
+    for rep in reps:
+        docs = (
+            base.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("doc_id") * rep + F.col("__rep")).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail"),
+                         F.col("__rep").cast("string")).alias("text"),
+            )
+            # a real corpus table arrives in many partitions; the
+            # replication crossJoin inherits the single-file scan's ONE
+            # partition, which would serialize the scan-side work of ops
+            # that (correctly) rely on input partitioning
+            .repartition(spark.sparkContext.defaultParallelism)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        docs.count()
+        t0 = time.perf_counter()
+        n_dup = dup_ngram_stats_df(docs).where("n_dup > 0").count()
+        t_dup = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_shard = shard_assignment_df(docs).agg(
+            F.max("shard")).first()[0]
+        t_shard = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_seq = pack_sequences_df(docs, max_len=512).agg(
+            F.max("seq_id")).first()[0]
+        t_pack = time.perf_counter() - t0
+        print(
+            f"rep={rep:3d} rows={n_base * rep:8d}  "
+            f"dup_ngram={t_dup:6.1f}s ({n_dup} dup-docs)  "
+            f"shard={t_shard:6.1f}s ({n_shard + 1} shards)  "
+            f"pack={t_pack:6.1f}s ({n_seq + 1} seqs)", flush=True)
+        docs.unpersist()
+        spark.catalog.clearCache()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--vectors":
         vectors()
     elif len(sys.argv) > 1 and sys.argv[1] == "--indexes":
         indexes()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--training":
+        training()
     else:
         main()

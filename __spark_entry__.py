@@ -73,11 +73,12 @@ _REDUNDANT_TAIL = [
     "events_weekly_cohorts",
     "large_quantity_orders",
     "min_cost_supplier",
-    # round-5 NEW query: appended to the tail so the curated head-50 —
-    # chosen to close the r4 driver-row gap — keeps its positions; it
-    # carries the local sf0.01 gate-replica row + pytest until the next
-    # rotation gives it a driver row
+    # round-5 NEW queries: appended to the tail so the curated head-50 —
+    # chosen to close the r4 driver-row gap — keeps its positions; they
+    # carry local sf0.01 gate-replica rows + pytest until the next
+    # rotation gives them driver rows
     "dup_ngram_stats",
+    "pack_sequences",
 ]
 
 

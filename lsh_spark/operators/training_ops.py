@@ -670,3 +670,77 @@ def pack_sequences_df(docs: DataFrame, *, max_len: int = 2048,
             "seq_pos", "truncated",
         )
     )
+
+
+# gate parameters: small enough that sf0.01 produces many shards AND
+# many sequences per shard, so both decomposition levels and the
+# next-fit loop carry real structure
+_PACK_MAX_LEN = 64
+_PACK_SHARD_BUDGET = 2000
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences_df(
+        fanout_scan(load_table(spark, sf_dir, "documents")),
+        max_len=_PACK_MAX_LEN, shard_budget=_PACK_SHARD_BUDGET)
+
+
+# The greedy next-fit fold is not window-expressible, but it IS
+# recursion-expressible: the oracle walks each shard's docs in doc_id
+# order through a recursive CTE carrying (seq, fill) state — an exact
+# independent replay of the kernel's loop, executed by a different
+# engine through a completely different mechanism.
+PACK_ORACLE = rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         len(coalesce(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                             t -> t != ''), []))::BIGINT AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, n_tokens,
+         ((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tokens) // {_PACK_SHARD_BUDGET})::BIGINT AS shard
+  FROM toks
+),
+rn AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM ordered
+),
+pack AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         0::BIGINT AS seq, 0::BIGINT AS pos,
+         least(n_tokens, {_PACK_MAX_LEN})::BIGINT AS fill_after
+  FROM rn WHERE rn = 1
+  UNION ALL
+  SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+         CASE WHEN p.fill_after + least(r.n_tokens, {_PACK_MAX_LEN})
+                   > {_PACK_MAX_LEN} AND p.fill_after > 0
+              THEN p.seq + 1 ELSE p.seq END,
+         CASE WHEN p.fill_after + least(r.n_tokens, {_PACK_MAX_LEN})
+                   > {_PACK_MAX_LEN} AND p.fill_after > 0
+              THEN 0 ELSE p.fill_after END,
+         CASE WHEN p.fill_after + least(r.n_tokens, {_PACK_MAX_LEN})
+                   > {_PACK_MAX_LEN} AND p.fill_after > 0
+              THEN least(r.n_tokens, {_PACK_MAX_LEN})
+              ELSE p.fill_after + least(r.n_tokens, {_PACK_MAX_LEN}) END
+  FROM pack p JOIN rn r ON r.shard = p.shard AND r.rn = p.rn + 1
+),
+counts AS (
+  SELECT shard, max(seq) + 1 AS n_seqs FROM pack GROUP BY shard
+),
+offs AS (
+  SELECT shard,
+         coalesce(sum(n_seqs) OVER (ORDER BY shard
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS off
+  FROM counts
+)
+SELECT p.doc_id, p.n_tokens,
+       (o.off + p.seq)::BIGINT AS seq_id,
+       p.pos::BIGINT AS seq_pos,
+       p.n_tokens > {_PACK_MAX_LEN} AS truncated
+FROM pack p JOIN offs o USING (shard)
+"""
+
+QUERIES["pack_sequences"] = (pack_sequences, PACK_ORACLE)

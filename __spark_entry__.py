@@ -79,6 +79,7 @@ _REDUNDANT_TAIL = [
     # rotation gives them driver rows
     "dup_ngram_stats",
     "pack_sequences",
+    "ann_ivf_search_streaming",
 ]
 
 
@@ -99,9 +100,11 @@ def _registry() -> dict[str, tuple[Callable, str | None]]:
     merged.update(training_ops.QUERIES)
     from lsh_spark.streaming import documents as streaming_documents
     from lsh_spark.streaming import events as streaming_events
+    from lsh_spark.streaming import vectors as streaming_vectors
 
     merged.update(streaming_events.QUERIES)
     merged.update(streaming_documents.QUERIES)
+    merged.update(streaming_vectors.QUERIES)
     # late additions register AFTER the streaming families so the earlier
     # registry positions (and their driver-row history) stay stable
     merged.update(relational.QUERIES_LATE)

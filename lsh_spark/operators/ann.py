@@ -455,6 +455,7 @@ def build_ivf_index(
         F.lit(vec_col).alias("vec_col"),
         F.lit(id_col).alias("id_col"),
         F.lit(n_lists).cast("int").alias("n_lists"),
+        F.lit(n_iters).cast("int").alias("n_iters"),
         F.lit(num_buckets).cast("int").alias("num_buckets"),
     )
     save_table(meta, f"{table_name}_meta", single_file=True)

@@ -1,0 +1,119 @@
+"""Structured Streaming over the embeddings table: a vector stream
+probed against the PERSISTED IVF index per micro-batch — the vector
+twin of ``streaming/documents.py``'s LSH index probe, and the
+production shape for streaming similarity search at 100 TB: the
+corpus-wide work (Lloyd training + the bucketed-by-cell write) happens
+once at index-build time; each micro-batch computes only its own cell
+assignments and reads the matching corpus buckets with no corpus-side
+exchange.
+
+``foreachBatch`` + ``search_ivf_index`` keeps batch/stream parity by
+construction (the operator is pytest-pinned to return exactly
+``ivf_lloyd_topk``'s results for matching parameters), so the gate
+query reuses the batch IVF oracle verbatim: the union of micro-batch
+outputs must hash-match the one-shot SQL replay of training + assign +
+probe + rerank.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .documents import _write_batch_idempotent
+
+
+def ann_ivf_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: the ``ann_ivf_topk`` workload (queries =
+    ``vec_id < _N_QUERIES``) driven through an actual streaming query —
+    query vectors arrive as a file-source stream and probe the
+    persisted IVF index inside ``foreachBatch``.  Same index parameters
+    as the batch twin, so it carries the identical exact DuckDB oracle
+    (``ANN_IVF_LLOYD_ORACLE``)."""
+    from ..operators.ann import build_ivf_index, search_ivf_index
+    from ..operators.pipeline_queries import (
+        _ANN_K,
+        _IVF_ITERS,
+        _IVF_LISTS,
+        _IVF_PROBE,
+        _N_QUERIES,
+    )
+    from ..sources.io import _ensure_session_confs, load_table
+
+    _ensure_session_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    index = f"ivfidx_{tag}"
+    # build once per session, keyed on the meta-pinned parameters (same
+    # amortization pattern as near_dup_index_probe_streaming: fresh
+    # sessions always build, same-session reruns time the probe only)
+    want = dict(vec_col="embedding", id_col="vec_id",
+                n_lists=int(_IVF_LISTS), n_iters=int(_IVF_ITERS))
+    have = None
+    if spark.catalog.tableExists(f"{index}_meta"):
+        m = spark.table(f"{index}_meta").first()
+        have = dict(vec_col=m.vec_col, id_col=m.id_col,
+                    n_lists=m.n_lists,
+                    n_iters=m.n_iters if "n_iters" in m.__fields__
+                    else None)
+    if have != want:
+        import sys
+        import time
+
+        t0 = time.perf_counter()
+        build_ivf_index(emb, index, vec_col="embedding",
+                        id_col="vec_id", n_lists=_IVF_LISTS,
+                        n_iters=_IVF_ITERS)
+        print(f"# ann_ivf_search_streaming: index build took "
+              f"{time.perf_counter() - t0:.2f}s (reused by later runs "
+              f"in this session)", file=sys.stderr)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+        .where(F.col("vec_id") < _N_QUERIES)
+    )
+    out_dir = f"/tmp/lsh_spark_stream_ivf_{tag}"
+    ckpt = f"/tmp/lsh_spark_ckpt_stream_ivf_{tag}"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = search_ivf_index(spark, index, batch_df,
+                               k=_ANN_K, n_probe=_IVF_PROBE)
+        _write_batch_idempotent(res, out_dir, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+
+    if not os.path.isdir(out_dir) or not any(
+            f.startswith("batch_id=") for f in os.listdir(out_dir)):
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, "
+                "rank int")
+    return spark.read.parquet(out_dir).select(
+        "query_id", "neighbor_id", "cosine_sim", "rank")
+
+
+def _oracle() -> str:
+    from ..operators.pipeline_queries import ANN_IVF_LLOYD_ORACLE
+
+    return ANN_IVF_LLOYD_ORACLE
+
+
+QUERIES = {
+    "ann_ivf_search_streaming": (ann_ivf_search_streaming, _oracle()),
+}

@@ -80,6 +80,7 @@ _REDUNDANT_TAIL = [
     "dup_ngram_stats",
     "pack_sequences",
     "ann_ivf_search_streaming",
+    "remove_duplicated_spans",
 ]
 
 

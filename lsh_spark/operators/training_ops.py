@@ -388,6 +388,144 @@ FROM base LEFT JOIN dup ON base.doc_id = dup.doc_id
 QUERIES["dup_ngram_stats"] = (dup_ngram_stats, DUPSPAN_ORACLE)
 
 
+def remove_duplicated_spans_df(docs: DataFrame, *, id_col: str = "doc_id",
+                               text_col: str = "text", n: int = _DUPSPAN_N,
+                               min_docs: int = _DUPSPAN_MIN_DOCS
+                               ) -> DataFrame:
+    """Exact duplicated-span REMOVAL — the mutation twin of
+    ``dup_ngram_stats`` and the n-gram-coverage form of exact substring
+    dedup (Lee et al. 2022; RefinedWeb): every token covered by ANY
+    occurrence of a cross-document duplicated ``n``-gram is dropped,
+    and the document is rebuilt from the surviving tokens (single-space
+    joined).  Removing the copied spans themselves — instead of whole
+    near-dup documents — is what the technique exists for: boilerplate
+    and licence blocks vanish while the unique prose stays.
+
+    Scale shape: duplicated-gram discovery is ``dup_ngram_stats``'s
+    digest aggregate; coverage explodes each HOT occurrence into its
+    ``n`` covered positions (bounded n× the hot hits, ids+ints only);
+    the rebuild is one per-doc aggregate over (position, token) rows —
+    ``sort_array(collect_list(struct(pos, tok)))`` — so every stage is
+    keyed by digest or doc id and no state exceeds one document.
+
+    Returns (doc_id, text, n_kept, n_dropped) for every document;
+    docs with no tokens keep an empty string.
+    """
+    w = _words(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), w.alias("__w"))
+    toks = base.select(
+        "doc_id", F.posexplode("__w").alias("pos", "tok"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("__w") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__w") - n),
+                    lambda i: F.concat_ws(" ", F.slice("__w", i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gpos", "__ng"),
+    ).select("doc_id", "gpos", F.md5("__ng").alias("gh"))
+    hot = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("gh")
+    )
+    covered = (
+        grams.join(hot, on="gh", how="left_semi")
+        .select("doc_id",
+                F.explode(F.sequence(F.col("gpos"),
+                                     F.col("gpos") + (n - 1)))
+                .alias("pos"))
+        .distinct()
+    )
+    kept = (
+        toks.join(covered, on=["doc_id", "pos"], how="left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"]),
+                " ").alias("text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        base.select("doc_id",
+                    F.size("__w").cast("bigint").alias("__n_toks"))
+        .join(kept, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("__n_toks") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
+def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return remove_duplicated_spans_df(
+        fanout_scan(load_table(spark, sf_dir, "documents")))
+
+
+REMOVE_SPANS_ORACLE = rf"""
+WITH toks0 AS (
+  SELECT doc_id,
+         coalesce(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), t -> t != ''), []) AS w
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(w) AS tok,
+         unnest(CASE WHEN len(w) > 0
+                     THEN generate_series(0, len(w) - 1) ELSE [] END) AS pos
+  FROM toks0
+),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= {_DUPSPAN_N}
+                     THEN generate_series(0, len(w) - {_DUPSPAN_N})
+                     ELSE [] END) AS gpos,
+         unnest(CASE WHEN len(w) >= {_DUPSPAN_N}
+                     THEN list_transform(
+                            generate_series(1, len(w) - {_DUPSPAN_N - 1}),
+                            i -> md5(array_to_string(w[i:i+{_DUPSPAN_N - 1}], ' ')))
+                     ELSE [] END) AS gh
+  FROM toks0
+),
+hot AS (
+  SELECT gh FROM grams GROUP BY gh
+  HAVING count(DISTINCT doc_id) >= {_DUPSPAN_MIN_DOCS}
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id,
+           unnest(generate_series(gpos, gpos + {_DUPSPAN_N - 1})) AS pos
+    FROM grams WHERE gh IN (SELECT gh FROM hot)
+  )
+),
+kept AS (
+  SELECT t.doc_id,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS text,
+         count(*) AS n_kept
+  FROM toks t ANTI JOIN covered c
+    ON t.doc_id = c.doc_id AND t.pos = c.pos
+  GROUP BY t.doc_id
+)
+SELECT b.doc_id AS doc_id,
+       coalesce(k.text, '') AS text,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       (len(b.w) - coalesce(k.n_kept, 0))::BIGINT AS n_dropped
+FROM toks0 b LEFT JOIN kept k ON b.doc_id = k.doc_id
+"""
+
+QUERIES["remove_duplicated_spans"] = (remove_duplicated_spans,
+                                      REMOVE_SPANS_ORACLE)
+
+
 # ---------------------------------------------------------------------------
 # deterministic stratified sampling (training-mixture composition)
 # ---------------------------------------------------------------------------

@@ -205,6 +205,43 @@ def test_dup_ngram_within_doc_repeat_not_duplicated(spark):
     assert out[1].n_dup == 0 and out[2].n_dup == 0
 
 
+def test_remove_duplicated_spans_planted(spark):
+    from lsh_spark.operators.training_ops import remove_duplicated_spans_df
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    df = _docs(spark, [
+        (1, f"keep1 keep2 {shared} tail1"),
+        (2, f"{shared} other stuff here"),
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+        (4, "short doc"),
+    ])
+    out = {r.doc_id: r for r in remove_duplicated_spans_df(df).collect()}
+    # the shared 8-gram's tokens vanish; surrounding unique tokens stay
+    assert out[1].text == "keep1 keep2 tail1"
+    assert (out[1].n_kept, out[1].n_dropped) == (3, 8)
+    assert out[2].text == "other stuff here"
+    assert out[3].text == "u1 u2 u3 u4 u5 u6 u7 u8 u9"
+    assert out[3].n_dropped == 0
+    assert out[4].text == "short doc"
+
+
+def test_remove_duplicated_spans_overlapping_coverage(spark):
+    from lsh_spark.operators.training_ops import remove_duplicated_spans_df
+
+    # doc 1 carries a NINE-token run whose two overlapping 8-grams are
+    # each duplicated elsewhere; covered positions union, tokens counted
+    # once
+    run9 = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    df = _docs(spark, [
+        (1, f"x {run9} y"),
+        (2, "a1 a2 a3 a4 a5 a6 a7 a8 zz"),
+        (3, "zz a2 a3 a4 a5 a6 a7 a8 a9"),
+    ])
+    out = {r.doc_id: r for r in remove_duplicated_spans_df(df).collect()}
+    assert out[1].text == "x y"
+    assert out[1].n_dropped == 9
+
+
 # ---------------------------------------------------------------------------
 # stratified_sample
 # ---------------------------------------------------------------------------

@@ -101,11 +101,18 @@ def _registry() -> dict[str, tuple[Callable, str | None]]:
     merged.update(training_ops.QUERIES)
     from lsh_spark.streaming import documents as streaming_documents
     from lsh_spark.streaming import events as streaming_events
-    from lsh_spark.streaming import vectors as streaming_vectors
 
     merged.update(streaming_events.QUERIES)
     merged.update(streaming_documents.QUERIES)
-    merged.update(streaming_vectors.QUERIES)
+    try:
+        # depends on operators.pipeline_queries at import time (shares
+        # its IVF oracle); guard like the pipeline family above so the
+        # registry degrades instead of failing wholesale
+        from lsh_spark.streaming import vectors as streaming_vectors
+
+        merged.update(streaming_vectors.QUERIES)
+    except ImportError:
+        pass
     # late additions register AFTER the streaming families so the earlier
     # registry positions (and their driver-row history) stay stable
     merged.update(relational.QUERIES_LATE)

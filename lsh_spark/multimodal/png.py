@@ -36,6 +36,17 @@ def decode_png(content: bytes) -> dict | None:
     ``ValueError`` on a corrupt or unsupported PNG."""
     if content is None or content[:8] != _MAGIC:
         return None
+    # Everything after the magic is untrusted: stdlib/numpy raise
+    # zlib.error / struct.error / IndexError on malformed streams, but
+    # the media pipeline's total-batch contract catches ValueError only
+    # — normalize so corrupt PNGs fall back instead of killing the task.
+    try:
+        return _decode_png_body(content)
+    except (zlib.error, struct.error, IndexError) as e:
+        raise ValueError(f"PNG: malformed stream ({e})") from e
+
+
+def _decode_png_body(content: bytes) -> dict:
     pos = 8
     width = height = None
     bit_depth = color_type = interlace = None

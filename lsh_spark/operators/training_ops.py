@@ -329,9 +329,13 @@ def dup_ngram_stats_df(docs: DataFrame, *, id_col: str = "doc_id",
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dup"))
     )
+    # n_ngrams arithmetically from the token count — size(transform(..))
+    # would re-materialize every n-gram string a second time just to
+    # count them (Catalyst does not simplify it away)
+    n_ngrams = F.greatest(F.size(w) - (n - 1), F.lit(0))
     return (
-        base.select("doc_id",
-                    F.size("__ngrams").cast("bigint").alias("n_ngrams"))
+        docs.select(F.col(id_col).alias("doc_id"),
+                    n_ngrams.cast("bigint").alias("n_ngrams"))
         .join(dup_counts, on="doc_id", how="left")
         .select(
             "doc_id", "n_ngrams",
@@ -794,7 +798,17 @@ def pack_sequences_df(docs: DataFrame, *, max_len: int = 2048,
         pdf["truncated"] = truncs
         return pdf
 
-    packed = assigned.groupBy("shard").applyInPandas(pack, schema)
+    from pyspark.storagelevel import StorageLevel
+
+    from ..plans.cache import track
+
+    # persist the packed rows: three branches consume them (the count
+    # aggregate, the auto-chunk bounds inside the running sum, and the
+    # final join), and the Python pack kernel sits ABOVE the reusable
+    # exchange — without the cache each action re-runs the full
+    # shard-shuffle + per-shard kernel three times
+    packed = track(assigned.groupBy("shard").applyInPandas(pack, schema)
+                   .persist(StorageLevel.MEMORY_AND_DISK))
     counts = packed.groupBy("shard").agg(
         (F.max("seq_in_shard") + 1).alias("__n_seqs"))
     offs = _exclusive_running_sum(counts, key_col="shard",

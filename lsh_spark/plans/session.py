@@ -43,9 +43,11 @@ def get_spark(
     )
     # Avro datasource opt-in: the pip pyspark distribution omits the
     # spark-avro module; on a network-enabled deployment set
-    # LSH_SPARK_AVRO_PACKAGE=org.apache.spark:spark-avro_2.13:<ver> (or
-    # any coordinate) and read_avro/write_avro light up.  Appended, not
-    # replaced, so a caller-supplied spark.jars.packages survives.
+    # LSH_SPARK_AVRO_PACKAGE=org.apache.spark:spark-avro_2.13:<ver> and
+    # read_avro/write_avro light up.  NOTE: builder.config() REPLACES
+    # any spark.jars.packages set elsewhere (spark-defaults, submit
+    # args) — the env var accepts a comma-separated coordinate list, so
+    # put every needed package in it when using this opt-in.
     avro_pkg = os.environ.get("LSH_SPARK_AVRO_PACKAGE")
     if avro_pkg:
         builder = builder.config("spark.jars.packages", avro_pkg)

@@ -137,6 +137,36 @@ def test_foreign_bytes_return_none_corrupt_raise():
         decode_png(blob)
 
 
+def test_malformed_streams_raise_valueerror_not_internal_errors():
+    # the media pipeline's total-batch fallback catches ValueError ONLY;
+    # zlib.error / IndexError / struct.error leaking out would kill the
+    # whole Spark task on one bad blob
+    # (a) valid CRCs but an incomplete deflate stream
+    px = _rand_px(4, 4, 3)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    comp = zlib.compress(
+        b"".join(b"\x00" + px.reshape(4, 12)[y].tobytes() for y in range(4)))
+    blob = (_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", comp[:len(comp) // 2])
+            + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(blob)
+    # (b) palette index beyond the palette
+    idx = np.array([[5]], dtype=np.uint8)       # palette has 1 entry
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    blob = (_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", b"\x01\x02\x03")
+            + _chunk(b"IDAT", zlib.compress(b"\x00" + idx.tobytes()))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(blob)
+    # (c) IHDR shorter than the 13-byte spec
+    blob = (_MAGIC + _chunk(b"IHDR", b"\x00\x00\x00\x01")
+            + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(blob)
+
+
 def test_extract_features_decodes_png_for_real(spark):
     from lsh_spark.multimodal.media import MEDIA_SCHEMA, extract_features
 

@@ -81,6 +81,7 @@ _REDUNDANT_TAIL = [
     "pack_sequences",
     "ann_ivf_search_streaming",
     "remove_duplicated_spans",
+    "weighted_minhash_signatures",
 ]
 
 

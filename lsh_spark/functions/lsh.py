@@ -214,6 +214,42 @@ def lsh_min_shingles_bands_long(col, band_count: int, band_size: int,
     return _udf(col)
 
 
+def weighted_minhash_bands_long(col, band_count: int, band_size: int,
+                                seed: int) -> Column:
+    """tf-WEIGHTED MinHash band hashes (int64) over whitespace word
+    tokens — weighted Jaccard for INTEGER weights via the replication
+    reduction: occurrence k of a word contributes the shingle string
+    ``"word k"`` (words contain no whitespace, so the composition is
+    injective), and banded MinHash over the replicated shingles collides
+    with the probability the WEIGHTED Jaccard
+    ``Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b)`` gives — the standard
+    integer-weight reduction of weighted-set similarity to plain set
+    MinHash.  Reuses the bit-exact ``from_shingles`` kernel
+    (``shingleset.rs:12-22`` semantics), so the DuckDB oracle replays it
+    with the existing string-hash + band machinery."""
+    from collections import Counter
+
+    from .._core.batch import minhash_shingles_batch, tokenize_words
+
+    @pandas_udf(_LONG_ARRAY)
+    def _udf(s: pd.Series) -> pd.Series:
+        mask = s.notna().to_numpy()
+        toks = tokenize_words(["" if not ok else t
+                               for t, ok in zip(s, mask)])
+        lists = []
+        for ws in toks:
+            seen: Counter = Counter()
+            comp = []
+            for w in ws:
+                seen[w] += 1
+                comp.append(f"{w} {seen[w]}")
+            lists.append(comp)
+        mat = minhash_shingles_batch(lists, band_count, band_size, seed)
+        return _u64_rows_to_long(mat, mask, low32=False)
+
+    return _udf(col)
+
+
 def lsh_euclidean_bands_long(col, bucket_width: float, band_count: int,
                              band_size: int, seed: int) -> Column:
     @pandas_udf(_LONG_ARRAY)

@@ -181,6 +181,22 @@ def similarity_join_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("probe_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
 
 
+def weighted_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-weighted MinHash signatures over word tokens (integer-weight
+    replication reduction — see
+    ``functions.lsh.weighted_minhash_bands_long``), exploded to scalar
+    rows; exact DuckDB oracle replays the replication + string-hash +
+    band machinery."""
+    from ..functions.lsh import weighted_minhash_bands_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(weighted_minhash_bands_long(F.col("text"), 4, 2, 123))
+        .alias("band_idx", "band_hash"),
+    )
+
+
 def euclidean_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lsh_euclidean over embeddings (cast float[] → double[]), exploded to
     scalar rows ``(vec_id, band_idx, band_hash)``; exact DuckDB oracle with
@@ -302,6 +318,9 @@ QUERIES = {
         similarity_join_ab,
         _orc.similarity_join_ab_sql(3, _JOIN_AB_PLAN.band_count,
                                     _JOIN_AB_PLAN.band_size, 123, 0.7)),
+    "weighted_minhash_signatures": (
+        weighted_minhash_signatures,
+        _orc.weighted_minhash_signatures_sql(4, 2, 123)),
     "euclidean_signatures": (
         euclidean_signatures,
         _orc.euclidean_signatures_sql(0.5, 4, 2, 123, _EMB_DIM)),

@@ -211,6 +211,39 @@ FROM bands
 """
 
 
+def weighted_minhash_signatures_sql(band_count: int, band_size: int,
+                                    seed: int) -> str:
+    """Oracle for tf-weighted MinHash (integer-weight replication): each
+    word occurrence k composes the shingle string ``word || ' ' || k``
+    (occurrence index in position order — ``row_number`` partitioned by
+    (doc, word)), hashed with the from_shingles string hash, then the
+    standard band machinery."""
+    return f"""
+WITH docs AS (SELECT doc_id AS id, text FROM documents),
+  words AS (
+    SELECT id,
+           coalesce(list_filter(
+             string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
+             x -> x <> ''), []) AS w
+    FROM docs),
+  occ0 AS (
+    SELECT id, unnest(w) AS tok,
+           unnest(CASE WHEN len(w) > 0
+                       THEN generate_series(1, len(w)) ELSE [] END) AS pos
+    FROM words),
+  occ AS (
+    SELECT id, tok || ' ' ||
+           (row_number() OVER (PARTITION BY id, tok ORDER BY pos))::VARCHAR
+           AS g
+    FROM occ0),
+  sh AS (SELECT DISTINCT id, {string_hash_sql('g')} AS sh FROM occ),
+{minhash_bands_ctes(band_count, band_size, seed)}
+SELECT id AS doc_id, band_idx::INT AS band_idx,
+       {_hash_repr('h', low32=False)} AS band_hash
+FROM bands
+"""
+
+
 # ---------------------------------------------------------------------------
 # pair-query oracles (banded blocking + exact jaccard verification)
 # ---------------------------------------------------------------------------

@@ -19,6 +19,7 @@ from pyspark.sql.types import (
 )
 
 import lsh_spark.functions as F_lsh
+from pyspark.sql import functions as F
 
 NAMES = [
     "Alice Johnson", "Robert Smith", None, "Charlotte Brown",
@@ -289,3 +290,57 @@ def test_unregistered_function_raises(spark):
         "SELECT lsh_min('Princeton University', 2, 3, 2, 123) AS h").first()
     assert [int(x) for x in row.h] == [
         6891191098855684803, 6484452798683863108, 14488917645112899542]
+
+
+def test_weighted_minhash_is_replicated_shingle_minhash(spark):
+    # the weighted wrapper must equal plain shingle MinHash over the
+    # explicitly replicated (word, occurrence) multiset — pins the
+    # integer-weight reduction against the bit-exact from_shingles path
+    from collections import Counter
+
+    from lsh_spark.functions.lsh import (
+        lsh_min_shingles_bands_long,
+        weighted_minhash_bands_long,
+    )
+
+    texts = ["the cat the cat the dog", "a b a b a b a", "solo",
+             "", None, "x \t x \n x"]
+
+    def replicate(t):
+        seen = Counter()
+        out = []
+        for w in (t or "").split():
+            seen[w] += 1
+            out.append(f"{w} {seen[w]}")
+        return out
+
+    df = spark.createDataFrame(
+        [(i, t, replicate(t) if t is not None else None)
+         for i, t in enumerate(texts)],
+        "id long, text string, shingles array<string>")
+    out = df.select(
+        "id",
+        weighted_minhash_bands_long(F.col("text"), 4, 2, 123)
+        .alias("weighted"),
+        lsh_min_shingles_bands_long(F.col("shingles"), 4, 2, 123)
+        .alias("explicit"),
+    ).collect()
+    for r in out:
+        assert r.weighted == r.explicit, r.id
+
+
+def test_weighted_minhash_tf_sensitivity(spark):
+    # same token SET, different counts -> weighted signatures differ
+    # (plain set MinHash would collide); identical weighted multisets
+    # collide exactly
+    from lsh_spark.functions.lsh import weighted_minhash_bands_long
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam ham"), (2, "spam ham"),
+         (3, "spam  spam\tspam ham")],
+        "id long, text string")
+    rows = {r.id: r.b for r in df.select(
+        "id", weighted_minhash_bands_long(F.col("text"), 8, 2, 123)
+        .alias("b")).collect()}
+    assert rows[1] != rows[2]       # tf difference visible
+    assert rows[1] == rows[3]       # whitespace-run invariant

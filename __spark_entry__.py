@@ -82,6 +82,7 @@ _REDUNDANT_TAIL = [
     "ann_ivf_search_streaming",
     "remove_duplicated_spans",
     "weighted_minhash_signatures",
+    "weighted_near_dup_pairs",
 ]
 
 

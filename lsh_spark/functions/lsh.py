@@ -338,6 +338,49 @@ def word_shingle_set_col(col, width: int = 2) -> Column:
     return _udf(col)
 
 
+def weighted_shingle_set_col(col) -> Column:
+    """Materialize the tf-WEIGHTED replicated shingle set as a column:
+    sorted unique u32 string-hashes of ``"word k"`` occurrence strings
+    (k = 1..tf per word), stored as int32 — the SAME storage contract as
+    ``shingle_set_col``/``word_shingle_set_col``, so the entire pair
+    machinery (banding from sets, id-only blocking, broadcast verify)
+    composes unchanged, and plain Jaccard over these sets equals the
+    weighted Jaccard ``Σ min(tf)/Σ max(tf)``."""
+    from collections import Counter
+
+    from pyspark.sql.types import IntegerType
+
+    from .._core.batch import hash_strings_batch, tokenize_words
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        mask = s.notna().to_numpy()
+        toks = tokenize_words(["" if not ok else t
+                               for t, ok in zip(s, mask)])
+        lists = []
+        for ws in toks:
+            seen: Counter = Counter()
+            comp = []
+            for w in ws:
+                seen[w] += 1
+                comp.append(f"{w} {seen[w]}")
+            lists.append(comp)
+        flat = [g for lst in lists for g in lst]
+        hashes = (hash_strings_batch(flat).astype(np.uint32).view(np.int32)
+                  if flat else np.empty(0, dtype=np.int32))
+        out = []
+        pos = 0
+        for lst, ok in zip(lists, mask):
+            if not ok:
+                out.append(None)
+                continue
+            out.append(np.unique(hashes[pos:pos + len(lst)]).tolist())
+            pos += len(lst)
+        return pd.Series(out, dtype=object)
+
+    return _udf(col)
+
+
 def minhash_bands_from_set(col, band_count: int, band_size: int, seed: int) -> Column:
     """Banded MinHash (int64 band hashes) computed from a materialized
     shingle-set column (output of :func:`shingle_set_col`)."""

@@ -280,6 +280,12 @@ def _with_sets(df: DataFrame, id_col: str, text_col: str, ngram_width: int,
         from ..functions.lsh import word_shingle_set_col
 
         sets = word_shingle_set_col(F.col("__text"), ngram_width)
+    elif shingle == "weighted":
+        # tf-weighted replication: "word k" occurrence shingles, whose
+        # plain Jaccard equals the weighted Jaccard (ngram_width unused)
+        from ..functions.lsh import weighted_shingle_set_col
+
+        sets = weighted_shingle_set_col(F.col("__text"))
     else:
         sets = shingle_set_col(F.col("__text"), ngram_width)
     return base.select(id_alias, sets.alias(set_alias))

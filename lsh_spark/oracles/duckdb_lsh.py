@@ -211,15 +211,18 @@ FROM bands
 """
 
 
-def weighted_minhash_signatures_sql(band_count: int, band_size: int,
-                                    seed: int) -> str:
-    """Oracle for tf-weighted MinHash (integer-weight replication): each
-    word occurrence k composes the shingle string ``word || ' ' || k``
-    (occurrence index in position order — ``row_number`` partitioned by
-    (doc, word)), hashed with the from_shingles string hash, then the
-    standard band machinery."""
+def weighted_shingles_cte(source: str = "documents",
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    """CTE body for the tf-weighted replicated shingle set: occurrence k
+    of a word contributes the string ``word || ' ' || k`` (occurrence
+    index in position order — ``row_number`` partitioned by (doc,
+    word)), hashed with the from_shingles string hash.  Plain Jaccard
+    over these replicated sets IS the weighted Jaccard
+    ``Σ min(tf)/Σ max(tf)``, so the standard band + verify machinery
+    composes unchanged."""
     return f"""
-WITH docs AS (SELECT doc_id AS id, text FROM documents),
+  docs AS (SELECT {id_col} AS id, {text_col} AS text FROM {source}),
   words AS (
     SELECT id,
            coalesce(list_filter(
@@ -236,11 +239,33 @@ WITH docs AS (SELECT doc_id AS id, text FROM documents),
            (row_number() OVER (PARTITION BY id, tok ORDER BY pos))::VARCHAR
            AS g
     FROM occ0),
-  sh AS (SELECT DISTINCT id, {string_hash_sql('g')} AS sh FROM occ),
+  sh AS (SELECT DISTINCT id, {string_hash_sql('g')} AS sh FROM occ)"""
+
+
+def weighted_minhash_signatures_sql(band_count: int, band_size: int,
+                                    seed: int) -> str:
+    """Oracle for tf-weighted MinHash signatures (integer-weight
+    replication — see ``weighted_shingles_cte``)."""
+    return f"""
+WITH {weighted_shingles_cte()},
 {minhash_bands_ctes(band_count, band_size, seed)}
 SELECT id AS doc_id, band_idx::INT AS band_idx,
        {_hash_repr('h', low32=False)} AS band_hash
 FROM bands
+"""
+
+
+def weighted_near_dup_pairs_sql(band_count: int, band_size: int, seed: int,
+                                threshold: float) -> str:
+    """Oracle for the tf-weighted near-dup pair query: banded blocking +
+    exact verification over the replicated shingle sets — whose plain
+    Jaccard equals the weighted Jaccard, so ``pair_verify_ctes``
+    composes unchanged."""
+    return f"""
+WITH {weighted_shingles_cte()},
+{minhash_bands_ctes(band_count, band_size, seed)},
+  {pair_verify_ctes(threshold)}
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM ver
 """
 
 

@@ -491,6 +491,48 @@ def attach_ivf_index(spark, table_name: str,
                           location=loc(""))
 
 
+def extend_ivf_index(
+    corpus_delta: DataFrame,
+    table_name: str,
+) -> None:
+    """Incrementally grow a persisted ``build_ivf_index`` with new
+    vectors — the vector twin of ``extend_lsh_corpus_index``: the delta
+    is assigned to cells with the index's OWN persisted centroids (the
+    quantizer is frozen at build time — drift is impossible, and
+    retraining on every ingest would move every existing assignment)
+    and APPENDED to the cell-bucketed corpus table; Spark honors the
+    existing bucket spec on append, so searches keep their
+    exchange-free corpus side.
+
+    This is the daily-ingest shape: Lloyd training and the corpus-wide
+    bucketed shuffle happened once at build time; each increment
+    assigns and writes only the delta.  Standard IVF caveat: a frozen
+    quantizer slowly drifts from the data distribution as the corpus
+    grows — rebuild when recall degrades (the meta row pins the
+    training parameters for an identical rebuild).
+
+    Caller contract: delta ids must be NEW — id dedup against the index
+    is a full corpus scan, the cost this operator exists to avoid."""
+    from ..sources.formats import write_bucketed_table
+
+    spark = corpus_delta.sparkSession
+    m = spark.table(f"{table_name}_meta").first()
+    cents = spark.table(f"{table_name}_centroids").agg(
+        F.sort_array(F.collect_list(
+            F.struct("__cell", F.col("centroid").alias("__cv"))))
+        .alias("__cents"))
+    assigned = (
+        _assign_cells_pandas(
+            _ivf_prep(corpus_delta, m.id_col, m.vec_col, "neighbor_id"),
+            _collect_centroids(cents), "__v_neighbor_id")
+        .select("neighbor_id", F.col("__v_neighbor_id").alias("vec"),
+                "__cell")
+    )
+    write_bucketed_table(assigned, table_name, bucket_by=["__cell"],
+                         num_buckets=m.num_buckets, sort_by=["__cell"],
+                         mode="append")
+
+
 def search_ivf_index(
     spark,
     table_name: str,

@@ -678,3 +678,45 @@ def test_assignment_kernel_matches_hof_reference(spark):
         pos = sum(1 for (kk, _p) in kern_probe if kk == k)
         kern_probe[(k, pos)] = r["__cell"]
     assert kern_probe == hof_probe
+
+
+def test_extend_ivf_index_matches_frozen_quantizer_rebuild(spark):
+    """Incremental vector ingest: with the quantizer frozen (n_iters=0
+    -> centroids = the n_lists lowest-id vectors, all inside the first
+    half), building on half the corpus then extending with the other
+    half must search IDENTICALLY to one full build, and the appended
+    cell-bucketed table must keep its bucket spec."""
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.ann import (
+        build_ivf_index,
+        extend_ivf_index,
+        search_ivf_index,
+    )
+    from lsh_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    half1 = emb.where(F.col("vec_id") < n // 2)
+    half2 = emb.where(F.col("vec_id") >= n // 2)
+    queries = emb.where(F.col("vec_id") < 8)
+
+    for t in ("ivfextfull", "ivfextinc"):
+        for sfx in ("", "_centroids", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{sfx}")
+    kw = dict(n_lists=8, n_iters=0, num_buckets=8)
+    build_ivf_index(emb, "ivfextfull", **kw)
+    build_ivf_index(half1, "ivfextinc", **kw)
+    extend_ivf_index(half2, "ivfextinc")
+
+    assert spark.table("ivfextinc").count() == n
+    want = sorted(tuple(r) for r in search_ivf_index(
+        spark, "ivfextfull", queries, k=5, n_probe=3).collect())
+    got = sorted(tuple(r) for r in search_ivf_index(
+        spark, "ivfextinc", queries, k=5, n_probe=3).collect())
+    assert got == want and len(got) > 0
+    # bucketing survives the append: groupBy on the bucket key plans
+    # with no Exchange
+    plan = (spark.table("ivfextinc").groupBy("__cell").count()
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan

@@ -463,16 +463,22 @@ def lsh_dedup_keep_first(
     seed: int = 123,
     threshold: float = 0.8,
     broadcast_sets: "bool | None" = None,
+    shingle: str = "char",
 ) -> DataFrame:
     """Near-dedup retention set: drop every row that is a near-duplicate of
     a lower-id row (single-linkage via verified pairs, one iteration —
     the standard MinHash-dedup policy for training corpora).
 
+    ``shingle``: ``"char"`` / ``"word"`` / ``"weighted"`` — passed
+    through to the pair stage, so e.g. tf-weighted keep-first dedup is
+    ``shingle="weighted"`` with a weighted-Jaccard ``threshold``.
+
     Returns the surviving rows of ``df``."""
     pairs = lsh_self_dedup_pairs(
         df, text_col, id_col=id_col, ngram_width=ngram_width,
         band_count=band_count, band_size=band_size, seed=seed,
-        threshold=threshold, broadcast_sets=broadcast_sets)
+        threshold=threshold, broadcast_sets=broadcast_sets,
+        shingle=shingle)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, on=id_col, how="left_anti")
 

@@ -720,3 +720,24 @@ def test_extend_ivf_index_matches_frozen_quantizer_rebuild(spark):
     plan = (spark.table("ivfextinc").groupBy("__cell").count()
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_weighted_keep_first_drops_tf_near_dups(spark):
+    """shingle='weighted' keep-first: tf-near-identical docs collapse to
+    the lowest id; a doc sharing the token SET but with a very
+    different tf profile survives (plain set dedup would drop it)."""
+    from lsh_spark.operators.similarity_join import lsh_dedup_keep_first
+
+    rows = [
+        (1, "spam spam spam spam ham ham eggs"),
+        (2, "spam spam spam spam ham ham eggs"),       # exact tf copy
+        (3, "spam spam spam spam ham ham bacon"),      # near (1 of 7 off)
+        (4, "spam ham eggs"),                          # same SET, tf far
+        (5, "completely different words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in lsh_dedup_keep_first(
+        df, "text", id_col="doc_id", band_count=16, band_size=2,
+        seed=123, threshold=0.7, shingle="weighted").collect()}
+    assert 1 in kept and 2 not in kept and 3 not in kept
+    assert 4 in kept and 5 in kept

@@ -272,6 +272,133 @@ QUERIES["contamination_overlap"] = (contamination_overlap,
                                     CONTAMINATION_ORACLE)
 
 
+# --- Bloom-filter decontamination (the 100 TB broadcast-size path) ---------
+
+def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """(m bits, k hashes) for a target false-positive rate."""
+    import math
+
+    n = max(1, n_items)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(grams: "list[str]", m: int, k: int):
+    """k bit positions per gram via double hashing over the md5 digest
+    (h1 + i·h2 mod m) — deterministic across engines/partitionings."""
+    import hashlib
+
+    import numpy as np
+
+    n = len(grams)
+    pos = np.empty((n, k), dtype=np.int64)
+    for j, g in enumerate(grams):
+        d = hashlib.md5(g.encode("utf-8")).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        pos[j] = [(h1 + i * h2) % m for i in range(k)]
+    return pos
+
+
+def build_ngram_bloom(bench_grams: DataFrame, gram_col: str = "ng",
+                      *, fpp: float = 0.01):
+    """Collect the (small, by construction) benchmark n-gram set and
+    build a Bloom bit array: the decontamination probe then broadcasts
+    ``m/8`` bytes instead of the full distinct-gram table — ~10 bits
+    per gram at 1% FP vs ~60+ bytes of string, the difference between
+    a 12 MB and a 600 MB broadcast for a 10M-gram benchmark suite.
+
+    Returns ``(bits uint8 array, m, k, n_items)``.  Deterministic:
+    positions derive from md5 double-hashing, so the same benchmark
+    always yields the same filter."""
+    import numpy as np
+
+    grams = [r[0] for r in bench_grams.select(gram_col).distinct()
+             .collect()]
+    m, k = _bloom_params(len(grams), fpp)
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    if grams:
+        pos = _bloom_positions(grams, m, k).ravel()
+        np.bitwise_or.at(bits, pos // 8,
+                         np.left_shift(np.uint8(1), (pos % 8)
+                                       .astype(np.uint8)))
+    return bits, m, k, len(grams)
+
+
+def contamination_overlap_bloom_df(docs: DataFrame, *,
+                                   id_col: str = "doc_id",
+                                   text_col: str = "text",
+                                   n: int = _CONTAM_N,
+                                   bench_mod: int = _BENCH_MOD,
+                                   fpp: float = 0.01) -> DataFrame:
+    """Bloom-filter variant of ``contamination_overlap`` — identical
+    output shape, ONE-SIDED approximation: every truly-contaminated
+    n-gram is flagged (a Bloom filter has no false negatives), plus at
+    most ~``fpp`` of clean grams (false positives).  For
+    decontamination that is the safe direction: a false positive drops
+    a clean document, never leaks an eval item into training.
+
+    Scale shape: the corpus side is the same scan → explode → per-doc
+    aggregate, but the benchmark ships as ``m/8`` broadcast BYTES probed
+    inside the Arrow kernel — no join at all, so the plan is map +
+    final doc-keyed aggregate regardless of benchmark size."""
+    import numpy as np
+    from pyspark.sql.types import (BooleanType, LongType, StructField,
+                                   StructType)
+
+    w = _words(F.col(text_col))
+    ngrams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       ngrams.alias("__ngrams"))
+    bench = (
+        base.where(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode("__ngrams").alias("ng"))
+    )
+    bits, m, k, _ = build_ngram_bloom(bench, "ng", fpp=fpp)
+    from ..plans.cache import track_broadcast
+
+    bc = track_broadcast(
+        docs.sparkSession.sparkContext.broadcast((bits, m, k)))
+    corpus = base.where(F.col("doc_id") % bench_mod != 0)
+    schema = StructType([
+        corpus.schema["doc_id"],
+        StructField("n_overlap", LongType()),
+        StructField("n_ngrams", LongType()),
+        StructField("contaminated", BooleanType()),
+    ])
+
+    def probe(batches):
+        b_bits, b_m, b_k = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_over, n_tot = [], []
+            for lst in pdf["__ngrams"]:
+                grams = list(dict.fromkeys(lst))    # distinct, stable
+                hits = 0
+                if grams:
+                    pos = _bloom_positions(grams, b_m, b_k)
+                    probe_bits = (b_bits[pos // 8]
+                                  >> (pos % 8).astype(np.uint8)) & 1
+                    hits = int(probe_bits.all(axis=1).sum())
+                n_over.append(hits)
+                n_tot.append(len(lst))
+            out = pdf[["doc_id"]].copy()
+            out["n_overlap"] = n_over
+            out["n_ngrams"] = n_tot
+            out["contaminated"] = [h > 0 for h in n_over]
+            yield out
+
+    return corpus.mapInPandas(probe, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # cross-document duplicated-span stats (corpus self-duplication signal)
 # ---------------------------------------------------------------------------

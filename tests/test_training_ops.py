@@ -205,6 +205,56 @@ def test_dup_ngram_within_doc_repeat_not_duplicated(spark):
     assert out[1].n_dup == 0 and out[2].n_dup == 0
 
 
+def test_contamination_bloom_no_false_negatives(spark):
+    # the Bloom variant must flag a SUPERSET of the exact operator's
+    # contaminated grams (no false negatives — the safe direction for
+    # decontamination), with identical n_ngrams
+    from lsh_spark.operators.training_ops import (
+        contamination_overlap_bloom_df,
+        contamination_overlap_df,
+    )
+
+    rows = [(0, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10")]
+    rows += [(i, f"b{i} b1 b2 b3 b4 b5 b6 b7 b8 x{i} y{i}")
+             for i in range(1, 20)]
+    rows += [(i, " ".join(f"u{i}_{j}" for j in range(12)))
+             for i in range(20, 40)]
+    df = _docs(spark, rows)
+    exact = {r.doc_id: r for r in
+             contamination_overlap_df(df, bench_mod=50).collect()}
+    bloom = {r.doc_id: r for r in
+             contamination_overlap_bloom_df(df, bench_mod=50).collect()}
+    assert set(exact) == set(bloom)
+    for i in exact:
+        assert bloom[i].n_ngrams == exact[i].n_ngrams
+        assert bloom[i].n_overlap >= exact[i].n_overlap
+        if exact[i].contaminated:
+            assert bloom[i].contaminated
+
+
+def test_contamination_bloom_fp_rate_and_determinism(spark):
+    from lsh_spark.operators.training_ops import (
+        contamination_overlap_bloom_df,
+    )
+
+    # benchmark doc + 50 clean docs with fully disjoint vocabulary:
+    # flagged grams are pure false positives, bounded by ~fpp
+    rows = [(0, " ".join(f"bench{j}" for j in range(40)))]
+    rows += [(i, " ".join(f"c{i}_{j}" for j in range(30)))
+             for i in range(1, 51)]
+    df = _docs(spark, rows)
+    out = contamination_overlap_bloom_df(df, bench_mod=50,
+                                         fpp=0.01).collect()
+    total_grams = sum(r.n_ngrams for r in out)
+    fps = sum(r.n_overlap for r in out)
+    assert fps <= max(3, 0.05 * total_grams), (fps, total_grams)
+    # layout-independent: same result under a different partitioning
+    again = {(r.doc_id, r.n_overlap, r.contaminated)
+             for r in contamination_overlap_bloom_df(
+                 df.repartition(7), bench_mod=50, fpp=0.01).collect()}
+    assert again == {(r.doc_id, r.n_overlap, r.contaminated) for r in out}
+
+
 def test_remove_duplicated_spans_planted(spark):
     from lsh_spark.operators.training_ops import remove_duplicated_spans_df
 

@@ -227,23 +227,13 @@ def weighted_minhash_bands_long(col, band_count: int, band_size: int,
     MinHash.  Reuses the bit-exact ``from_shingles`` kernel
     (``shingleset.rs:12-22`` semantics), so the DuckDB oracle replays it
     with the existing string-hash + band machinery."""
-    from collections import Counter
-
     from .._core.batch import minhash_shingles_batch, tokenize_words
 
     @pandas_udf(_LONG_ARRAY)
     def _udf(s: pd.Series) -> pd.Series:
         mask = s.notna().to_numpy()
-        toks = tokenize_words(["" if not ok else t
-                               for t, ok in zip(s, mask)])
-        lists = []
-        for ws in toks:
-            seen: Counter = Counter()
-            comp = []
-            for w in ws:
-                seen[w] += 1
-                comp.append(f"{w} {seen[w]}")
-            lists.append(comp)
+        lists = _replicated_shingles(
+            tokenize_words(["" if not ok else t for t, ok in zip(s, mask)]))
         mat = minhash_shingles_batch(lists, band_count, band_size, seed)
         return _u64_rows_to_long(mat, mask, low32=False)
 
@@ -322,20 +312,47 @@ def word_shingle_set_col(col, width: int = 2) -> Column:
             shingle_lists.append(
                 [" ".join(toks[i:i + width])
                  for i in range(len(toks) - width + 1)])
-        flat = [g for lst in shingle_lists for g in lst]
-        hashes = (hash_strings_batch(flat).astype(np.uint32).view(np.int32)
-                  if flat else np.empty(0, dtype=np.int32))
-        out = []
-        pos = 0
-        for lst, ok in zip(shingle_lists, mask):
-            if not ok:
-                out.append(None)
-                continue
-            out.append(np.unique(hashes[pos:pos + len(lst)]).tolist())
-            pos += len(lst)
-        return pd.Series(out, dtype=object)
+        return _rows_to_unique_hash_sets(shingle_lists, mask)
 
     return _udf(col)
+
+
+def _replicated_shingles(toks: "list[list[str]]") -> "list[list[str]]":
+    """The integer-weight replication reduction, ONE definition for the
+    weighted signature UDF, the weighted set column, and (mirrored in
+    SQL) the DuckDB oracle: occurrence k of a word becomes the shingle
+    string ``"word k"`` — injective because words contain no
+    whitespace."""
+    from collections import Counter
+
+    out = []
+    for ws in toks:
+        seen: Counter = Counter()
+        comp = []
+        for w in ws:
+            seen[w] += 1
+            comp.append(f"{w} {seen[w]}")
+        out.append(comp)
+    return out
+
+
+def _rows_to_unique_hash_sets(lists: "list[list[str]]", mask) -> pd.Series:
+    """Shared tail of the word/weighted set columns: flat
+    ``from_shingles`` string-hash over the whole batch, then per-row
+    sorted-unique int32 sets (the repo-wide storage contract); masked
+    rows yield None."""
+    from .._core.batch import hash_strings_batch
+
+    flat = [g for lst in lists for g in lst]
+    hashes = (hash_strings_batch(flat).astype(np.uint32).view(np.int32)
+              if flat else np.empty(0, dtype=np.int32))
+    out = []
+    pos = 0
+    for lst, ok in zip(lists, mask):
+        seg = hashes[pos:pos + len(lst)]
+        pos += len(lst)
+        out.append(np.unique(seg).tolist() if ok else None)
+    return pd.Series(out, dtype=object)
 
 
 def weighted_shingle_set_col(col) -> Column:
@@ -346,37 +363,16 @@ def weighted_shingle_set_col(col) -> Column:
     machinery (banding from sets, id-only blocking, broadcast verify)
     composes unchanged, and plain Jaccard over these sets equals the
     weighted Jaccard ``Σ min(tf)/Σ max(tf)``."""
-    from collections import Counter
-
     from pyspark.sql.types import IntegerType
 
-    from .._core.batch import hash_strings_batch, tokenize_words
+    from .._core.batch import tokenize_words
 
     @pandas_udf(ArrayType(IntegerType()))
     def _udf(s: pd.Series) -> pd.Series:
         mask = s.notna().to_numpy()
-        toks = tokenize_words(["" if not ok else t
-                               for t, ok in zip(s, mask)])
-        lists = []
-        for ws in toks:
-            seen: Counter = Counter()
-            comp = []
-            for w in ws:
-                seen[w] += 1
-                comp.append(f"{w} {seen[w]}")
-            lists.append(comp)
-        flat = [g for lst in lists for g in lst]
-        hashes = (hash_strings_batch(flat).astype(np.uint32).view(np.int32)
-                  if flat else np.empty(0, dtype=np.int32))
-        out = []
-        pos = 0
-        for lst, ok in zip(lists, mask):
-            if not ok:
-                out.append(None)
-                continue
-            out.append(np.unique(hashes[pos:pos + len(lst)]).tolist())
-            pos += len(lst)
-        return pd.Series(out, dtype=object)
+        lists = _replicated_shingles(
+            tokenize_words(["" if not ok else t for t, ok in zip(s, mask)]))
+        return _rows_to_unique_hash_sets(lists, mask)
 
     return _udf(col)
 

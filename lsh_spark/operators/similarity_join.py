@@ -286,8 +286,14 @@ def _with_sets(df: DataFrame, id_col: str, text_col: str, ngram_width: int,
         from ..functions.lsh import weighted_shingle_set_col
 
         sets = weighted_shingle_set_col(F.col("__text"))
-    else:
+    elif shingle == "char":
         sets = shingle_set_col(F.col("__text"), ngram_width)
+    else:
+        # a typo silently falling back to char shingles would return a
+        # materially different retention set at the caller's threshold
+        raise ValueError(
+            f"unknown shingle mode {shingle!r}: expected 'char', 'word' "
+            "or 'weighted'")
     return base.select(id_alias, sets.alias(set_alias))
 
 
@@ -408,8 +414,10 @@ def lsh_self_dedup_pairs(
     broadcast only while the estimated payload fits the cap, shuffle by
     pair ids beyond it (the 100 TB path) — see ``_maybe_broadcast``.
 
-    ``shingle``: ``"char"`` (char n-grams) or ``"word"`` (word n-grams —
-    ``ngram_width`` counts words).
+    ``shingle``: ``"char"`` (char n-grams), ``"word"`` (word n-grams —
+    ``ngram_width`` counts words), or ``"weighted"`` (tf-weighted
+    replicated occurrence shingles — ``threshold`` is then a WEIGHTED
+    Jaccard Σmin(tf)/Σmax(tf); ``ngram_width`` unused).
 
     Returns (id_a, id_b, jaccard)."""
     sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set",

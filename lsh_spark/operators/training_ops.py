@@ -180,6 +180,24 @@ _CONTAM_N = 8           # word n-gram width (decontamination standard range)
 _BENCH_MOD = 50         # doc_id % 50 == 0 plays the held-out benchmark
 
 
+def _doc_ngrams(docs: DataFrame, id_col: str, text_col: str,
+                n: int) -> DataFrame:
+    """(doc_id, __ngrams) with the word ``n``-gram array per document —
+    ONE definition shared by the exact and Bloom decontamination
+    operators (and mirrored by their oracles), so the n-gram contract
+    cannot silently diverge between them."""
+    w = _words(F.col(text_col))
+    ngrams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       ngrams.alias("__ngrams"))
+
+
 def contamination_overlap_df(docs: DataFrame, *, id_col: str = "doc_id",
                              text_col: str = "text",
                              n: int = _CONTAM_N,
@@ -196,15 +214,7 @@ def contamination_overlap_df(docs: DataFrame, *, id_col: str = "doc_id",
     Returns every non-benchmark document with ``n_overlap`` (distinct
     matched 8-grams), ``n_ngrams``, and a ``contaminated`` flag.
     """
-    w = _words(F.col(text_col))
-    ngrams = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(F.col(id_col).alias("doc_id"), ngrams.alias("__ngrams"))
+    base = _doc_ngrams(docs, id_col, text_col, n)
     bench = (
         base.where(F.col("doc_id") % bench_mod == 0)
         .select(F.explode("__ngrams").alias("ng"))
@@ -286,19 +296,26 @@ def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
 
 def _bloom_positions(grams: "list[str]", m: int, k: int):
     """k bit positions per gram via double hashing over the md5 digest
-    (h1 + i·h2 mod m) — deterministic across engines/partitionings."""
+    (h1 + i·h2 mod m) — deterministic across engines/partitionings.
+    The per-gram md5 loop runs once per DISTINCT gram (callers dedup);
+    the k-position expansion is vectorized.  The double-hash combine
+    runs in uint64 (mod 2^64) — build and probe share this exact
+    function, so the convention only has to be self-consistent."""
     import hashlib
 
     import numpy as np
 
     n = len(grams)
-    pos = np.empty((n, k), dtype=np.int64)
+    h = np.empty((n, 2), dtype=np.uint64)
     for j, g in enumerate(grams):
-        d = hashlib.md5(g.encode("utf-8")).digest()
-        h1 = int.from_bytes(d[:8], "little")
-        h2 = int.from_bytes(d[8:], "little") | 1
-        pos[j] = [(h1 + i * h2) % m for i in range(k)]
-    return pos
+        # usedforsecurity=False: same digest, but keeps FIPS-enforcing
+        # OpenSSL builds from rejecting md5 in every executor task
+        d = hashlib.md5(g.encode("utf-8"), usedforsecurity=False).digest()
+        h[j, 0] = int.from_bytes(d[:8], "little")
+        h[j, 1] = int.from_bytes(d[8:], "little") | 1
+    i = np.arange(k, dtype=np.uint64)
+    return ((h[:, :1] + i[None, :] * h[:, 1:2]) % np.uint64(m)) \
+        .astype(np.int64)
 
 
 def build_ngram_bloom(bench_grams: DataFrame, gram_col: str = "ng",
@@ -347,16 +364,7 @@ def contamination_overlap_bloom_df(docs: DataFrame, *,
     from pyspark.sql.types import (BooleanType, LongType, StructField,
                                    StructType)
 
-    w = _words(F.col(text_col))
-    ngrams = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(F.col(id_col).alias("doc_id"),
-                       ngrams.alias("__ngrams"))
+    base = _doc_ngrams(docs, id_col, text_col, n)
     bench = (
         base.where(F.col("doc_id") % bench_mod == 0)
         .select(F.explode("__ngrams").alias("ng"))
@@ -379,20 +387,26 @@ def contamination_overlap_bloom_df(docs: DataFrame, *,
         for pdf in batches:
             if not len(pdf):
                 continue
-            n_over, n_tot = [], []
+            # hash each DISTINCT gram once per Arrow batch (a gram shared
+            # by many docs would otherwise be md5'd once per doc), then
+            # map the per-gram flags back to per-doc distinct counts
+            uniq: dict = {}
+            row_idx = []
             for lst in pdf["__ngrams"]:
-                grams = list(dict.fromkeys(lst))    # distinct, stable
-                hits = 0
-                if grams:
-                    pos = _bloom_positions(grams, b_m, b_k)
-                    probe_bits = (b_bits[pos // 8]
-                                  >> (pos % 8).astype(np.uint8)) & 1
-                    hits = int(probe_bits.all(axis=1).sum())
-                n_over.append(hits)
-                n_tot.append(len(lst))
+                row_idx.append(np.fromiter(
+                    (uniq.setdefault(g, len(uniq))
+                     for g in dict.fromkeys(lst)),
+                    dtype=np.int64))
+            flags = np.zeros(len(uniq), dtype=bool)
+            if uniq:
+                pos = _bloom_positions(list(uniq), b_m, b_k)
+                flags = (((b_bits[pos // 8]
+                           >> (pos % 8).astype(np.uint8)) & 1)
+                         .all(axis=1))
+            n_over = [int(flags[ix].sum()) for ix in row_idx]
             out = pdf[["doc_id"]].copy()
             out["n_overlap"] = n_over
-            out["n_ngrams"] = n_tot
+            out["n_ngrams"] = [len(lst) for lst in pdf["__ngrams"]]
             out["contaminated"] = [h > 0 for h in n_over]
             yield out
 

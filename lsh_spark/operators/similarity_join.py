@@ -680,6 +680,47 @@ def build_lsh_corpus_index(
     from ..sources.formats import save_table
 
     save_table(meta, f"{table_name}_meta", single_file=True)
+    # a full build physically removes everything previously tombstoned —
+    # the merge-on-read contract (see delete_from_lsh_index)
+    corpus.sparkSession.sql(
+        f"DROP TABLE IF EXISTS {table_name}_deletes")
+
+
+def delete_from_lsh_index(ids: DataFrame, table_name: str,
+                          id_col: "str | None" = None) -> None:
+    """Tombstone deletion for a persisted LSH index — the merge-on-read
+    shape: deleted corpus ids append to a tiny ``<name>_deletes`` table
+    and every probe anti-joins it (broadcast — deletion sets are small
+    next to the corpus), so a delete is O(delta) instead of rewriting
+    the bucketed index.  Physical removal happens at the next full
+    ``build_lsh_corpus_index``, which clears the tombstones.
+
+    Note: a tombstoned id stays deleted even if later re-appended via
+    ``extend_lsh_corpus_index`` — rebuild to resurrect an id.
+
+    ``id_col`` defaults to the indexed corpus id column (meta row)."""
+    from ..sources.formats import save_table
+
+    spark = ids.sparkSession
+    m = spark.table(f"{table_name}_meta").first()
+    col = id_col or m.id_col
+    rows = ids.select(F.col(col).alias("__rid")).distinct()
+    if spark.catalog.tableExists(f"{table_name}_deletes"):
+        rows.write.mode("append").saveAsTable(f"{table_name}_deletes")
+    else:
+        save_table(rows, f"{table_name}_deletes", single_file=True)
+
+
+def _without_deleted(spark, table_name: str, pairs: DataFrame,
+                     rid: str = "__rid") -> DataFrame:
+    """Drop candidate pairs whose corpus id is tombstoned (no-op when
+    the index has no deletes table)."""
+    if not spark.catalog.tableExists(f"{table_name}_deletes"):
+        return pairs
+    return pairs.join(
+        F.broadcast(spark.table(f"{table_name}_deletes")
+                    .withColumnRenamed("__rid", rid)),
+        on=rid, how="left_anti")
 
 
 def attach_lsh_corpus_index(spark, table_name: str,
@@ -715,6 +756,9 @@ def attach_lsh_corpus_index(spark, table_name: str,
                           num_buckets=m.num_buckets, location=loc("bands"))
     attach_bucketed_table(spark, f"{table_name}_sets", bucket_by=["__rid"],
                           num_buckets=m.num_buckets, location=loc("sets"))
+    # tombstones ride along when present (see delete_from_lsh_index)
+    if os.path.isdir(loc("deletes")):
+        attach_table(spark, f"{table_name}_deletes", loc("deletes"))
 
 
 def lsh_similarity_join_indexed(
@@ -754,6 +798,7 @@ def lsh_similarity_join_indexed(
         .select("__lid", "__rid")
         .dropDuplicates(["__lid", "__rid"])
     )
+    pairs = _without_deleted(spark, table_name, pairs)
     cand = (
         pairs.join(_maybe_broadcast(l_sets, "__lset", broadcast_probe_sets),
                    on="__lid")

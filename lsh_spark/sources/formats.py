@@ -195,6 +195,26 @@ def write_avro(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
         ) from exc
 
 
+def read_xml(spark: SparkSession, path: str, *, row_tag: str = "row",
+             schema: StructType | None = None) -> DataFrame:
+    """XML reader over Spark 4's BUILT-IN xml datasource (spark-xml was
+    merged into core in 4.0 — no external package needed, unlike Avro):
+    one row per ``row_tag`` element, schema inferred unless given
+    (give it in production — inference scans the data twice)."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def write_xml(df: DataFrame, path: str, *, row_tag: str = "row",
+              root_tag: str = "rows", mode: str = "overwrite") -> None:
+    """XML sink (built-in datasource; one ``row_tag`` element per row
+    under ``root_tag`` per output file)."""
+    (df.write.mode(mode).format("xml")
+     .option("rowTag", row_tag).option("rootTag", root_tag).save(path))
+
+
 def read_text(spark: SparkSession, path: str, *,
               whole_file: bool = False) -> DataFrame:
     """Raw-text corpus ingest: one row per line (``value`` string), or one

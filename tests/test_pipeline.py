@@ -741,3 +741,53 @@ def test_weighted_keep_first_drops_tf_near_dups(spark):
         seed=123, threshold=0.7, shingle="weighted").collect()}
     assert 1 in kept and 2 not in kept and 3 not in kept
     assert 4 in kept and 5 in kept
+
+
+def test_delete_from_lsh_index_tombstones(spark):
+    """Merge-on-read deletes: probing after delete_from_lsh_index must
+    equal probing an index rebuilt WITHOUT the deleted docs; a full
+    rebuild clears the tombstones."""
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.similarity_join import (
+        build_lsh_corpus_index,
+        delete_from_lsh_index,
+        lsh_similarity_join_indexed,
+    )
+    from lsh_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0).selectExpr(
+        "doc_id AS corpus_id", "text")
+    probe = docs.where(F.col("doc_id") % 2 == 1).limit(40).selectExpr(
+        "doc_id AS probe_id", "text")
+    kw = dict(text_col="text", id_col="corpus_id", ngram_width=3,
+              band_count=8, band_size=2, seed=123, num_buckets=8)
+    for t in ("deltest", "delref"):
+        for sfx in ("bands", "sets", "meta", "deletes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{sfx}")
+    build_lsh_corpus_index(corpus, "deltest", **kw)
+
+    full = lsh_similarity_join_indexed(
+        spark, "deltest", probe, "text", probe_id="probe_id",
+        threshold=0.5).collect()
+    assert len(full) > 0
+    victims = sorted({r.corpus_id for r in full})[:3]
+    delete_from_lsh_index(
+        spark.createDataFrame([(v,) for v in victims],
+                              "corpus_id long"), "deltest")
+    after = lsh_similarity_join_indexed(
+        spark, "deltest", probe, "text", probe_id="probe_id",
+        threshold=0.5).collect()
+    # reference: index built without the victims
+    build_lsh_corpus_index(
+        corpus.where(~F.col("corpus_id").isin(victims)), "delref", **kw)
+    want = lsh_similarity_join_indexed(
+        spark, "delref", probe, "text", probe_id="probe_id",
+        threshold=0.5).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, want))
+    assert not any(r.corpus_id in victims for r in after)
+    # rebuilding the index clears the tombstones
+    build_lsh_corpus_index(corpus, "deltest", **kw)
+    assert not spark.catalog.tableExists("deltest_deletes")

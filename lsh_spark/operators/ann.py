@@ -459,6 +459,9 @@ def build_ivf_index(
         F.lit(num_buckets).cast("int").alias("num_buckets"),
     )
     save_table(meta, f"{table_name}_meta", single_file=True)
+    # a full build physically removes everything previously tombstoned
+    # (see delete_from_ivf_index)
+    corpus.sparkSession.sql(f"DROP TABLE IF EXISTS {table_name}_deletes")
 
 
 def attach_ivf_index(spark, table_name: str,
@@ -533,6 +536,26 @@ def extend_ivf_index(
                          mode="append")
 
 
+def delete_from_ivf_index(ids: DataFrame, table_name: str,
+                          id_col: "str | None" = None) -> None:
+    """Tombstone deletion for a persisted IVF index — same merge-on-read
+    contract as ``delete_from_lsh_index``: ids append to a tiny
+    ``<name>_deletes`` table that searches anti-join (broadcast);
+    physical removal (and tombstone clearing) happens at the next full
+    ``build_ivf_index``.  A tombstoned id stays deleted even if
+    re-appended via ``extend_ivf_index`` — rebuild to resurrect."""
+    from ..sources.formats import save_table
+
+    spark = ids.sparkSession
+    m = spark.table(f"{table_name}_meta").first()
+    col = id_col or m.id_col
+    rows = ids.select(F.col(col).alias("neighbor_id")).distinct()
+    if spark.catalog.tableExists(f"{table_name}_deletes"):
+        rows.write.mode("append").saveAsTable(f"{table_name}_deletes")
+    else:
+        save_table(rows, f"{table_name}_deletes", single_file=True)
+
+
 def search_ivf_index(
     spark,
     table_name: str,
@@ -547,7 +570,8 @@ def search_ivf_index(
     ``n_probe`` nearest cells per query against the bucketed corpus.
     Returns the same (query_id, neighbor_id, cosine_sim, rank) shape —
     and, by construction, the same RESULTS — as ``ivf_lloyd_topk`` with
-    matching parameters, without touching the raw corpus again."""
+    matching parameters, without touching the raw corpus again
+    (tombstoned neighbors excluded — see ``delete_from_ivf_index``)."""
     cents = spark.table(f"{table_name}_centroids").agg(
         F.sort_array(F.collect_list(
             F.struct("__cell", F.col("centroid").alias("__cv"))))
@@ -555,8 +579,15 @@ def search_ivf_index(
     probes = _assign_cells_pandas(
         _ivf_prep(queries, id_col, vec_col, "query_id"),
         _collect_centroids(cents), "__v_query_id", n_probe=n_probe)
+    corpus_tbl = spark.table(table_name)
+    if spark.catalog.tableExists(f"{table_name}_deletes"):
+        # broadcast anti-join keeps the bucketed corpus side's
+        # partitioning, so the __cell join stays exchange-free
+        corpus_tbl = corpus_tbl.join(
+            F.broadcast(spark.table(f"{table_name}_deletes")),
+            on="neighbor_id", how="left_anti")
     scored = (
-        probes.join(spark.table(table_name), on="__cell")
+        probes.join(corpus_tbl, on="__cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine_sim",
                     F.round(cosine("__v_query_id", "vec"), 6))

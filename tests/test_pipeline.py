@@ -791,3 +791,41 @@ def test_delete_from_lsh_index_tombstones(spark):
     # rebuilding the index clears the tombstones
     build_lsh_corpus_index(corpus, "deltest", **kw)
     assert not spark.catalog.tableExists("deltest_deletes")
+
+
+def test_delete_from_ivf_index_tombstones(spark):
+    """IVF merge-on-read deletes: search after delete excludes the
+    victims and re-ranks exactly like an index rebuilt without them
+    (frozen quantizer so both sides share centroids)."""
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.ann import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        search_ivf_index,
+    )
+    from lsh_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    for t in ("ivfdel", "ivfdelref"):
+        for sfx in ("", "_centroids", "_meta", "_deletes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{sfx}")
+    kw = dict(n_lists=8, n_iters=0, num_buckets=8)
+    build_ivf_index(emb, "ivfdel", **kw)
+    full = search_ivf_index(spark, "ivfdel", queries, k=5,
+                            n_probe=3).collect()
+    victims = sorted({r.neighbor_id for r in full})[:3]
+    delete_from_ivf_index(
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"),
+        "ivfdel")
+    after = search_ivf_index(spark, "ivfdel", queries, k=5,
+                             n_probe=3).collect()
+    build_ivf_index(emb.where(~F.col("vec_id").isin(victims)),
+                    "ivfdelref", **kw)
+    want = search_ivf_index(spark, "ivfdelref", queries, k=5,
+                            n_probe=3).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, want))
+    assert not any(r.neighbor_id in victims for r in after)
+    build_ivf_index(emb, "ivfdel", **kw)
+    assert not spark.catalog.tableExists("ivfdel_deletes")

@@ -460,8 +460,11 @@ def build_ivf_index(
     )
     save_table(meta, f"{table_name}_meta", single_file=True)
     # a full build physically removes everything previously tombstoned
-    # (see delete_from_ivf_index)
-    corpus.sparkSession.sql(f"DROP TABLE IF EXISTS {table_name}_deletes")
+    # (see delete_from_ivf_index); FILE-level clear so a later attach
+    # cannot resurrect stale tombstones from the surviving directory
+    from ..sources.formats import drop_table_and_files
+
+    drop_table_and_files(corpus.sparkSession, f"{table_name}_deletes")
 
 
 def attach_ivf_index(spark, table_name: str,
@@ -492,6 +495,11 @@ def attach_ivf_index(spark, table_name: str,
     attach_bucketed_table(spark, table_name, bucket_by=["__cell"],
                           num_buckets=m.num_buckets, sort_by=["__cell"],
                           location=loc(""))
+    # tombstones ride along when present — without this, a later
+    # session's searches would resurrect deleted vectors and a later
+    # delete would clobber the surviving tombstone files
+    if os.path.isdir(loc("deletes")):
+        attach_table(spark, f"{table_name}_deletes", loc("deletes"))
 
 
 def extend_ivf_index(
@@ -547,13 +555,13 @@ def delete_from_ivf_index(ids: DataFrame, table_name: str,
     from ..sources.formats import save_table
 
     spark = ids.sparkSession
-    m = spark.table(f"{table_name}_meta").first()
-    col = id_col or m.id_col
-    rows = ids.select(F.col(col).alias("neighbor_id")).distinct()
-    if spark.catalog.tableExists(f"{table_name}_deletes"):
-        rows.write.mode("append").saveAsTable(f"{table_name}_deletes")
-    else:
-        save_table(rows, f"{table_name}_deletes", single_file=True)
+    if id_col is None:
+        id_col = spark.table(f"{table_name}_meta").first().id_col
+    rows = ids.select(F.col(id_col).alias("neighbor_id")).distinct()
+    # see delete_from_lsh_index: append-mode save_table covers create
+    # and merge; cross-session deletes require attach_ivf_index first
+    save_table(rows, f"{table_name}_deletes", mode="append",
+               single_file=True)
 
 
 def search_ivf_index(

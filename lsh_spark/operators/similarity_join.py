@@ -681,9 +681,12 @@ def build_lsh_corpus_index(
 
     save_table(meta, f"{table_name}_meta", single_file=True)
     # a full build physically removes everything previously tombstoned —
-    # the merge-on-read contract (see delete_from_lsh_index)
-    corpus.sparkSession.sql(
-        f"DROP TABLE IF EXISTS {table_name}_deletes")
+    # the merge-on-read contract (see delete_from_lsh_index).  The clear
+    # must be FILE-level: a catalog-only DROP leaves the on-disk deletes
+    # directory for a later attach to resurrect as stale tombstones.
+    from ..sources.formats import drop_table_and_files
+
+    drop_table_and_files(corpus.sparkSession, f"{table_name}_deletes")
 
 
 def delete_from_lsh_index(ids: DataFrame, table_name: str,
@@ -702,13 +705,16 @@ def delete_from_lsh_index(ids: DataFrame, table_name: str,
     from ..sources.formats import save_table
 
     spark = ids.sparkSession
-    m = spark.table(f"{table_name}_meta").first()
-    col = id_col or m.id_col
-    rows = ids.select(F.col(col).alias("__rid")).distinct()
-    if spark.catalog.tableExists(f"{table_name}_deletes"):
-        rows.write.mode("append").saveAsTable(f"{table_name}_deletes")
-    else:
-        save_table(rows, f"{table_name}_deletes", single_file=True)
+    if id_col is None:
+        id_col = spark.table(f"{table_name}_meta").first().id_col
+    rows = ids.select(F.col(id_col).alias("__rid")).distinct()
+    # save_table(mode="append") covers both branches: it creates the
+    # table when absent (clearing any orphaned directory from a dead
+    # session) and appends when the catalog knows it — cross-session
+    # deletes require attach_lsh_corpus_index first, which registers
+    # the surviving tombstones so they merge instead of vanishing
+    save_table(rows, f"{table_name}_deletes", mode="append",
+               single_file=True)
 
 
 def _without_deleted(spark, table_name: str, pairs: DataFrame,

@@ -229,6 +229,31 @@ def _warehouse_path(spark: SparkSession) -> str:
     return urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
 
 
+def drop_table_and_files(spark: SparkSession, table_name: str) -> None:
+    """Drop a table from the catalog AND remove its files.  A bare
+    ``DROP TABLE`` is not enough for lifecycle tables (e.g. index
+    tombstones): externally-attached tables keep their files on DROP,
+    and a table written by a DEAD session isn't in the catalog at all —
+    either way the surviving directory would be silently re-attached
+    later.  Resolves the location from the catalog when known, and
+    always clears the default warehouse directory as well."""
+    import os
+    import shutil
+
+    locations = {os.path.join(_warehouse_path(spark), table_name.lower())}
+    if spark.catalog.tableExists(table_name):
+        try:
+            row = (spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}")
+                   .where("col_name = 'Location'").first())
+            if row is not None:
+                locations.add(row["data_type"].replace("file:", ""))
+        except Exception:
+            pass
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    for loc in locations:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def attach_table(spark: SparkSession, table_name: str,
                  location: str | None = None) -> None:
     """(Re-)register an on-disk parquet table in the catalog as an

@@ -544,6 +544,18 @@ def extend_ivf_index(
                          mode="append")
 
 
+def compact_ivf_index(spark, table_name: str) -> None:
+    """Maintenance pass after many ``extend_ivf_index`` appends: rewrite
+    the cell-bucketed corpus table into one file-set per bucket (see
+    ``compact_lsh_index``).  Search results are unchanged."""
+    from ..sources.formats import compact_bucketed_table
+
+    m = spark.table(f"{table_name}_meta").first()
+    compact_bucketed_table(spark, table_name, bucket_by=["__cell"],
+                           num_buckets=m.num_buckets,
+                           sort_by=["__cell"])
+
+
 def delete_from_ivf_index(ids: DataFrame, table_name: str,
                           id_col: "str | None" = None) -> None:
     """Tombstone deletion for a persisted IVF index — same merge-on-read

@@ -729,6 +729,23 @@ def _without_deleted(spark, table_name: str, pairs: DataFrame,
         on=rid, how="left_anti")
 
 
+def compact_lsh_index(spark, table_name: str) -> None:
+    """Maintenance pass after many ``extend_lsh_corpus_index`` appends:
+    rewrite the ``_bands``/``_sets`` tables into one file-set per
+    bucket (each append added one — a daily-extended index grows a file
+    per bucket per day and probes pay the per-file open cost).  Probe
+    results are unchanged; the bucket spec survives."""
+    from ..sources.formats import compact_bucketed_table
+
+    m = spark.table(f"{table_name}_meta").first()
+    compact_bucketed_table(spark, f"{table_name}_bands",
+                           bucket_by=["band_idx", "band_hash"],
+                           num_buckets=m.num_buckets)
+    compact_bucketed_table(spark, f"{table_name}_sets",
+                           bucket_by=["__rid"],
+                           num_buckets=m.num_buckets)
+
+
 def attach_lsh_corpus_index(spark, table_name: str,
                             location_root: str | None = None) -> None:
     """Re-register a ``build_lsh_corpus_index`` written by an EARLIER

@@ -254,6 +254,35 @@ def drop_table_and_files(spark: SparkSession, table_name: str) -> None:
         shutil.rmtree(loc, ignore_errors=True)
 
 
+def compact_bucketed_table(spark: SparkSession, table_name: str, *,
+                           bucket_by: list, num_buckets: int,
+                           sort_by: "list | None" = None) -> None:
+    """Rewrite a bucketed table into one fresh file-set, preserving the
+    bucket spec — the maintenance pass for append-accumulated small
+    files (every ``mode="append"`` write adds a file per bucket, so an
+    index extended daily grows 365 files/bucket/year; scans pay the
+    open/footer cost per file).
+
+    Safe against the read-overwrite hazard: the rewrite lands in a temp
+    table first, the original is dropped (catalog + files), and the
+    temp is renamed over it; if the catalog cannot move a managed
+    directory on RENAME, the fallback re-writes from the temp and drops
+    it — either way readers never observe a truncated table."""
+    tmp = f"{table_name}__compact"
+    drop_table_and_files(spark, tmp)
+    write_bucketed_table(spark.table(table_name), tmp,
+                         bucket_by=bucket_by, num_buckets=num_buckets,
+                         sort_by=sort_by)
+    drop_table_and_files(spark, table_name)
+    try:
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+    except Exception:
+        write_bucketed_table(spark.table(tmp), table_name,
+                             bucket_by=bucket_by,
+                             num_buckets=num_buckets, sort_by=sort_by)
+        drop_table_and_files(spark, tmp)
+
+
 def attach_table(spark: SparkSession, table_name: str,
                  location: str | None = None) -> None:
     """(Re-)register an on-disk parquet table in the catalog as an

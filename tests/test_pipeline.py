@@ -842,3 +842,55 @@ def test_delete_from_ivf_index_tombstones(spark):
     assert not any(r.neighbor_id in victims for r in after)
     build_ivf_index(emb, "ivfdel", **kw)
     assert not spark.catalog.tableExists("ivfdel_deletes")
+
+
+def test_compact_lsh_index_shrinks_files_preserves_probes(spark):
+    """Three extends stack file-sets per bucket; compaction rewrites to
+    one set, probe results are byte-identical, bucket spec survives."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.similarity_join import (
+        build_lsh_corpus_index,
+        compact_lsh_index,
+        extend_lsh_corpus_index,
+        lsh_similarity_join_indexed,
+    )
+    from lsh_spark.sources.formats import _warehouse_path
+    from lsh_spark.sources.io import load_table
+
+    def n_files(table):
+        d = os.path.join(_warehouse_path(spark), table)
+        return sum(1 for _r, _d, fs in os.walk(d)
+                   for f in fs if f.endswith(".parquet"))
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0).selectExpr(
+        "doc_id AS corpus_id", "text")
+    probe = docs.where(F.col("doc_id") % 2 == 1).limit(30).selectExpr(
+        "doc_id AS probe_id", "text")
+    for sfx in ("bands", "sets", "meta", "deletes"):
+        spark.sql(f"DROP TABLE IF EXISTS cmp_{sfx}")
+        spark.sql(f"DROP TABLE IF EXISTS cmp_{sfx}__compact")
+    parts = [corpus.where(F.col("corpus_id") % 8 == i) for i in (0, 2, 4, 6)]
+    build_lsh_corpus_index(parts[0], "cmp", text_col="text",
+                           id_col="corpus_id", ngram_width=3,
+                           band_count=8, band_size=2, seed=123,
+                           num_buckets=4)
+    for p in parts[1:]:
+        extend_lsh_corpus_index(p, "cmp")
+    before_files = n_files("cmp_bands")
+    before = sorted(tuple(r) for r in lsh_similarity_join_indexed(
+        spark, "cmp", probe, "text", probe_id="probe_id",
+        threshold=0.5).collect())
+    compact_lsh_index(spark, "cmp")
+    after_files = n_files("cmp_bands")
+    after = sorted(tuple(r) for r in lsh_similarity_join_indexed(
+        spark, "cmp", probe, "text", probe_id="probe_id",
+        threshold=0.5).collect())
+    assert after == before and len(after) > 0
+    assert after_files < before_files
+    plan = (spark.table("cmp_bands").groupBy("band_idx", "band_hash")
+            .count()._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan

@@ -894,3 +894,30 @@ def test_compact_lsh_index_shrinks_files_preserves_probes(spark):
     plan = (spark.table("cmp_bands").groupBy("band_idx", "band_hash")
             .count()._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_compact_ivf_index_preserves_search(spark):
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.ann import (
+        build_ivf_index,
+        compact_ivf_index,
+        extend_ivf_index,
+        search_ivf_index,
+    )
+    from lsh_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    queries = emb.where(F.col("vec_id") < 5)
+    for sfx in ("", "_centroids", "_meta", "_deletes", "__compact"):
+        spark.sql(f"DROP TABLE IF EXISTS ivfcmp{sfx}")
+    build_ivf_index(emb.where(F.col("vec_id") < n // 2), "ivfcmp",
+                    n_lists=8, n_iters=0, num_buckets=4)
+    extend_ivf_index(emb.where(F.col("vec_id") >= n // 2), "ivfcmp")
+    before = sorted(tuple(r) for r in search_ivf_index(
+        spark, "ivfcmp", queries, k=5, n_probe=3).collect())
+    compact_ivf_index(spark, "ivfcmp")
+    after = sorted(tuple(r) for r in search_ivf_index(
+        spark, "ivfcmp", queries, k=5, n_probe=3).collect())
+    assert after == before and len(after) > 0

@@ -194,3 +194,67 @@ def test_resize_images_resizes_png_and_reencodes_png(spark):
     # nearest-neighbor: dst (y,x) pulls src (2y, 2x) for an 8->4 shrink
     want = px[::2, ::2, :]
     assert np.array_equal(meta["_pixels"], want)
+
+
+# --- property tests (hypothesis) -------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:          # pragma: no cover - hypothesis is baked in
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 12), w=st.integers(1, 12),
+        c=st.sampled_from([1, 2, 3, 4]), seed=st.integers(0, 2**31 - 1),
+    )
+    def test_prop_round_trip_any_shape(h, w, c, seed):
+        px = _rand_px(h, w, c, seed=seed)
+        meta = decode_png(encode_png(px))
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert np.array_equal(meta["_pixels"], px)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 10), w=st.integers(1, 10),
+        c=st.sampled_from([1, 3, 4]),
+        filters=st.lists(st.integers(0, 4), min_size=10, max_size=10),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_prop_unfilter_inverts_any_filter_sequence(h, w, c, filters,
+                                                       seed):
+        # arbitrary per-row filter choices (what real encoders emit) must
+        # decode back to the exact pixels
+        px = _rand_px(h, w, c, seed=seed)
+        flat = px.reshape(h, w * c)
+        lines = []
+        for y in range(h):
+            f = filters[y % len(filters)]
+            prior = flat[y - 1] if y else np.zeros(w * c, dtype=np.uint8)
+            lines.append(bytes([f])
+                         + _filter_row(f, flat[y], prior, c).tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8,
+                           {1: 0, 3: 2, 4: 6}[c], 0, 0, 0)
+        blob = (_MAGIC + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + _chunk(b"IEND", b""))
+        assert np.array_equal(decode_png(blob)["_pixels"], px)
+
+    @settings(max_examples=30, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=200))
+    def test_prop_arbitrary_bytes_never_crash_unexpectedly(data):
+        # foreign bytes -> None; PNG-magic-prefixed garbage -> ValueError;
+        # nothing else may escape (the media pipeline catches ValueError)
+        try:
+            out = decode_png(_MAGIC + data)
+            assert out is None or isinstance(out, dict)
+        except ValueError:
+            pass
+        assert decode_png(data if data[:8] != _MAGIC else b"x" + data) \
+            is None

@@ -263,20 +263,51 @@ def compact_bucketed_table(spark: SparkSession, table_name: str, *,
     index extended daily grows 365 files/bucket/year; scans pay the
     open/footer cost per file).
 
-    Safe against the read-overwrite hazard: the rewrite lands in a temp
-    table first, the original is dropped (catalog + files), and the
-    temp is renamed over it; if the catalog cannot move a managed
-    directory on RENAME, the fallback re-writes from the temp and drops
-    it — either way readers never observe a truncated table."""
+    Ordering keeps a full copy on disk at every step (rewrite to a temp
+    table, swap the original OUT by rename, swap the temp IN, drop the
+    old copy), so a crash at any point leaves a recoverable state — but
+    the name-swap itself is NOT atomic in this catalog: run compaction
+    in a maintenance window, not under concurrent probes (a reader
+    resolving the name between the two renames fails and retries).
+
+    MANAGED (warehouse-resident) tables only: compacting a table
+    attached from an external ``location_root`` would relocate the only
+    copy into this session's warehouse and break later attaches —
+    refused with a clear error; compact in the warehouse session that
+    owns the files (or copy them in first)."""
+    import os
+
+    wh = os.path.realpath(_warehouse_path(spark))
+    try:
+        row = (spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}")
+               .where("col_name = 'Location'").first())
+        loc = os.path.realpath(row["data_type"].replace("file:", "")) \
+            if row is not None else None
+    except Exception:
+        loc = None
+    if loc is not None and not loc.startswith(wh):
+        raise ValueError(
+            f"refusing to compact {table_name}: its files live outside "
+            f"the session warehouse ({loc}) — compacting would relocate "
+            "the only copy into this warehouse and break later attaches; "
+            "run compaction in the session that owns the files")
     tmp = f"{table_name}__compact"
+    old = f"{table_name}__precompact"
     drop_table_and_files(spark, tmp)
+    drop_table_and_files(spark, old)
     write_bucketed_table(spark.table(table_name), tmp,
                          bucket_by=bucket_by, num_buckets=num_buckets,
                          sort_by=sort_by)
-    drop_table_and_files(spark, table_name)
     try:
+        spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+        drop_table_and_files(spark, old)
     except Exception:
+        # catalog cannot move managed directories: restore the original
+        # name if the first rename landed, then copy-write from the temp
+        if not spark.catalog.tableExists(table_name) \
+                and spark.catalog.tableExists(old):
+            spark.sql(f"ALTER TABLE {old} RENAME TO {table_name}")
         write_bucketed_table(spark.table(tmp), table_name,
                              bucket_by=bucket_by,
                              num_buckets=num_buckets, sort_by=sort_by)

@@ -907,17 +907,34 @@ def test_compact_ivf_index_preserves_search(spark):
     )
     from lsh_spark.sources.io import load_table
 
+    import os
+
+    from lsh_spark.sources.formats import _warehouse_path
+
+    def n_files(table):
+        d = os.path.join(_warehouse_path(spark), table)
+        return sum(1 for _r, _d, fs in os.walk(d)
+                   for f in fs if f.endswith(".parquet"))
+
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     n = emb.count()
     queries = emb.where(F.col("vec_id") < 5)
-    for sfx in ("", "_centroids", "_meta", "_deletes", "__compact"):
+    for sfx in ("", "_centroids", "_meta", "_deletes", "__compact",
+                "__precompact"):
         spark.sql(f"DROP TABLE IF EXISTS ivfcmp{sfx}")
     build_ivf_index(emb.where(F.col("vec_id") < n // 2), "ivfcmp",
                     n_lists=8, n_iters=0, num_buckets=4)
     extend_ivf_index(emb.where(F.col("vec_id") >= n // 2), "ivfcmp")
+    before_files = n_files("ivfcmp")
     before = sorted(tuple(r) for r in search_ivf_index(
         spark, "ivfcmp", queries, k=5, n_probe=3).collect())
     compact_ivf_index(spark, "ivfcmp")
     after = sorted(tuple(r) for r in search_ivf_index(
         spark, "ivfcmp", queries, k=5, n_probe=3).collect())
     assert after == before and len(after) > 0
+    assert n_files("ivfcmp") < before_files
+    # bucket spec survives the swap: groupBy on the bucket key plans
+    # with no Exchange
+    plan = (spark.table("ivfcmp").groupBy("__cell").count()
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan

@@ -341,6 +341,7 @@ def lsh_similarity_join(
     threshold: float = 0.8,
     keep_similarity: bool = True,
     broadcast_sets: "bool | None" = None,
+    shingle: str = "char",
 ) -> DataFrame:
     """Approximate A⨝B similarity join: pairs whose banded MinHash collides
     in ≥1 band AND whose exact Jaccard exceeds ``threshold``.
@@ -348,10 +349,16 @@ def lsh_similarity_join(
     ``broadcast_sets=None`` (default) size-gates a broadcast of each
     side's (id, shingle-set) table independently — see ``_maybe_broadcast``.
 
+    ``shingle``: ``"char"`` / ``"word"`` / ``"weighted"`` (same contract
+    as ``lsh_self_dedup_pairs`` — with ``"weighted"``, ``threshold`` is
+    a weighted Jaccard).
+
     Returns (left_id, right_id[, jaccard]).
     """
-    l_sets = _with_sets(left, left_id, left_text, ngram_width, "__lid", "__lset")
-    r_sets = _with_sets(right, right_id, right_text, ngram_width, "__rid", "__rset")
+    l_sets = _with_sets(left, left_id, left_text, ngram_width,
+                        "__lid", "__lset", shingle=shingle)
+    r_sets = _with_sets(right, right_id, right_text, ngram_width,
+                        "__rid", "__rset", shingle=shingle)
     track(l_sets.persist(StorageLevel.MEMORY_AND_DISK))
     track(r_sets.persist(StorageLevel.MEMORY_AND_DISK))
 

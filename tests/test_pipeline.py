@@ -938,3 +938,22 @@ def test_compact_ivf_index_preserves_search(spark):
     plan = (spark.table("ivfcmp").groupBy("__cell").count()
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_similarity_join_ab_weighted_mode(spark):
+    """A/B join with shingle='weighted': tf-similar cross-table pairs
+    match, tf-distant set-equal pairs don't."""
+    from lsh_spark.operators.similarity_join import lsh_similarity_join
+
+    a = spark.createDataFrame(
+        [(1, "spam spam spam spam ham ham eggs")], "pid long, text string")
+    b = spark.createDataFrame(
+        [(10, "spam spam spam spam ham ham eggs"),   # tf-identical
+         (11, "spam ham eggs"),                      # same set, tf far
+         (12, "different things entirely")],
+        "cid long, text string")
+    got = {(r.pid, r.cid) for r in lsh_similarity_join(
+        a, b, "text", "text", left_id="pid", right_id="cid",
+        band_count=16, band_size=2, seed=123, threshold=0.7,
+        shingle="weighted").collect()}
+    assert got == {(1, 10)}

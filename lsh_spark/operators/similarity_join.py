@@ -508,9 +508,11 @@ def lsh_dedup_clusters(
     band_size: int = 6,
     seed: int = 123,
     max_iter: int = 12,
+    shingle: str = "char",
 ) -> DataFrame:
     """Cluster-representative near-dedup WITHOUT pair materialization — the
-    100 TB path.
+    100 TB path.  ``shingle``: ``"char"`` / ``"word"`` / ``"weighted"``
+    (same contract as ``lsh_self_dedup_pairs``).
 
     The verified-pairs operators are output-bound: a cluster of m
     near-identical documents contains m²/2 pairs (measured: replicating
@@ -535,7 +537,8 @@ def lsh_dedup_clusters(
 
     Returns (id, cluster_id, is_representative).
     """
-    sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set")
+    sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set",
+                      shingle=shingle)
     # materialize the block list once — everything below (ids, bucket
     # sizes, edges, every iteration) reuses it without re-running the
     # hashing UDFs

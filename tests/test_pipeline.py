@@ -957,3 +957,25 @@ def test_similarity_join_ab_weighted_mode(spark):
         band_count=16, band_size=2, seed=123, threshold=0.7,
         shingle="weighted").collect()}
     assert got == {(1, 10)}
+
+
+def test_dedup_clusters_weighted_mode(spark):
+    """Pair-free cluster dedup over weighted sets: tf-identical docs
+    cluster together; a tf-distant set-equal doc stays its own
+    representative (selective banding keeps them apart)."""
+    from lsh_spark.operators.similarity_join import lsh_dedup_clusters
+
+    rows = [
+        (1, "spam spam spam spam ham ham eggs"),
+        (2, "spam spam spam spam ham ham eggs"),
+        (3, "spam ham eggs"),
+        (4, "totally different content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in lsh_dedup_clusters(
+        df, "text", id_col="doc_id", band_count=4, band_size=4,
+        seed=123, shingle="weighted").collect()}
+    assert out[1].cluster_id == out[2].cluster_id
+    assert out[1].is_representative and not out[2].is_representative
+    assert out[3].is_representative
+    assert out[4].is_representative

@@ -650,6 +650,7 @@ def build_lsh_corpus_index(
     band_size: int = 2,
     seed: int = 123,
     num_buckets: int = 32,
+    shingle: str = "char",
 ) -> None:
     """Persist a corpus's LSH index for repeated probing — the amortized
     deployment shape for streaming/incremental near-dup: shingle sets and
@@ -665,7 +666,8 @@ def build_lsh_corpus_index(
     one index per rotation for the seed-rotation recall pattern.)"""
     from ..sources.formats import write_bucketed_table
 
-    sets = _with_sets(corpus, id_col, text_col, ngram_width, "__rid", "__rset")
+    sets = _with_sets(corpus, id_col, text_col, ngram_width,
+                      "__rid", "__rset", shingle=shingle)
     track(sets.persist(StorageLevel.MEMORY_AND_DISK))
     blocks = _band_blocks(sets, "__rid", "__rset", band_count, band_size, seed)
     write_bucketed_table(blocks, f"{table_name}_bands",
@@ -683,6 +685,10 @@ def build_lsh_corpus_index(
         F.lit(band_count).cast("int").alias("band_count"),
         F.lit(band_size).cast("int").alias("band_size"),
         F.lit(seed).cast("int").alias("seed"),
+        # the shingle mode is an index-defining parameter like the
+        # banding: probes/extends read it from here so a weighted index
+        # can never silently be probed with char shingles
+        F.lit(shingle).alias("shingle"),
         # the bucket spec rides with the data so attach_lsh_corpus_index
         # can re-register the tables in a later session without guessing
         F.lit(num_buckets).cast("int").alias("num_buckets"),
@@ -814,8 +820,9 @@ def lsh_similarity_join_indexed(
 
     Returns (probe_id, <corpus id_col>[, jaccard])."""
     m = spark.table(f"{table_name}_meta").first()
+    mode = m.shingle if "shingle" in m.__fields__ else "char"
     l_sets = _with_sets(probe, probe_id, probe_text, m.ngram_width,
-                        "__lid", "__lset")
+                        "__lid", "__lset", shingle=mode)
     track(l_sets.persist(StorageLevel.MEMORY_AND_DISK))
     l_blocks = _band_blocks(l_sets, "__lid", "__lset",
                             m.band_count, m.band_size, m.seed)
@@ -874,7 +881,9 @@ def extend_lsh_corpus_index(
     spark = corpus_delta.sparkSession
     m = spark.table(f"{table_name}_meta").first()
     sets = _with_sets(corpus_delta, m.id_col, m.text_col, m.ngram_width,
-                      "__rid", "__rset")
+                      "__rid", "__rset",
+                      shingle=m.shingle if "shingle" in m.__fields__
+                      else "char")
     track(sets.persist(StorageLevel.MEMORY_AND_DISK))
     blocks = _band_blocks(sets, "__rid", "__rset",
                           m.band_count, m.band_size, m.seed)

@@ -229,6 +229,24 @@ def _warehouse_path(spark: SparkSession) -> str:
     return urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
 
 
+def _describe_detail(spark: SparkSession, table_name: str,
+                     col: str) -> "str | None":
+    """One ``DESCRIBE TABLE EXTENDED`` detail row (``Location``,
+    ``Type``, ...) — shared by the file-drop path and the compaction
+    guard so the two can never disagree about a table's metadata."""
+    try:
+        row = (spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}")
+               .where(f"col_name = '{col}'").first())
+        return None if row is None else row["data_type"]
+    except Exception:
+        return None
+
+
+def _table_location(spark: SparkSession, table_name: str) -> "str | None":
+    loc = _describe_detail(spark, table_name, "Location")
+    return None if loc is None else loc.replace("file:", "")
+
+
 def drop_table_and_files(spark: SparkSession, table_name: str) -> None:
     """Drop a table from the catalog AND remove its files.  A bare
     ``DROP TABLE`` is not enough for lifecycle tables (e.g. index
@@ -242,13 +260,9 @@ def drop_table_and_files(spark: SparkSession, table_name: str) -> None:
 
     locations = {os.path.join(_warehouse_path(spark), table_name.lower())}
     if spark.catalog.tableExists(table_name):
-        try:
-            row = (spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}")
-                   .where("col_name = 'Location'").first())
-            if row is not None:
-                locations.add(row["data_type"].replace("file:", ""))
-        except Exception:
-            pass
+        loc = _table_location(spark, table_name)
+        if loc is not None:
+            locations.add(loc)
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     for loc in locations:
         shutil.rmtree(loc, ignore_errors=True)
@@ -270,27 +284,20 @@ def compact_bucketed_table(spark: SparkSession, table_name: str, *,
     in a maintenance window, not under concurrent probes (a reader
     resolving the name between the two renames fails and retries).
 
-    MANAGED (warehouse-resident) tables only: compacting a table
-    attached from an external ``location_root`` would relocate the only
-    copy into this session's warehouse and break later attaches —
-    refused with a clear error; compact in the warehouse session that
-    owns the files (or copy them in first)."""
-    import os
-
-    wh = os.path.realpath(_warehouse_path(spark))
-    try:
-        row = (spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}")
-               .where("col_name = 'Location'").first())
-        loc = os.path.realpath(row["data_type"].replace("file:", "")) \
-            if row is not None else None
-    except Exception:
-        loc = None
-    if loc is not None and not loc.startswith(wh):
+    MANAGED tables only: rename moves directories ONLY for managed
+    tables, so compacting an EXTERNAL table (anything registered via
+    the ``attach_*`` helpers — even at the default warehouse location)
+    would swap catalog names around files that never move and then
+    delete the only copy.  Refused with a clear error; rebuild the
+    index (making its tables managed) before compacting, or compact in
+    the session that built it."""
+    ttype = _describe_detail(spark, table_name, "Type")
+    if ttype is not None and ttype.strip().upper() != "MANAGED":
         raise ValueError(
-            f"refusing to compact {table_name}: its files live outside "
-            f"the session warehouse ({loc}) — compacting would relocate "
-            "the only copy into this warehouse and break later attaches; "
-            "run compaction in the session that owns the files")
+            f"refusing to compact {table_name}: it is {ttype.strip()}, "
+            "not MANAGED — RENAME does not move external tables' files, "
+            "so the swap would delete the only copy; rebuild the index "
+            "in this session (managed tables) before compacting")
     tmp = f"{table_name}__compact"
     old = f"{table_name}__precompact"
     drop_table_and_files(spark, tmp)
@@ -301,17 +308,24 @@ def compact_bucketed_table(spark: SparkSession, table_name: str, *,
     try:
         spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
-        drop_table_and_files(spark, old)
     except Exception:
         # catalog cannot move managed directories: restore the original
         # name if the first rename landed, then copy-write from the temp
+        # (only while the temp still exists — a failure AFTER both
+        # renames must not mask itself behind a missing-temp error)
         if not spark.catalog.tableExists(table_name) \
                 and spark.catalog.tableExists(old):
             spark.sql(f"ALTER TABLE {old} RENAME TO {table_name}")
-        write_bucketed_table(spark.table(tmp), table_name,
-                             bucket_by=bucket_by,
-                             num_buckets=num_buckets, sort_by=sort_by)
-        drop_table_and_files(spark, tmp)
+        if spark.catalog.tableExists(tmp):
+            write_bucketed_table(spark.table(tmp), table_name,
+                                 bucket_by=bucket_by,
+                                 num_buckets=num_buckets, sort_by=sort_by)
+            drop_table_and_files(spark, tmp)
+        else:
+            raise
+    # old-copy cleanup OUTSIDE the swap's try: a cleanup hiccup here
+    # must surface as itself, not trigger the restore path
+    drop_table_and_files(spark, old)
 
 
 def attach_table(spark: SparkSession, table_name: str,

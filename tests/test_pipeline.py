@@ -979,3 +979,40 @@ def test_dedup_clusters_weighted_mode(spark):
     assert out[1].is_representative and not out[2].is_representative
     assert out[3].is_representative
     assert out[4].is_representative
+
+
+def test_indexed_join_pins_weighted_shingle_mode(spark):
+    """The shingle mode is an index-defining parameter: a weighted index
+    probes with weighted sets (meta-pinned — no silent char drift) and
+    matches the ad-hoc weighted A/B join exactly."""
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.similarity_join import (
+        build_lsh_corpus_index,
+        lsh_similarity_join,
+        lsh_similarity_join_indexed,
+    )
+
+    corpus = spark.createDataFrame(
+        [(10, "spam spam spam spam ham ham eggs"),
+         (11, "spam ham eggs"),
+         (12, "other words entirely here")],
+        "corpus_id long, text string")
+    probe = spark.createDataFrame(
+        [(1, "spam spam spam spam ham ham eggs")],
+        "probe_id long, text string")
+    for sfx in ("bands", "sets", "meta", "deletes"):
+        spark.sql(f"DROP TABLE IF EXISTS widx_{sfx}")
+    build_lsh_corpus_index(
+        corpus, "widx", text_col="text", id_col="corpus_id",
+        ngram_width=1, band_count=16, band_size=2, seed=123,
+        num_buckets=4, shingle="weighted")
+    got = sorted(tuple(r) for r in lsh_similarity_join_indexed(
+        spark, "widx", probe, "text", probe_id="probe_id",
+        threshold=0.7).collect())
+    want = sorted(tuple(r) for r in lsh_similarity_join(
+        probe, corpus, "text", "text", left_id="probe_id",
+        right_id="corpus_id", ngram_width=1, band_count=16, band_size=2,
+        seed=123, threshold=0.7, shingle="weighted").collect())
+    assert got == want
+    assert {r[1] for r in got} == {10}   # tf-identical only

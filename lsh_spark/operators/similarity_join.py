@@ -733,6 +733,13 @@ def delete_from_lsh_index(ids: DataFrame, table_name: str,
                single_file=True)
 
 
+def _meta_shingle(m) -> str:
+    """The index's pinned shingle mode; pre-round-5 meta rows lack the
+    column and were always char — keep the back-compat fallback in ONE
+    place so no index consumer can forget it."""
+    return m.shingle if "shingle" in m.__fields__ else "char"
+
+
 def _without_deleted(spark, table_name: str, pairs: DataFrame,
                      rid: str = "__rid") -> DataFrame:
     """Drop candidate pairs whose corpus id is tombstoned (no-op when
@@ -820,9 +827,8 @@ def lsh_similarity_join_indexed(
 
     Returns (probe_id, <corpus id_col>[, jaccard])."""
     m = spark.table(f"{table_name}_meta").first()
-    mode = m.shingle if "shingle" in m.__fields__ else "char"
     l_sets = _with_sets(probe, probe_id, probe_text, m.ngram_width,
-                        "__lid", "__lset", shingle=mode)
+                        "__lid", "__lset", shingle=_meta_shingle(m))
     track(l_sets.persist(StorageLevel.MEMORY_AND_DISK))
     l_blocks = _band_blocks(l_sets, "__lid", "__lset",
                             m.band_count, m.band_size, m.seed)
@@ -881,9 +887,7 @@ def extend_lsh_corpus_index(
     spark = corpus_delta.sparkSession
     m = spark.table(f"{table_name}_meta").first()
     sets = _with_sets(corpus_delta, m.id_col, m.text_col, m.ngram_width,
-                      "__rid", "__rset",
-                      shingle=m.shingle if "shingle" in m.__fields__
-                      else "char")
+                      "__rid", "__rset", shingle=_meta_shingle(m))
     track(sets.persist(StorageLevel.MEMORY_AND_DISK))
     blocks = _band_blocks(sets, "__rid", "__rset",
                           m.band_count, m.band_size, m.seed)

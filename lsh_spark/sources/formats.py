@@ -77,6 +77,34 @@ def clear_stale_table_location(spark: SparkSession, table_name: str) -> None:
         shutil.rmtree(loc, ignore_errors=True)
 
 
+def _prepare_table_write(spark: SparkSession, table_name: str,
+                         mode: str) -> None:
+    """Pre-write hygiene shared by save_table / write_bucketed_table.
+
+    Beyond the stale-orphan clear, an OVERWRITE over a table the
+    catalog knows as EXTERNAL at its default warehouse location (the
+    ``attach_*`` default) dead-ends: saveAsTable drops the external
+    entry but keeps its files, then the managed CREATE throws
+    LOCATION_ALREADY_EXISTS on the surviving directory.  Rebuilding
+    over an attached index is legitimate intent, so that exact case
+    drops the entry AND files first — precisely what overwriting a
+    managed table would have done.  External tables at CUSTOM
+    locations are untouched (their files are someone else's)."""
+    import os
+
+    clear_stale_table_location(spark, table_name)
+    if mode != "overwrite" or not spark.catalog.tableExists(table_name):
+        return
+    ttype = _describe_detail(spark, table_name, "Type")
+    if ttype is None or ttype.strip().upper() == "MANAGED":
+        return
+    loc = _table_location(spark, table_name)
+    default_loc = os.path.realpath(
+        os.path.join(_warehouse_path(spark), table_name.lower()))
+    if loc is not None and os.path.realpath(loc) == default_loc:
+        drop_table_and_files(spark, table_name)
+
+
 def save_table(df: DataFrame, table_name: str, *,
                mode: str = "overwrite", single_file: bool = False) -> None:
     """``saveAsTable`` that stays idempotent across sessions (see
@@ -85,7 +113,7 @@ def save_table(df: DataFrame, table_name: str, *,
     createDataFrame otherwise inherits defaultParallelism and pays a
     32-task write for 32 near-empty files (measured ~1.5 s of pure task
     overhead locally)."""
-    clear_stale_table_location(df.sparkSession, table_name)
+    _prepare_table_write(df.sparkSession, table_name, mode)
     if single_file:
         df = df.coalesce(1)
     df.write.mode(mode).saveAsTable(table_name)
@@ -111,7 +139,7 @@ def write_bucketed_table(
     input partitions writes its own file per bucket — P×B small files
     (measured locally: 1024 files for a 97k-row table; at 1000 executors ×
     1000 buckets that is a million files per index build)."""
-    clear_stale_table_location(df.sparkSession, table_name)
+    _prepare_table_write(df.sparkSession, table_name, mode)
     df = df.repartition(num_buckets, *bucket_by)
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
     if sort_by:
@@ -244,7 +272,10 @@ def _describe_detail(spark: SparkSession, table_name: str,
 
 def _table_location(spark: SparkSession, table_name: str) -> "str | None":
     loc = _describe_detail(spark, table_name, "Location")
-    return None if loc is None else loc.replace("file:", "")
+    # strip only the URI scheme PREFIX — a replace-all would
+    # mangle paths that contain "file:" mid-string and rmtree
+    # the wrong directory
+    return None if loc is None else loc.removeprefix("file:")
 
 
 def drop_table_and_files(spark: SparkSession, table_name: str) -> None:
@@ -292,12 +323,16 @@ def compact_bucketed_table(spark: SparkSession, table_name: str, *,
     index (making its tables managed) before compacting, or compact in
     the session that built it."""
     ttype = _describe_detail(spark, table_name, "Type")
-    if ttype is not None and ttype.strip().upper() != "MANAGED":
+    if ttype is None or ttype.strip().upper() != "MANAGED":
+        # fail CLOSED on unknown type: proceeding with a non-managed
+        # table would delete the only copy of its files
         raise ValueError(
-            f"refusing to compact {table_name}: it is {ttype.strip()}, "
-            "not MANAGED — RENAME does not move external tables' files, "
-            "so the swap would delete the only copy; rebuild the index "
-            "in this session (managed tables) before compacting")
+            f"refusing to compact {table_name}: catalog type is "
+            f"{ttype.strip() if ttype else 'unknown'}, not MANAGED — "
+            "RENAME does not move external tables' files, so the swap "
+            "would delete the only copy; rebuild the index in this "
+            "session (a rebuild over an attached index replaces it "
+            "with managed tables) before compacting")
     tmp = f"{table_name}__compact"
     old = f"{table_name}__precompact"
     drop_table_and_files(spark, tmp)

@@ -1016,3 +1016,74 @@ def test_indexed_join_pins_weighted_shingle_mode(spark):
         seed=123, threshold=0.7, shingle="weighted").collect())
     assert got == want
     assert {r[1] for r in got} == {10}   # tf-identical only
+
+
+def test_compact_refuses_external_and_rebuild_over_attach_works(spark,
+                                                                tmp_path):
+    """(a) compact_bucketed_table must refuse EXTERNAL tables — RENAME
+    never moves their files, the swap would delete the only copy;
+    (b) rebuilding over an attached index must succeed (the overwrite
+    path clears the external-at-warehouse entry + files first instead
+    of dying with LOCATION_ALREADY_EXISTS)."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.similarity_join import (
+        build_lsh_corpus_index,
+        lsh_similarity_join_indexed,
+    )
+    from lsh_spark.sources.formats import (
+        _warehouse_path,
+        attach_bucketed_table,
+        compact_bucketed_table,
+        drop_table_and_files,
+    )
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0).limit(200).selectExpr(
+        "doc_id AS corpus_id", "text")
+    probe = docs.where(F.col("doc_id") % 2 == 1).limit(20).selectExpr(
+        "doc_id AS probe_id", "text")
+    kw = dict(text_col="text", id_col="corpus_id", ngram_width=3,
+              band_count=8, band_size=2, seed=123, num_buckets=4)
+    for t in ("extc_bands", "extc_sets", "extc_meta", "extc_deletes",
+              "extcopy"):
+        drop_table_and_files(spark, t)
+    build_lsh_corpus_index(corpus, "extc", **kw)
+
+    # (a) an EXTERNAL registration over a COPY of the bands directory
+    src = os.path.join(_warehouse_path(spark), "extc_bands")
+    ext_dir = str(tmp_path / "extcopy")
+    shutil.copytree(src, ext_dir)
+    attach_bucketed_table(spark, "extcopy",
+                          bucket_by=["band_idx", "band_hash"],
+                          num_buckets=4, location=ext_dir)
+    with _pytest.raises(ValueError, match="not MANAGED"):
+        compact_bucketed_table(spark, "extcopy",
+                               bucket_by=["band_idx", "band_hash"],
+                               num_buckets=4)
+    assert os.path.isdir(ext_dir)      # nothing was deleted
+
+    # (b) simulate a cross-session attach at the DEFAULT warehouse
+    # location: copy the index dirs under a fresh name inside the
+    # warehouse (files present, catalog empty — what a new session
+    # sees), attach, then a full rebuild must succeed instead of dying
+    # with LOCATION_ALREADY_EXISTS on the surviving directories
+    from lsh_spark.operators.similarity_join import attach_lsh_corpus_index
+
+    wh = _warehouse_path(spark)
+    for t in ("extd_bands", "extd_sets", "extd_meta", "extd_deletes"):
+        drop_table_and_files(spark, t)
+    for sfx in ("bands", "sets", "meta"):
+        shutil.copytree(os.path.join(wh, f"extc_{sfx}"),
+                        os.path.join(wh, f"extd_{sfx}"))
+    attach_lsh_corpus_index(spark, "extd")
+    build_lsh_corpus_index(corpus, "extd", **kw)     # must not raise
+    got = lsh_similarity_join_indexed(
+        spark, "extd", probe, "text", probe_id="probe_id",
+        threshold=0.5).count()
+    assert got > 0

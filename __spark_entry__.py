@@ -42,47 +42,48 @@ from pyspark.sql import DataFrame, SparkSession
 #     structurally-identical high_value_order_customers semi-join row;
 #   * text_stats is pure JVM column arithmetic, green in r2/r3 for
 #     unchanged code, and its harder sibling text_quality keeps its row.
-# Round-5 TAIL ROTATION (per the round-4 verdict item 4): the 18 queries
-# demoted in round 4 are promoted back into the head this round so the
-# union of r4+r5 driver rows covers all 68 registry queries.  The new
-# tail is 18 queries that (a) earned green rows+schema+hash driver rows
-# in CORRECTNESS_r04.json for code unchanged since, and (b) carry the
-# strongest non-driver evidence (exact DuckDB oracles exercised by the
-# local sf0.01 gate replica in tests/test_entry_oracle.py, plus pytest
-# pins).  All are cheap relational/analytic aggregates whose operator
-# families keep head coverage through harder siblings (the windows /
-# semi-joins / rollups reappear inside clean_corpus, the streaming
-# twins, and the pair queries).  scripts/check_artifact_coverage.py
+# Round-6 TAIL ROTATION (per the round-5 verdict item 1): the 24 queries
+# without CORRECTNESS_r05 rows — the 18 relational/analytic aggregates
+# demoted in round 5 plus the 6 round-5 NEW queries — are promoted back
+# into the head this round, so the union of r5+r6 driver rows covers the
+# full registry and the round-5 additions (weighted MinHash family,
+# dup_ngram_stats, pack_sequences, remove_duplicated_spans,
+# ann_ivf_search_streaming) earn their first driver rows.  The new tail
+# is 24 queries that (a) earned green rows+schema+hash driver rows in
+# CORRECTNESS_r05.json, and (b) carry the strongest non-driver evidence:
+# exact DuckDB oracles exercised by the local sf0.01 gate replica in
+# tests/test_entry_oracle.py, pytest pins, and — for the six signature
+# queries — the reference golden vectors (tests/test_core_golden.py)
+# that bit-pin the full ChaCha12/FxHash stream.  Queries whose code is
+# touched this round (the persisted-index lifecycle, streaming tuning,
+# media decode chain, the pair/verify machinery) keep head positions so
+# the round-6 driver re-checks them.  scripts/check_artifact_coverage.py
 # keeps the artifact-vs-registry diff machine-checkable.
 _REDUNDANT_TAIL = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "supplier_nation_rollup",
-    "events_sessionize",
-    "events_props_stats",
-    "asof_purchase_last_click",
-    "errors_with_nearby_clicks",
-    "top_terms_per_lang",
-    "text_quality",
-    "customer_order_counts",
-    "events_funnel",
-    "events_type_pivot",
-    "lineitem_cube",
-    "events_weekly_cohorts",
-    "large_quantity_orders",
-    "min_cost_supplier",
-    # round-5 NEW queries: appended to the tail so the curated head-50 —
-    # chosen to close the r4 driver-row gap — keeps its positions; they
-    # carry local sf0.01 gate-replica rows + pytest until the next
-    # rotation gives them driver rows
-    "dup_ngram_stats",
-    "pack_sequences",
-    "ann_ivf_search_streaming",
-    "remove_duplicated_spans",
-    "weighted_minhash_signatures",
-    "weighted_near_dup_pairs",
+    "top_orders_per_customer",
+    "events_hourly",
+    "customers_without_orders",
+    "part_brand_stats",
+    "high_value_order_customers",
+    "event_type_distribution",
+    "text_stats",
+    "dedup_exact",
+    "dedup_normalized",
+    "simhash_near_dup_pairs",
+    "embedding_dup_pairs",
+    "semantic_dedup",
+    "minhash_signatures",
+    "minhash32_signatures",
+    "minhash_shingle_signatures",
+    "minhash32_shingle_signatures",
+    "euclidean_signatures",
+    "euclidean32_signatures",
+    "jaccard_near_dup_pairs",
+    "doc_fingerprints",
+    "distinct_ngram_counts",
+    "kmv_doc_stats",
+    "tfidf_top_terms",
+    "documents_upsert",
 ]
 
 

@@ -428,8 +428,11 @@ def build_ivf_index(
     write) happens once; every subsequent ``search_ivf_index`` probes
     cells with NO exchange on the corpus side — Spark reads only the
     matching buckets and shuffles just the (tiny) probe side."""
-    from ..sources.formats import write_bucketed_table
+    from ..sources.formats import drop_versioned_siblings, write_bucketed_table
 
+    # a rebuild starts the generation history over at 0 (see the LSH
+    # twin): sweep any compaction generations (<name>_v{N}) first
+    drop_versioned_siblings(corpus.sparkSession, table_name, 0)
     cents = lloyd_centroids(corpus, vec_col=vec_col, id_col=id_col,
                             n_lists=n_lists, n_iters=n_iters)
     assigned = (
@@ -457,6 +460,9 @@ def build_ivf_index(
         F.lit(n_lists).cast("int").alias("n_lists"),
         F.lit(n_iters).cast("int").alias("n_iters"),
         F.lit(num_buckets).cast("int").alias("num_buckets"),
+        # generation pointer (formats.versioned_name): compaction
+        # appends a bumped row pointing at <name>_v{N}
+        F.lit(0).cast("int").alias("version"),
     )
     save_table(meta, f"{table_name}_meta", single_file=True)
     # a full build physically removes everything previously tombstoned
@@ -465,6 +471,22 @@ def build_ivf_index(
     from ..sources.formats import drop_table_and_files
 
     drop_table_and_files(corpus.sparkSession, f"{table_name}_deletes")
+
+
+def _ivf_meta(spark, table_name: str):
+    """Current meta row, generation pointer resolved (see
+    ``formats.index_meta``)."""
+    from ..sources.formats import index_meta
+
+    return index_meta(spark, f"{table_name}_meta")
+
+
+def _ivf_phys(table_name: str, m) -> str:
+    """Physical name of the cell-bucketed corpus table at the generation
+    the meta row points to."""
+    from ..sources.formats import meta_version, versioned_name
+
+    return versioned_name(table_name, meta_version(m))
 
 
 def attach_ivf_index(spark, table_name: str,
@@ -485,21 +507,23 @@ def attach_ivf_index(spark, table_name: str,
 
     root = location_root or _warehouse_path(spark)
 
-    def loc(suffix: str) -> str:
-        name = f"{table_name}_{suffix}" if suffix else table_name
+    def loc(name: str) -> str:
         return os.path.join(root, name.lower())
 
-    attach_table(spark, f"{table_name}_meta", loc("meta"))
-    m = spark.table(f"{table_name}_meta").first()
-    attach_table(spark, f"{table_name}_centroids", loc("centroids"))
-    attach_bucketed_table(spark, table_name, bucket_by=["__cell"],
+    attach_table(spark, f"{table_name}_meta", loc(f"{table_name}_meta"))
+    m = _ivf_meta(spark, table_name)
+    attach_table(spark, f"{table_name}_centroids",
+                 loc(f"{table_name}_centroids"))
+    corpus_phys = _ivf_phys(table_name, m)
+    attach_bucketed_table(spark, corpus_phys, bucket_by=["__cell"],
                           num_buckets=m.num_buckets, sort_by=["__cell"],
-                          location=loc(""))
+                          location=loc(corpus_phys))
     # tombstones ride along when present — without this, a later
     # session's searches would resurrect deleted vectors and a later
     # delete would clobber the surviving tombstone files
-    if os.path.isdir(loc("deletes")):
-        attach_table(spark, f"{table_name}_deletes", loc("deletes"))
+    if os.path.isdir(loc(f"{table_name}_deletes")):
+        attach_table(spark, f"{table_name}_deletes",
+                     loc(f"{table_name}_deletes"))
 
 
 def extend_ivf_index(
@@ -527,7 +551,7 @@ def extend_ivf_index(
     from ..sources.formats import write_bucketed_table
 
     spark = corpus_delta.sparkSession
-    m = spark.table(f"{table_name}_meta").first()
+    m = _ivf_meta(spark, table_name)
     cents = spark.table(f"{table_name}_centroids").agg(
         F.sort_array(F.collect_list(
             F.struct("__cell", F.col("centroid").alias("__cv"))))
@@ -539,21 +563,75 @@ def extend_ivf_index(
         .select("neighbor_id", F.col("__v_neighbor_id").alias("vec"),
                 "__cell")
     )
-    write_bucketed_table(assigned, table_name, bucket_by=["__cell"],
+    write_bucketed_table(assigned, _ivf_phys(table_name, m),
+                         bucket_by=["__cell"],
                          num_buckets=m.num_buckets, sort_by=["__cell"],
                          mode="append")
 
 
-def compact_ivf_index(spark, table_name: str) -> None:
-    """Maintenance pass after many ``extend_ivf_index`` appends: rewrite
-    the cell-bucketed corpus table into one file-set per bucket (see
-    ``compact_lsh_index``).  Search results are unchanged."""
-    from ..sources.formats import compact_bucketed_table
+def compact_ivf_index(spark, table_name: str, *,
+                      keep_previous: bool = False) -> None:
+    """Maintenance pass after many ``extend_ivf_index`` appends and
+    ``delete_from_ivf_index`` tombstones: rewrite the cell-bucketed
+    corpus into one file-set per bucket with tombstoned vectors FOLDED
+    OUT, then truncate ``_deletes`` — long-lived indexes stop paying a
+    growing anti-join per search and deleted vectors are physically
+    reclaimed without retraining the quantizer.  Search results are
+    unchanged; the bucket spec and centroids survive.
 
-    m = spark.table(f"{table_name}_meta").first()
-    compact_bucketed_table(spark, table_name, bucket_by=["__cell"],
-                           num_buckets=m.num_buckets,
-                           sort_by=["__cell"])
+    Probe-safe generation swap, same scheme as ``compact_lsh_index``:
+    the compacted corpus lands as ``<name>_v{N+1}`` and is published by
+    appending one bumped meta row; ``keep_previous=True`` defers old-
+    generation cleanup for in-flight readers.  Warehouse-resident
+    indexes only (managed or attach-default) — an index attached at a
+    custom ``location_root`` is refused, see ``compact_lsh_index``."""
+    from ..sources.formats import (
+        drop_table_and_files,
+        drop_versioned_siblings,
+        generation_in_warehouse,
+        meta_version,
+        save_table,
+        versioned_name,
+        write_bucketed_table,
+    )
+
+    m = _ivf_meta(spark, table_name)
+    cur = meta_version(m)
+    nxt = cur + 1
+    phys = versioned_name(table_name, cur)
+    if not generation_in_warehouse(spark, phys):
+        raise ValueError(
+            f"refusing to compact {table_name}: {phys} is attached at "
+            "a custom location, and the compacted generation always "
+            "lands in the session warehouse — the index would end up "
+            "split across directories; copy it into the warehouse "
+            "(the attach default) or rebuild first")
+    deletes = None
+    if spark.catalog.tableExists(f"{table_name}_deletes"):
+        deletes = spark.table(f"{table_name}_deletes")
+    drop_versioned_siblings(spark, table_name, cur)
+    src = spark.table(versioned_name(table_name, cur))
+    if deletes is not None:
+        src = src.join(F.broadcast(deletes), on="neighbor_id",
+                       how="left_anti")
+    write_bucketed_table(src, versioned_name(table_name, nxt),
+                         bucket_by=["__cell"], num_buckets=m.num_buckets,
+                         sort_by=["__cell"])
+    if "version" not in spark.table(f"{table_name}_meta").columns:
+        migrated = spark.table(f"{table_name}_meta").withColumn(
+            "version", F.lit(cur).cast("int"))
+        save_table(migrated.localCheckpoint(eager=True),
+                   f"{table_name}_meta", single_file=True)
+    flipped = spark.range(1).select(
+        *[F.lit(m[c]).alias(c) for c in spark.table(
+            f"{table_name}_meta").columns if c != "version"],
+        F.lit(nxt).cast("int").alias("version"))
+    save_table(flipped, f"{table_name}_meta", mode="append",
+               single_file=True)
+    if not keep_previous:
+        drop_table_and_files(spark, versioned_name(table_name, cur))
+        if deletes is not None:
+            drop_table_and_files(spark, f"{table_name}_deletes")
 
 
 def delete_from_ivf_index(ids: DataFrame, table_name: str,
@@ -561,17 +639,21 @@ def delete_from_ivf_index(ids: DataFrame, table_name: str,
     """Tombstone deletion for a persisted IVF index — same merge-on-read
     contract as ``delete_from_lsh_index``: ids append to a tiny
     ``<name>_deletes`` table that searches anti-join (broadcast);
-    physical removal (and tombstone clearing) happens at the next full
-    ``build_ivf_index``.  A tombstoned id stays deleted even if
-    re-appended via ``extend_ivf_index`` — rebuild to resurrect."""
+    physical removal (and tombstone clearing) happens at the next
+    ``compact_ivf_index`` or full ``build_ivf_index``.  A tombstoned id
+    stays deleted even if re-appended via ``extend_ivf_index`` —
+    rebuild to resurrect."""
     from ..sources.formats import save_table
+    from .similarity_join import _adopt_orphan_tombstones
 
     spark = ids.sparkSession
     if id_col is None:
-        id_col = spark.table(f"{table_name}_meta").first().id_col
+        id_col = _ivf_meta(spark, table_name).id_col
     rows = ids.select(F.col(id_col).alias("neighbor_id")).distinct()
-    # see delete_from_lsh_index: append-mode save_table covers create
-    # and merge; cross-session deletes require attach_ivf_index first
+    # append-mode save_table covers create and merge; surviving
+    # cross-session tombstones are adopted first so the stale-orphan
+    # clear can never silently destroy them (ADVICE r5)
+    _adopt_orphan_tombstones(spark, table_name)
     save_table(rows, f"{table_name}_deletes", mode="append",
                single_file=True)
 
@@ -599,7 +681,8 @@ def search_ivf_index(
     probes = _assign_cells_pandas(
         _ivf_prep(queries, id_col, vec_col, "query_id"),
         _collect_centroids(cents), "__v_query_id", n_probe=n_probe)
-    corpus_tbl = spark.table(table_name)
+    corpus_tbl = spark.table(_ivf_phys(table_name, _ivf_meta(spark,
+                                                             table_name)))
     if spark.catalog.tableExists(f"{table_name}_deletes"):
         # broadcast anti-join keeps the bucketed corpus side's
         # partitioning, so the __cell join stays exchange-free

@@ -664,8 +664,14 @@ def build_lsh_corpus_index(
     ``_bands`` and the set re-attach reads matching buckets of ``_sets``
     with no corpus-side exchange.  (``seed`` is a single int here — build
     one index per rotation for the seed-rotation recall pattern.)"""
-    from ..sources.formats import write_bucketed_table
+    from ..sources.formats import drop_versioned_siblings, write_bucketed_table
 
+    spark = corpus.sparkSession
+    # a rebuild starts the generation history over at 0: sweep any
+    # compaction generations (<name>_bands_v{N}) the old pointer left
+    # behind, or the base-name overwrite below would strand them
+    drop_versioned_siblings(spark, f"{table_name}_bands", 0)
+    drop_versioned_siblings(spark, f"{table_name}_sets", 0)
     sets = _with_sets(corpus, id_col, text_col, ngram_width,
                       "__rid", "__rset", shingle=shingle)
     track(sets.persist(StorageLevel.MEMORY_AND_DISK))
@@ -692,6 +698,10 @@ def build_lsh_corpus_index(
         # the bucket spec rides with the data so attach_lsh_corpus_index
         # can re-register the tables in a later session without guessing
         F.lit(num_buckets).cast("int").alias("num_buckets"),
+        # generation pointer (sources/formats.py::versioned_name): a
+        # fresh build is generation 0 at the bare table names; each
+        # compaction appends a meta row pointing at <name>_*_v{N}
+        F.lit(0).cast("int").alias("version"),
     )
     from ..sources.formats import save_table
 
@@ -722,15 +732,36 @@ def delete_from_lsh_index(ids: DataFrame, table_name: str,
 
     spark = ids.sparkSession
     if id_col is None:
-        id_col = spark.table(f"{table_name}_meta").first().id_col
+        id_col = _meta(spark, table_name).id_col
     rows = ids.select(F.col(id_col).alias("__rid")).distinct()
     # save_table(mode="append") covers both branches: it creates the
-    # table when absent (clearing any orphaned directory from a dead
-    # session) and appends when the catalog knows it — cross-session
-    # deletes require attach_lsh_corpus_index first, which registers
-    # the surviving tombstones so they merge instead of vanishing
+    # table when absent and appends when the catalog knows it.  Fail
+    # CLOSED on the in-between: tombstones surviving on disk from an
+    # earlier session with no catalog entry would be rmtree'd by the
+    # stale-orphan clear — silently resurrecting earlier deletions —
+    # so auto-attach them first and the append merges instead
+    _adopt_orphan_tombstones(spark, table_name)
     save_table(rows, f"{table_name}_deletes", mode="append",
                single_file=True)
+
+
+def _adopt_orphan_tombstones(spark, table_name: str) -> None:
+    """Register a ``<name>_deletes`` directory that survives in the
+    warehouse from an earlier session but has no catalog entry, so an
+    append MERGES with the surviving tombstones instead of the
+    stale-orphan clear deleting them (silent loss of earlier deletions
+    — ADVICE r5).  ``attach_*`` does this too; this covers callers who
+    delete without attaching first."""
+    import os
+
+    from ..sources.formats import _warehouse_path, attach_table
+
+    name = f"{table_name}_deletes"
+    if spark.catalog.tableExists(name):
+        return
+    loc = os.path.join(_warehouse_path(spark), name.lower())
+    if os.path.isdir(loc):
+        attach_table(spark, name, loc)
 
 
 def _meta_shingle(m) -> str:
@@ -738,6 +769,22 @@ def _meta_shingle(m) -> str:
     column and were always char — keep the back-compat fallback in ONE
     place so no index consumer can forget it."""
     return m.shingle if "shingle" in m.__fields__ else "char"
+
+
+def _meta(spark, table_name: str):
+    """Current meta row (generation pointer resolved — see
+    ``formats.index_meta``)."""
+    from ..sources.formats import index_meta
+
+    return index_meta(spark, f"{table_name}_meta")
+
+
+def _phys(table_name: str, suffix: str, m) -> str:
+    """Physical table name of logical ``<table_name>_<suffix>`` at the
+    generation the meta row points to."""
+    from ..sources.formats import meta_version, versioned_name
+
+    return versioned_name(f"{table_name}_{suffix}", meta_version(m))
 
 
 def _without_deleted(spark, table_name: str, pairs: DataFrame,
@@ -752,21 +799,94 @@ def _without_deleted(spark, table_name: str, pairs: DataFrame,
         on=rid, how="left_anti")
 
 
-def compact_lsh_index(spark, table_name: str) -> None:
-    """Maintenance pass after many ``extend_lsh_corpus_index`` appends:
-    rewrite the ``_bands``/``_sets`` tables into one file-set per
-    bucket (each append added one — a daily-extended index grows a file
-    per bucket per day and probes pay the per-file open cost).  Probe
-    results are unchanged; the bucket spec survives."""
-    from ..sources.formats import compact_bucketed_table
+def compact_lsh_index(spark, table_name: str, *,
+                      keep_previous: bool = False) -> None:
+    """Maintenance pass after many ``extend_lsh_corpus_index`` appends
+    and ``delete_from_lsh_index`` tombstones: rewrite ``_bands``/
+    ``_sets`` into one file-set per bucket (each append added one — a
+    daily-extended index grows a file per bucket per day and probes pay
+    the per-file open cost) with every tombstoned id FOLDED OUT, then
+    truncate ``_deletes`` — so a long-lived index's probes stop paying
+    a monotonically growing anti-join and deleted payloads are
+    physically reclaimed without a full rebuild.  Probe results are
+    unchanged; the bucket spec survives.
 
-    m = spark.table(f"{table_name}_meta").first()
-    compact_bucketed_table(spark, f"{table_name}_bands",
-                           bucket_by=["band_idx", "band_hash"],
-                           num_buckets=m.num_buckets)
-    compact_bucketed_table(spark, f"{table_name}_sets",
-                           bucket_by=["__rid"],
-                           num_buckets=m.num_buckets)
+    The generation swap is probe-safe: the compacted tables are written
+    as NEW physical tables (``<name>_bands_v{N+1}`` — never touching
+    the generation probes are reading) and published by appending one
+    meta row with the bumped ``version`` pointer; a probe resolving the
+    index mid-compaction sees either generation, each fully on disk.
+    With ``keep_previous=True`` the old generation's files (and the
+    folded ``_deletes`` rows, which its readers still need) are LEFT on
+    disk for in-flight plans that already resolved them — the next
+    compaction sweeps them; the default reclaims them immediately
+    (drop-in for single-writer maintenance).
+
+    Works on warehouse-resident indexes whether built this session
+    (managed) or re-registered by ``attach_lsh_corpus_index`` (external
+    at the warehouse default); an index attached at a CUSTOM
+    ``location_root`` is refused — the compacted generation always
+    lands in the session warehouse, which would split the index across
+    directories."""
+    from ..sources.formats import (
+        drop_table_and_files,
+        drop_versioned_siblings,
+        generation_in_warehouse,
+        index_meta,
+        meta_version,
+        save_table,
+        versioned_name,
+        write_bucketed_table,
+    )
+
+    m = index_meta(spark, f"{table_name}_meta")
+    cur = meta_version(m)
+    nxt = cur + 1
+    for suffix in ("bands", "sets"):
+        phys = versioned_name(f"{table_name}_{suffix}", cur)
+        if not generation_in_warehouse(spark, phys):
+            raise ValueError(
+                f"refusing to compact {table_name}: {phys} is attached "
+                "at a custom location, and the compacted generation "
+                "always lands in the session warehouse — the index "
+                "would end up split across directories; copy it into "
+                "the warehouse (the attach default) or rebuild first")
+    deletes = None
+    if spark.catalog.tableExists(f"{table_name}_deletes"):
+        deletes = spark.table(f"{table_name}_deletes")
+    for suffix, bucket_by in (("bands", ["band_idx", "band_hash"]),
+                              ("sets", ["__rid"])):
+        base = f"{table_name}_{suffix}"
+        # sweep crashed-compaction debris: a half-written target or an
+        # un-dropped previous generation both differ from the pointer
+        drop_versioned_siblings(spark, base, cur)
+        src = spark.table(versioned_name(base, cur))
+        if deletes is not None:
+            src = src.join(F.broadcast(deletes), on="__rid", how="left_anti")
+        write_bucketed_table(src, versioned_name(base, nxt),
+                             bucket_by=bucket_by,
+                             num_buckets=m.num_buckets)
+    if "version" not in spark.table(f"{table_name}_meta").columns:
+        # pre-versioning index: one-time meta migration (add the pointer
+        # column at generation cur) before the append-only flip below
+        migrated = spark.table(f"{table_name}_meta").withColumn(
+            "version", F.lit(cur).cast("int"))
+        save_table(migrated.localCheckpoint(eager=True),
+                   f"{table_name}_meta", single_file=True)
+    flipped = spark.range(1).select(
+        *[F.lit(m[c]).alias(c) for c in spark.table(
+            f"{table_name}_meta").columns if c != "version"],
+        F.lit(nxt).cast("int").alias("version"))
+    save_table(flipped, f"{table_name}_meta", mode="append",
+               single_file=True)
+    if not keep_previous:
+        for suffix in ("bands", "sets"):
+            drop_table_and_files(
+                spark, versioned_name(f"{table_name}_{suffix}", cur))
+        if deletes is not None:
+            # folded into generation nxt — stale for its readers; kept
+            # under keep_previous because generation cur still needs it
+            drop_table_and_files(spark, f"{table_name}_deletes")
 
 
 def attach_lsh_corpus_index(spark, table_name: str,
@@ -792,19 +912,21 @@ def attach_lsh_corpus_index(spark, table_name: str,
 
     root = location_root or _warehouse_path(spark)
 
-    def loc(suffix: str) -> str:
-        return os.path.join(root, f"{table_name}_{suffix}".lower())
+    def loc(name: str) -> str:
+        return os.path.join(root, name.lower())
 
-    attach_table(spark, f"{table_name}_meta", loc("meta"))
-    m = spark.table(f"{table_name}_meta").first()
-    attach_bucketed_table(spark, f"{table_name}_bands",
+    attach_table(spark, f"{table_name}_meta", loc(f"{table_name}_meta"))
+    m = _meta(spark, table_name)
+    bands, sets_ = _phys(table_name, "bands", m), _phys(table_name, "sets", m)
+    attach_bucketed_table(spark, bands,
                           bucket_by=["band_idx", "band_hash"],
-                          num_buckets=m.num_buckets, location=loc("bands"))
-    attach_bucketed_table(spark, f"{table_name}_sets", bucket_by=["__rid"],
-                          num_buckets=m.num_buckets, location=loc("sets"))
+                          num_buckets=m.num_buckets, location=loc(bands))
+    attach_bucketed_table(spark, sets_, bucket_by=["__rid"],
+                          num_buckets=m.num_buckets, location=loc(sets_))
     # tombstones ride along when present (see delete_from_lsh_index)
-    if os.path.isdir(loc("deletes")):
-        attach_table(spark, f"{table_name}_deletes", loc("deletes"))
+    if os.path.isdir(loc(f"{table_name}_deletes")):
+        attach_table(spark, f"{table_name}_deletes",
+                     loc(f"{table_name}_deletes"))
 
 
 def lsh_similarity_join_indexed(
@@ -826,7 +948,7 @@ def lsh_similarity_join_indexed(
     with matching parameters.
 
     Returns (probe_id, <corpus id_col>[, jaccard])."""
-    m = spark.table(f"{table_name}_meta").first()
+    m = _meta(spark, table_name)
     l_sets = _with_sets(probe, probe_id, probe_text, m.ngram_width,
                         "__lid", "__lset", shingle=_meta_shingle(m))
     track(l_sets.persist(StorageLevel.MEMORY_AND_DISK))
@@ -839,8 +961,9 @@ def lsh_similarity_join_indexed(
     # than any one corpus bucket, and sorting it was pure overhead
     # (measured at sf0.1: 1.17M candidate pairs for a 2.5k-row set table)
     pairs = (
-        l_blocks.join(spark.table(f"{table_name}_bands").hint("shuffle_hash"),
-                      on=["band_idx", "band_hash"], how="inner")
+        l_blocks.join(
+            spark.table(_phys(table_name, "bands", m)).hint("shuffle_hash"),
+            on=["band_idx", "band_hash"], how="inner")
         .select("__lid", "__rid")
         .dropDuplicates(["__lid", "__rid"])
     )
@@ -848,7 +971,7 @@ def lsh_similarity_join_indexed(
     cand = (
         pairs.join(_maybe_broadcast(l_sets, "__lset", broadcast_probe_sets),
                    on="__lid")
-        .join(spark.table(f"{table_name}_sets").hint("shuffle_hash"),
+        .join(spark.table(_phys(table_name, "sets", m)).hint("shuffle_hash"),
               on="__rid")
         .where(
             F.least(F.size("__lset"), F.size("__rset"))
@@ -885,14 +1008,15 @@ def extend_lsh_corpus_index(
     from ..sources.formats import write_bucketed_table
 
     spark = corpus_delta.sparkSession
-    m = spark.table(f"{table_name}_meta").first()
+    m = _meta(spark, table_name)
     sets = _with_sets(corpus_delta, m.id_col, m.text_col, m.ngram_width,
                       "__rid", "__rset", shingle=_meta_shingle(m))
     track(sets.persist(StorageLevel.MEMORY_AND_DISK))
     blocks = _band_blocks(sets, "__rid", "__rset",
                           m.band_count, m.band_size, m.seed)
-    write_bucketed_table(blocks, f"{table_name}_bands",
+    write_bucketed_table(blocks, _phys(table_name, "bands", m),
                          bucket_by=["band_idx", "band_hash"],
                          num_buckets=m.num_buckets, mode="append")
-    write_bucketed_table(sets, f"{table_name}_sets", bucket_by=["__rid"],
+    write_bucketed_table(sets, _phys(table_name, "sets", m),
+                         bucket_by=["__rid"],
                          num_buckets=m.num_buckets, mode="append")

@@ -299,68 +299,85 @@ def drop_table_and_files(spark: SparkSession, table_name: str) -> None:
         shutil.rmtree(loc, ignore_errors=True)
 
 
-def compact_bucketed_table(spark: SparkSession, table_name: str, *,
-                           bucket_by: list, num_buckets: int,
-                           sort_by: "list | None" = None) -> None:
-    """Rewrite a bucketed table into one fresh file-set, preserving the
-    bucket spec — the maintenance pass for append-accumulated small
-    files (every ``mode="append"`` write adds a file per bucket, so an
-    index extended daily grows 365 files/bucket/year; scans pay the
-    open/footer cost per file).
+def versioned_name(base: str, version) -> str:
+    """Physical table name for logical table ``base`` at generation
+    pointer ``version``: generation 0 (a fresh ``build_*``) uses the
+    bare base name, compaction generations N >= 1 use ``<base>_v{N}``.
+    The pointer itself rides in the index's ``_meta`` table (latest
+    row wins — see :func:`index_meta`), so swapping generations is one
+    appended meta row instead of a rename window."""
+    v = 0 if version is None else int(version)
+    return base if v == 0 else f"{base}_v{v}"
 
-    Ordering keeps a full copy on disk at every step (rewrite to a temp
-    table, swap the original OUT by rename, swap the temp IN, drop the
-    old copy), so a crash at any point leaves a recoverable state — but
-    the name-swap itself is NOT atomic in this catalog: run compaction
-    in a maintenance window, not under concurrent probes (a reader
-    resolving the name between the two renames fails and retries).
 
-    MANAGED tables only: rename moves directories ONLY for managed
-    tables, so compacting an EXTERNAL table (anything registered via
-    the ``attach_*`` helpers — even at the default warehouse location)
-    would swap catalog names around files that never move and then
-    delete the only copy.  Refused with a clear error; rebuild the
-    index (making its tables managed) before compacting, or compact in
-    the session that built it."""
-    ttype = _describe_detail(spark, table_name, "Type")
-    if ttype is None or ttype.strip().upper() != "MANAGED":
-        # fail CLOSED on unknown type: proceeding with a non-managed
-        # table would delete the only copy of its files
-        raise ValueError(
-            f"refusing to compact {table_name}: catalog type is "
-            f"{ttype.strip() if ttype else 'unknown'}, not MANAGED — "
-            "RENAME does not move external tables' files, so the swap "
-            "would delete the only copy; rebuild the index in this "
-            "session (a rebuild over an attached index replaces it "
-            "with managed tables) before compacting")
-    tmp = f"{table_name}__compact"
-    old = f"{table_name}__precompact"
-    drop_table_and_files(spark, tmp)
-    drop_table_and_files(spark, old)
-    write_bucketed_table(spark.table(table_name), tmp,
-                         bucket_by=bucket_by, num_buckets=num_buckets,
-                         sort_by=sort_by)
-    try:
-        spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
-    except Exception:
-        # catalog cannot move managed directories: restore the original
-        # name if the first rename landed, then copy-write from the temp
-        # (only while the temp still exists — a failure AFTER both
-        # renames must not mask itself behind a missing-temp error)
-        if not spark.catalog.tableExists(table_name) \
-                and spark.catalog.tableExists(old):
-            spark.sql(f"ALTER TABLE {old} RENAME TO {table_name}")
-        if spark.catalog.tableExists(tmp):
-            write_bucketed_table(spark.table(tmp), table_name,
-                                 bucket_by=bucket_by,
-                                 num_buckets=num_buckets, sort_by=sort_by)
-            drop_table_and_files(spark, tmp)
-        else:
-            raise
-    # old-copy cleanup OUTSIDE the swap's try: a cleanup hiccup here
-    # must surface as itself, not trigger the restore path
-    drop_table_and_files(spark, old)
+def index_meta(spark: SparkSession, meta_table: str):
+    """The CURRENT meta row of a persisted index: ``_meta`` is
+    append-only — compaction appends a row with a bumped ``version``
+    pointer rather than overwriting, so the single-row append IS the
+    generation swap (readers resolve max(version); a reader racing the
+    append sees either the old or the new row, each pointing at a
+    fully-written generation).  Pre-versioning meta tables (no
+    ``version`` column) read as generation 0."""
+    from pyspark.sql import functions as F
+
+    meta = spark.table(meta_table)
+    if "version" in meta.columns:
+        return meta.orderBy(F.col("version").desc()).first()
+    return meta.first()
+
+
+def meta_version(m) -> int:
+    """Generation pointer of a meta row (0 when the column predates
+    versioning)."""
+    return int(m.version) if "version" in m.__fields__ else 0
+
+
+def generation_in_warehouse(spark: SparkSession, name: str) -> bool:
+    """True when a physical generation's files live at the session
+    warehouse's default directory for that name — managed tables, and
+    external tables registered by the ``attach_*`` default.  Compaction
+    requires this: a new generation always lands in the warehouse, so
+    compacting an index whose current generation sits at a CUSTOM
+    location would split the index across directories (and the old
+    files there are someone else's to reclaim)."""
+    import os
+
+    loc = _table_location(spark, name)
+    if loc is None:
+        return True
+    default = os.path.join(_warehouse_path(spark), name.lower())
+    return os.path.realpath(loc) == os.path.realpath(default)
+
+
+def drop_versioned_siblings(spark: SparkSession, base: str,
+                            keep_version: int) -> None:
+    """Remove every physical generation of logical table ``base`` except
+    ``keep_version`` — catalog entries AND files.  Run by ``build_*``
+    (keep 0: a rebuild starts the history over) and by compaction (keep
+    the current pointer: sweeps both the un-dropped previous generation
+    of a crashed cleanup and the half-written target of a crashed
+    rewrite).  Generations are discovered from the catalog and the
+    warehouse directory listing, so orphans with no catalog entry are
+    swept too."""
+    import os
+    import re
+
+    pat = re.compile(rf"^{re.escape(base.lower())}(_v(\d+))?$")
+    found: dict[int, str] = {}
+    wh = _warehouse_path(spark)
+    if wh and os.path.isdir(wh):
+        for d in os.listdir(wh):
+            mt = pat.match(d)
+            if mt and os.path.isdir(os.path.join(wh, d)):
+                found[int(mt.group(2) or 0)] = d
+    for v, name in found.items():
+        if v != keep_version:
+            drop_table_and_files(spark, versioned_name(base, v))
+    # catalog entries pointing elsewhere (externally-attached generations)
+    for t in spark.catalog.listTables():
+        mt = pat.match(t.name.lower())
+        if mt and int(mt.group(2) or 0) != keep_version:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
 
 def attach_table(spark: SparkSession, table_name: str,

@@ -846,7 +846,10 @@ def test_delete_from_ivf_index_tombstones(spark):
 
 def test_compact_lsh_index_shrinks_files_preserves_probes(spark):
     """Three extends stack file-sets per bucket; compaction rewrites to
-    one set, probe results are byte-identical, bucket spec survives."""
+    one set in a NEW generation (cmp_bands_v1) published via the meta
+    pointer, probe results are byte-identical, bucket spec survives,
+    and the old generation is reclaimed.  A second compaction chains
+    the pointer (v1 → v2)."""
     import os
 
     from pyspark.sql import functions as F
@@ -857,7 +860,11 @@ def test_compact_lsh_index_shrinks_files_preserves_probes(spark):
         extend_lsh_corpus_index,
         lsh_similarity_join_indexed,
     )
-    from lsh_spark.sources.formats import _warehouse_path
+    from lsh_spark.sources.formats import (
+        _warehouse_path,
+        index_meta,
+        meta_version,
+    )
     from lsh_spark.sources.io import load_table
 
     def n_files(table):
@@ -871,8 +878,8 @@ def test_compact_lsh_index_shrinks_files_preserves_probes(spark):
     probe = docs.where(F.col("doc_id") % 2 == 1).limit(30).selectExpr(
         "doc_id AS probe_id", "text")
     for sfx in ("bands", "sets", "meta", "deletes"):
-        spark.sql(f"DROP TABLE IF EXISTS cmp_{sfx}")
-        spark.sql(f"DROP TABLE IF EXISTS cmp_{sfx}__compact")
+        for v in ("", "_v1", "_v2"):
+            spark.sql(f"DROP TABLE IF EXISTS cmp_{sfx}{v}")
     parts = [corpus.where(F.col("corpus_id") % 8 == i) for i in (0, 2, 4, 6)]
     build_lsh_corpus_index(parts[0], "cmp", text_col="text",
                            id_col="corpus_id", ngram_width=3,
@@ -885,15 +892,26 @@ def test_compact_lsh_index_shrinks_files_preserves_probes(spark):
         spark, "cmp", probe, "text", probe_id="probe_id",
         threshold=0.5).collect())
     compact_lsh_index(spark, "cmp")
-    after_files = n_files("cmp_bands")
+    assert meta_version(index_meta(spark, "cmp_meta")) == 1
+    after_files = n_files("cmp_bands_v1")
     after = sorted(tuple(r) for r in lsh_similarity_join_indexed(
         spark, "cmp", probe, "text", probe_id="probe_id",
         threshold=0.5).collect())
     assert after == before and len(after) > 0
     assert after_files < before_files
-    plan = (spark.table("cmp_bands").groupBy("band_idx", "band_hash")
+    # the old generation's files are reclaimed by the default cleanup
+    assert not os.path.isdir(
+        os.path.join(_warehouse_path(spark), "cmp_bands"))
+    plan = (spark.table("cmp_bands_v1").groupBy("band_idx", "band_hash")
             .count()._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+    # pointer chains across repeated compactions
+    compact_lsh_index(spark, "cmp")
+    assert meta_version(index_meta(spark, "cmp_meta")) == 2
+    again = sorted(tuple(r) for r in lsh_similarity_join_indexed(
+        spark, "cmp", probe, "text", probe_id="probe_id",
+        threshold=0.5).collect())
+    assert again == before
 
 
 def test_compact_ivf_index_preserves_search(spark):
@@ -919,8 +937,7 @@ def test_compact_ivf_index_preserves_search(spark):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     n = emb.count()
     queries = emb.where(F.col("vec_id") < 5)
-    for sfx in ("", "_centroids", "_meta", "_deletes", "__compact",
-                "__precompact"):
+    for sfx in ("", "_centroids", "_meta", "_deletes", "_v1", "_v2"):
         spark.sql(f"DROP TABLE IF EXISTS ivfcmp{sfx}")
     build_ivf_index(emb.where(F.col("vec_id") < n // 2), "ivfcmp",
                     n_lists=8, n_iters=0, num_buckets=4)
@@ -932,10 +949,15 @@ def test_compact_ivf_index_preserves_search(spark):
     after = sorted(tuple(r) for r in search_ivf_index(
         spark, "ivfcmp", queries, k=5, n_probe=3).collect())
     assert after == before and len(after) > 0
-    assert n_files("ivfcmp") < before_files
+    assert n_files("ivfcmp_v1") < before_files
+    # the old generation is reclaimed; searches resolve the new one
+    import os as _os
+
+    assert not _os.path.isdir(
+        _os.path.join(_warehouse_path(spark), "ivfcmp"))
     # bucket spec survives the swap: groupBy on the bucket key plans
     # with no Exchange
-    plan = (spark.table("ivfcmp").groupBy("__cell").count()
+    plan = (spark.table("ivfcmp_v1").groupBy("__cell").count()
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
 
@@ -1018,13 +1040,14 @@ def test_indexed_join_pins_weighted_shingle_mode(spark):
     assert {r[1] for r in got} == {10}   # tf-identical only
 
 
-def test_compact_refuses_external_and_rebuild_over_attach_works(spark,
-                                                                tmp_path):
-    """(a) compact_bucketed_table must refuse EXTERNAL tables — RENAME
-    never moves their files, the swap would delete the only copy;
-    (b) rebuilding over an attached index must succeed (the overwrite
-    path clears the external-at-warehouse entry + files first instead
-    of dying with LOCATION_ALREADY_EXISTS)."""
+def test_compact_refuses_custom_location_and_rebuild_over_attach_works(
+        spark, tmp_path):
+    """(a) compact_lsh_index must refuse an index attached at a CUSTOM
+    location — the compacted generation lands in the warehouse, which
+    would split the index across directories (and the custom files are
+    not ours to reclaim); (b) rebuilding over an attached index must
+    succeed (the overwrite path clears the external-at-warehouse entry
+    + files first instead of dying with LOCATION_ALREADY_EXISTS)."""
     import os
     import shutil
 
@@ -1032,13 +1055,13 @@ def test_compact_refuses_external_and_rebuild_over_attach_works(spark,
     from pyspark.sql import functions as F
 
     from lsh_spark.operators.similarity_join import (
+        attach_lsh_corpus_index,
         build_lsh_corpus_index,
+        compact_lsh_index,
         lsh_similarity_join_indexed,
     )
     from lsh_spark.sources.formats import (
         _warehouse_path,
-        attach_bucketed_table,
-        compact_bucketed_table,
         drop_table_and_files,
     )
     from lsh_spark.sources.io import load_table
@@ -1051,22 +1074,21 @@ def test_compact_refuses_external_and_rebuild_over_attach_works(spark,
     kw = dict(text_col="text", id_col="corpus_id", ngram_width=3,
               band_count=8, band_size=2, seed=123, num_buckets=4)
     for t in ("extc_bands", "extc_sets", "extc_meta", "extc_deletes",
-              "extcopy"):
+              "extx_bands", "extx_sets", "extx_meta"):
         drop_table_and_files(spark, t)
     build_lsh_corpus_index(corpus, "extc", **kw)
 
-    # (a) an EXTERNAL registration over a COPY of the bands directory
-    src = os.path.join(_warehouse_path(spark), "extc_bands")
-    ext_dir = str(tmp_path / "extcopy")
-    shutil.copytree(src, ext_dir)
-    attach_bucketed_table(spark, "extcopy",
-                          bucket_by=["band_idx", "band_hash"],
-                          num_buckets=4, location=ext_dir)
-    with _pytest.raises(ValueError, match="not MANAGED"):
-        compact_bucketed_table(spark, "extcopy",
-                               bucket_by=["band_idx", "band_hash"],
-                               num_buckets=4)
-    assert os.path.isdir(ext_dir)      # nothing was deleted
+    # (a) the same index attached from a COPY at a custom root
+    custom = tmp_path / "idxroot"
+    custom.mkdir()
+    for sfx in ("bands", "sets", "meta"):
+        shutil.copytree(
+            os.path.join(_warehouse_path(spark), f"extc_{sfx}"),
+            str(custom / f"extx_{sfx}"))
+    attach_lsh_corpus_index(spark, "extx", location_root=str(custom))
+    with _pytest.raises(ValueError, match="custom location"):
+        compact_lsh_index(spark, "extx")
+    assert os.path.isdir(str(custom / "extx_bands"))   # nothing deleted
 
     # (b) simulate a cross-session attach at the DEFAULT warehouse
     # location: copy the index dirs under a fresh name inside the
@@ -1087,3 +1109,252 @@ def test_compact_refuses_external_and_rebuild_over_attach_works(spark,
         spark, "extd", probe, "text", probe_id="probe_id",
         threshold=0.5).count()
     assert got > 0
+
+    # (c) an index attached at the WAREHOUSE default (the cross-session
+    # shape) is now compactable: the versioned rewrite never renames,
+    # it reads the attached generation and publishes a managed v1
+    for t in ("exte_bands", "exte_sets", "exte_meta"):
+        drop_table_and_files(spark, t)
+    for sfx in ("bands", "sets", "meta"):
+        shutil.copytree(os.path.join(wh, f"extc_{sfx}"),
+                        os.path.join(wh, f"exte_{sfx}"))
+    attach_lsh_corpus_index(spark, "exte")
+    want = sorted(tuple(r) for r in lsh_similarity_join_indexed(
+        spark, "exte", probe, "text", probe_id="probe_id",
+        threshold=0.5).collect())
+    compact_lsh_index(spark, "exte")
+    got2 = sorted(tuple(r) for r in lsh_similarity_join_indexed(
+        spark, "exte", probe, "text", probe_id="probe_id",
+        threshold=0.5).collect())
+    assert got2 == want and len(got2) > 0
+
+
+def test_compact_lsh_index_folds_tombstones(spark):
+    """Compaction is the tombstone-fold point: after delete + compact,
+    (a) the ``_deletes`` table is gone — catalog and files — so probes
+    stop paying the anti-join, (b) the folded generation's ``_sets``
+    physically lacks the victims, and (c) probe results equal an index
+    rebuilt WITHOUT the victims (the rebuilt-parity pin, re-targeted
+    from the delete test per the r5 verdict)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.similarity_join import (
+        build_lsh_corpus_index,
+        compact_lsh_index,
+        delete_from_lsh_index,
+        lsh_similarity_join_indexed,
+    )
+    from lsh_spark.sources.formats import _warehouse_path
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0).selectExpr(
+        "doc_id AS corpus_id", "text")
+    probe = docs.where(F.col("doc_id") % 2 == 1).limit(40).selectExpr(
+        "doc_id AS probe_id", "text")
+    kw = dict(text_col="text", id_col="corpus_id", ngram_width=3,
+              band_count=8, band_size=2, seed=123, num_buckets=8)
+    for t in ("fold", "foldref"):
+        for sfx in ("bands", "sets", "meta", "deletes"):
+            for v in ("", "_v1"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}_{sfx}{v}")
+    build_lsh_corpus_index(corpus, "fold", **kw)
+    full = lsh_similarity_join_indexed(
+        spark, "fold", probe, "text", probe_id="probe_id",
+        threshold=0.5).collect()
+    victims = sorted({r.corpus_id for r in full})[:3]
+    assert len(victims) == 3
+    delete_from_lsh_index(
+        spark.createDataFrame([(v,) for v in victims], "corpus_id long"),
+        "fold")
+    compact_lsh_index(spark, "fold")
+    # (a) tombstones truncated
+    assert not spark.catalog.tableExists("fold_deletes")
+    assert not os.path.isdir(
+        os.path.join(_warehouse_path(spark), "fold_deletes"))
+    # (b) physically reclaimed
+    assert spark.table("fold_sets_v1").where(
+        F.col("__rid").isin(victims)).count() == 0
+    assert spark.table("fold_bands_v1").where(
+        F.col("__rid").isin(victims)).count() == 0
+    # (c) parity with a rebuild-without-victims
+    after = lsh_similarity_join_indexed(
+        spark, "fold", probe, "text", probe_id="probe_id",
+        threshold=0.5).collect()
+    build_lsh_corpus_index(
+        corpus.where(~F.col("corpus_id").isin(victims)), "foldref", **kw)
+    want = lsh_similarity_join_indexed(
+        spark, "foldref", probe, "text", probe_id="probe_id",
+        threshold=0.5).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, want))
+    assert len(after) > 0 and not any(r.corpus_id in victims
+                                      for r in after)
+
+
+def test_compact_ivf_index_folds_tombstones(spark):
+    """IVF twin of the tombstone fold: delete + compact physically
+    removes the victims, truncates ``_deletes``, and searches match an
+    index rebuilt without them (frozen quantizer on both sides)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.ann import (
+        build_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        search_ivf_index,
+    )
+    from lsh_spark.sources.formats import _warehouse_path
+    from lsh_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    for t in ("ivffold", "ivffoldref"):
+        for sfx in ("", "_centroids", "_meta", "_deletes", "_v1"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{sfx}")
+    kw = dict(n_lists=8, n_iters=0, num_buckets=8)
+    build_ivf_index(emb, "ivffold", **kw)
+    full = search_ivf_index(spark, "ivffold", queries, k=5,
+                            n_probe=3).collect()
+    # avoid the n_iters=0 seed vectors (see the delete test's rationale)
+    victims = sorted({r.neighbor_id for r in full if r.neighbor_id >= 8})[:3]
+    assert len(victims) == 3
+    delete_from_ivf_index(
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"),
+        "ivffold")
+    compact_ivf_index(spark, "ivffold")
+    assert not spark.catalog.tableExists("ivffold_deletes")
+    assert not os.path.isdir(
+        os.path.join(_warehouse_path(spark), "ivffold_deletes"))
+    assert spark.table("ivffold_v1").where(
+        F.col("neighbor_id").isin(victims)).count() == 0
+    after = search_ivf_index(spark, "ivffold", queries, k=5,
+                             n_probe=3).collect()
+    build_ivf_index(emb.where(~F.col("vec_id").isin(victims)),
+                    "ivffoldref", **kw)
+    want = search_ivf_index(spark, "ivffoldref", queries, k=5,
+                            n_probe=3).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, want))
+    assert len(after) > 0
+
+
+def test_compact_swap_is_probe_safe(spark):
+    """The generation swap is one appended meta row: a probe plan
+    PREPARED against the old generation still collects correctly after
+    the flip (``keep_previous=True`` leaves its files and the
+    ``_deletes`` rows it needs), new plans resolve the new generation,
+    and the next compaction sweeps the deferred debris."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.similarity_join import (
+        build_lsh_corpus_index,
+        compact_lsh_index,
+        delete_from_lsh_index,
+        lsh_similarity_join_indexed,
+    )
+    from lsh_spark.sources.formats import (
+        _warehouse_path,
+        index_meta,
+        meta_version,
+    )
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0).selectExpr(
+        "doc_id AS corpus_id", "text")
+    probe = docs.where(F.col("doc_id") % 2 == 1).limit(30).selectExpr(
+        "doc_id AS probe_id", "text")
+    kw = dict(text_col="text", id_col="corpus_id", ngram_width=3,
+              band_count=8, band_size=2, seed=123, num_buckets=4)
+    for sfx in ("bands", "sets", "meta", "deletes"):
+        for v in ("", "_v1", "_v2"):
+            spark.sql(f"DROP TABLE IF EXISTS ps_{sfx}{v}")
+    build_lsh_corpus_index(corpus, "ps", **kw)
+    full = lsh_similarity_join_indexed(
+        spark, "ps", probe, "text", probe_id="probe_id",
+        threshold=0.5).collect()
+    victims = sorted({r.corpus_id for r in full})[:2]
+    delete_from_lsh_index(
+        spark.createDataFrame([(v,) for v in victims], "corpus_id long"),
+        "ps")
+    # prepare the plan BEFORE the flip — resolves generation 0 + deletes
+    prepared = lsh_similarity_join_indexed(
+        spark, "ps", probe, "text", probe_id="probe_id", threshold=0.5)
+    want = sorted(tuple(r) for r in prepared.collect())
+    compact_lsh_index(spark, "ps", keep_previous=True)
+    # the old generation and its tombstones survive for in-flight plans
+    assert os.path.isdir(os.path.join(_warehouse_path(spark), "ps_bands"))
+    assert spark.catalog.tableExists("ps_deletes")
+    got_prepared = sorted(tuple(r) for r in prepared.collect())
+    assert got_prepared == want
+    # a fresh plan resolves generation 1 and agrees
+    got_new = sorted(tuple(r) for r in lsh_similarity_join_indexed(
+        spark, "ps", probe, "text", probe_id="probe_id",
+        threshold=0.5).collect())
+    assert got_new == want and len(got_new) > 0
+    # the next compaction sweeps the deferred generation-0 debris
+    compact_lsh_index(spark, "ps")
+    assert meta_version(index_meta(spark, "ps_meta")) == 2
+    assert not os.path.isdir(
+        os.path.join(_warehouse_path(spark), "ps_bands"))
+    assert not spark.catalog.tableExists("ps_deletes")
+
+
+def test_delete_adopts_orphan_tombstones(spark, tmp_path):
+    """ADVICE r5: deleting in a fresh session WITHOUT a prior attach
+    must not destroy surviving cross-session tombstones — the orphaned
+    ``_deletes`` directory is adopted (attached) so the append MERGES.
+    Simulated by dropping the catalog entry while keeping the files."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.similarity_join import (
+        build_lsh_corpus_index,
+        delete_from_lsh_index,
+        lsh_similarity_join_indexed,
+    )
+    from lsh_spark.sources.formats import _warehouse_path
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0).selectExpr(
+        "doc_id AS corpus_id", "text")
+    probe = docs.where(F.col("doc_id") % 2 == 1).limit(40).selectExpr(
+        "doc_id AS probe_id", "text")
+    kw = dict(text_col="text", id_col="corpus_id", ngram_width=3,
+              band_count=8, band_size=2, seed=123, num_buckets=4)
+    for sfx in ("bands", "sets", "meta", "deletes"):
+        spark.sql(f"DROP TABLE IF EXISTS orph_{sfx}")
+    build_lsh_corpus_index(corpus, "orph", **kw)
+    full = lsh_similarity_join_indexed(
+        spark, "orph", probe, "text", probe_id="probe_id",
+        threshold=0.5).collect()
+    hits = sorted({r.corpus_id for r in full})
+    assert len(hits) >= 4
+    v1, v2 = hits[:2], hits[2:4]
+    delete_from_lsh_index(
+        spark.createDataFrame([(v,) for v in v1], "corpus_id long"),
+        "orph")
+    # simulate session death: files survive, catalog entry does not
+    deldir = os.path.join(_warehouse_path(spark), "orph_deletes")
+    stash = str(tmp_path / "deletes_stash")
+    shutil.copytree(deldir, stash)
+    spark.sql("DROP TABLE orph_deletes")        # managed drop: files go
+    shutil.copytree(stash, deldir)              # ...and come back
+    assert not spark.catalog.tableExists("orph_deletes")
+    delete_from_lsh_index(
+        spark.createDataFrame([(v,) for v in v2], "corpus_id long"),
+        "orph", id_col="corpus_id")
+    merged = {r["__rid"] for r in spark.table("orph_deletes").collect()}
+    assert merged == set(v1) | set(v2)
+    after = lsh_similarity_join_indexed(
+        spark, "orph", probe, "text", probe_id="probe_id",
+        threshold=0.5).collect()
+    assert not any(r.corpus_id in merged for r in after)

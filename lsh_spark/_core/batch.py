@@ -147,6 +147,93 @@ def minhash_shingles_batch(
     return minhash_from_window_hashes(hashes, offs, band_count, band_size, seed)
 
 
+def weighted_occurrence_hashes(toks) -> tuple[np.ndarray, np.ndarray]:
+    """FxHash-u32 (as uint64) of every token occurrence's replicated
+    shingle string ``"word k"`` (k = 1-based occurrence rank of the word
+    within its row — the integer-weight replication reduction), computed
+    whole-batch WITHOUT materializing the composed strings.
+
+    Replaces the per-token Python ``Counter`` + f-string loop (r5
+    verdict item 5) with three vectorized stages:
+
+    1. occurrence ranks: factorize the flattened tokens once, key each
+       occurrence by (row, word code), and one stable argsort yields
+       every occurrence's 1-based rank within its (row, word) run —
+       the same idiom as ``repetition_stats_batch``.
+    2. prefix states: the FxHash fold of ``"word k"`` starts from
+       ``len("word k") * K`` (= ``fx_add(0, len)``), which depends on
+       the word AND the digit count of k — so fold ``word + ' '`` once
+       per unique (word, digit-count) pair and gather per occurrence.
+    3. digit fold: extend each occurrence's state with the decimal
+       chars of its k, grouped by digit count (≤ log10(max tf) fully
+       vectorized steps).
+
+    Bit-identical to ``hash_strings_batch`` over the composed strings
+    (pinned by tests); the composed-string form stays the SQL-oracle
+    mirror.  Returns (hashes, offsets) with offsets of length
+    ``len(toks)+1`` delimiting each row's occurrence segment."""
+    import pandas as pd
+
+    n_rows = len(toks)
+    lens = np.fromiter((len(ws) for ws in toks), dtype=np.int64,
+                       count=n_rows)
+    offs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    total = int(offs[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), offs
+    flat = [w for ws in toks for w in ws]
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    key = rows * np.int64(len(uniq)) + codes
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    new_run = np.empty(total, dtype=bool)
+    new_run[0] = True
+    np.not_equal(sk[1:], sk[:-1], out=new_run[1:])
+    run_starts = np.flatnonzero(new_run)
+    within = (np.arange(total, dtype=np.int64)
+              - np.repeat(run_starts,
+                          np.diff(np.append(run_starts, total))))
+    k = np.empty(total, dtype=np.int64)
+    k[order] = within + 1
+
+    dlen = np.ones(total, dtype=np.int64)
+    hi = 10
+    max_k = int(k.max())
+    while hi <= max_k:
+        dlen[k >= hi] += 1
+        hi *= 10
+    max_d = int(dlen.max())
+
+    pair_key = codes * np.int64(max_d + 1) + dlen
+    pairs, pair_inv = np.unique(pair_key, return_inverse=True)
+    p_code = pairs // (max_d + 1)
+    p_d = pairs % (max_d + 1)
+    w_ords, w_offs = flatten_texts([uniq[i] for i in p_code])
+    wlens = w_offs[1:] - w_offs[:-1]
+    state = (wlens + 1 + p_d).astype(np.uint64) * np.uint64(_K)
+    max_w = int(wlens.max()) if wlens.shape[0] else 0
+    starts = w_offs[:-1]
+    for c in range(max_w):
+        live = wlens > c
+        state[live] = fx_add_np(state[live], w_ords[starts[live] + c])
+    state = fx_add_np(state, np.uint64(32))          # the ' ' separator
+
+    occ_state = state[pair_inv]
+    for d in range(1, max_d + 1):
+        sel = dlen == d
+        if not sel.any():
+            continue
+        kk = k[sel]
+        st = occ_state[sel]
+        for pos in range(d - 1, -1, -1):
+            digit = (kk // (10 ** pos)) % 10
+            st = fx_add_np(st, digit.astype(np.uint64) + np.uint64(48))
+        occ_state[sel] = st
+    return occ_state & _MASK32, offs
+
+
 def jaccard_pairs_batch(
     texts_a, texts_b, ngram_width: int
 ) -> np.ndarray:

@@ -226,15 +226,24 @@ def weighted_minhash_bands_long(col, band_count: int, band_size: int,
     integer-weight reduction of weighted-set similarity to plain set
     MinHash.  Reuses the bit-exact ``from_shingles`` kernel
     (``shingleset.rs:12-22`` semantics), so the DuckDB oracle replays it
-    with the existing string-hash + band machinery."""
-    from .._core.batch import minhash_shingles_batch, tokenize_words
+    with the existing string-hash + band machinery; the occurrence
+    strings are hashed directly by ``weighted_occurrence_hashes`` with
+    no composed-string materialization (bit-identical — pinned against
+    the ``_replicated_shingles`` string mirror — and measured ~6x on
+    the kernel)."""
+    from .._core.batch import (
+        minhash_from_window_hashes,
+        tokenize_words,
+        weighted_occurrence_hashes,
+    )
 
     @pandas_udf(_LONG_ARRAY)
     def _udf(s: pd.Series) -> pd.Series:
         mask = s.notna().to_numpy()
-        lists = _replicated_shingles(
+        hashes, offs = weighted_occurrence_hashes(
             tokenize_words(["" if not ok else t for t, ok in zip(s, mask)]))
-        mat = minhash_shingles_batch(lists, band_count, band_size, seed)
+        mat = minhash_from_window_hashes(hashes, offs, band_count,
+                                         band_size, seed)
         return _u64_rows_to_long(mat, mask, low32=False)
 
     return _udf(col)
@@ -318,11 +327,13 @@ def word_shingle_set_col(col, width: int = 2) -> Column:
 
 
 def _replicated_shingles(toks: "list[list[str]]") -> "list[list[str]]":
-    """The integer-weight replication reduction, ONE definition for the
-    weighted signature UDF, the weighted set column, and (mirrored in
-    SQL) the DuckDB oracle: occurrence k of a word becomes the shingle
-    string ``"word k"`` — injective because words contain no
-    whitespace."""
+    """The integer-weight replication reduction as COMPOSED STRINGS:
+    occurrence k of a word becomes the shingle string ``"word k"`` —
+    injective because words contain no whitespace.  This is the
+    readable mirror of what the DuckDB oracle replays in SQL; the hot
+    path (``_core.batch.weighted_occurrence_hashes``) hashes the same
+    occurrences directly without materializing these strings, and a
+    parity test pins the two bit-identical."""
     from collections import Counter
 
     out = []
@@ -362,17 +373,21 @@ def weighted_shingle_set_col(col) -> Column:
     ``shingle_set_col``/``word_shingle_set_col``, so the entire pair
     machinery (banding from sets, id-only blocking, broadcast verify)
     composes unchanged, and plain Jaccard over these sets equals the
-    weighted Jaccard ``Σ min(tf)/Σ max(tf)``."""
+    weighted Jaccard ``Σ min(tf)/Σ max(tf)``.  Hashes come straight
+    from ``weighted_occurrence_hashes`` (no composed strings)."""
     from pyspark.sql.types import IntegerType
 
-    from .._core.batch import tokenize_words
+    from .._core.batch import tokenize_words, weighted_occurrence_hashes
 
     @pandas_udf(ArrayType(IntegerType()))
     def _udf(s: pd.Series) -> pd.Series:
         mask = s.notna().to_numpy()
-        lists = _replicated_shingles(
+        hashes, offs = weighted_occurrence_hashes(
             tokenize_words(["" if not ok else t for t, ok in zip(s, mask)]))
-        return _rows_to_unique_hash_sets(lists, mask)
+        h32 = hashes.astype(np.uint32).view(np.int32)
+        out = [np.unique(h32[offs[i]:offs[i + 1]]).tolist() if ok else None
+               for i, ok in enumerate(mask)]
+        return pd.Series(out, dtype=object)
 
     return _udf(col)
 

@@ -155,3 +155,51 @@ def test_gather_segments_matches_per_row_slicing(rows, data):
     want = (np.concatenate([flat[offsets[i]:offsets[i + 1]] for i in idx])
             if len(idx) and lens.sum() else np.empty(0, dtype=np.int32))
     assert got.tolist() == want.tolist()
+
+
+@given(st.lists(
+    st.lists(st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",),
+                               blacklist_characters=" \t\n\x0b\x0c\r"),
+        min_size=1, max_size=12),
+        max_size=60),
+    max_size=25))
+@settings(max_examples=60, deadline=None)
+def test_weighted_occurrence_hashes_match_string_mirror(toks):
+    """The direct occurrence-hash kernel must be bit-identical to
+    FxHash over the composed ``"word k"`` strings (the SQL-oracle
+    mirror) for arbitrary token multisets — including empty rows,
+    high-replication rows, and multi-digit occurrence ranks."""
+    import numpy as np
+
+    from lsh_spark._core.batch import (
+        hash_strings_batch,
+        weighted_occurrence_hashes,
+    )
+    from lsh_spark.functions.lsh import _replicated_shingles
+
+    comp = _replicated_shingles(toks)
+    flat = [g for lst in comp for g in lst]
+    want = (hash_strings_batch(flat) if flat
+            else np.empty(0, dtype=np.uint64))
+    got, offs = weighted_occurrence_hashes(toks)
+    assert np.array_equal(got, want)
+    assert offs.tolist() == np.cumsum(
+        [0] + [len(ws) for ws in toks]).tolist()
+
+
+def test_weighted_occurrence_hashes_multi_digit_ranks():
+    """Replication past rank 9 exercises the 2-digit fold path."""
+    import numpy as np
+
+    from lsh_spark._core.batch import (
+        hash_strings_batch,
+        weighted_occurrence_hashes,
+    )
+    from lsh_spark.functions.lsh import _replicated_shingles
+
+    toks = [["w"] * 123 + ["v"] * 7, [], ["w"] * 11]
+    comp = _replicated_shingles(toks)
+    want = hash_strings_batch([g for lst in comp for g in lst])
+    got, _offs = weighted_occurrence_hashes(toks)
+    assert np.array_equal(got, want)

@@ -319,28 +319,64 @@ def _bloom_positions(grams: "list[str]", m: int, k: int):
 
 
 def build_ngram_bloom(bench_grams: DataFrame, gram_col: str = "ng",
-                      *, fpp: float = 0.01):
-    """Collect the (small, by construction) benchmark n-gram set and
-    build a Bloom bit array: the decontamination probe then broadcasts
-    ``m/8`` bytes instead of the full distinct-gram table — ~10 bits
-    per gram at 1% FP vs ~60+ bytes of string, the difference between
-    a 12 MB and a 600 MB broadcast for a 10M-gram benchmark suite.
+                      *, fpp: float = 0.01, build_groups: int = 64):
+    """Build the benchmark Bloom bit array DISTRIBUTED: the
+    decontamination probe then broadcasts ``m/8`` bytes instead of the
+    full distinct-gram table — ~10 bits per gram at 1% FP vs ~60+
+    bytes of string, the difference between a 12 MB and a 600 MB
+    broadcast for a 10M-gram benchmark suite.
+
+    The gram strings never land on the driver (ADVICE r5): distinct
+    grams are md5-hashed and OR'd into partial bitmaps across up to
+    ``build_groups`` tasks, a single task ORs those partials, and only
+    the final ``m/8``-byte bitmap is fetched — so the 10M-gram example
+    moves 12 MB to the driver, not hundreds of MB of strings plus a
+    single-threaded hashing loop.  This is a BUILD step that runs
+    Spark jobs (a distinct-count to size ``m``, then the bitmap
+    aggregation) — callers constructing lazy plans must invoke it
+    explicitly, not inside plan construction (see
+    ``contamination_overlap_bloom_df``).
 
     Returns ``(bits uint8 array, m, k, n_items)``.  Deterministic:
     positions derive from md5 double-hashing, so the same benchmark
-    always yields the same filter."""
+    always yields the same filter regardless of layout."""
     import numpy as np
+    import pandas as pd
 
-    grams = [r[0] for r in bench_grams.select(gram_col).distinct()
-             .collect()]
-    m, k = _bloom_params(len(grams), fpp)
-    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
-    if grams:
-        pos = _bloom_positions(grams, m, k).ravel()
+    distinct = bench_grams.select(F.col(gram_col).alias("ng")).distinct()
+    n_items = distinct.count()
+    m, k = _bloom_params(n_items, fpp)
+    nbytes = (m + 7) // 8
+    if n_items == 0:
+        return np.zeros(nbytes, dtype=np.uint8), m, k, 0
+
+    def hash_and_or(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        pos = _bloom_positions(pdf["ng"].tolist(), m, k).ravel()
         np.bitwise_or.at(bits, pos // 8,
                          np.left_shift(np.uint8(1), (pos % 8)
                                        .astype(np.uint8)))
-    return bits, m, k, len(grams)
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    def or_partials(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for b in pdf["bits"]:
+            np.bitwise_or(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
+        return pd.DataFrame({"bits": [acc.tobytes()]})
+
+    partials = (
+        distinct
+        .withColumn("grp",
+                    (F.spark_partition_id() % build_groups).cast("int"))
+        .groupBy("grp")
+        .applyInPandas(lambda pdf: hash_and_or(pdf), "bits binary")
+    )
+    final = (
+        partials.groupBy(F.lit(0).alias("g"))
+        .applyInPandas(lambda pdf: or_partials(pdf), "bits binary")
+    )
+    bits = np.frombuffer(final.first()["bits"], dtype=np.uint8).copy()
+    return bits, m, k, n_items
 
 
 def contamination_overlap_bloom_df(docs: DataFrame, *,
@@ -359,7 +395,14 @@ def contamination_overlap_bloom_df(docs: DataFrame, *,
     Scale shape: the corpus side is the same scan → explode → per-doc
     aggregate, but the benchmark ships as ``m/8`` broadcast BYTES probed
     inside the Arrow kernel — no join at all, so the plan is map +
-    final doc-keyed aggregate regardless of benchmark size."""
+    final doc-keyed aggregate regardless of benchmark size.
+
+    DEVIATION from the repo's zero-jobs plan-construction convention
+    (tests/test_plans.py): calling this function RUNS Spark jobs — the
+    Bloom build inside is a materialization step (distinct-count +
+    bitmap aggregation), not a lazy plan.  That is why it is not
+    registered as a gate query; if it ever is, the build must be
+    hoisted to an explicit caller-side step first (ADVICE r5)."""
     import numpy as np
     from pyspark.sql.types import (BooleanType, LongType, StructField,
                                    StructType)

@@ -392,6 +392,37 @@ def weighted_shingle_set_col(col) -> Column:
     return _udf(col)
 
 
+def weighted_word_shingle_set_col(col, width: int = 2) -> Column:
+    """tf-weighted WORD-``width``-GRAM replicated shingle set: the
+    replication reduction composed with n-gram shingling — occurrence k
+    of an n-gram string ``"w1 .. wn"`` contributes ``"w1 .. wn k"``
+    (injective for fixed ``width``: the count is always the last
+    whitespace-delimited token of exactly ``width + 1``), so plain
+    Jaccard over these sets equals the WEIGHTED n-gram Jaccard
+    ``Σ min(tf)/Σ max(tf)`` over n-gram multisets.  Same
+    sorted-unique-int32 storage contract as every other shingle mode;
+    hashes come straight from ``weighted_occurrence_hashes`` over the
+    composed n-gram strings (no occurrence-string materialization)."""
+    from pyspark.sql.types import IntegerType
+
+    from .._core.batch import tokenize_words, weighted_occurrence_hashes
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        mask = s.notna().to_numpy()
+        toks = tokenize_words(["" if not ok else t
+                               for t, ok in zip(s, mask)])
+        grams = [[" ".join(ws[i:i + width])
+                  for i in range(len(ws) - width + 1)] for ws in toks]
+        hashes, offs = weighted_occurrence_hashes(grams)
+        h32 = hashes.astype(np.uint32).view(np.int32)
+        out = [np.unique(h32[offs[i]:offs[i + 1]]).tolist() if ok else None
+               for i, ok in enumerate(mask)]
+        return pd.Series(out, dtype=object)
+
+    return _udf(col)
+
+
 def minhash_bands_from_set(col, band_count: int, band_size: int, seed: int) -> Column:
     """Banded MinHash (int64 band hashes) computed from a materialized
     shingle-set column (output of :func:`shingle_set_col`)."""

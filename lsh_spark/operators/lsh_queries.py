@@ -400,3 +400,27 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM ver
 
 QUERIES["word_bigram_near_dup_pairs"] = (
     word_bigram_near_dup_pairs, _WORD_PAIRS_ORACLE)
+
+
+def weighted_word_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-weighted WORD-BIGRAM near-dup pairs — the replication
+    reduction composed with n-gram shingling (``shingle=
+    "weighted_word"``): occurrence k of a bigram contributes
+    ``"w1 w2 k"``, so plain Jaccard over the replicated sets equals the
+    weighted bigram Jaccard Σmin(tf)/Σmax(tf).  The bigram background
+    is as low as the unweighted word case (repeated bigrams are rare on
+    this corpus), so the same tuned banding separates; exact DuckDB
+    oracle replays the composition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_self_dedup_pairs(
+        docs, "text", id_col="doc_id",
+        ngram_width=2, band_count=_WORD_PLAN.band_count,
+        band_size=_WORD_PLAN.band_size, seed=123, threshold=0.4,
+        shingle="weighted_word",
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+QUERIES["weighted_word_near_dup_pairs"] = (
+    weighted_word_near_dup_pairs,
+    _orc.weighted_word_near_dup_pairs_sql(
+        _WORD_PLAN.band_count, _WORD_PLAN.band_size, 123, 0.4, width=2))

@@ -286,14 +286,20 @@ def _with_sets(df: DataFrame, id_col: str, text_col: str, ngram_width: int,
         from ..functions.lsh import weighted_shingle_set_col
 
         sets = weighted_shingle_set_col(F.col("__text"))
+    elif shingle == "weighted_word":
+        # the replication reduction composed with word-n-gram shingles:
+        # plain Jaccard equals the weighted n-gram Jaccard
+        from ..functions.lsh import weighted_word_shingle_set_col
+
+        sets = weighted_word_shingle_set_col(F.col("__text"), ngram_width)
     elif shingle == "char":
         sets = shingle_set_col(F.col("__text"), ngram_width)
     else:
         # a typo silently falling back to char shingles would return a
         # materially different retention set at the caller's threshold
         raise ValueError(
-            f"unknown shingle mode {shingle!r}: expected 'char', 'word' "
-            "or 'weighted'")
+            f"unknown shingle mode {shingle!r}: expected 'char', 'word', "
+            "'weighted' or 'weighted_word'")
     return base.select(id_alias, sets.alias(set_alias))
 
 

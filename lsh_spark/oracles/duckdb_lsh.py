@@ -242,6 +242,54 @@ def weighted_shingles_cte(source: str = "documents",
   sh AS (SELECT DISTINCT id, {string_hash_sql('g')} AS sh FROM occ)"""
 
 
+def weighted_word_shingles_cte(width: int = 2, source: str = "documents",
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> str:
+    """CTE body for the tf-weighted WORD-``width``-GRAM replicated
+    shingle set — ``weighted_shingles_cte`` composed with the n-gram
+    construction of ``bigram_shingles_cte``: occurrence k of the n-gram
+    string ``"w1 .. wn"`` (in position order) contributes
+    ``"w1 .. wn k"``, injective for fixed ``width``."""
+    gram = " || ' ' || ".join(f"w[i + {j}]" for j in range(width))
+    return f"""
+  docs AS (SELECT {id_col} AS id, {text_col} AS text FROM {source}),
+  words AS (
+    SELECT id,
+           coalesce(list_filter(
+             string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
+             x -> x <> ''), []) AS w
+    FROM docs),
+  occ0 AS (
+    SELECT id,
+           unnest(list_transform(gs, i -> {gram})) AS tok,
+           unnest(gs) AS pos
+    FROM (SELECT id, w,
+                 CASE WHEN len(w) >= {width}
+                      THEN generate_series(1, len(w) - {width} + 1)
+                      ELSE [] END AS gs
+          FROM words)),
+  occ AS (
+    SELECT id, tok || ' ' ||
+           (row_number() OVER (PARTITION BY id, tok ORDER BY pos))::VARCHAR
+           AS g
+    FROM occ0),
+  sh AS (SELECT DISTINCT id, {string_hash_sql('g')} AS sh FROM occ)"""
+
+
+def weighted_word_near_dup_pairs_sql(band_count: int, band_size: int,
+                                     seed: int, threshold: float,
+                                     width: int = 2) -> str:
+    """Oracle for the tf-weighted word-n-gram near-dup pair query:
+    banded blocking + exact verification over the replicated n-gram
+    shingle sets (plain Jaccard = weighted n-gram Jaccard)."""
+    return f"""
+WITH {weighted_word_shingles_cte(width)},
+{minhash_bands_ctes(band_count, band_size, seed)},
+  {pair_verify_ctes(threshold)}
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM ver
+"""
+
+
 def weighted_minhash_signatures_sql(band_count: int, band_size: int,
                                     seed: int) -> str:
     """Oracle for tf-weighted MinHash signatures (integer-weight

@@ -1358,3 +1358,28 @@ def test_delete_adopts_orphan_tombstones(spark, tmp_path):
         spark, "orph", probe, "text", probe_id="probe_id",
         threshold=0.5).collect()
     assert not any(r.corpus_id in merged for r in after)
+
+
+def test_weighted_word_mode_separates_tf_profiles(spark):
+    """shingle='weighted_word': bigram-tf-identical docs pair; a doc
+    with the same bigram SET but a far tf profile does not (plain word
+    shingles would pair it); unknown-mode typo still raises."""
+    import pytest as _pytest
+
+    from lsh_spark.operators.similarity_join import lsh_self_dedup_pairs
+
+    rows = [
+        (1, "to be or not to be or not to be"),
+        (2, "to be or not to be or not to be"),   # tf-identical bigrams
+        (3, "to be or not"),                      # same bigram set, tf far
+        (4, "completely different words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in lsh_self_dedup_pairs(
+        df, "text", id_col="doc_id", ngram_width=2, band_count=16,
+        band_size=2, seed=123, threshold=0.7,
+        shingle="weighted_word").collect()}
+    assert got == {(1, 2)}
+    with _pytest.raises(ValueError, match="unknown shingle mode"):
+        lsh_self_dedup_pairs(df, "text", id_col="doc_id",
+                             shingle="wieghted_word")

@@ -140,12 +140,15 @@ def similarity_join_ab_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (out_dir, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
-    q = streaming_similarity_join(
-        stream, corpus, out_dir, ckpt,
-        left_id="probe_id", right_id="corpus_id",
-        ngram_width=3, band_count=_JOIN_AB_PLAN.band_count,
-        band_size=_JOIN_AB_PLAN.band_size, seed=123, threshold=0.7)
-    q.awaitTermination()
+    from .events import scoped_state_partitions
+
+    with scoped_state_partitions(spark):
+        q = streaming_similarity_join(
+            stream, corpus, out_dir, ckpt,
+            left_id="probe_id", right_id="corpus_id",
+            ngram_width=3, band_count=_JOIN_AB_PLAN.band_count,
+            band_size=_JOIN_AB_PLAN.band_size, seed=123, threshold=0.7)
+        q.awaitTermination()
 
     if not os.path.isdir(out_dir) or not any(
             f.startswith("batch_id=") for f in os.listdir(out_dir)):
@@ -221,10 +224,13 @@ def near_dup_index_probe_streaming(spark: SparkSession,
     for d in (out_dir, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
-    q = streaming_near_dup_against_index(
-        stream, spark, index, out_dir, ckpt,
-        text_col="text", id_col="probe_id", threshold=0.7)
-    q.awaitTermination()
+    from .events import scoped_state_partitions
+
+    with scoped_state_partitions(spark):
+        q = streaming_near_dup_against_index(
+            stream, spark, index, out_dir, ckpt,
+            text_col="text", id_col="probe_id", threshold=0.7)
+        q.awaitTermination()
 
     if not os.path.isdir(out_dir) or not any(
             f.startswith("batch_id=") for f in os.listdir(out_dir)):

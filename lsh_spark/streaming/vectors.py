@@ -91,13 +91,16 @@ def ann_ivf_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=_ANN_K, n_probe=_IVF_PROBE)
         _write_batch_idempotent(res, out_dir, batch_id)
 
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    from .events import scoped_state_partitions
+
+    with scoped_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
 
     if not os.path.isdir(out_dir) or not any(
             f.startswith("batch_id=") for f in os.listdir(out_dir)):

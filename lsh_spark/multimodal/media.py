@@ -128,14 +128,20 @@ def decode_raw_video(content: bytes) -> dict | None:
 
 def _decode_image(content: bytes) -> dict | None:
     """Image decode chain: RAWI, then REAL PNG (pure-stdlib zlib codec,
-    ``multimodal.png`` — the one compressed format decodable without
-    external libraries).  None → foreign bytes."""
+    ``multimodal.png``), then REAL baseline JPEG (pure-stdlib sequential
+    DCT codec, ``multimodal.jpeg``) — the two compressed formats
+    decodable without external libraries.  None → foreign bytes."""
     meta = decode_raw_image(content)
     if meta is not None:
         return meta
     from .png import decode_png
 
-    return decode_png(content)
+    meta = decode_png(content)
+    if meta is not None:
+        return meta
+    from .jpeg import decode_jpeg
+
+    return decode_jpeg(content)
 
 
 _RAW_DECODERS = {
@@ -146,9 +152,9 @@ _RAW_DECODERS = {
 
 
 def _decode(kind: str, content: bytes) -> dict:
-    """RAW formats and PNG images decode for real; anything else falls
-    back to the deterministic stub (remaining compressed codecs need
-    external libs).  Bytes that merely *start* with a known magic but
+    """RAW formats, PNG and baseline-JPEG images decode for real;
+    anything else falls back to the deterministic stub (remaining
+    compressed codecs — MP3/MP4 audio/video — need external libs).  Bytes that merely *start* with a known magic but
     fail validation are treated as foreign (stub fallback) — the batch
     pipeline must stay total; strict deployments call the ``decode_*``
     functions directly."""
@@ -296,17 +302,18 @@ def encode_raw_image(pixels) -> bytes:
 
 
 def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
-    """Image resize (``mapInPandas``, batch-at-a-time).  RAWI and PNG
-    payloads are REALLY resized — nearest-neighbor resample over the
-    decoded pixel array, re-encoded in the source's own format (RAWI →
-    RAWI, PNG → PNG) — so downstream stages keep operating on decodable
-    images.  Foreign payloads (remaining compressed formats, no codec in
-    this environment) fall back to a deterministic digest-derived
-    stand-in with the same ``bytes -> bytes`` contract a PIL/opencv
-    decoder would implement."""
+    """Image resize (``mapInPandas``, batch-at-a-time).  RAWI, PNG and
+    baseline-JPEG payloads are REALLY resized — nearest-neighbor
+    resample over the decoded pixel array, re-encoded in the source's
+    own format (RAWI → RAWI, PNG → PNG, JPEG → JPEG) — so downstream
+    stages keep operating on decodable images.  Foreign payloads
+    (remaining compressed formats, no codec in this environment) fall
+    back to a deterministic digest-derived stand-in with the same
+    ``bytes -> bytes`` contract a PIL/opencv decoder would implement."""
     import numpy as np
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg, encode_jpeg
         from .png import decode_png, encode_png
 
         for pdf in batches:
@@ -321,6 +328,9 @@ def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
                     if meta is None:
                         meta = decode_png(content)
                         encode = encode_png
+                    if meta is None:
+                        meta = decode_jpeg(content)
+                        encode = encode_jpeg
                 except ValueError:
                     meta = None
                 if meta is not None:

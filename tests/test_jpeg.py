@@ -1,0 +1,195 @@
+"""Tests for the pure-stdlib baseline JPEG codec
+(``lsh_spark.multimodal.jpeg``) and its wiring into the media pipeline:
+a hand-built golden bitstream (decoder checked against spec math, not
+against our own encoder), encode/decode round-trip bounds, subsampling,
+restart intervals, corruption handling, and the Spark-side
+decode/resize paths."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from lsh_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+
+def _rand_px(h, w, c, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def _smooth_rgb(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    out = np.zeros((h, w, 3), np.uint8)
+    out[:, :, 0] = (xx * 4) % 256
+    out[:, :, 1] = (yy * 5) % 256
+    out[:, :, 2] = 128
+    return out
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(
+        ">H", len(payload) + 2) + payload
+
+
+def test_hand_built_dc_only_golden():
+    """A single-block grayscale JPEG built BYTE BY BYTE from the spec
+    (manual quant table, manual canonical Huffman tables, manual
+    entropy bits) — pins the decoder against the standard's own math,
+    independent of our encoder: DC coefficient d with quant q yields
+    the constant plane round(d*q/8) + 128."""
+    q = 16
+    quant = bytes([q] * 64)
+    # DC table: one symbol (size=4) with a 1-bit code "0"
+    dc_dht = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([4])
+    # AC table: one symbol (EOB=0x00) with a 1-bit code "0"
+    ac_dht = bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00])
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    # entropy: DC code "0", 4 magnitude bits 1000 (=> diff 8), EOB "0";
+    # that is 0 1000 0 -> 010000 + 1-fill padding -> 0b01000011
+    entropy = bytes([0b01000011])
+    blob = (b"\xff\xd8" + _seg(0xDB, bytes([0x00]) + quant)
+            + _seg(0xC0, sof) + _seg(0xC4, dc_dht) + _seg(0xC4, ac_dht)
+            + _seg(0xDA, sos) + entropy + b"\xff\xd9")
+    meta = decode_jpeg(blob)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (8, 8, 1)
+    want = round(8 * q / 8) + 128                # = 144
+    assert np.array_equal(meta["_pixels"],
+                          np.full((8, 8, 1), want, np.uint8))
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (17, 24), (19, 23), (1, 1),
+                                   (8, 9)])
+def test_gray_round_trip_tight(shape):
+    px = _rand_px(*shape, 1, seed=shape[0])
+    meta = decode_jpeg(encode_jpeg(px))
+    assert (meta["width"], meta["height"]) == (shape[1], shape[0])
+    err = np.abs(meta["_pixels"].astype(int) - px.astype(int)).max()
+    # all-ones quant: the only loss is the float FDCT/IDCT pair
+    assert err <= 1
+
+
+@pytest.mark.parametrize("sub,tol", [("444", 2), ("422", 4), ("420", 5)])
+def test_rgb_subsampling_round_trip(sub, tol):
+    px = _smooth_rgb(24, 32)
+    meta = decode_jpeg(encode_jpeg(px, subsampling=sub))
+    assert (meta["width"], meta["height"]) == (32, 24)
+    err = np.abs(meta["_pixels"].astype(int) - px.astype(int)).max()
+    assert err <= tol, f"{sub}: {err}"
+
+
+def test_restart_intervals_and_odd_dims():
+    px = _rand_px(21, 26, 3, seed=7)
+    meta = decode_jpeg(encode_jpeg(px, restart_interval=2))
+    assert (meta["width"], meta["height"]) == (26, 21)
+    # noisy RGB through the color transform: bounded, not exact
+    err = np.abs(meta["_pixels"].astype(int) - px.astype(int)).max()
+    assert err <= 3
+
+
+def test_coarse_quant_still_decodes():
+    quant = np.minimum(np.arange(1, 65) * 2, 255)
+    px = _smooth_rgb(16, 16)
+    meta = decode_jpeg(encode_jpeg(px, quant=quant))
+    assert (meta["width"], meta["height"]) == (16, 16)
+    # lossy by design; just bound the wreckage
+    err = np.abs(meta["_pixels"].astype(int) - px.astype(int)).max()
+    assert err < 128
+
+
+def test_foreign_none_corrupt_and_progressive_raise():
+    assert decode_jpeg(b"not a jpeg") is None
+    assert decode_jpeg(None) is None
+    good = encode_jpeg(_rand_px(8, 8, 1))
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:24])                   # truncated in header
+    # progressive SOF2 must raise (digest-stub fallback), not misdecode
+    sof2 = (b"\xff\xd8"
+            + _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            + _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1)
+                   + bytes([1, 0x11, 0])))
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(sof2)
+
+
+def test_extract_features_decodes_jpeg_for_real(spark):
+    from lsh_spark.multimodal.media import MEDIA_SCHEMA, extract_features
+
+    px = _rand_px(11, 13, 3, seed=5)
+    rows = [(1, "image", bytearray(encode_jpeg(px)), "image/jpeg"),
+            (2, "image", bytearray(b"GIF89a opaque bytes"), "image/gif")]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_features(media).collect()}
+    assert (out[1].width, out[1].height, out[1].n_frames) == (13, 11, 1)
+    # foreign compressed bytes keep the deterministic stub contract
+    assert out[2].width is not None
+
+
+def test_resize_images_reencodes_jpeg(spark):
+    from lsh_spark.multimodal.media import MEDIA_SCHEMA, resize_images
+
+    px = _smooth_rgb(8, 8)
+    media = spark.createDataFrame(
+        [(7, "image", bytearray(encode_jpeg(px)), "image/jpeg")],
+        MEDIA_SCHEMA)
+    r = resize_images(media, width=4, height=4).collect()[0]
+    assert (r.width, r.height) == (4, 4)
+    meta = decode_jpeg(bytes(r.content))
+    assert meta is not None and (meta["width"], meta["height"]) == (4, 4)
+    # nearest-neighbor shrink of the (near-lossless) decoded source
+    want = px[::2, ::2, :]
+    err = np.abs(meta["_pixels"].astype(int) - want.astype(int)).max()
+    assert err <= 4
+
+
+# --- property tests (hypothesis) -------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:          # pragma: no cover - hypothesis is baked in
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=20, deadline=None)
+    @given(h=st.integers(1, 20), w=st.integers(1, 20),
+           seed=st.integers(0, 2**31 - 1))
+    def test_prop_gray_round_trip_any_shape(h, w, seed):
+        px = _rand_px(h, w, 1, seed=seed)
+        meta = decode_jpeg(encode_jpeg(px))
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert np.abs(meta["_pixels"].astype(int)
+                      - px.astype(int)).max() <= 1
+
+    @settings(max_examples=15, deadline=None)
+    @given(h=st.integers(1, 16), w=st.integers(1, 16),
+           sub=st.sampled_from(["444", "422", "420"]),
+           ri=st.sampled_from([0, 1, 3]),
+           seed=st.integers(0, 2**31 - 1))
+    def test_prop_rgb_dims_and_bounds(h, w, sub, ri, seed):
+        px = _rand_px(h, w, 3, seed=seed)
+        meta = decode_jpeg(encode_jpeg(px, subsampling=sub,
+                                       restart_interval=ri))
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert meta["_pixels"].shape == (h, w, 3)
+
+    @settings(max_examples=40, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=200))
+    def test_prop_arbitrary_bytes_never_crash_unexpectedly(data):
+        # foreign bytes -> None; SOI-prefixed garbage -> ValueError or a
+        # dict; nothing else may escape (the media pipeline catches
+        # ValueError only)
+        try:
+            out = decode_jpeg(b"\xff\xd8" + data)
+            assert out is None or isinstance(out, dict)
+        except ValueError:
+            pass
+        assert decode_jpeg(
+            data if data[:2] != b"\xff\xd8" else b"x" + data) is None

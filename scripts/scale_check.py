@@ -245,13 +245,18 @@ def indexes() -> None:
 
 def training() -> None:
     """Training-op scale check: dup_ngram_stats (span frequency — the
-    one round-5 op with a corpus-wide shuffle) and pack_sequences
-    (shard-bounded packing) on the replicated corpus."""
+    op with a corpus-wide digest shuffle), remove_duplicated_spans (the
+    mutation twin: adds the hot-span coverage explode + per-doc
+    rebuild), and pack_sequences (shard-bounded packing) on the
+    replicated corpus.  Replication is the ALL-HOT worst case for the
+    span ops: every replica shares every 8-gram, so every span is
+    duplicated and the removal's explode covers every token."""
     from pyspark import StorageLevel
 
     from lsh_spark.operators.training_ops import (
         dup_ngram_stats_df,
         pack_sequences_df,
+        remove_duplicated_spans_df,
         shard_assignment_df,
     )
     from lsh_spark.plans import get_spark
@@ -283,6 +288,10 @@ def training() -> None:
         n_dup = dup_ngram_stats_df(docs).where("n_dup > 0").count()
         t_dup = time.perf_counter() - t0
         t0 = time.perf_counter()
+        n_kept = remove_duplicated_spans_df(docs).where(
+            F.length("text") > 0).count()
+        t_rm = time.perf_counter() - t0
+        t0 = time.perf_counter()
         n_shard = shard_assignment_df(docs).agg(
             F.max("shard")).first()[0]
         t_shard = time.perf_counter() - t0
@@ -293,6 +302,7 @@ def training() -> None:
         print(
             f"rep={rep:3d} rows={n_base * rep:8d}  "
             f"dup_ngram={t_dup:6.1f}s ({n_dup} dup-docs)  "
+            f"rm_spans={t_rm:6.1f}s ({n_kept} nonempty)  "
             f"shard={t_shard:6.1f}s ({n_shard + 1} shards)  "
             f"pack={t_pack:6.1f}s ({n_seq + 1} seqs)", flush=True)
         docs.unpersist()

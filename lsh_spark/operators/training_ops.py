@@ -464,9 +464,25 @@ _DUPSPAN_N = 8          # word n-gram width
 _DUPSPAN_MIN_DOCS = 2   # a span is "duplicated" once >= 2 docs carry it
 
 
+def _span_key(col, key: str):
+    """Digest used to shuffle spans instead of their text: ``md5``
+    (32-hex string — cross-engine parity with the DuckDB oracle) or
+    ``xxhash64`` (one BIGINT — quarter the shuffle width and no hex
+    encode, for deployments that don't need the oracle twin; a 64-bit
+    collision at corpus scale flags a non-duplicated span with
+    probability ~n²/2⁶⁵)."""
+    if key == "md5":
+        return F.md5(col)
+    if key == "xxhash64":
+        return F.xxhash64(col)
+    raise ValueError(f"unknown span key {key!r}: expected 'md5' or "
+                     "'xxhash64'")
+
+
 def dup_ngram_stats_df(docs: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", n: int = _DUPSPAN_N,
-                       min_docs: int = _DUPSPAN_MIN_DOCS) -> DataFrame:
+                       min_docs: int = _DUPSPAN_MIN_DOCS,
+                       key: str = "md5") -> DataFrame:
     """Per-document corpus-self-duplication signal: the fraction of a
     document's word ``n``-grams that appear in ≥ ``min_docs`` DISTINCT
     documents — the "duplicated span" quality stat of the Gopher /
@@ -480,10 +496,10 @@ def dup_ngram_stats_df(docs: DataFrame, *, id_col: str = "doc_id",
     (constant 32-byte keys regardless of n) — one frequency aggregate
     keyed by digest, a semi-join of the (doc_id, digest) stream against
     the duplicated-digest set (both sides already partitioned by the
-    digest from the aggregate), and a final per-doc count.  md5 is
-    chosen for cross-engine parity with the DuckDB oracle; a
-    deployment that needs to halve the shuffle width can swap
-    ``F.xxhash64`` in (no oracle twin).
+    digest from the aggregate), and a final per-doc count.  The digest
+    is ``key``: md5 (default — cross-engine parity with the DuckDB
+    oracle) or xxhash64 (quarter the shuffle width; see
+    ``_span_key``).
 
     Returns every document with ``n_ngrams``, ``n_dup`` (occurrences
     whose span is cross-doc duplicated) and ``dup_frac``.
@@ -500,7 +516,7 @@ def dup_ngram_stats_df(docs: DataFrame, *, id_col: str = "doc_id",
                        ngrams.alias("__ngrams"))
     grams = (
         base.select("doc_id", F.explode("__ngrams").alias("__ng"))
-        .select("doc_id", F.md5("__ng").alias("gh"))
+        .select("doc_id", _span_key(F.col("__ng"), key).alias("gh"))
     )
     hot = (
         grams.groupBy("gh")
@@ -578,8 +594,8 @@ QUERIES["dup_ngram_stats"] = (dup_ngram_stats, DUPSPAN_ORACLE)
 
 def remove_duplicated_spans_df(docs: DataFrame, *, id_col: str = "doc_id",
                                text_col: str = "text", n: int = _DUPSPAN_N,
-                               min_docs: int = _DUPSPAN_MIN_DOCS
-                               ) -> DataFrame:
+                               min_docs: int = _DUPSPAN_MIN_DOCS,
+                               key: str = "md5") -> DataFrame:
     """Exact duplicated-span REMOVAL — the mutation twin of
     ``dup_ngram_stats`` and the n-gram-coverage form of exact substring
     dedup (Lee et al. 2022; RefinedWeb): every token covered by ANY
@@ -614,7 +630,7 @@ def remove_duplicated_spans_df(docs: DataFrame, *, id_col: str = "doc_id",
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("gpos", "__ng"),
-    ).select("doc_id", "gpos", F.md5("__ng").alias("gh"))
+    ).select("doc_id", "gpos", _span_key(F.col("__ng"), key).alias("gh"))
     hot = (
         grams.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("__nd"))

@@ -492,3 +492,30 @@ def test_shard_boundaries_monotone(spark):
     # 4 tokens/doc, budget 10 -> docs 0,1 shard 0 (offsets 0,4), doc 2
     # offset 8 -> shard 0, doc 3 offset 12 -> shard 1
     assert shards[:4] == [0, 0, 0, 1]
+
+
+def test_span_ops_xxhash64_key_matches_md5(spark):
+    """key='xxhash64' (quarter-width shuffle, no oracle twin) must
+    return exactly what the md5 default returns on real data — the key
+    only names spans, it never changes which spans are hot."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.training_ops import (
+        dup_ngram_stats_df,
+        remove_duplicated_spans_df,
+    )
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(tuple(r) for r in dup_ngram_stats_df(docs).collect())
+    b = sorted(tuple(r) for r in
+               dup_ngram_stats_df(docs, key="xxhash64").collect())
+    assert a == b and any(r[2] > 0 for r in a)
+    ra = sorted(tuple(r) for r in remove_duplicated_spans_df(docs)
+                .collect())
+    rb = sorted(tuple(r) for r in
+                remove_duplicated_spans_df(docs, key="xxhash64").collect())
+    assert ra == rb
+    with _pytest.raises(ValueError, match="unknown span key"):
+        dup_ngram_stats_df(docs, key="sha1")

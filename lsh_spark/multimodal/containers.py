@@ -1,0 +1,458 @@
+"""Pure-stdlib codecs for three more real-world container formats —
+WAV (RIFF PCM audio), BMP (uncompressed DIB images), and GIF (LZW
+images/animations) — continuing the PNG/JPEG upgrade path: each format
+moves from the deterministic digest stub to a genuinely decoded one,
+with no external media libraries.
+
+Same contract as ``png.decode_png`` / ``jpeg.decode_jpeg`` throughout:
+``None`` for foreign magic (caller falls back), ``ValueError`` for
+corrupt or unsupported variants (the batch pipeline catches ValueError
+only), and a metadata dict whose underscore keys carry the decoded
+payload (``_pixels`` / ``_frames`` / ``_samples``).
+
+Supported baselines:
+  * WAV — RIFF/WAVE with a PCM ``fmt `` chunk: integer PCM at
+    8/16/24/32 bits and IEEE float32, any channel count; extensible
+    (0xFFFE) and compressed codecs raise.
+  * BMP — BITMAPINFOHEADER-family DIBs, BI_RGB only: 8-bit paletted,
+    24-bit BGR, 32-bit BGRA; bottom-up and top-down rows; RLE raises.
+  * GIF — GIF87a/89a: full LZW decode (variable code width to 12 bits),
+    local/global palettes, interlacing, multi-frame animations with
+    frame composition (draw-over disposal, transparency holes keep the
+    underlying pixel).
+
+The encoders exist for the round-trip tests (and ``resize_images``
+re-encoding): PCM16 WAV, 24-bit BMP, and a real LZW GIF encoder whose
+output exercises the decoder's variable-width code path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(content: bytes) -> dict | None:
+    """RIFF/WAVE PCM parse → ``{"width": None, "height": None,
+    "n_frames": <samples per channel>, "_samples", "_sample_rate",
+    "_channels"}``.  ``_samples`` keeps native precision: int16 for
+    8/16-bit PCM (8-bit is center-shifted), int32 for 24/32-bit,
+    float32 for IEEE float; shape (n,) mono or (n, ch)."""
+    if content is None or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    try:
+        return _decode_wav_body(content)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"WAV: malformed stream ({e})") from e
+
+
+def _decode_wav_body(content: bytes) -> dict:
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        (clen,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        body = content[pos + 8:pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("WAV: truncated chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)          # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    tag, ch, rate, _br, _ba, bits = fmt
+    if ch < 1:
+        raise ValueError("WAV: zero channels")
+    if tag == 1 and bits == 8:
+        s = (np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+             - 128) << 8
+    elif tag == 1 and bits == 16:
+        s = np.frombuffer(data, dtype="<i2")
+    elif tag == 1 and bits == 24:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        raw = raw[:len(raw) - len(raw) % 3].reshape(-1, 3)
+        s = (raw[:, 0].astype(np.int32)
+             | raw[:, 1].astype(np.int32) << 8
+             | raw[:, 2].astype(np.int32) << 16)
+        s = (s << 8) >> 8                     # sign-extend 24 → 32
+    elif tag == 1 and bits == 32:
+        s = np.frombuffer(data, dtype="<i4")
+    elif tag == 3 and bits == 32:
+        s = np.frombuffer(data, dtype="<f4")
+    else:
+        raise ValueError(
+            f"WAV: unsupported format (tag={tag}, bits={bits})")
+    n = s.shape[0] // ch
+    samples = s[:n * ch].reshape(n, ch) if ch > 1 else s[:n]
+    return {"width": None, "height": None, "n_frames": int(n),
+            "_samples": samples, "_sample_rate": int(rate),
+            "_channels": int(ch)}
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """(n,) or (n, ch) int16 array → PCM16 RIFF/WAVE bytes."""
+    s = np.asarray(samples, dtype="<i2")
+    ch = 1 if s.ndim == 1 else s.shape[1]
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
+                      sample_rate * ch * 2, ch * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(content: bytes) -> dict | None:
+    """BI_RGB DIB parse → the image dict shape (24-bit → RGB, 32-bit →
+    RGBA, 8-bit palette → RGB)."""
+    if content is None or content[:2] != b"BM":
+        return None
+    try:
+        return _decode_bmp_body(content)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"BMP: malformed stream ({e})") from e
+
+
+def _decode_bmp_body(content: bytes) -> dict:
+    if len(content) < 54:
+        raise ValueError("BMP: truncated header")
+    (pix_off,) = struct.unpack("<I", content[10:14])
+    (dib,) = struct.unpack("<I", content[14:18])
+    if dib < 40:
+        raise ValueError(f"BMP: unsupported DIB header size {dib}")
+    w, h_signed = struct.unpack("<ii", content[18:26])
+    bpp, comp = struct.unpack("<HI", content[28:34])
+    if comp != 0:
+        raise ValueError(f"BMP: unsupported compression {comp}")
+    if w <= 0 or h_signed == 0:
+        raise ValueError("BMP: empty dimensions")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    stride = (w * bpp // 8 + 3) & ~3
+    raw = np.frombuffer(content, dtype=np.uint8, count=stride * h,
+                        offset=pix_off) if pix_off + stride * h <= \
+        len(content) else None
+    if raw is None:
+        raise ValueError("BMP: truncated pixel data")
+    rows = raw.reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        px = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]        # BGR→RGB
+    elif bpp == 32:
+        bgra = rows[:, :w * 4].reshape(h, w, 4)
+        px = bgra[:, :, [2, 1, 0, 3]]                            # →RGBA
+    elif bpp == 8:
+        n_pal = struct.unpack("<I", content[46:50])[0] or 256
+        pal = np.frombuffer(content, dtype=np.uint8, count=n_pal * 4,
+                            offset=14 + dib).reshape(n_pal, 4)
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("BMP: palette index out of range")
+        px = pal[idx][:, :, [2, 1, 0]]                           # BGRX→RGB
+    else:
+        raise ValueError(f"BMP: unsupported bit depth {bpp}")
+    return {"width": int(w), "height": int(h), "n_frames": 1,
+            "_pixels": np.ascontiguousarray(px)}
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w[, c]) uint8 → 24-bit BI_RGB bottom-up BMP (gray and RGBA
+    inputs are expanded/flattened to RGB)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.shape[2] == 1:
+        px = np.repeat(px, 3, axis=2)
+    px = px[:, :, :3]
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)        # RGB→BGR
+    data = rows.tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54))
+    return header + dib + data
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+def decode_gif(content: bytes) -> dict | None:
+    """GIF87a/89a parse → the image dict shape with REAL frame count:
+    ``_pixels`` is the first composed frame (RGB), ``_frames`` the full
+    (n, h, w, 3) composition for animations (draw-over disposal;
+    transparent pixels keep the underlying canvas)."""
+    if content is None or content[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        return _decode_gif_body(content)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"GIF: malformed stream ({e})") from e
+
+
+def _lzw_decode(mcs: int, data: bytes, expect: int) -> np.ndarray:
+    """GIF LZW: variable code width from ``mcs+1`` to 12 bits, clear /
+    end codes, dictionary rebuilt on clear."""
+    if not 2 <= mcs <= 8:
+        raise ValueError(f"GIF: bad LZW min code size {mcs}")
+    clear = 1 << mcs
+    end = clear + 1
+    out = np.empty(expect, dtype=np.uint8)
+    n_out = 0
+    # bit cursor over the concatenated sub-block data (LSB-first)
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = mcs + 1
+    dict_entries: list[bytes] = [bytes([i]) for i in range(clear)] + \
+        [b"", b""]
+    prev: "bytes | None" = None
+
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF: LZW stream ran out")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            dict_entries = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(dict_entries):
+                raise ValueError("GIF: bad first LZW code")
+            entry = dict_entries[code]
+        elif code < len(dict_entries):
+            entry = dict_entries[code]
+            dict_entries.append(prev + entry[:1])
+        elif code == len(dict_entries):
+            entry = prev + prev[:1]
+            dict_entries.append(entry)
+        else:
+            raise ValueError("GIF: LZW code out of range")
+        if n_out + len(entry) > expect:
+            raise ValueError("GIF: LZW output overflow")
+        out[n_out:n_out + len(entry)] = np.frombuffer(entry, np.uint8)
+        n_out += len(entry)
+        prev = entry
+        if len(dict_entries) == (1 << width) and width < 12:
+            width += 1
+        if n_out == expect:
+            break
+    if n_out != expect:
+        raise ValueError(f"GIF: LZW yielded {n_out} of {expect} pixels")
+    return out
+
+
+_DEINTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif_body(content: bytes) -> dict:
+    w, h, flags, bg, _aspect = struct.unpack("<HHBBB", content[6:13])
+    if not w or not h:
+        raise ValueError("GIF: empty logical screen")
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:] = gct[bg]
+    frames = []
+    transparent: "int | None" = None
+    while pos < len(content):
+        block = content[pos]
+        pos += 1
+        if block == 0x3B:                     # trailer
+            break
+        if block == 0x21:                     # extension
+            label = content[pos]
+            pos += 1
+            while True:
+                sz = content[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                if label == 0xF9 and sz >= 4:     # graphic control
+                    gc_flags = content[pos]
+                    transparent = (content[pos + 3]
+                                   if gc_flags & 1 else None)
+                pos += sz
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unknown block 0x{block:02X}")
+        fx, fy, fw, fh, fflags = struct.unpack("<HHHHB",
+                                               content[pos:pos + 9])
+        pos += 9
+        if fw == 0 or fh == 0 or fx + fw > w or fy + fh > h:
+            raise ValueError("GIF: frame outside logical screen")
+        pal = gct
+        if fflags & 0x80:
+            n = 2 << (fflags & 7)
+            pal = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF: no palette for frame")
+        mcs = content[pos]
+        pos += 1
+        chunks = []
+        while True:
+            sz = content[pos]
+            pos += 1
+            if sz == 0:
+                break
+            chunks.append(content[pos:pos + sz])
+            if len(chunks[-1]) != sz:
+                raise ValueError("GIF: truncated sub-block")
+            pos += sz
+        idx = _lzw_decode(mcs, b"".join(chunks), fw * fh).reshape(fh, fw)
+        if fflags & 0x40:                     # interlaced
+            de = np.empty_like(idx)
+            src = 0
+            for start, step in _DEINTERLACE:
+                rows = range(start, fh, step)
+                de[list(rows)] = idx[src:src + len(rows)]
+                src += len(rows)
+            idx = de
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF: palette index out of range")
+        # draw-over composition; transparency keeps the canvas pixel
+        region = canvas[fy:fy + fh, fx:fx + fw]
+        drawn = pal[idx]
+        if transparent is not None:
+            mask = (idx == transparent)[:, :, None]
+            drawn = np.where(mask, region, drawn)
+        canvas[fy:fy + fh, fx:fx + fw] = drawn
+        frames.append(canvas.copy())
+        transparent = None
+    if not frames:
+        raise ValueError("GIF: no image data")
+    return {"width": int(w), "height": int(h), "n_frames": len(frames),
+            "_pixels": frames[0],
+            "_frames": np.stack(frames)}
+
+
+def _lzw_encode(mcs: int, indices: np.ndarray) -> bytes:
+    """Real GIF LZW encoder (dictionary to 4096, clear on overflow) —
+    exercises the decoder's growing-width path."""
+    clear = 1 << mcs
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = mcs + 1
+    emit(clear, width)
+    prev = b""
+    for v in indices.ravel().tolist():
+        cur = prev + bytes([v])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4095:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = mcs + 1
+        prev = bytes([v])
+    if prev:
+        emit(table[prev], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _write_gif(idx_frames: np.ndarray, palette: np.ndarray) -> bytes:
+    """(n, h, w) uint8 palette indices + (256, 3) palette → GIF89a
+    bytes (one image block per frame)."""
+    n, h, w = idx_frames.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)   # 256-entry GCT
+    out += palette.astype(np.uint8).tobytes()
+    for f in range(n):
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([8])                      # LZW min code size
+        data = _lzw_encode(8, idx_frames[f])
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def encode_gif(frames: np.ndarray) -> bytes:
+    """(h, w) or (n, h, w) uint8 GRAYSCALE frames → GIF89a with a
+    256-gray global palette — LOSSLESS for gray inputs."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim == 2:
+        fr = fr[None]
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    return _write_gif(fr, pal)
+
+
+def encode_gif_rgb(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → single-frame GIF quantized onto a fixed
+    6×7×6 RGB cube (252 colors) — the deterministic palette path used
+    when ``resize_images`` re-encodes a decoded (RGB) GIF frame."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        return encode_gif(px)
+    if px.shape[2] == 1:
+        return encode_gif(px[:, :, 0])
+    # nearest-level quantization: worst per-channel error is half a
+    # level step (≤ 26 at 6 levels), vs a full step for floor binning
+    r = np.round(px[:, :, 0].astype(np.float64) * 5 / 255).astype(np.int32)
+    g = np.round(px[:, :, 1].astype(np.float64) * 6 / 255).astype(np.int32)
+    b = np.round(px[:, :, 2].astype(np.float64) * 5 / 255).astype(np.int32)
+    idx = ((r * 7 + g) * 6 + b).astype(np.uint8)
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    levels = lambda k: np.round(np.arange(k) * 255 / (k - 1)).astype(
+        np.uint8)
+    rr, gg, bb = np.meshgrid(levels(6), levels(7), levels(6),
+                             indexing="ij")
+    pal[:252] = np.stack([rr, gg, bb], axis=-1).reshape(252, 3)
+    return _write_gif(idx[None], pal)

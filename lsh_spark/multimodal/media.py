@@ -60,11 +60,13 @@ FEATURE_SCHEMA = StructType([
 # ---------------------------------------------------------------------------
 # real decoders for documented uncompressed formats
 #
-# The container has no media libraries, so compressed formats (JPEG/PNG/
-# MP3/MP4) stay behind the stub fallback.  These three RAW formats are
-# genuinely decoded — header parse, length validation, real pixel/sample
-# math in numpy — so the full pipeline (decode → feature → resize →
-# frame-sample) runs on real bytes end-to-end:
+# The container has no media libraries; the pure-stdlib codecs in
+# ``multimodal.png`` / ``.jpeg`` / ``.containers`` genuinely decode
+# PNG, baseline JPEG, BMP, GIF and RIFF/WAVE, so only MP3/MP4 remain
+# behind the digest stub.  These three RAW formats are the simplest
+# genuinely-decoded layer — header parse, length validation, real
+# pixel/sample math in numpy — so the full pipeline (decode → feature
+# → resize → frame-sample) runs on real bytes end-to-end:
 #
 #   RAWI (image): b"RAWI" | width u16 LE | height u16 LE | channels u8
 #                 | width*height*channels uint8 pixels (row-major, HWC)
@@ -127,34 +129,58 @@ def decode_raw_video(content: bytes) -> dict | None:
 
 
 def _decode_image(content: bytes) -> dict | None:
-    """Image decode chain: RAWI, then REAL PNG (pure-stdlib zlib codec,
-    ``multimodal.png``), then REAL baseline JPEG (pure-stdlib sequential
-    DCT codec, ``multimodal.jpeg``) — the two compressed formats
-    decodable without external libraries.  None → foreign bytes."""
+    """Image decode chain: RAWI, then the REAL pure-stdlib codecs —
+    PNG (``multimodal.png``), baseline JPEG (``multimodal.jpeg``), BMP
+    and GIF (``multimodal.containers``).  None → foreign bytes."""
     meta = decode_raw_image(content)
     if meta is not None:
         return meta
+    from .containers import decode_bmp, decode_gif
+    from .jpeg import decode_jpeg
     from .png import decode_png
 
-    meta = decode_png(content)
+    for dec in (decode_png, decode_jpeg, decode_bmp, decode_gif):
+        meta = dec(content)
+        if meta is not None:
+            return meta
+    return None
+
+
+def _decode_audio(content: bytes) -> dict | None:
+    """Audio decode chain: RAWA, then REAL RIFF/WAVE PCM
+    (``multimodal.containers.decode_wav``)."""
+    meta = decode_raw_audio(content)
     if meta is not None:
         return meta
-    from .jpeg import decode_jpeg
+    from .containers import decode_wav
 
-    return decode_jpeg(content)
+    return decode_wav(content)
+
+
+def _decode_video(content: bytes) -> dict | None:
+    """Video decode chain: RAWV, then animated GIF (real multi-frame
+    composition — ``n_frames``/``_frames`` come from actual image
+    blocks)."""
+    meta = decode_raw_video(content)
+    if meta is not None:
+        return meta
+    from .containers import decode_gif
+
+    return decode_gif(content)
 
 
 _RAW_DECODERS = {
     "image": _decode_image,
-    "audio": decode_raw_audio,
-    "video": decode_raw_video,
+    "audio": _decode_audio,
+    "video": _decode_video,
 }
 
 
 def _decode(kind: str, content: bytes) -> dict:
-    """RAW formats, PNG and baseline-JPEG images decode for real;
-    anything else falls back to the deterministic stub (remaining
-    compressed codecs — MP3/MP4 audio/video — need external libs).  Bytes that merely *start* with a known magic but
+    """RAW formats, PNG / baseline-JPEG / BMP / GIF images, WAV audio
+    and GIF video decode for real; anything else falls back to the
+    deterministic stub (the remaining compressed codecs — MP3/MP4 —
+    need external libs).  Bytes that merely *start* with a known magic but
     fail validation are treated as foreign (stub fallback) — the batch
     pipeline must stay total; strict deployments call the ``decode_*``
     functions directly."""
@@ -302,19 +328,30 @@ def encode_raw_image(pixels) -> bytes:
 
 
 def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
-    """Image resize (``mapInPandas``, batch-at-a-time).  RAWI, PNG and
-    baseline-JPEG payloads are REALLY resized — nearest-neighbor
-    resample over the decoded pixel array, re-encoded in the source's
-    own format (RAWI → RAWI, PNG → PNG, JPEG → JPEG) — so downstream
-    stages keep operating on decodable images.  Foreign payloads
-    (remaining compressed formats, no codec in this environment) fall
-    back to a deterministic digest-derived stand-in with the same
-    ``bytes -> bytes`` contract a PIL/opencv decoder would implement."""
+    """Image resize (``mapInPandas``, batch-at-a-time).  RAWI, PNG,
+    baseline-JPEG, BMP and GIF payloads are REALLY resized —
+    nearest-neighbor resample over the decoded pixel array, re-encoded
+    in the source's own format (RAWI → RAWI, PNG → PNG, JPEG → JPEG,
+    BMP → BMP, GIF → GIF via the fixed 6×7×6 quantizer; an animated
+    GIF resizes its first composed frame) — so downstream stages keep
+    operating on decodable images.  Foreign payloads (remaining
+    compressed formats, no codec in this environment) fall back to a
+    deterministic digest-derived stand-in with the same ``bytes ->
+    bytes`` contract a PIL/opencv decoder would implement."""
     import numpy as np
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .containers import (
+            decode_bmp,
+            decode_gif,
+            encode_bmp,
+            encode_gif_rgb,
+        )
         from .jpeg import decode_jpeg, encode_jpeg
         from .png import decode_png, encode_png
+
+        chain = ((decode_png, encode_png), (decode_jpeg, encode_jpeg),
+                 (decode_bmp, encode_bmp), (decode_gif, encode_gif_rgb))
 
         for pdf in batches:
             rows = []
@@ -325,12 +362,11 @@ def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
                 encode = encode_raw_image
                 try:
                     meta = decode_raw_image(content)
-                    if meta is None:
-                        meta = decode_png(content)
-                        encode = encode_png
-                    if meta is None:
-                        meta = decode_jpeg(content)
-                        encode = encode_jpeg
+                    for dec, enc in chain:
+                        if meta is not None:
+                            break
+                        meta = dec(content)
+                        encode = enc
                 except ValueError:
                     meta = None
                 if meta is not None:
@@ -377,21 +413,26 @@ def sample_frames(media: DataFrame, *, every_nth: int = 10,
                     continue
                 content = bytes(r["content"])
                 try:
-                    meta = decode_raw_video(content)
+                    meta = _decode_video(content)
                 except ValueError:
                     meta = None
                 if meta is not None:
                     # REAL sampling: slice the decoded frame array; each
-                    # frame re-encodes as a 1-channel RAWI so the output
-                    # composes with resize_images / extract_features
+                    # frame re-encodes as RAWI (1-channel for RAWV's
+                    # grayscale planes, 3-channel for GIF's RGB) so the
+                    # output composes with resize_images /
+                    # extract_features
                     frames = meta["_frames"]
                     taken = 0
                     for idx in range(0, meta["n_frames"], every_nth):
                         if taken >= max_frames:
                             break
+                        fr = frames[idx]
+                        if fr.ndim == 2:
+                            fr = fr[..., None]
                         rows.append({
                             "media_id": r["media_id"], "frame_idx": idx,
-                            "frame": encode_raw_image(frames[idx][..., None]),
+                            "frame": encode_raw_image(fr),
                         })
                         taken += 1
                     continue

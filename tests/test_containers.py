@@ -1,0 +1,257 @@
+"""Tests for the WAV/BMP/GIF container codecs
+(``lsh_spark.multimodal.containers``) and their wiring into the media
+pipeline: lossless round-trips where the format allows them, a
+hand-built GIF with interlacing and transparency, corruption handling,
+and the Spark-side feature/resize/frame-sample paths."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from lsh_spark.multimodal.containers import (
+    decode_bmp,
+    decode_gif,
+    decode_wav,
+    encode_bmp,
+    encode_gif,
+    encode_gif_rgb,
+    encode_wav,
+)
+
+
+def _rand(shape, seed=0, dtype=np.uint8, lo=0, hi=256):
+    rng = np.random.default_rng(seed)
+    return rng.integers(lo, hi, shape).astype(dtype)
+
+
+# --- WAV -------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(1,), (100,), (77, 2), (33, 6)])
+def test_wav_pcm16_round_trip(shape):
+    s = _rand(shape, seed=shape[0], dtype=np.int16, lo=-32768, hi=32767)
+    m = decode_wav(encode_wav(s, 22_050))
+    assert (m["n_frames"], m["_sample_rate"]) == (shape[0], 22_050)
+    assert m["_channels"] == (shape[1] if len(shape) > 1 else 1)
+    assert np.array_equal(m["_samples"], s)
+
+
+def test_wav_8_24_32_bit_and_float():
+    # 8-bit unsigned: hand-built fmt/data chunks
+    def wav(tag, bits, data, ch=1):
+        fmt = struct.pack("<HHIIHH", tag, ch, 8000, 8000, 1, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    m = decode_wav(wav(1, 8, bytes([0, 128, 255])))
+    assert m["_samples"].tolist() == [-32768, 0, 32512]
+    # 24-bit: value 0x010203 little-endian, and a negative one
+    m = decode_wav(wav(1, 24, bytes([0x03, 0x02, 0x01, 0xFF, 0xFF, 0xFF])))
+    assert m["_samples"].tolist() == [0x010203, -1]
+    # 32-bit int and float pass through natively
+    m = decode_wav(wav(1, 32, np.array([-7, 9], "<i4").tobytes()))
+    assert m["_samples"].tolist() == [-7, 9]
+    m = decode_wav(wav(3, 32, np.array([0.5, -1.25], "<f4").tobytes()))
+    assert m["_samples"].tolist() == [0.5, -1.25]
+    # compressed/extensible forms raise (stub fallback)
+    with pytest.raises(ValueError, match="unsupported format"):
+        decode_wav(wav(0xFFFE, 16, b"\x00\x00"))
+    with pytest.raises(ValueError, match="missing fmt"):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    assert decode_wav(b"RIFFxxxxAVI chunk") is None
+    assert decode_wav(None) is None
+
+
+# --- BMP -------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(7, 5, 3), (1, 1, 3), (8, 3, 1),
+                                   (3, 9, 4)])
+def test_bmp_24bit_round_trip(shape):
+    px = _rand(shape, seed=shape[1])
+    m = decode_bmp(encode_bmp(px))
+    want = (px if shape[2] == 3
+            else np.repeat(px, 3, 2) if shape[2] == 1 else px[:, :, :3])
+    assert (m["width"], m["height"], m["n_frames"]) == (
+        shape[1], shape[0], 1)
+    assert np.array_equal(m["_pixels"], want)
+
+
+def test_bmp_8bit_palette_and_top_down():
+    # hand-built 8-bit paletted BMP, top-down (negative height)
+    pal = bytes([255, 0, 0, 0,    # idx 0: BGR0 = blue 255 -> RGB (0,0,255)
+                 0, 255, 0, 0])   # idx 1: green
+    idx = np.array([[0, 1, 1], [1, 0, 0]], dtype=np.uint8)
+    h, w = idx.shape
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w] = idx
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 8, 0, rows.size,
+                      0, 0, 2, 0)
+    blob = (b"BM" + struct.pack("<IHHI", 0, 0, 0, 14 + 40 + len(pal))
+            + dib + pal + rows.tobytes())
+    m = decode_bmp(blob)
+    want = np.array([[0, 0, 255], [0, 255, 0]], np.uint8)[idx]
+    assert np.array_equal(m["_pixels"], want)
+    # palette index past the declared table raises
+    bad_rows = rows.copy()
+    bad_rows[0, 0] = 7
+    bad = (b"BM" + struct.pack("<IHHI", 0, 0, 0, 14 + 40 + len(pal))
+           + dib + pal + bad_rows.tobytes())
+    with pytest.raises(ValueError, match="palette index"):
+        decode_bmp(bad)
+
+
+def test_bmp_corrupt_and_unsupported_raise():
+    good = encode_bmp(_rand((4, 4, 3)))
+    with pytest.raises(ValueError):
+        decode_bmp(good[:30])
+    # RLE compression flag raises
+    bad = bytearray(good)
+    bad[30] = 1
+    with pytest.raises(ValueError, match="compression"):
+        decode_bmp(bytes(bad))
+    assert decode_bmp(b"not a bmp") is None
+
+
+# --- GIF -------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (6, 9), (31, 17)])
+def test_gif_gray_round_trip_lossless(shape):
+    g = _rand(shape, seed=shape[0])
+    m = decode_gif(encode_gif(g))
+    assert (m["width"], m["height"], m["n_frames"]) == (
+        shape[1], shape[0], 1)
+    assert np.array_equal(m["_pixels"], np.repeat(g[:, :, None], 3, 2))
+
+
+def test_gif_multiframe_and_dict_growth():
+    frames = _rand((4, 40, 50), seed=11)
+    m = decode_gif(encode_gif(frames))
+    assert m["n_frames"] == 4
+    for i in range(4):
+        assert np.array_equal(
+            m["_frames"][i], np.repeat(frames[i][:, :, None], 3, 2))
+
+
+def test_gif_interlace_transparency_and_subframe():
+    """Hand-built GIF89a: a 4x4 full frame, then an INTERLACED 4x2
+    sub-frame at (0, 2) whose transparent pixels keep the canvas —
+    exercises deinterlacing, graphic-control transparency, and frame
+    composition in one blob."""
+    from lsh_spark.multimodal.containers import _lzw_encode
+
+    pal = bytes(v for g in range(4) for v in (g * 80, g * 80, g * 80))
+    base = np.zeros((4, 4), np.uint8)
+    sub = np.array([[1, 3, 3, 1], [3, 1, 1, 3]], np.uint8)  # rows 0,1
+    # interlaced row order for height 2: pass1 row0, pass4 row1 — same
+    # order as natural here, but the flag exercises the deinterleave
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)   # 4-entry GCT
+    out += pal
+    for idx, (fx, fy, fw, fh, fl, gce) in (
+            (base, (0, 0, 4, 4, 0, None)),
+            (sub, (0, 2, 4, 2, 0x40, 1))):   # interlaced, transparent=1
+        if gce is not None:
+            out += b"\x21\xf9\x04" + bytes([1, 0, 0, gce]) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", fx, fy, fw, fh, fl)
+        out += bytes([2])
+        data = _lzw_encode(2, idx)
+        out += bytes([len(data)]) + data + b"\x00"
+    out += b"\x3b"
+    m = decode_gif(bytes(out))
+    assert m["n_frames"] == 2
+    want = np.zeros((4, 4, 3), np.uint8)
+    want[2] = [[0] * 3, [240] * 3, [240] * 3, [0] * 3]
+    want[3] = [[240] * 3, [0] * 3, [0] * 3, [240] * 3]
+    # transparent index 1 keeps the black canvas
+    want[2][0] = want[2][3] = [0, 0, 0]
+    want[3][1] = want[3][2] = [0, 0, 0]
+    assert np.array_equal(m["_frames"][1], want)
+
+
+def test_gif_rgb_quantizer_bounds():
+    px = _rand((9, 7, 3), seed=3)
+    m = decode_gif(encode_gif_rgb(px))
+    assert (m["width"], m["height"]) == (7, 9)
+    # 6/7/6 cube: worst-case per-channel error is half a level step
+    err = np.abs(m["_pixels"].astype(int) - px.astype(int)).max()
+    assert err <= 26
+
+
+def test_gif_corrupt_raises_foreign_none():
+    good = encode_gif(_rand((5, 5)))
+    with pytest.raises(ValueError):
+        decode_gif(good[:20])
+    trunc = bytearray(good)
+    with pytest.raises(ValueError):
+        decode_gif(bytes(trunc[:-10]))
+    assert decode_gif(b"JIF89a") is None
+    assert decode_gif(None) is None
+
+
+# --- pipeline wiring -------------------------------------------------------
+
+
+def test_extract_features_decodes_wav_bmp_gif(spark):
+    from lsh_spark.multimodal.media import MEDIA_SCHEMA, extract_features
+
+    s = _rand((1234,), dtype=np.int16, lo=-1000, hi=1000)
+    bmp_px = _rand((11, 13, 3), seed=5)
+    gif_fr = _rand((3, 6, 7), seed=6)
+    rows = [
+        (1, "audio", bytearray(encode_wav(s)), "audio/wav"),
+        (2, "image", bytearray(encode_bmp(bmp_px)), "image/bmp"),
+        (3, "video", bytearray(encode_gif(gif_fr)), "image/gif"),
+        (4, "audio", bytearray(b"ID3 opaque mp3 bytes"), "audio/mpeg"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_features(media).collect()}
+    assert out[1].n_frames == 1234                     # real sample count
+    assert (out[2].width, out[2].height) == (13, 11)   # real BMP dims
+    assert (out[3].width, out[3].height, out[3].n_frames) == (7, 6, 3)
+    assert out[4].n_frames is not None                 # stub fallback
+
+
+def test_resize_images_reencodes_bmp_and_gif(spark):
+    from lsh_spark.multimodal.media import MEDIA_SCHEMA, resize_images
+
+    bmp_px = _rand((8, 8, 3), seed=7)
+    gif_g = _rand((8, 8), seed=8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_bmp(bmp_px)), "image/bmp"),
+         (2, "image", bytearray(encode_gif(gif_g)), "image/gif")],
+        MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           resize_images(media, width=4, height=4).collect()}
+    m = decode_bmp(bytes(out[1].content))
+    assert np.array_equal(m["_pixels"], bmp_px[::2, ::2, :])
+    g = decode_gif(bytes(out[2].content))
+    assert (g["width"], g["height"]) == (4, 4)
+    # gray pixels sit exactly on the 6x7x6 cube only by luck; bound it
+    want = np.repeat(gif_g[::2, ::2, None], 3, 2)
+    assert np.abs(g["_pixels"].astype(int) - want.astype(int)).max() <= 26
+
+
+def test_sample_frames_from_animated_gif(spark):
+    from lsh_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        decode_raw_image,
+        sample_frames,
+    )
+
+    frames = _rand((5, 6, 7), seed=9)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(encode_gif(frames)), "image/gif")],
+        MEDIA_SCHEMA)
+    out = sorted(sample_frames(media, every_nth=2).collect(),
+                 key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in out] == [0, 2, 4]
+    got = decode_raw_image(bytes(out[1].frame))
+    assert np.array_equal(got["_pixels"],
+                          np.repeat(frames[2][:, :, None], 3, 2))

@@ -84,10 +84,11 @@ _REDUNDANT_TAIL = [
     "kmv_doc_stats",
     "tfidf_top_terms",
     "documents_upsert",
-    # round-6 NEW query: appended to the tail so head positions keep
-    # their driver-row history; carries a local sf0.01 gate-replica row
-    # + pytest until a later rotation gives it a driver row
+    # round-6 NEW queries: appended to the tail so head positions keep
+    # their driver-row history; each carries a local sf0.01 gate-replica
+    # row + pytest until a later rotation gives it a driver row
     "weighted_word_near_dup_pairs",
+    "media_container_features",
 ]
 
 

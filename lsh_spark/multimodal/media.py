@@ -299,6 +299,48 @@ def synthesize_raw_media_from_documents(docs: DataFrame) -> DataFrame:
         _synth, schema=MEDIA_SCHEMA)
 
 
+def synthesize_container_media_from_documents(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA frame whose blobs are REAL container-format payloads
+    — 24-bit BMP images, PCM16 WAV audio, multi-frame grayscale GIF
+    video (dimensions derived from doc_id, pixels/samples cycled from
+    the UTF-8 text bytes) — end-to-end decodable by the pure-stdlib
+    codecs in ``multimodal.containers``, no stub path touched.  The
+    dimension arithmetic is doc_id-only, so a SQL oracle predicts every
+    decoded metadata column without decoding anything."""
+    import numpy as np
+
+    from .containers import encode_bmp, encode_gif, encode_wav
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                doc_id = int(r["doc_id"])
+                src = np.frombuffer(
+                    r["text"].encode("utf-8") or b"\x00", dtype=np.uint8)
+                kind = ("image", "audio", "video")[doc_id % 3]
+                if kind == "image":
+                    w, h = 5 + doc_id % 9, 4 + (doc_id * 3) % 7
+                    px = np.resize(src, w * h * 3).reshape(h, w, 3)
+                    content, mime = encode_bmp(px), "image/bmp"
+                elif kind == "audio":
+                    n = 50 + (doc_id * 7) % 300
+                    samples = np.resize(src.astype("<i2") * 64, n)
+                    content, mime = encode_wav(samples), "audio/wav"
+                else:
+                    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                    n = 1 + doc_id % 4
+                    frames = np.resize(src, n * h * w).reshape(n, h, w)
+                    content, mime = encode_gif(frames), "image/gif"
+                rows.append({"media_id": doc_id, "kind": kind,
+                             "content": content, "mime": mime})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _synth, schema=MEDIA_SCHEMA)
+
+
 def media_dedup_by_digest(features: DataFrame) -> DataFrame:
     """Exact media dedup on content digest (the standard first pass before
     perceptual hashing)."""

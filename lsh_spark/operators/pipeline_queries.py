@@ -901,3 +901,40 @@ FROM merged
 
 QUERIES_LATE["documents_upsert"] = (documents_upsert,
                                     DOCUMENTS_UPSERT_ORACLE)
+
+
+def media_container_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTAINER-codec multimodal path through the driver gate:
+    documents synthesized into real 24-bit BMP / PCM16 WAV /
+    multi-frame GIF blobs, then genuinely decoded by the pure-stdlib
+    codecs (``multimodal.containers``) — the GIF frame count comes from
+    actually walking LZW-compressed image blocks.  n_bytes is excluded
+    (GIF's LZW length is not SQL-predictable); every emitted column is
+    doc_id arithmetic the DuckDB oracle reproduces exactly."""
+    from ..multimodal.media import (
+        extract_features,
+        synthesize_container_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(
+        synthesize_container_media_from_documents(docs)
+    ).select("media_id", "kind", "width", "height", "n_frames")
+
+
+MEDIA_CONTAINER_FEATURES_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       (CASE doc_id % 3 WHEN 0 THEN 5 + doc_id % 9
+             WHEN 1 THEN NULL ELSE 4 + doc_id % 5 END)::INT AS width,
+       (CASE doc_id % 3 WHEN 0 THEN 4 + (doc_id * 3) % 7
+             WHEN 1 THEN NULL ELSE 3 + doc_id % 4 END)::INT AS height,
+       (CASE doc_id % 3 WHEN 0 THEN 1
+             WHEN 1 THEN 50 + (doc_id * 7) % 300
+             ELSE 1 + doc_id % 4 END)::INT AS n_frames
+FROM documents
+"""
+
+QUERIES_LATE["media_container_features"] = (media_container_features,
+                                            MEDIA_CONTAINER_FEATURES_ORACLE)

@@ -255,3 +255,63 @@ def test_sample_frames_from_animated_gif(spark):
     got = decode_raw_image(bytes(out[1].frame))
     assert np.array_equal(got["_pixels"],
                           np.repeat(frames[2][:, :, None], 3, 2))
+
+
+# --- perceptual hashing ----------------------------------------------------
+
+
+def test_dhash_robust_to_reencode_and_noise(spark):
+    """dHash must match EXACTLY across formats for identical pixels
+    (PNG vs BMP re-encode), stay within a small Hamming distance under
+    mild noise, and separate a different image — the property exact
+    digest dedup lacks."""
+    from lsh_spark.multimodal.media import MEDIA_SCHEMA
+    from lsh_spark.multimodal.phash import dhash_images
+    from lsh_spark.multimodal.png import encode_png
+
+    rng = np.random.default_rng(12)
+    # smooth gradient: perceptual hashes are about structure, not noise
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = ((xx * 5 + yy * 2) % 256).astype(np.uint8)[:, :, None]
+    base = np.repeat(base, 3, axis=2)
+    noisy = base.astype(int) + rng.integers(-6, 7, base.shape)
+    noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, base.shape, dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_png(base)), "image/png"),
+        (2, "image", bytearray(encode_bmp(base)), "image/bmp"),
+        (3, "image", bytearray(encode_bmp(noisy)), "image/bmp"),
+        (4, "image", bytearray(encode_bmp(other)), "image/bmp"),
+        (5, "image", bytearray(b"undecodable"), "image/webp"),
+        (6, "audio", bytearray(encode_wav(np.zeros(10, np.int16))), "a/w"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r.dhash for r in dhash_images(media).collect()}
+    assert out[1] == out[2]                      # format-independent
+    assert out[1] is not None
+    ham = bin((out[1] ^ out[3]) & (2**64 - 1)).count("1")
+    assert ham <= 3                              # mild noise: near
+    ham_other = bin((out[1] ^ out[4]) & (2**64 - 1)).count("1")
+    assert ham_other > 10                        # different image: far
+    assert out[5] is None and out[6] is None     # foreign / non-image
+
+
+def test_image_near_dup_pairs_pigeonhole(spark):
+    from lsh_spark.multimodal.media import MEDIA_SCHEMA
+    from lsh_spark.multimodal.phash import image_near_dup_pairs
+
+    rng = np.random.default_rng(13)
+    yy, xx = np.mgrid[0:24, 0:24]
+    base = ((xx * 7 + yy * 3) % 256).astype(np.uint8)
+    near = np.clip(base.astype(int)
+                   + rng.integers(-5, 6, base.shape), 0, 255).astype(
+        np.uint8)
+    far = rng.integers(0, 256, base.shape, dtype=np.uint8)
+    rows = [(i, "image", bytearray(encode_bmp(px[:, :, None])), "image/bmp")
+            for i, px in ((1, base), (2, base), (3, near), (4, far))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in image_near_dup_pairs(media).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)

@@ -205,10 +205,22 @@ def _decode_body(content: bytes) -> dict:
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # a sequential-baseline file MAY split components across
+                # several scans; decoding only the first would silently
+                # return a grayscale image for a color file — refuse so
+                # callers fall back (same contract as progressive)
+                raise ValueError(
+                    "JPEG: unsupported non-interleaved scan layout "
+                    f"({ns} of {len(frame['comps'])} components in SOS)")
+            by_id = {c["id"]: c for c in frame["comps"]}
             scan = []
             for i in range(ns):
                 cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = by_id.get(cs)
+                if comp is None:
+                    raise ValueError(
+                        f"JPEG: SOS names undeclared component {cs}")
                 scan.append((comp, tds >> 4, tds & 0x0F))
             return _decode_scan(content, data_start, frame, scan, qt,
                                 huff_dc, huff_ac, restart)

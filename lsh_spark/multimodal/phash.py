@@ -10,12 +10,12 @@ row-major into ``hash_size²`` bits (64 at the default 8).  Everything
 runs inside one Arrow batch per partition; the signature column is a
 plain BIGINT, so the pair stage is pure JVM.
 
-Pairing reuses the simhash pigeonhole shape (``operators.dedup``):
-split 64 bits into 4 16-bit blocks — any pair within Hamming ≤ 3
-agrees on at least one block — equi-join per block, then an exact
-``bit_count`` verify.  Scale shape is identical to
-``simhash_near_dup_pairs``: blocking is an equi-join on (block_idx,
-block_val), ids + one long each, never pixels.
+Pairing goes through the shared generalized pigeonhole
+(``operators.hamming.hamming_block_pairs``): 64 bits split into
+``max_hamming + 1`` blocks — any qualifying pair agrees on ≥ 1 block —
+equi-join per block, then an exact ``bit_count`` verify.  Scale shape
+is identical to ``simhash_near_dup_pairs``: blocking is an equi-join
+on (block_idx, block_val), ids + one long each, never pixels.
 """
 
 from __future__ import annotations
@@ -87,41 +87,14 @@ def image_near_dup_pairs(
     hash_size: int = 8,
 ) -> DataFrame:
     """Image pairs whose dHash Hamming distance ≤ ``max_hamming``
-    (≤ 3 uses the 4×16-bit block pigeonhole, same machinery as
-    ``simhash_near_dup_pairs`` — any such pair agrees on ≥ 1 block).
-    Returns (id_a, id_b, hamming)."""
+    (exact for any ``max_hamming`` in [0, 32] — the shared pigeonhole
+    splits into ``max_hamming + 1`` blocks).  Returns (id_a, id_b,
+    hamming)."""
+    from ..operators.hamming import hamming_block_pairs
     from ..plans.cache import track
 
     sigs = dhash_images(media, hash_size=hash_size).where(
         F.col("dhash").isNotNull()).withColumnRenamed(
         "media_id", "__id").withColumnRenamed("dhash", "__sig")
     track(sigs.persist())
-
-    blocks = None
-    for b in range(4):
-        part = sigs.select(
-            "__id", "__sig",
-            F.lit(b).alias("block_idx"),
-            F.shiftright("__sig", b * 16).bitwiseAND(F.lit(0xFFFF))
-            .alias("block_val"),
-        )
-        blocks = part if blocks is None else blocks.unionAll(part)
-
-    a = blocks.select(F.col("__id").alias("id_a"),
-                      F.col("__sig").alias("__sig_a"),
-                      "block_idx", "block_val")
-    b_ = blocks.select(F.col("__id").alias("id_b"),
-                       F.col("__sig").alias("__sig_b"),
-                       "block_idx", "block_val")
-    cand = (
-        a.join(b_, on=["block_idx", "block_val"], how="inner")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sig_a", "__sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b")))
-    return (
-        cand.withColumn("hamming", hamming)
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return hamming_block_pairs(sigs, max_hamming=max_hamming)

@@ -356,24 +356,39 @@ def build_ngram_bloom(bench_grams: DataFrame, gram_col: str = "ng",
         np.bitwise_or.at(bits, pos // 8,
                          np.left_shift(np.uint8(1), (pos % 8)
                                        .astype(np.uint8)))
-        return pd.DataFrame({"bits": [bits.tobytes()]})
+        return pd.DataFrame({"grp": [int(pdf["grp"].iloc[0])],
+                             "bits": [bits.tobytes()]})
 
     def or_partials(pdf: "pd.DataFrame") -> "pd.DataFrame":
         acc = np.zeros(nbytes, dtype=np.uint8)
         for b in pdf["bits"]:
             np.bitwise_or(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
-        return pd.DataFrame({"bits": [acc.tobytes()]})
+        return pd.DataFrame({"grp": [int(pdf["grp"].iloc[0])],
+                             "bits": [acc.tobytes()]})
 
     partials = (
         distinct
         .withColumn("grp",
                     (F.spark_partition_id() % build_groups).cast("int"))
         .groupBy("grp")
-        .applyInPandas(lambda pdf: hash_and_or(pdf), "bits binary")
+        .applyInPandas(lambda pdf: hash_and_or(pdf),
+                       "grp int, bits binary")
+    )
+    # two-level OR tree: a single final group would ship all
+    # build_groups bitmaps (~64 x m/8 bytes — hundreds of MB at the
+    # 10M-gram example) into ONE task; the mid stage caps every task at
+    # ~8 bitmaps, and the driver fetch stays one m/8-byte row
+    mid = (
+        partials.withColumn("grp", (F.col("grp") % 8).cast("int"))
+        .groupBy("grp")
+        .applyInPandas(lambda pdf: or_partials(pdf),
+                       "grp int, bits binary")
     )
     final = (
-        partials.groupBy(F.lit(0).alias("g"))
-        .applyInPandas(lambda pdf: or_partials(pdf), "bits binary")
+        mid.withColumn("grp", F.lit(0).cast("int"))
+        .groupBy("grp")
+        .applyInPandas(lambda pdf: or_partials(pdf),
+                       "grp int, bits binary")
     )
     bits = np.frombuffer(final.first()["bits"], dtype=np.uint8).copy()
     return bits, m, k, n_items

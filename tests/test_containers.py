@@ -315,3 +315,30 @@ def test_image_near_dup_pairs_pigeonhole(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and (2, 3) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_hamming_block_pairs_general_distance(spark):
+    """The generalized pigeonhole must be EXACT past distance 3 — the
+    case a fixed 4x16 split silently loses: signatures differing by one
+    bit in each of 4 sixteen-bit quarters share no quarter, but DO
+    share one of the 6 blocks at max_hamming=5."""
+    import pytest as _pytest
+
+    from lsh_spark.operators.hamming import hamming_block_pairs
+
+    a = 0
+    b = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)   # one bit per quarter
+    sigs = spark.createDataFrame([(1, a), (2, b), (3, 0x7F)],
+                                 "__id long, __sig long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in hamming_block_pairs(sigs, max_hamming=5).collect()}
+    assert got[(1, 2)] == 4            # recovered despite 4 spread bits
+    assert (1, 3) not in got           # hamming 7 > 5
+    # exact-duplicate mode and the out-of-range guard
+    dup = spark.createDataFrame([(1, 42), (2, 42), (3, 43)],
+                                "__id long, __sig long")
+    got0 = {(r.id_a, r.id_b) for r in
+            hamming_block_pairs(dup, max_hamming=0).collect()}
+    assert got0 == {(1, 2)}
+    with _pytest.raises(ValueError, match="out of"):
+        hamming_block_pairs(sigs, max_hamming=33)

@@ -193,3 +193,23 @@ if _HAVE_HYP:
             pass
         assert decode_jpeg(
             data if data[:2] != b"\xff\xd8" else b"x" + data) is None
+
+
+def test_non_interleaved_scan_and_undeclared_component_raise():
+    """Multi-scan baseline layouts and SOS/SOF component mismatches
+    must raise ValueError (stub fallback), never decode partially or
+    leak StopIteration through the ValueError contract."""
+    good = encode_jpeg(_rand_px(8, 8, 3, seed=1))
+    # locate the SOS segment (FFDA) and rewrite its component list
+    sos = good.index(b"\xff\xda")
+    ln = struct.unpack(">H", good[sos + 2:sos + 4])[0]
+    # (a) single-component scan of a 3-component frame
+    one_comp = (good[:sos] + b"\xff\xda" + struct.pack(">H", 8)
+                + bytes([1, 1, 0x00, 0, 63, 0]) + good[sos + 2 + ln:])
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(one_comp)
+    # (b) scan naming a component id SOF never declared
+    bad_ids = bytearray(good)
+    bad_ids[sos + 5] = 9                 # first scan component id -> 9
+    with pytest.raises(ValueError, match="undeclared component"):
+        decode_jpeg(bytes(bad_ids))

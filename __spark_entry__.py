@@ -89,6 +89,10 @@ _REDUNDANT_TAIL = [
     # row + pytest until a later rotation gives it a driver row
     "weighted_word_near_dup_pairs",
     "media_container_features",
+    "image_dhash_signatures",
+    "image_dhash_near_dup_pairs",
+    "pii_scrub_stats",
+    "line_dedup_docs",
 ]
 
 

@@ -341,6 +341,40 @@ def synthesize_container_media_from_documents(docs: DataFrame) -> DataFrame:
         _synth, schema=MEDIA_SCHEMA)
 
 
+def synthesize_gradient_images_from_documents(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA frame of REAL 24-bit BMP images whose pixels are PURE
+    doc_id arithmetic — gray value at (x, y) is
+    ``(doc_id*7 + 13*x + 31*y) % 256`` in all three channels, dimensions
+    ``w = 9 + doc_id % 7``, ``h = 8 + (doc_id*3) % 5`` (≥ the 9×8 dHash
+    sample grid).  Because the dHash resample is nearest-neighbor on an
+    integer grid (``phash._dhash_pixels``), the full 64-bit signature of
+    every image is a closed-form function of doc_id that a SQL oracle
+    reproduces exactly — this is the gate corpus for the perceptual-hash
+    queries."""
+    import numpy as np
+
+    from .containers import encode_bmp
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 9 + d % 7, 8 + (d * 3) % 5
+                xs = np.arange(w, dtype=np.int64)
+                ys = np.arange(h, dtype=np.int64)
+                gray = ((d * 7 + 13 * xs[None, :] + 31 * ys[:, None])
+                        % 256).astype(np.uint8)
+                px = np.repeat(gray[:, :, None], 3, axis=2)
+                rows.append({"media_id": d, "kind": "image",
+                             "content": encode_bmp(px),
+                             "mime": "image/bmp"})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
 def media_dedup_by_digest(features: DataFrame) -> DataFrame:
     """Exact media dedup on content digest (the standard first pass before
     perceptual hashing)."""

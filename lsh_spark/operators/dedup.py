@@ -70,6 +70,63 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# line-level dedup (C4 / RefinedWeb-style duplicated-line removal)
+# ---------------------------------------------------------------------------
+
+def dedup_lines_df(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide duplicated-LINE removal — the C4/CCNet boilerplate
+    pass: every line that occurs more than once across the whole corpus
+    is kept only at its first occurrence (lowest ``(id, pos)``), all
+    later copies are dropped, and documents are rebuilt from their
+    surviving lines in order.
+
+    Returns (id, n_lines, n_kept, clean_text).
+
+    Scale shape: the winner-per-line step is a single hash-aggregate
+    ``min(struct(id, pos))`` grouped by the line's md5 digest — lines
+    shuffle as constant-width digests (never text), partial aggregation
+    combines map-side, and no window over an unbounded partition exists
+    (a boilerplate line duplicated 10⁹ times is ONE group whose min is
+    computed in the combiner).  Kept positions roll up to one small
+    int-array per doc, which joins back onto the corpus scan by id —
+    the only payload-bearing shuffle is that final by-id join, linear in
+    the corpus with no skew amplification.  Deployments beyond oracle
+    reach can swap md5 for ``xxhash64(line, length(line))`` to halve the
+    digest shuffle width."""
+    lines_col = F.split(F.col(text_col), sep, -1)
+    base = docs.select(id_col, text_col).withColumn("__lines", lines_col)
+    flat = base.select(
+        id_col, F.posexplode("__lines").alias("pos", "__line"))
+    hashed = flat.select(id_col, "pos", F.md5("__line").alias("__h"))
+    winners = (
+        hashed.groupBy("__h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+        .select(F.col(f"w.{id_col}").alias(id_col),
+                F.col("w.pos").alias("pos"))
+    )
+    kept = winners.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("__kept"))
+    kp = F.coalesce(F.col("__kept"), F.array().cast("array<int>"))
+    return (
+        base.join(kept, on=id_col, how="left")
+        .select(
+            id_col,
+            F.size("__lines").alias("n_lines"),
+            F.size(kp).alias("n_kept"),
+            F.array_join(
+                F.transform(kp, lambda i: F.get("__lines", i)),
+                sep).alias("clean_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

@@ -938,3 +938,253 @@ FROM documents
 
 QUERIES_LATE["media_container_features"] = (media_container_features,
                                             MEDIA_CONTAINER_FEATURES_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (dHash) — gate corpus is the gradient-BMP
+# synthesizer, whose pixels are pure doc_id arithmetic: the nearest-
+# neighbor 9×8 resample inside ``phash._dhash_pixels`` samples gray value
+# (doc_id*7 + 13*x + 31*y) % 256 at x = (c*w)//9, y = (r*h)//8, so every
+# signature bit — and therefore the packed BIGINT and the Hamming pairs —
+# is a closed-form function of doc_id the DuckDB oracle evaluates without
+# decoding a single byte, while the Spark side genuinely round-trips
+# through the BMP codec and the shared decode chain.
+# ---------------------------------------------------------------------------
+
+_DHASH_PAIR_MAX_HAMMING = 2
+
+
+def _dhash_gradient_sigs_cte() -> str:
+    """CTE text computing the exact dHash BIGINT per doc_id (two 32-bit
+    halves summed in HUGEINT, then two's-complement to signed 64 — the
+    same u64→int64 idiom as the MinHash oracles)."""
+
+    def gray(c: int, r: int) -> str:
+        # gray value sampled at grid column c (0..8), grid row r (0..7)
+        return (f"((doc_id*7 + 13*(({c} * w) // 9)"
+                f" + 31*(({r} * h) // 8)) % 256)")
+
+    lo_terms, hi_terms = [], []
+    for i in range(64):
+        r, c = divmod(i, 8)
+        cond = f"{gray(c + 1, r)} > {gray(c, r)}"
+        if i < 32:
+            lo_terms.append(f"CASE WHEN {cond} THEN {1 << i} ELSE 0 END")
+        else:
+            hi_terms.append(f"CASE WHEN {cond} THEN {1 << (i - 32)} ELSE 0 END")
+    lo = " + ".join(lo_terms)
+    hi = " + ".join(hi_terms)
+    return f"""
+dims AS (
+  SELECT doc_id, 9 + doc_id % 7 AS w, 8 + (doc_id * 3) % 5 AS h
+  FROM documents
+),
+halves AS (
+  SELECT doc_id, ({lo})::HUGEINT AS lo, ({hi})::HUGEINT AS hi FROM dims
+),
+sigs AS (
+  SELECT doc_id AS media_id,
+         (CASE WHEN lo + hi * 4294967296 >= 9223372036854775808
+               THEN lo + hi * 4294967296 - 18446744073709551616
+               ELSE lo + hi * 4294967296 END)::BIGINT AS dhash
+  FROM halves
+)"""
+
+
+def image_dhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash gate query #1: dHash signatures over REAL BMP
+    decode (``multimodal.phash.dhash_images``) of the gradient corpus —
+    the oracle predicts all 64 bits arithmetically."""
+    from ..multimodal.media import synthesize_gradient_images_from_documents
+    from ..multimodal.phash import dhash_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dhash_images(synthesize_gradient_images_from_documents(docs))
+
+
+IMAGE_DHASH_SIGNATURES_ORACLE = f"""
+WITH {_dhash_gradient_sigs_cte()}
+SELECT media_id, dhash FROM sigs
+"""
+
+
+def image_dhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash gate query #2: image pairs within Hamming distance
+    {_DHASH_PAIR_MAX_HAMMING} of each other's dHash — the generalized
+    pigeonhole blocking (``operators.hamming``) end-to-end, verified by
+    the oracle's exact all-pairs ``bit_count(xor(...))`` self-join."""
+    from ..multimodal.media import synthesize_gradient_images_from_documents
+    from ..multimodal.phash import image_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_near_dup_pairs(
+        synthesize_gradient_images_from_documents(docs),
+        max_hamming=_DHASH_PAIR_MAX_HAMMING,
+    )
+
+
+IMAGE_DHASH_PAIRS_ORACLE = f"""
+WITH {_dhash_gradient_sigs_cte()}
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       bit_count(xor(a.dhash, b.dhash))::INT AS hamming
+FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {_DHASH_PAIR_MAX_HAMMING}
+"""
+
+
+QUERIES_LATE["image_dhash_signatures"] = (image_dhash_signatures,
+                                          IMAGE_DHASH_SIGNATURES_ORACLE)
+QUERIES_LATE["image_dhash_near_dup_pairs"] = (image_dhash_near_dup_pairs,
+                                              IMAGE_DHASH_PAIRS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub — the corpus has no real PII, so the gate plants it
+# deterministically (doc_id arithmetic both sides: an email for every
+# even doc, an IPv4 for every doc_id % 3 == 0, a phone for every doc),
+# then counts and redacts with the shared Java/RE2-common patterns.
+# ---------------------------------------------------------------------------
+
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub gate query: plant deterministic emails / IPv4s / phone
+    numbers into the corpus, then count and redact them
+    (``functions.pii``) — all JVM ``regexp_count`` / ``regexp_replace``,
+    a pure per-row map with no shuffle at any scale."""
+    from ..functions import pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 2 == 0,
+                   F.concat(F.lit(" contact user"), d.cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(d % 3 == 0,
+                   F.concat(F.lit(" from 10."), (d % 256).cast("string"),
+                            F.lit(".0."),
+                            ((d * 7) % 256).cast("string"))
+                   ).otherwise(F.lit("")),
+            F.lit(" call 555-"),
+            F.lpad(((d * 13) % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((d * 29) % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        pii.email_count("text").alias("n_emails"),
+        pii.ipv4_count("text").alias("n_ips"),
+        pii.phone_count("text").alias("n_phones"),
+        pii.redact_pii("text").alias("clean_text"),
+    )
+
+
+PII_SCRUB_STATS_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' from 10.' || (doc_id % 256) || '.0.'
+                      || ((doc_id * 7) % 256)
+                 ELSE '' END
+         || ' call 555-' || lpad(((doc_id * 13) % 1000)::VARCHAR, 3, '0')
+         || '-' || lpad(((doc_id * 29) % 10000)::VARCHAR, 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT
+           AS n_emails,
+       len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ips,
+       len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))::INT
+           AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+           'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean_text
+FROM planted
+"""
+
+
+QUERIES_LATE["pii_scrub_stats"] = (pii_scrub_stats, PII_SCRUB_STATS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (C4/CCNet boilerplate removal) — the corpus has no
+# newline structure, so the gate plants it: every doc becomes 3-4 lines
+# (its own text + shared boilerplate + one of 20 rotating footer lines),
+# and the duplicated-line pass must keep each repeated line only at its
+# first (doc_id, pos) occurrence while rebuilding every doc in order.
+# ---------------------------------------------------------------------------
+
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-line removal gate query
+    (``operators.dedup.dedup_lines_df``): winner-per-line is a digest
+    hash-aggregate (lines shuffle as md5, never text), kept positions
+    roll up to one int-array per doc and join back by id."""
+    from .dedup import dedup_lines_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nAll rights reserved."),
+            F.when(d % 2 == 0,
+                   F.lit("\nSubscribe to our newsletter today")
+                   ).otherwise(F.lit("")),
+            F.lit("\nvisit shop "), (d % 20).cast("string"),
+        ).alias("text"),
+    )
+    return dedup_lines_df(planted)
+
+
+LINE_DEDUP_ORACLE = """
+WITH planted AS (
+  SELECT doc_id,
+         text || chr(10) || 'All rights reserved.'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN chr(10) || 'Subscribe to our newsletter today'
+                 ELSE '' END
+         || chr(10) || 'visit shop ' || (doc_id % 20) AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted
+),
+flat AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(0, len(ls)),
+                      i -> {'pos': i, 'line': ls[i + 1]})) AS u
+        FROM base)
+),
+winners AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY line
+                              ORDER BY doc_id, pos) AS rn
+    FROM flat)
+  WHERE rn = 1
+),
+kept AS (
+  SELECT doc_id, list_sort(list(pos)) AS kp FROM winners GROUP BY doc_id
+)
+SELECT b.doc_id,
+       len(b.ls)::INT AS n_lines,
+       coalesce(len(a.kp), 0)::INT AS n_kept,
+       coalesce(array_to_string(list_transform(a.kp,
+                    i -> b.ls[i + 1]), chr(10)), '') AS clean_text
+FROM base b LEFT JOIN kept a USING (doc_id)
+"""
+
+
+QUERIES_LATE["line_dedup_docs"] = (line_dedup_docs, LINE_DEDUP_ORACLE)

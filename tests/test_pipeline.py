@@ -1383,3 +1383,60 @@ def test_weighted_word_mode_separates_tf_profiles(spark):
     with _pytest.raises(ValueError, match="unknown shingle mode"):
         lsh_self_dedup_pairs(df, "text", id_col="doc_id",
                              shingle="wieghted_word")
+
+
+def test_dedup_lines_keeps_first_occurrence_and_rebuilds(spark):
+    """C4-style duplicated-line removal: a line repeated across docs
+    survives only at its lowest (doc_id, pos); docs rebuild from their
+    surviving lines in order; a doc whose every line is a later copy
+    collapses to the empty string (n_kept = 0)."""
+    from lsh_spark.operators.dedup import dedup_lines_df
+
+    rows = [
+        (1, "alpha\nshared footer\nbeta"),
+        (2, "gamma\nshared footer"),          # footer is a later copy
+        (3, "shared footer"),                 # loses its ONLY line
+        (4, "alpha"),                         # dup of doc 1 line 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_lines_df(df).collect()}
+    assert (got[1].n_lines, got[1].n_kept) == (3, 3)
+    assert got[1].clean_text == "alpha\nshared footer\nbeta"
+    assert (got[2].n_lines, got[2].n_kept) == (2, 1)
+    assert got[2].clean_text == "gamma"
+    assert (got[3].n_lines, got[3].n_kept) == (1, 0)
+    assert got[3].clean_text == ""
+    assert (got[4].n_lines, got[4].n_kept) == (1, 0)
+
+
+def test_pii_redaction_counts_and_placeholders(spark):
+    """functions.pii: counts and global redaction for all three pattern
+    families, zero-signal rows untouched, multiple occurrences all
+    replaced."""
+    from pyspark.sql import functions as F
+
+    from lsh_spark.functions import pii
+
+    rows = [
+        (1, "mail a@b.io and c.d+e@f-g.org, ip 10.0.0.1, call "
+            "555-123-4567 or 555-000-1111"),
+        (2, "no pii here at all"),
+        (3, "edge 999.999.999.999 still ipv4-shaped; not-a-phone "
+            "5551234567"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r for r in df.select(
+        "id",
+        pii.email_count("text").alias("e"),
+        pii.ipv4_count("text").alias("i"),
+        pii.phone_count("text").alias("p"),
+        pii.redact_pii(F.col("text")).alias("clean"),
+    ).collect()}
+    assert (out[1].e, out[1].i, out[1].p) == (2, 1, 2)
+    assert out[1].clean == ("mail <EMAIL> and <EMAIL>, ip <IP>, call "
+                            "<PHONE> or <PHONE>")
+    assert (out[2].e, out[2].i, out[2].p) == (0, 0, 0)
+    assert out[2].clean == "no pii here at all"
+    # the documented contract: IPv4-SHAPED (no octet range check), and
+    # phones need separators
+    assert (out[3].e, out[3].i, out[3].p) == (0, 1, 0)

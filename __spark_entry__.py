@@ -93,6 +93,7 @@ _REDUNDANT_TAIL = [
     "image_dhash_near_dup_pairs",
     "pii_scrub_stats",
     "line_dedup_docs",
+    "audio_signal_features",
 ]
 
 

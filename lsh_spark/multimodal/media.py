@@ -375,6 +375,35 @@ def synthesize_gradient_images_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
 
 
+def synthesize_tone_audio_from_documents(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA frame of REAL PCM16 WAV clips whose samples are PURE
+    doc_id arithmetic — sample ``i`` of doc ``d`` is
+    ``((d*31 + i*97) % 4001) - 2000`` over ``n = 50 + (d*7) % 300``
+    samples.  Every downstream integer signal statistic (energy,
+    zero-crossings, peak) is a closed-form function of doc_id a SQL
+    oracle evaluates without decoding — the gate corpus for
+    ``multimodal.audio.audio_signal_stats``."""
+    import numpy as np
+
+    from .containers import encode_wav
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 50 + (d * 7) % 300
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 31 + i * 97) % 4001 - 2000).astype("<i2")
+                rows.append({"media_id": d, "kind": "audio",
+                             "content": encode_wav(samples),
+                             "mime": "audio/wav"})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
 def media_dedup_by_digest(features: DataFrame) -> DataFrame:
     """Exact media dedup on content digest (the standard first pass before
     perceptual hashing)."""

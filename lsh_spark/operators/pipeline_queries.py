@@ -1188,3 +1188,47 @@ FROM base b LEFT JOIN kept a USING (doc_id)
 
 
 QUERIES_LATE["line_dedup_docs"] = (line_dedup_docs, LINE_DEDUP_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# audio signal stats — the WAV twin of the gradient-BMP corpus: clips are
+# synthesized from pure doc_id arithmetic, genuinely encoded to and
+# decoded from RIFF/WAVE PCM16, and the integer signal statistics are
+# closed-form in SQL.
+# ---------------------------------------------------------------------------
+
+def audio_signal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio gate query: energy / zero-crossing / peak statistics
+    (``multimodal.audio.audio_signal_stats``) over REAL WAV decode of
+    the tone corpus — all-integer accumulation, so the oracle's
+    list-arithmetic replay is bit-exact."""
+    from ..multimodal.audio import audio_signal_stats
+    from ..multimodal.media import synthesize_tone_audio_from_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_signal_stats(synthesize_tone_audio_from_documents(docs))
+
+
+AUDIO_SIGNAL_FEATURES_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 50 + (doc_id * 7) % 300 AS n FROM documents
+),
+vals AS (
+  SELECT doc_id, n,
+         list_transform(range(0, n),
+                        i -> ((doc_id*31 + i*97) % 4001) - 2000) AS v
+  FROM p
+)
+SELECT doc_id AS media_id,
+       n::INT AS n_samples,
+       list_sum(list_transform(v, x -> x * x))::BIGINT AS sum_sq,
+       list_sum(list_transform(range(1, n),
+                i -> CASE WHEN (v[i] < 0) <> (v[i + 1] < 0)
+                     THEN 1 ELSE 0 END))::INT AS n_sign_changes,
+       list_max(list_transform(v, x -> abs(x)))::INT AS peak
+FROM vals
+"""
+
+
+QUERIES_LATE["audio_signal_features"] = (audio_signal_features,
+                                         AUDIO_SIGNAL_FEATURES_ORACLE)

@@ -342,3 +342,33 @@ def test_hamming_block_pairs_general_distance(spark):
     assert got0 == {(1, 2)}
     with _pytest.raises(ValueError, match="out of"):
         hamming_block_pairs(sigs, max_hamming=33)
+
+
+def test_audio_signal_stats_exact_and_null_contract(spark):
+    """audio_signal_stats: exact integer stats for PCM16 WAV, channel-0
+    convention for stereo, NULLs for non-audio / undecodable / float
+    rows."""
+    import numpy as np
+
+    from lsh_spark.multimodal.audio import audio_signal_stats
+    from lsh_spark.multimodal.containers import encode_wav
+
+    mono = np.array([3, -4, 0, 5], dtype="<i2")       # 2 sign changes:
+    # neg flags = F T F F -> changes at 1->2 and 2? (F,T)(T,F)(F,F) = 2
+    stereo = np.array([[-1, 100], [2, -100], [-3, 100]], dtype="<i2")
+    rows = [
+        (1, "audio", bytearray(encode_wav(mono)), "audio/wav"),
+        (2, "audio", bytearray(encode_wav(stereo)), "audio/wav"),
+        (3, "audio", bytearray(b"not a wav at all"), "audio/wav"),
+        (4, "image", bytearray(encode_wav(mono)), "audio/wav"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary, mime string")
+    got = {r.media_id: r for r in audio_signal_stats(df).collect()}
+    assert (got[1].n_samples, got[1].sum_sq, got[1].n_sign_changes,
+            got[1].peak) == (4, 9 + 16 + 0 + 25, 2, 5)
+    # stereo: channel 0 = [-1, 2, -3]
+    assert (got[2].n_samples, got[2].sum_sq, got[2].n_sign_changes,
+            got[2].peak) == (3, 1 + 4 + 9, 2, 3)
+    assert got[3].n_samples is None and got[3].sum_sq is None
+    assert got[4].n_samples is None

@@ -94,6 +94,7 @@ _REDUNDANT_TAIL = [
     "pii_scrub_stats",
     "line_dedup_docs",
     "audio_signal_features",
+    "unigram_logprob_scores",
 ]
 
 

@@ -1232,3 +1232,107 @@ FROM vals
 
 QUERIES_LATE["audio_signal_features"] = (audio_signal_features,
                                          AUDIO_SIGNAL_FEATURES_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# unigram log-probability quality score (CCNet-style LM filter, with the
+# corpus itself as the LM) — the standard perplexity-flavored quality
+# signal a pipeline thresholds on before training.
+# ---------------------------------------------------------------------------
+
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution: ``(Σ_w c_w·ln(freq_w/N)) / n_tokens`` folded
+    left-to-right over the doc's SORTED distinct words (the
+    ``word_entropy`` exactness recipe — both engines run the identical
+    IEEE summation order, so only the terminal 6-dp round is needed).
+
+    Scale shape: one explode feeds both the per-(doc, word) counts and —
+    by a second aggregation of those counts, never a second scan — the
+    corpus unigram table; the vocabulary joins back by word (vocab ≪
+    corpus, broadcast-able); the per-doc fold runs over distinct words
+    per doc.  The interpreted ``F.aggregate`` fold is linear per doc
+    (unlike the quadratic nested HOF ``repetition_stats`` evicted);
+    corpora with 10⁵-distinct-word documents should swap in the
+    ``_core.batch.segment_sequential_sums`` Arrow kernel, which
+    reproduces the same column-major sequential fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .training_ops import _words
+
+    dc = (
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("__w"))
+        .groupBy("doc_id", "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    freq = dc.groupBy("__w").agg(F.sum("__c").alias("__cw"))
+    total = freq.agg(F.sum("__cw").alias("__n"))
+    terms = (
+        dc.join(freq, "__w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "__c",
+            F.struct(
+                F.col("__w"),
+                (F.col("__c").cast("double")
+                 * F.log(F.col("__cw").cast("double")
+                         / F.col("__n").cast("double"))).alias("__t"),
+            ).alias("__wt"),
+        )
+    )
+    collected = terms.groupBy("doc_id").agg(
+        F.sum("__c").alias("n_tokens"),
+        F.sort_array(F.collect_list("__wt")).alias("__arr"),
+    )
+    return (
+        docs.select("doc_id").join(collected, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.aggregate(F.col("__arr"), F.lit(0.0),
+                                lambda a, x: a + x["__t"])
+                    / F.col("n_tokens"), 6),
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            t -> t <> '')) AS w
+  FROM documents
+),
+dc AS (
+  SELECT doc_id, w, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, w
+),
+freq AS (
+  SELECT w, sum(c)::BIGINT AS cw FROM dc GROUP BY w
+),
+tot AS (
+  SELECT sum(cw)::BIGINT AS n FROM freq
+),
+terms AS (
+  SELECT d.doc_id, d.w, d.c,
+         d.c::DOUBLE * ln(f.cw::DOUBLE / t.n::DOUBLE) AS t
+  FROM dc d JOIN freq f USING (w) CROSS JOIN tot t
+),
+agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+         list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY w)),
+                     (a, b) -> a + b) AS s
+  FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       CASE WHEN a.n_tokens > 0
+            THEN round(a.s / a.n_tokens, 6) END AS avg_logprob
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+QUERIES_LATE["unigram_logprob_scores"] = (unigram_logprob_scores,
+                                          UNIGRAM_LOGPROB_ORACLE)

@@ -310,6 +310,85 @@ def training() -> None:
     spark.stop()
 
 
+def cleaning() -> None:
+    """Scale curves for the round-6 cleaning/multimodal ops: line-level
+    dedup (planted boilerplate — the winner-aggregate is the scale
+    surface), PII scrub (pure map, expected flat per row), dHash pair
+    mining over real BMP decode, and WAV signal stats."""
+    from pyspark import StorageLevel
+
+    from lsh_spark.multimodal.audio import audio_signal_stats
+    from lsh_spark.multimodal.media import (
+        synthesize_gradient_images_from_documents,
+        synthesize_tone_audio_from_documents,
+    )
+    from lsh_spark.multimodal.phash import image_near_dup_pairs
+    from lsh_spark.operators.dedup import dedup_lines_df
+    from lsh_spark.functions import pii
+    from lsh_spark.plans import get_spark
+    from lsh_spark.sources.io import load_table
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 5, 20]
+    spark = get_spark(app_name="lsh_spark-scale-check-clean")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n_base = base.count()
+    for rep in reps:
+        d = F.col("doc_id")
+        docs = (
+            base.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("doc_id") * rep + F.col("__rep")).alias("doc_id"),
+                # the gate's planted boilerplate: replication multiplies
+                # the duplicate-line hit rate, the worst case for the
+                # winner aggregate
+                F.concat(
+                    F.col("text"),
+                    F.lit("\nAll rights reserved."),
+                    F.when(F.col("doc_id") % 2 == 0,
+                           F.lit("\nSubscribe to our newsletter today")
+                           ).otherwise(F.lit("")),
+                    F.lit("\nvisit shop "),
+                    (F.col("doc_id") % 20).cast("string"),
+                ).alias("text"),
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        docs.count()
+        t0 = time.perf_counter()
+        n_dropped = dedup_lines_df(docs).where(
+            F.col("n_kept") < F.col("n_lines")).count()
+        t_lines = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_pii = docs.select(
+            (pii.email_count("text") + pii.ipv4_count("text")
+             + pii.phone_count("text")).alias("n"),
+            pii.redact_pii("text").alias("c"),
+        ).where(F.length("c") > 0).count()
+        t_pii = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_pairs = image_near_dup_pairs(
+            synthesize_gradient_images_from_documents(docs),
+            max_hamming=2).count()
+        t_img = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_audio = audio_signal_stats(
+            synthesize_tone_audio_from_documents(docs)).where(
+            F.col("sum_sq").isNotNull()).count()
+        t_audio = time.perf_counter() - t0
+        print(
+            f"rep={rep:3d} rows={n_base * rep:8d}  "
+            f"line_dedup={t_lines:6.1f}s ({n_dropped} docs shrunk)  "
+            f"pii={t_pii:6.1f}s ({n_pii} rows)  "
+            f"dhash_pairs={t_img:6.1f}s ({n_pairs} pairs)  "
+            f"audio={t_audio:6.1f}s ({n_audio} clips)", flush=True)
+        docs.unpersist()
+        spark.catalog.clearCache()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--vectors":
         vectors()
@@ -317,5 +396,7 @@ if __name__ == "__main__":
         indexes()
     elif len(sys.argv) > 1 and sys.argv[1] == "--training":
         training()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cleaning":
+        cleaning()
     else:
         main()

@@ -519,3 +519,43 @@ def test_span_ops_xxhash64_key_matches_md5(spark):
     assert ra == rb
     with _pytest.raises(ValueError, match="unknown span key"):
         dup_ngram_stats_df(docs, key="sha1")
+
+
+def test_unigram_logprob_empty_doc_and_exactness(spark):
+    """unigram_logprob_scores building blocks: an empty/whitespace doc
+    yields (0, NULL); a uniform two-word corpus scores ln(cw/N) exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.training_ops import _words
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "   "), (3, "b")],
+        "doc_id long, text string")
+    dc = (docs.select("doc_id", F.explode(_words(F.col("text")))
+                      .alias("w"))
+          .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")))
+    freq = {r.w: r.cw for r in
+            dc.groupBy("w").agg(F.sum("c").alias("cw")).collect()}
+    assert freq == {"a": 2, "b": 2}
+    # doc 1: (2*ln(2/4) + 1*ln(2/4)) / 3 = ln(0.5)
+    n = sum(freq.values())
+    expected = round((2 * math.log(2 / n) + 1 * math.log(2 / n)) / 3, 6)
+    from lsh_spark.operators.pipeline_queries import unigram_logprob_scores
+    import os
+    # drive the full query shape on a temp view-free path: reuse the
+    # internal pipeline by monkey-free direct construction is overkill —
+    # assert via the public gate callable on a tmp parquet corpus
+    tmp = os.path.join(spark.conf.get("spark.sql.warehouse.dir")
+                       .removeprefix("file:"), "unigram_tmp_corpus")
+    docs.select("doc_id", "text",
+                F.lit("en").alias("lang"), F.lit("t").alias("source"),
+                F.length("text").alias("n_chars")).write.mode(
+        "overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: r for r in
+           unigram_logprob_scores(spark, tmp).collect()}
+    assert (out[2].n_tokens, out[2].avg_logprob) == (0, None)
+    assert out[1].n_tokens == 3
+    assert out[1].avg_logprob == expected
+    assert out[3].avg_logprob == round(math.log(2 / n), 6)

@@ -95,6 +95,7 @@ _REDUNDANT_TAIL = [
     "line_dedup_docs",
     "audio_signal_features",
     "unigram_logprob_scores",
+    "image_dhash_clusters",
 ]
 
 

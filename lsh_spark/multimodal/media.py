@@ -375,6 +375,43 @@ def synthesize_gradient_images_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
 
 
+def synthesize_image_groups_from_documents(
+    docs: DataFrame, *, groups: int = 25,
+) -> DataFrame:
+    """MEDIA_SCHEMA frame of REAL 24-bit BMPs planted in duplicate
+    GROUPS: every doc in a ``doc_id % groups`` class carries an
+    identical image with gray value
+    ``(g*53 + 13*x + 31*y + 7*x*y) % 256`` (``g`` the class), dimensions
+    ``w = 9 + g % 7``, ``h = 8 + (g*3) % 5``.  The nonlinear ``x·y``
+    term makes dHash signatures well-separated across classes (the pure
+    gradient corpus's structured bits chain everything together under
+    single-linkage), so this is the gate corpus for the pair-free
+    cluster-dedup path."""
+    import numpy as np
+
+    from .containers import encode_bmp
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d % groups
+                w, h = 9 + g % 7, 8 + (g * 3) % 5
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                gray = ((g * 53 + 13 * xs + 31 * ys + 7 * xs * ys)
+                        % 256).astype(np.uint8)
+                px = np.repeat(gray[:, :, None], 3, axis=2)
+                rows.append({"media_id": d, "kind": "image",
+                             "content": encode_bmp(px),
+                             "mime": "image/bmp"})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
 def synthesize_tone_audio_from_documents(docs: DataFrame) -> DataFrame:
     """MEDIA_SCHEMA frame of REAL PCM16 WAV clips whose samples are PURE
     doc_id arithmetic — sample ``i`` of doc ``d`` is

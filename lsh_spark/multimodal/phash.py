@@ -98,3 +98,46 @@ def image_near_dup_pairs(
         "media_id", "__id").withColumnRenamed("dhash", "__sig")
     track(sigs.persist())
     return hamming_block_pairs(sigs, max_hamming=max_hamming)
+
+
+def image_dedup_clusters(
+    media: DataFrame,
+    *,
+    max_hamming: int = 2,
+    hash_size: int = 8,
+    max_iter: int = 12,
+) -> DataFrame:
+    """Cluster-representative image dedup WITHOUT pair materialization —
+    the 100 TB path for images (measured: the pair operator is
+    output-bound, a duplicate group of m re-encodes holds m²/2 pairs).
+    Single-linkage connected components over dHash block-collision
+    edges, run by the shared min-label propagation core
+    (``operators.cc.min_label_components`` — the identical iteration the
+    MinHash cluster dedup uses, bounded by rows × blocks per round).
+
+    Same semantic trade as ``lsh_dedup_clusters``: edges are BLOCK
+    collisions (no exact-Hamming pair verify — verification would
+    require the pairs this path exists to avoid); raise ``max_hamming``
+    for recall, lower it for precision.  Undecodable / non-image rows
+    are excluded (no signature → no cluster row).
+
+    Returns (media_id, cluster_id, is_representative)."""
+    from ..operators.cc import min_label_components
+    from ..operators.hamming import hamming_blocks
+    from ..plans.cache import track
+
+    sigs = dhash_images(media, hash_size=hash_size).where(
+        F.col("dhash").isNotNull()).withColumnRenamed(
+        "media_id", "__id").withColumnRenamed("dhash", "__sig")
+    track(sigs.persist())
+    blocks = hamming_blocks(sigs, max_hamming=max_hamming).select(
+        "__id",
+        F.col("block_idx").alias("band_idx"),
+        F.col("block_val").alias("band_hash"),
+    )
+    labels = min_label_components(blocks, max_iter=max_iter)
+    return labels.select(
+        F.col("__id").alias("media_id"),
+        F.col("__label").alias("cluster_id"),
+        (F.col("__id") == F.col("__label")).alias("is_representative"),
+    )

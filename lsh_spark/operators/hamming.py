@@ -21,21 +21,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def hamming_block_pairs(
+def hamming_blocks(
     sigs: DataFrame,
     *,
     max_hamming: int,
     id_col: str = "__id",
     sig_col: str = "__sig",
 ) -> DataFrame:
-    """Pairs of ``sigs`` rows whose 64-bit ``sig_col`` values differ in
-    at most ``max_hamming`` bits — exact (the pigeonhole guarantees
-    recall for ANY ``max_hamming`` in [0, 32], unlike a fixed block
-    split, which silently loses pairs past its design distance).
-    Returns (id_a, id_b, hamming)."""
+    """The pigeonhole block split: one row per (signature row, block)
+    with (``block_idx``, ``block_val``) — ``max_hamming + 1`` contiguous
+    blocks, widths ``divmod(64, nb)`` distributed high-to-low.  Shared
+    by the exact pair join below and the pair-free cluster path
+    (``multimodal.phash.image_dedup_clusters``)."""
     if not 0 <= max_hamming <= 32:
         raise ValueError(
-            f"hamming_block_pairs: max_hamming={max_hamming} out of "
+            f"hamming blocking: max_hamming={max_hamming} out of "
             "[0, 32] — past 32 the 64-bit pigeonhole blocks are a "
             "single bit wide and blocking degenerates to all-pairs")
     nb = max_hamming + 1
@@ -54,6 +54,23 @@ def hamming_block_pairs(
         )
         blocks = part if blocks is None else blocks.unionAll(part)
         off += w
+    return blocks
+
+
+def hamming_block_pairs(
+    sigs: DataFrame,
+    *,
+    max_hamming: int,
+    id_col: str = "__id",
+    sig_col: str = "__sig",
+) -> DataFrame:
+    """Pairs of ``sigs`` rows whose 64-bit ``sig_col`` values differ in
+    at most ``max_hamming`` bits — exact (the pigeonhole guarantees
+    recall for ANY ``max_hamming`` in [0, 32], unlike a fixed block
+    split, which silently loses pairs past its design distance).
+    Returns (id_a, id_b, hamming)."""
+    blocks = hamming_blocks(sigs, max_hamming=max_hamming,
+                            id_col=id_col, sig_col=sig_col)
     a = blocks.select(F.col(id_col).alias("id_a"),
                       F.col(sig_col).alias("__sig_a"),
                       "block_idx", "block_val")

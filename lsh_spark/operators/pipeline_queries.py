@@ -954,16 +954,12 @@ QUERIES_LATE["media_container_features"] = (media_container_features,
 _DHASH_PAIR_MAX_HAMMING = 2
 
 
-def _dhash_gradient_sigs_cte() -> str:
-    """CTE text computing the exact dHash BIGINT per doc_id (two 32-bit
+def _dhash_sigs_cte(dims_sql: str, gray) -> str:
+    """CTE text computing the exact dHash BIGINT per image (two 32-bit
     halves summed in HUGEINT, then two's-complement to signed 64 — the
-    same u64→int64 idiom as the MinHash oracles)."""
-
-    def gray(c: int, r: int) -> str:
-        # gray value sampled at grid column c (0..8), grid row r (0..7)
-        return (f"((doc_id*7 + 13*(({c} * w) // 9)"
-                f" + 31*(({r} * h) // 8)) % 256)")
-
+    same u64→int64 idiom as the MinHash oracles).  ``dims_sql`` must
+    yield (doc_id, w, h, …) rows; ``gray(c, r)`` the sampled gray-value
+    SQL at dHash grid column ``c`` (0..8) / row ``r`` (0..7)."""
     lo_terms, hi_terms = [], []
     for i in range(64):
         r, c = divmod(i, 8)
@@ -975,10 +971,7 @@ def _dhash_gradient_sigs_cte() -> str:
     lo = " + ".join(lo_terms)
     hi = " + ".join(hi_terms)
     return f"""
-dims AS (
-  SELECT doc_id, 9 + doc_id % 7 AS w, 8 + (doc_id * 3) % 5 AS h
-  FROM documents
-),
+dims AS ({dims_sql}),
 halves AS (
   SELECT doc_id, ({lo})::HUGEINT AS lo, ({hi})::HUGEINT AS hi FROM dims
 ),
@@ -989,6 +982,41 @@ sigs AS (
                ELSE lo + hi * 4294967296 END)::BIGINT AS dhash
   FROM halves
 )"""
+
+
+def _dhash_gradient_sigs_cte() -> str:
+    """Signature CTE for the gradient corpus
+    (``synthesize_gradient_images_from_documents``)."""
+
+    def gray(c: int, r: int) -> str:
+        # gray value sampled at grid column c (0..8), grid row r (0..7)
+        return (f"((doc_id*7 + 13*(({c} * w) // 9)"
+                f" + 31*(({r} * h) // 8)) % 256)")
+
+    return _dhash_sigs_cte(
+        "SELECT doc_id, 9 + doc_id % 7 AS w, 8 + (doc_id * 3) % 5 AS h"
+        "\n  FROM documents", gray)
+
+
+_DHASH_N_GROUPS = 25
+
+
+def _dhash_group_sigs_cte() -> str:
+    """Signature CTE for the grouped near-dup corpus
+    (``synthesize_image_groups_from_documents``): every doc in a
+    ``doc_id % 25`` group carries an identical nonlinear-pattern image,
+    so signatures are well-separated ACROSS groups (the x·y term breaks
+    the gradient corpus's chained self-similarity) and identical within
+    them."""
+
+    def gray(c: int, r: int) -> str:
+        xs, ys = f"(({c} * w) // 9)", f"(({r} * h) // 8)"
+        return f"((g*53 + 13*{xs} + 31*{ys} + 7*{xs}*{ys}) % 256)"
+
+    g = f"doc_id % {_DHASH_N_GROUPS}"
+    return _dhash_sigs_cte(
+        f"SELECT doc_id, {g} AS g, 9 + ({g}) % 7 AS w,"
+        f" 8 + (({g}) * 3) % 5 AS h\n  FROM documents", gray)
 
 
 def image_dhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1032,10 +1060,66 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= {_DHASH_PAIR_MAX_HAMMING}
 """
 
 
+def image_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash gate query #3: PAIR-FREE image cluster dedup
+    (``multimodal.phash.image_dedup_clusters`` — the shared min-label CC
+    core over Hamming block collisions) vs a true-connected-components
+    recursive-reachability oracle over the closed-form signatures.
+    Runs on the GROUPED corpus — the gradient corpus's structured
+    self-similarity chains every image into one component under
+    unverified single-linkage (measured: 1 cluster at 500 images),
+    which is exactly the known precision trade of block-collision
+    clustering on adversarially self-similar data, not a useful gate."""
+    from ..multimodal.media import synthesize_image_groups_from_documents
+    from ..multimodal.phash import image_dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_dedup_clusters(
+        synthesize_image_groups_from_documents(docs),
+        max_hamming=_DHASH_PAIR_MAX_HAMMING,
+    )
+
+
+# block constants for max_hamming=2: divmod(64, 3) → widths [22, 21, 21]
+# at offsets [0, 22, 43] — must mirror operators.hamming.hamming_blocks
+IMAGE_DHASH_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_dhash_group_sigs_cte()},
+u AS (
+  SELECT media_id,
+         (CASE WHEN dhash < 0
+               THEN dhash::HUGEINT + 18446744073709551616
+               ELSE dhash::HUGEINT END) AS uv
+  FROM sigs
+),
+blocks AS (
+  SELECT media_id, 0 AS bi, (uv % 4194304) AS bv FROM u
+  UNION ALL
+  SELECT media_id, 1, ((uv // 4194304) % 2097152) FROM u
+  UNION ALL
+  SELECT media_id, 2, (uv // 8796093022208) FROM u
+),
+edges AS (
+  SELECT DISTINCT a.media_id AS src, b.media_id AS dst
+  FROM blocks a JOIN blocks b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.media_id != b.media_id
+),
+reach(id, r) AS (
+  SELECT media_id, media_id FROM u
+  UNION
+  SELECT e.src, w.r FROM edges e JOIN reach w ON w.id = e.dst
+)
+SELECT id AS media_id, min(r) AS cluster_id,
+       (id = min(r)) AS is_representative
+FROM reach GROUP BY id
+"""
+
+
 QUERIES_LATE["image_dhash_signatures"] = (image_dhash_signatures,
                                           IMAGE_DHASH_SIGNATURES_ORACLE)
 QUERIES_LATE["image_dhash_near_dup_pairs"] = (image_dhash_near_dup_pairs,
                                               IMAGE_DHASH_PAIRS_ORACLE)
+QUERIES_LATE["image_dhash_clusters"] = (image_dhash_clusters,
+                                        IMAGE_DHASH_CLUSTERS_ORACLE)
 
 
 # ---------------------------------------------------------------------------

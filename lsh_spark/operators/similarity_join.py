@@ -543,101 +543,19 @@ def lsh_dedup_clusters(
 
     Returns (id, cluster_id, is_representative).
     """
+    from .cc import min_label_components
+
     sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set",
                       shingle=shingle)
-    # materialize the block list once — everything below (ids, bucket
-    # sizes, edges, every iteration) reuses it without re-running the
-    # hashing UDFs
+    # materialize the block list once — everything downstream (ids,
+    # bucket sizes, edges, every iteration) reuses it without re-running
+    # the hashing UDFs.  The iteration itself is the shared pair-free CC
+    # core (``operators.cc.min_label_components``, factored verbatim from
+    # here in round 6 so the Hamming-block image path runs the identical
+    # propagation); the measured rationale comments live with the code.
     blocks = _band_blocks(sets, "__id", "__set", band_count, band_size, seed)
     blocks = track(blocks.persist(StorageLevel.MEMORY_AND_DISK))
-    all_ids = blocks.select("__id").distinct()
-    # doc ↔ bucket edges; singleton buckets can never link anything, so
-    # drop them before iterating — in a real corpus the overwhelming
-    # majority of buckets are singletons and the propagation graph
-    # shrinks to just the linked subset
-    bucket_sizes = (
-        blocks.groupBy("band_idx", "band_hash")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") > 1)
-        .select("band_idx", "band_hash")
-    )
-    edges = track(
-        blocks.join(bucket_sizes, on=["band_idx", "band_hash"])
-        .select("__id", "band_idx", "band_hash")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # right-size the iteration: every propagation stage maps over the
-    # cached edges, so its partition count sets the per-round task count.
-    # The singleton-prune typically shrinks edges far below the input
-    # (measured at sf0.1: 245k block rows → 21k edges in 32 partitions —
-    # 7 rounds of 32 near-empty tasks per stage was pure scheduling
-    # overhead, measured ~40% of the operator's wall time).  One count
-    # materializes the cache (the first round would have anyway) and
-    # sizes partitions to the graph; on a 100 TB corpus the quotient
-    # keeps thousands of partitions, so scale behavior is unchanged.
-    n_edges = edges.count()
-    target_parts = n_edges // 100_000 + 1
-    if target_parts < edges.rdd.getNumPartitions():
-        resized = track(edges.repartition(target_parts, "__id")
-                        .persist(StorageLevel.MEMORY_AND_DISK))
-        edges.unpersist()
-        edges = resized
-
-    # initialization already performs round 1: a bucket's min member id is
-    # its label, a doc's initial label is the min over its buckets
-    labels = (
-        edges.groupBy("band_idx", "band_hash")
-        .agg(F.min("__id").alias("__bucket_label"))
-        .join(edges, on=["band_idx", "band_hash"])
-        .groupBy("__id")
-        .agg(F.min("__bucket_label").alias("__label"))
-    )
-    # checking the fixed point only every 2nd round lets two propagation
-    # rounds pipeline into ONE job (each check is an action that
-    # materializes the lineage — measured: checking every round costs
-    # more than the redundant, label-stable round it saves; a per-round
-    # pointer-jump self-join also measured slower — its join key differs
-    # from the groupBy key, forcing an extra shuffle and re-computing the
-    # unpersisted propagation lineage twice)
-    prev = None
-    for it in range(max_iter - 1):
-        labels = track(labels.persist(StorageLevel.MEMORY_AND_DISK))
-        bucket_min = (
-            edges.join(labels, on="__id")
-            .groupBy("band_idx", "band_hash")
-            .agg(F.min("__label").alias("__bucket_label"))
-        )
-        new_labels = (
-            edges.join(bucket_min, on=["band_idx", "band_hash"])
-            .groupBy("__id")
-            .agg(F.min("__bucket_label").alias("__label"))
-        )
-        check_now = it % 2 == 1 or it == max_iter - 2
-        if check_now:
-            changed = (
-                new_labels.join(labels.withColumnRenamed("__label", "__old"),
-                                on="__id")
-                .where(F.col("__label") != F.col("__old"))
-                .count()
-            )
-            if prev is not None:
-                prev.unpersist()
-            labels.unpersist()
-            prev = None
-            labels = new_labels
-            if changed == 0:
-                break
-        else:
-            # no action this round: keep the previous cache pinned so the
-            # next round's action can still reuse it through the lineage
-            prev = labels
-            labels = new_labels
-
-    # docs whose every bucket was a singleton never entered the iteration:
-    # they are their own cluster
-    isolated = all_ids.join(labels.select("__id"), on="__id", how="left_anti")
-    labels = labels.unionAll(
-        isolated.select("__id", F.col("__id").alias("__label")))
+    labels = min_label_components(blocks, max_iter=max_iter)
     return labels.select(
         F.col("__id").alias(id_col),
         F.col("__label").alias("cluster_id"),

@@ -322,7 +322,10 @@ def cleaning() -> None:
         synthesize_gradient_images_from_documents,
         synthesize_tone_audio_from_documents,
     )
-    from lsh_spark.multimodal.phash import image_near_dup_pairs
+    from lsh_spark.multimodal.phash import (
+        image_dedup_clusters,
+        image_near_dup_pairs,
+    )
     from lsh_spark.operators.dedup import dedup_lines_df
     from lsh_spark.functions import pii
     from lsh_spark.plans import get_spark
@@ -368,11 +371,24 @@ def cleaning() -> None:
             pii.redact_pii("text").alias("c"),
         ).where(F.length("c") > 0).count()
         t_pii = time.perf_counter() - t0
+        # the pair operator is output-bound: the gradient corpus's hash
+        # period (8960) makes replication a worst case — every replica
+        # group is mutually within distance 0-2, so pairs grow
+        # quadratically (measured 137k → 3.5M for 1→5); rep 20 OOMs the
+        # shared host on ~10⁸ candidates, exactly the regime the
+        # pair-free cluster path below exists for
+        t_img, n_pairs = float("nan"), -1
+        if rep <= 5:
+            t0 = time.perf_counter()
+            n_pairs = image_near_dup_pairs(
+                synthesize_gradient_images_from_documents(docs),
+                max_hamming=2).count()
+            t_img = time.perf_counter() - t0
         t0 = time.perf_counter()
-        n_pairs = image_near_dup_pairs(
+        n_clusters = image_dedup_clusters(
             synthesize_gradient_images_from_documents(docs),
-            max_hamming=2).count()
-        t_img = time.perf_counter() - t0
+            max_hamming=2).where("is_representative").count()
+        t_cc = time.perf_counter() - t0
         t0 = time.perf_counter()
         n_audio = audio_signal_stats(
             synthesize_tone_audio_from_documents(docs)).where(
@@ -383,6 +399,7 @@ def cleaning() -> None:
             f"line_dedup={t_lines:6.1f}s ({n_dropped} docs shrunk)  "
             f"pii={t_pii:6.1f}s ({n_pii} rows)  "
             f"dhash_pairs={t_img:6.1f}s ({n_pairs} pairs)  "
+            f"dhash_clusters={t_cc:6.1f}s ({n_clusters} reps)  "
             f"audio={t_audio:6.1f}s ({n_audio} clips)", flush=True)
         docs.unpersist()
         spark.catalog.clearCache()

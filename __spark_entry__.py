@@ -96,6 +96,7 @@ _REDUNDANT_TAIL = [
     "audio_signal_features",
     "unigram_logprob_scores",
     "image_dhash_clusters",
+    "cms_heavy_hitters",
 ]
 
 

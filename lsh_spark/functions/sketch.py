@@ -29,7 +29,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .._core.batch import batch_window_hashes, flatten_texts
+from .._core.batch import (
+    batch_window_hashes,
+    flatten_texts,
+    hash_strings_batch,
+)
 
 _SKETCH_TYPE = StructType([
     StructField("mins", ArrayType(LongType()), True),
@@ -59,6 +63,20 @@ def kmv_sketch_col(col, ngram_width: int = 3, k: int = 64) -> Column:
             mins.append(seg[:k].astype(np.int64).tolist())
             totals.append(int(seg.shape[0]))
         return pd.DataFrame({"mins": mins, "n_total": totals})
+
+    return _udf(F.col(col) if isinstance(col, str) else col)
+
+
+def fx32_col(col) -> Column:
+    """FxHash-u32 (as nonnegative BIGINT) of the whole string — the
+    engine's ``from_shingles`` hash stream (``shingleset.rs:12-22``),
+    bit-replayable in SQL via ``oracles.duckdb_lsh.string_hash_sql``.
+    NULL strings hash as the empty string."""
+
+    @pandas_udf(LongType())
+    def _udf(s: pd.Series) -> pd.Series:
+        vals = hash_strings_batch(s.fillna("").tolist())
+        return pd.Series(vals.astype(np.int64))
 
     return _udf(F.col(col) if isinstance(col, str) else col)
 

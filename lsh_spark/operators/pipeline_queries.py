@@ -1420,3 +1420,96 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 QUERIES_LATE["unigram_logprob_scores"] = (unigram_logprob_scores,
                                           UNIGRAM_LOGPROB_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters — bounded-memory frequency estimation
+# (the sketch-family member KMV's distinct counting doesn't cover).
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOPK = 4, 1024, 20
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch token-frequency estimates for the corpus's
+    top-{top_k} tokens, compared against exact counts.
+
+    The COUNTER BUILD is the deployment path: every token occurrence
+    hashes under ``depth`` salted FxHash-u32 streams (Arrow batch
+    kernel; the identical stream the oracle replays in SQL) and
+    aggregates into a ``depth × width`` table — bounded state with
+    map-side combine, the whole point of a CMS at 100 TB where an exact
+    token groupBy is the thing being avoided.  The exact top-k (and its
+    counts) is GATE-side evidence only; the probe joins the tiny counter
+    table broadcast.  CMS estimates are deterministic given the hash, so
+    the oracle checks them exactly (min over rows, ≥ truth always).
+
+    Returns (token, true_count, cms_estimate), top_k rows, ties on
+    token."""
+    from ..functions.sketch import fx32_col
+    from .training_ops import _words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_words(F.col("text"))).alias("tok"))
+    salted_cols = F.array(
+        *[F.concat(F.lit(f"{j} "), F.col("tok"))
+          for j in range(_CMS_DEPTH)])
+    # deployment path: occurrences → (row, bucket) → bounded aggregate
+    counters = (
+        toks.select(F.posexplode(salted_cols).alias("j", "__s"))
+        .select("j", (fx32_col("__s") % _CMS_WIDTH).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("true_count"))
+    top = counts.orderBy(F.desc("true_count"), "tok").limit(_CMS_TOPK)
+    probe = (
+        top.select("tok", "true_count",
+                   F.posexplode(salted_cols).alias("j", "__s"))
+        .select("tok", "true_count", "j",
+                (fx32_col("__s") % _CMS_WIDTH).alias("bucket"))
+    )
+    return (
+        probe.join(F.broadcast(counters), on=["j", "bucket"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("__cnt").alias("cms_estimate"))
+        .select(F.col("tok").alias("token"), "true_count", "cms_estimate")
+    )
+
+
+def _cms_oracle() -> str:
+    from ..oracles.duckdb_lsh import string_hash_sql
+
+    h = string_hash_sql("(s.j::VARCHAR || ' ' || c.tok)")
+    return rf"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok, count(*)::BIGINT AS true_count FROM tok GROUP BY tok
+),
+salts AS (SELECT unnest(range(0, {_CMS_DEPTH})) AS j),
+hashed AS (
+  SELECT c.tok, c.true_count, s.j, ({h} % {_CMS_WIDTH}) AS bucket
+  FROM counts c CROSS JOIN salts s
+),
+counters AS (
+  SELECT j, bucket, sum(true_count)::BIGINT AS cnt
+  FROM hashed GROUP BY j, bucket
+),
+top AS (
+  SELECT tok, true_count FROM counts
+  ORDER BY true_count DESC, tok LIMIT {_CMS_TOPK}
+)
+SELECT t.tok AS token, t.true_count,
+       (SELECT min(cn.cnt) FROM hashed h
+        JOIN counters cn ON cn.j = h.j AND cn.bucket = h.bucket
+        WHERE h.tok = t.tok) AS cms_estimate
+FROM top t
+"""
+
+
+QUERIES_LATE["cms_heavy_hitters"] = (cms_heavy_hitters, _cms_oracle())

@@ -81,3 +81,23 @@ def test_kmv_null_propagation(spark):
     # null input → null sketch fields
     null_rows = [r for r in rows if r.sk is None or r.sk.mins is None]
     assert len(null_rows) == 1
+
+
+def test_fx32_col_matches_sql_oracle(spark):
+    """fx32_col (Arrow kernel) and string_hash_sql (DuckDB replay of the
+    FxHash stream) agree byte-for-byte, including the empty string."""
+    import duckdb
+
+    from lsh_spark.functions.sketch import fx32_col
+    from lsh_spark.oracles.duckdb_lsh import string_hash_sql
+
+    words = ["", "a", "spark", "0 window", "3 agg", "ñandú"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = {r.s: r.h for r in df.select("s", fx32_col("s").alias("h"))
+           .collect()}
+    con = duckdb.connect()
+    for w in words:
+        sexpr = "'" + w.replace("'", "''") + "'"
+        want = con.execute(
+            "SELECT " + string_hash_sql(sexpr)).fetchone()[0]
+        assert got[w] == want, w

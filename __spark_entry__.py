@@ -97,6 +97,7 @@ _REDUNDANT_TAIL = [
     "unigram_logprob_scores",
     "image_dhash_clusters",
     "cms_heavy_hitters",
+    "pii_scrub_streaming",
 ]
 
 

@@ -1513,3 +1513,18 @@ FROM top t
 
 
 QUERIES_LATE["cms_heavy_hitters"] = (cms_heavy_hitters, _cms_oracle())
+
+
+def _register_streaming_pii() -> None:
+    """Late-register the streaming PII scrub (defined in
+    ``streaming.documents``) so the registry position of every earlier
+    query — and its driver-row history — stays stable.  It shares the
+    batch twin's exact oracle (the AvailableNow drain is
+    batch-identical)."""
+    from ..streaming.documents import pii_scrub_streaming
+
+    QUERIES_LATE["pii_scrub_streaming"] = (pii_scrub_streaming,
+                                           PII_SCRUB_STATS_ORACLE)
+
+
+_register_streaming_pii()

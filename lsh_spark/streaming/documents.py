@@ -248,8 +248,63 @@ def _oracle() -> str:
         3, _JOIN_AB_PLAN.band_count, _JOIN_AB_PLAN.band_size, 123, 0.7)
 
 
+def pii_scrub_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: the PII scrub as an ACTUAL Structured
+    Streaming query — documents arrive as a file-source stream, the
+    planted-PII projection + ``functions.pii`` redaction run as a
+    STATELESS streaming select (no watermark, no state store — the
+    incremental engine handles pure maps natively, no ``foreachBatch``
+    needed), drained AvailableNow into a memory sink.  Carries the
+    identical exact oracle as the batch twin (``pii_scrub_stats``), so
+    batch/stream parity is driver-checked."""
+    from ..functions import pii
+    from ..sources.io import _ensure_session_confs, load_table
+    from .events import run_available_now
+
+    _ensure_session_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    d = F.col("doc_id")
+    planted = stream.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 2 == 0,
+                   F.concat(F.lit(" contact user"), d.cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(d % 3 == 0,
+                   F.concat(F.lit(" from 10."), (d % 256).cast("string"),
+                            F.lit(".0."),
+                            ((d * 7) % 256).cast("string"))
+                   ).otherwise(F.lit("")),
+            F.lit(" call 555-"),
+            F.lpad(((d * 13) % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((d * 29) % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    scrubbed = planted.select(
+        "doc_id",
+        pii.email_count("text").alias("n_emails"),
+        pii.ipv4_count("text").alias("n_ips"),
+        pii.phone_count("text").alias("n_phones"),
+        pii.redact_pii("text").alias("clean_text"),
+    )
+    q = run_available_now(scrubbed, "pii_scrub_streaming_sink", "append")
+    q.awaitTermination()
+    return spark.table("pii_scrub_streaming_sink")
+
+
 QUERIES = {
     "similarity_join_ab_streaming": (similarity_join_ab_streaming, _oracle()),
     "near_dup_index_probe_streaming": (near_dup_index_probe_streaming,
                                        _oracle()),
 }
+# NOTE: pii_scrub_streaming registers through
+# pipeline_queries.QUERIES_LATE (merged after every streaming family) —
+# adding it to THIS dict would shift the registry positions of every
+# later head query and orphan their driver-row history.

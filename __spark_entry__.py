@@ -98,6 +98,8 @@ _REDUNDANT_TAIL = [
     "image_dhash_clusters",
     "cms_heavy_hitters",
     "pii_scrub_streaming",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
 ]
 
 

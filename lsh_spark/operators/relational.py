@@ -986,3 +986,81 @@ SELECT c_count, count(*) AS custdist FROM counts GROUP BY 1
 
 QUERIES_LATE["customer_order_counts"] = (customer_order_counts,
                                          CUSTOMER_ORDER_COUNTS_ORACLE)
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecast-revenue change: single scan, tight
+    filter, one exact-DECIMAL aggregate — the canonical
+    predicate-pushdown query (every filter reaches the parquet scan;
+    no join, no shuffle beyond the scalar agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.expr(
+            "CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)"
+        ).alias("revenue"))
+    )
+
+
+Q6_ORACLE = """
+SELECT round(sum(l_extendedprice::DECIMAL(18,2)
+                 * l_discount::DECIMAL(18,2)), 2)::DOUBLE AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+QUERIES_LATE["q6_forecast_revenue"] = (q6_forecast_revenue, Q6_ORACLE)
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo-revenue share: lineitem ⨝ part (the part
+    side is dimension-sized → broadcast), one month of shipments, the
+    PROMO share of discounted revenue.  Both DECIMAL sums are exact;
+    the ratio is taken in DOUBLE of the exact sums (decimal÷decimal
+    scale rules differ between engines; double division of identical
+    operands is bit-deterministic), rounded to 6dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = ("CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * CAST(1 - l_discount AS DECIMAL(18,2))")
+    joined = (
+        li.where((F.col("l_shipdate") >= F.lit("1996-03-01"))
+                 & (F.col("l_shipdate") < F.lit("1996-04-01")))
+        .join(F.broadcast(part),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.expr(f"CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' "
+                     f"THEN {disc} ELSE CAST(0 AS DECIMAL(18,2)) END)"
+                     f" AS DOUBLE)")
+            / F.expr(f"CAST(SUM({disc}) AS DOUBLE)"),
+            6,
+        ).alias("promo_revenue_pct"))
+
+
+Q14_ORACLE = """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice::DECIMAL(18,2)
+                              * (1 - l_discount)::DECIMAL(18,2)
+                         ELSE 0::DECIMAL(18,2) END)::DOUBLE
+             / sum(l_extendedprice::DECIMAL(18,2)
+                   * (1 - l_discount)::DECIMAL(18,2))::DOUBLE,
+             6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+QUERIES_LATE["q14_promo_revenue"] = (q14_promo_revenue, Q14_ORACLE)

@@ -100,6 +100,8 @@ _REDUNDANT_TAIL = [
     "pii_scrub_streaming",
     "q6_forecast_revenue",
     "q14_promo_revenue",
+    "supplier_revenue_salted",
+    "order_value_quantiles",
 ]
 
 

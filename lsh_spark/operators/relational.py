@@ -1064,3 +1064,83 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
 """
 
 QUERIES_LATE["q14_promo_revenue"] = (q14_promo_revenue, Q14_ORACLE)
+
+
+def supplier_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier revenue computed through the EXPLICIT
+    skew-salting path (``plans.skew.salted_join``): the fact side
+    scatters across 8 salt replicas of the supplier dimension, so a
+    power-law-hot supplier key splits into 8 partitions instead of one
+    straggler — the manual fix for skew regimes AQE's sort-merge-only
+    splitting can't reach.  The DECIMAL revenue aggregate is exact, so
+    the oracle (a plain unsalted join) pins that salting never changes
+    WHAT is computed — only the partition layout."""
+    from ..plans.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.expr("CAST(l_extendedprice AS DECIMAL(18,2))"
+               " * CAST(1 - l_discount AS DECIMAL(18,2))").alias("__rev"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    joined = salted_join(li, supp, ["s_suppkey"], salt_buckets=8)
+    return (
+        joined.join(F.broadcast(nation),
+                    joined.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.expr("CAST(round(SUM(__rev), 2) AS DOUBLE)")
+             .alias("revenue"))
+    )
+
+
+SUPPLIER_REVENUE_SALTED_ORACLE = """
+SELECT n_name,
+       round(sum(l_extendedprice::DECIMAL(18,2)
+                 * (1 - l_discount)::DECIMAL(18,2)), 2)::DOUBLE AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+QUERIES_LATE["supplier_revenue_salted"] = (supplier_revenue_salted,
+                                           SUPPLIER_REVENUE_SALTED_ORACLE)
+
+
+def order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed quantiles of order value per priority class
+    (Spark's ``percentile`` exact aggregate vs DuckDB ``quantile_cont``
+    — both the standard linear interpolation at rank ``p·(n−1)``;
+    results round to 4dp at the output boundary, the money-ratio
+    convention).  At 100 TB the deployment shape is
+    ``approx_percentile`` (t-digest sketch, bounded memory, no exact
+    oracle twin) — this gate query pins the exact form the sketch is
+    judged against."""
+    orders = load_table(spark, sf_dir, "orders")
+    qs = {"q25": 0.25, "q50": 0.5, "q75": 0.75, "q99": 0.99}
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            *[F.round(F.expr(f"percentile(o_totalprice, {p})"), 4)
+              .alias(name) for name, p in qs.items()],
+        )
+    )
+
+
+ORDER_VALUE_QUANTILES_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS q50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS q75,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS q99
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+QUERIES_LATE["order_value_quantiles"] = (order_value_quantiles,
+                                         ORDER_VALUE_QUANTILES_ORACLE)

@@ -346,3 +346,59 @@ def test_shard_assignment_auto_chunk_no_global_window(spark):
     assert singles, "expected the chunk-prefix single-partition exchange"
     for inp in singles:
         assert "doc_id" not in inp and "n_tokens" not in inp, inp
+
+
+def test_q6_filters_pushed_and_no_shuffle_join(spark):
+    """q6: every filter reaches the parquet scan; no join at all, one
+    partial→final aggregate pair."""
+    from lsh_spark.operators.relational import q6_forecast_revenue
+
+    plan = _plan(q6_forecast_revenue(spark, SF_DIR))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any("l_quantity" in l or "l_discount" in l
+                          for l in pushed)
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q14_part_side_broadcast(spark):
+    """q14: the dimension (part) side must broadcast — a shuffle join on
+    the fact table would be the 100 TB mistake."""
+    from lsh_spark.operators.relational import q14_promo_revenue
+
+    plan = _plan(q14_promo_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_pii_scrub_is_pure_jvm_map(spark):
+    """PII scrub: no Python nodes, no exchange — a per-row JVM map."""
+    from lsh_spark.operators.pipeline_queries import pii_scrub_stats
+
+    plan = _plan(pii_scrub_stats(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_line_dedup_shuffles_digests_not_text(spark):
+    """line dedup: the winner aggregate's exchange carries md5 digests +
+    ids, never line text; partial aggregation combines map-side."""
+    from lsh_spark.operators.dedup import dedup_lines_df
+    from lsh_spark.sources.io import load_table
+
+    plan = _plan(dedup_lines_df(load_table(spark, SF_DIR, "documents")))
+    assert "partial_min" in plan
+    # the digest column exists and the exploded line string is projected
+    # away before the exchange: no plan stage shuffles a '__line' column
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines
+    assert "__line" not in " ".join(exchange_lines)
+
+
+def test_cms_counter_probe_broadcasts(spark):
+    """CMS: the probe joins the (depth × width)-bounded counter table as
+    a broadcast — never a shuffle join against it."""
+    from lsh_spark.operators.pipeline_queries import cms_heavy_hitters
+
+    plan = _plan(cms_heavy_hitters(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan

@@ -102,6 +102,7 @@ _REDUNDANT_TAIL = [
     "q14_promo_revenue",
     "supplier_revenue_salted",
     "order_value_quantiles",
+    "fingerprint_overlap_pairs",
 ]
 
 

@@ -1515,6 +1515,60 @@ FROM top t
 QUERIES_LATE["cms_heavy_hitters"] = (cms_heavy_hitters, _cms_oracle())
 
 
+# ---------------------------------------------------------------------------
+# winnowing-fingerprint overlap pairs (MOSS-style local similarity)
+# ---------------------------------------------------------------------------
+
+_FPP_KGRAM, _FPP_WINDOW, _FPP_MIN_SHARED = 5, 4, 30
+
+
+def fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing ≥ {min_shared} winnowing fingerprints —
+    the MOSS-style local-similarity join (robust to reordered/partially
+    copied passages where whole-set Jaccard dilutes).  The join ships
+    (fingerprint, id) only — never text — and the pair aggregate is a
+    plain count, so scale is bounded by true fingerprint collisions.
+    The gate runs on the ``doc_id % 5`` corpus fifth: the oracle's
+    per-window FxHash chain has expression-tree-bound PLANNING cost in
+    DuckDB (kgram 12 binds for ~1 min regardless of data; 16 exceeds
+    the recursion limit), so the gate pins kgram=5 — the same chain
+    `doc_fingerprints` already pins — with the overlap threshold doing
+    the discrimination."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0)
+    fps = docs.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(
+            "text", kgram=_FPP_KGRAM, window=_FPP_WINDOW)).alias("fp"),
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _FPP_MIN_SHARED)
+    )
+
+
+def _fingerprint_overlap_oracle() -> str:
+    inner = _orc.doc_fingerprints_sql(_FPP_KGRAM, _FPP_WINDOW)
+    return f"""
+WITH documents AS (SELECT * FROM main.documents WHERE doc_id % 5 = 0),
+fps AS ({inner})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+FROM fps a JOIN fps b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_FPP_MIN_SHARED}
+"""
+
+
+QUERIES_LATE["fingerprint_overlap_pairs"] = (fingerprint_overlap_pairs,
+                                             _fingerprint_overlap_oracle())
+
+
 def _register_streaming_pii() -> None:
     """Late-register the streaming PII scrub (defined in
     ``streaming.documents``) so the registry position of every earlier

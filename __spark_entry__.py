@@ -103,6 +103,8 @@ _REDUNDANT_TAIL = [
     "supplier_revenue_salted",
     "order_value_quantiles",
     "fingerprint_overlap_pairs",
+    "image_resize_stats",
+    "video_frame_sample_stats",
 ]
 
 

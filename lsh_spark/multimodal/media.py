@@ -441,6 +441,38 @@ def synthesize_tone_audio_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
 
 
+def synthesize_gradient_videos_from_documents(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA frame of REAL RAWV grayscale videos whose every
+    frame byte is PURE doc_id arithmetic — frame ``f`` pixel ``(y, x)``
+    is ``(d*11 + f*17 + y*23 + x*29) % 256`` over ``n = 3 + d % 6``
+    frames of ``(5 + d % 4) × (4 + d % 3)`` — the gate corpus for the
+    frame-sampling path (sampled-frame pixel statistics are closed-form
+    in SQL)."""
+    import numpy as np
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, n = 5 + d % 4, 4 + d % 3, 3 + d % 6
+                f = np.arange(n, dtype=np.int64)[:, None, None]
+                y = np.arange(h, dtype=np.int64)[None, :, None]
+                x = np.arange(w, dtype=np.int64)[None, None, :]
+                frames = ((d * 11 + f * 17 + y * 23 + x * 29)
+                          % 256).astype(np.uint8)
+                content = (b"RAWV" + w.to_bytes(2, "little")
+                           + h.to_bytes(2, "little")
+                           + n.to_bytes(2, "little") + frames.tobytes())
+                rows.append({"media_id": d, "kind": "video",
+                             "content": content,
+                             "mime": "application/x-raw-video"})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
 def media_dedup_by_digest(features: DataFrame) -> DataFrame:
     """Exact media dedup on content digest (the standard first pass before
     perceptual hashing)."""
@@ -532,6 +564,48 @@ def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
 
     return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def image_pixel_stats(df: DataFrame, *, content_col: str = "content",
+                      id_cols: tuple = ("media_id",)) -> DataFrame:
+    """(*id_cols, px_sum, px_min, px_max) over every decodable image
+    payload in ``content_col`` — integer brightness/range statistics
+    (the standard black-frame / blown-out-exposure quality gate), summed
+    over ALL channels in int64.  Accepts any frame carrying the id
+    columns + a binary payload — including ``resize_images`` /
+    ``sample_frames`` output — so post-transform payloads are verifiable
+    end-to-end.  Undecodable rows yield NULLs.  Narrow ``mapInPandas``;
+    bytes never shuffle."""
+    import numpy as np
+
+    schema = StructType(
+        [df.schema[c] for c in id_cols]
+        + [StructField("px_sum", LongType(), True),
+           StructField("px_min", IntegerType(), True),
+           StructField("px_max", IntegerType(), True)])
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                vals = (None, None, None)
+                if r[content_col] is not None:
+                    try:
+                        meta = _decode_image(bytes(r[content_col]))
+                    except ValueError:
+                        meta = None
+                    if meta is not None:
+                        px = meta["_pixels"].astype(np.int64)
+                        vals = (int(px.sum()), int(px.min()),
+                                int(px.max()))
+                row = {c: r[c] for c in id_cols}
+                row.update({"px_sum": vals[0], "px_min": vals[1],
+                            "px_max": vals[2]})
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema])
+
+    return df.mapInPandas(_stats, schema=schema)
 
 
 FRAMES_SCHEMA = StructType([

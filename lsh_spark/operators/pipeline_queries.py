@@ -1569,6 +1569,109 @@ QUERIES_LATE["fingerprint_overlap_pairs"] = (fingerprint_overlap_pairs,
                                              _fingerprint_overlap_oracle())
 
 
+# ---------------------------------------------------------------------------
+# resize + frame-sample end-to-end gates: the transform outputs are
+# RE-DECODED and their integer pixel statistics compared against a
+# closed-form oracle — the resample index math ((dst·src)//dst_n on both
+# axes) composes with the synthesizer's pixel arithmetic, so the whole
+# encode → decode → transform → re-encode → decode chain is pinned.
+# ---------------------------------------------------------------------------
+
+_RESIZE_W, _RESIZE_H = 16, 12
+
+
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize gate: gradient BMPs → ``resize_images`` (nearest-neighbor,
+    re-encoded as BMP) → ``image_pixel_stats`` over the RE-DECODED
+    output; the oracle composes the two integer index maps."""
+    from ..multimodal.media import (
+        image_pixel_stats,
+        resize_images,
+        synthesize_gradient_images_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(
+        synthesize_gradient_images_from_documents(docs),
+        width=_RESIZE_W, height=_RESIZE_H)
+    return image_pixel_stats(resized)
+
+
+IMAGE_RESIZE_STATS_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, 9 + doc_id % 7 AS w, 8 + (doc_id * 3) % 5 AS h
+  FROM documents
+),
+vals AS (
+  SELECT doc_id,
+         list_transform(range(0, {_RESIZE_W * _RESIZE_H}), i ->
+           (doc_id*7 + 13*(((i % {_RESIZE_W}) * w) // {_RESIZE_W})
+            + 31*(((i // {_RESIZE_W}) * h) // {_RESIZE_H})) % 256) AS v
+  FROM dims
+)
+SELECT doc_id AS media_id,
+       (3 * list_sum(v))::BIGINT AS px_sum,
+       list_min(v)::INT AS px_min,
+       list_max(v)::INT AS px_max
+FROM vals
+"""
+
+
+_VFS_EVERY, _VFS_MAX = 2, 3
+
+
+def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling gate: arithmetic RAWV videos →
+    ``sample_frames(every_nth={_VFS_EVERY}, max_frames={_VFS_MAX})`` →
+    ``image_pixel_stats`` of each RE-DECODED sampled frame (RAWI
+    re-encode is lossless, so every byte is closed-form)."""
+    from ..multimodal.media import (
+        image_pixel_stats,
+        sample_frames,
+        synthesize_gradient_videos_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(
+        synthesize_gradient_videos_from_documents(docs),
+        every_nth=_VFS_EVERY, max_frames=_VFS_MAX)
+    return image_pixel_stats(frames, content_col="frame",
+                             id_cols=("media_id", "frame_idx"))
+
+
+VIDEO_FRAME_SAMPLE_STATS_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, 5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h,
+         3 + doc_id % 6 AS n
+  FROM documents
+),
+sampled AS (
+  SELECT doc_id, w, h,
+         unnest(list_filter(range(0, n),
+                f -> f % {_VFS_EVERY} = 0
+                     AND f // {_VFS_EVERY} < {_VFS_MAX})) AS f
+  FROM dims
+),
+vals AS (
+  SELECT doc_id, f,
+         list_transform(range(0, w * h), i ->
+           (doc_id*11 + f*17 + 23*(i // w) + 29*(i % w)) % 256) AS v
+  FROM sampled
+)
+SELECT doc_id AS media_id, f::INT AS frame_idx,
+       list_sum(v)::BIGINT AS px_sum,
+       list_min(v)::INT AS px_min,
+       list_max(v)::INT AS px_max
+FROM vals
+"""
+
+
+QUERIES_LATE["image_resize_stats"] = (image_resize_stats,
+                                      IMAGE_RESIZE_STATS_ORACLE)
+QUERIES_LATE["video_frame_sample_stats"] = (video_frame_sample_stats,
+                                            VIDEO_FRAME_SAMPLE_STATS_ORACLE)
+
+
 def _register_streaming_pii() -> None:
     """Late-register the streaming PII scrub (defined in
     ``streaming.documents``) so the registry position of every earlier

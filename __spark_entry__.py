@@ -105,6 +105,7 @@ _REDUNDANT_TAIL = [
     "fingerprint_overlap_pairs",
     "image_resize_stats",
     "video_frame_sample_stats",
+    "dedup_keep_longest_minhash",
 ]
 
 

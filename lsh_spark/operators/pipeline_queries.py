@@ -1666,6 +1666,22 @@ FROM vals
 """
 
 
+def dedup_keep_longest_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware retention over the pair-free cluster path
+    (``lsh_dedup_keep_longest``): each near-dup component keeps its
+    longest document, ties on lowest id — checked against the true-CC +
+    QUALIFY-window oracle."""
+    from .similarity_join import lsh_dedup_keep_longest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_dedup_keep_longest(docs, "text", id_col="doc_id",
+                                  band_count=6, band_size=6, seed=123)
+
+
+QUERIES_LATE["dedup_keep_longest_minhash"] = (
+    dedup_keep_longest_minhash, _orc.dedup_keep_longest_sql(3, 6, 6, 123))
+
+
 QUERIES_LATE["image_resize_stats"] = (image_resize_stats,
                                       IMAGE_RESIZE_STATS_ORACLE)
 QUERIES_LATE["video_frame_sample_stats"] = (video_frame_sample_stats,

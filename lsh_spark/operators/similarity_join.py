@@ -504,6 +504,46 @@ def lsh_dedup_keep_first(
     return df.join(drop, on=id_col, how="left_anti")
 
 
+def lsh_dedup_keep_longest(
+    df: DataFrame,
+    text_col: str,
+    *,
+    id_col: str,
+    ngram_width: int = 3,
+    band_count: int = 6,
+    band_size: int = 6,
+    seed: int = 123,
+    max_iter: int = 12,
+    shingle: str = "char",
+) -> DataFrame:
+    """Quality-aware cluster retention: every near-dup component keeps
+    its LONGEST document (ties on lowest id) — the policy real pipelines
+    prefer over keep-first when duplicates differ in completeness (a
+    full article vs its truncated syndication copy).  Built on the
+    pair-free cluster path, so it scales like ``lsh_dedup_clusters``:
+    the winner per component is one ``max(struct(len, -id))``
+    hash-aggregate, never a pair join or a window over an unbounded
+    partition.
+
+    Returns the kept rows as (id, cluster_id, n_chars)."""
+    clusters = lsh_dedup_clusters(
+        df, text_col, id_col=id_col, ngram_width=ngram_width,
+        band_count=band_count, band_size=band_size, seed=seed,
+        max_iter=max_iter, shingle=shingle)
+    lens = df.select(F.col(id_col), F.length(text_col).alias("__len"))
+    return (
+        clusters.join(lens, on=id_col)
+        .groupBy("cluster_id")
+        .agg(F.max(F.struct(F.col("__len"),
+                            (-F.col(id_col)).alias("__nid"))).alias("w"))
+        .select(
+            (-F.col("w.__nid")).alias(id_col),
+            "cluster_id",
+            F.col("w.__len").alias("n_chars"),
+        )
+    )
+
+
 def lsh_dedup_clusters(
     df: DataFrame,
     text_col: str,

@@ -720,3 +720,29 @@ WITH {euclidean_bands_cte(bucket_width, band_count, band_size, seed, dim)},
   )
 SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {threshold}
 """
+
+
+def dedup_keep_longest_sql(ngram_width: int, band_count: int,
+                           band_size: int, seed: int) -> str:
+    """Oracle for ``lsh_dedup_keep_longest``: true CC over the
+    band-collision graph, then quality-aware retention — each component
+    keeps its LONGEST document (ties on lowest doc_id)."""
+    return f"""
+WITH RECURSIVE {char_shingles_cte(ngram_width)},
+{minhash_bands_ctes(band_count, band_size, seed)},
+  edges AS (
+    SELECT DISTINCT a.id AS src, b.id AS dst
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.h = b.h AND a.id != b.id
+  ),
+  reach(id, r) AS (
+    SELECT id, id FROM docs
+    UNION
+    SELECT e.src, w.r FROM edges e JOIN reach w ON w.id = e.dst
+  ),
+  labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, l.cluster_id, length(d.text)::INT AS n_chars
+FROM documents d JOIN labels l ON l.id = d.doc_id
+QUALIFY row_number() OVER (PARTITION BY l.cluster_id
+                           ORDER BY length(d.text) DESC, d.doc_id) = 1
+"""

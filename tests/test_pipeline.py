@@ -1440,3 +1440,25 @@ def test_pii_redaction_counts_and_placeholders(spark):
     # the documented contract: IPv4-SHAPED (no octet range check), and
     # phones need separators
     assert (out[3].e, out[3].i, out[3].p) == (0, 1, 0)
+
+
+def test_keep_longest_prefers_length_then_lowest_id(spark):
+    """lsh_dedup_keep_longest: within a near-dup component the longest
+    text wins; equal lengths break to the lowest id; singletons keep
+    themselves."""
+    from lsh_spark.operators.similarity_join import lsh_dedup_keep_longest
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " extended with extra trailing content here"),  # longest
+        (3, base),                             # same len as 1 -> 1 wins tie
+        (9, "completely unrelated text with different words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id: r for r in lsh_dedup_keep_longest(
+        df, "text", id_col="doc_id", ngram_width=3, band_count=4,
+        band_size=4, seed=7).collect()}
+    assert 2 in kept and kept[2].n_chars == len(rows[1][1])
+    assert 9 in kept
+    assert 1 not in kept and 3 not in kept

@@ -1462,3 +1462,43 @@ def test_keep_longest_prefers_length_then_lowest_id(spark):
     assert 2 in kept and kept[2].n_chars == len(rows[1][1])
     assert 9 in kept
     assert 1 not in kept and 3 not in kept
+
+
+def test_dedup_lines_property_vs_reference(spark):
+    """Property: dedup_lines_df over randomized corpora (shared and
+    unique lines, empty lines, duplicate lines WITHIN one doc) matches a
+    direct python reference of the keep-first-occurrence rule.  One
+    Spark round-trip over many generated corpora (hypothesis drives the
+    corpus shape, examples batched into a single job per draw)."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        return
+
+    from lsh_spark.operators.dedup import dedup_lines_df
+
+    line_pool = ["alpha beta", "gamma", "", "shared footer", "x y z",
+                 "alpha beta", "copyright"]
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(
+        st.lists(st.sampled_from(line_pool), min_size=1, max_size=5),
+        min_size=1, max_size=8))
+    def run(docs):
+        rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+        # python reference: first (doc_id, pos) occurrence wins
+        seen, want = set(), {}
+        for i, lines in enumerate(docs):
+            kept = []
+            for ln in lines:
+                if ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            want[i] = (len(lines), len(kept), "\n".join(kept))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_lines, r.n_kept, r.clean_text)
+               for r in dedup_lines_df(df).collect()}
+        assert got == want
+
+    run()

@@ -106,6 +106,7 @@ _REDUNDANT_TAIL = [
     "image_resize_stats",
     "video_frame_sample_stats",
     "dedup_keep_longest_minhash",
+    "media_tiff_pixel_stats",
 ]
 
 

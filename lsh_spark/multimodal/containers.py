@@ -456,3 +456,136 @@ def encode_gif_rgb(pixels: np.ndarray) -> bytes:
                              indexing="ij")
     pal[:252] = np.stack([rr, gg, bb], axis=-1).reshape(252, 3)
     return _write_gif(idx[None], pal)
+
+
+# ---------------------------------------------------------------------------
+# TIFF (uncompressed baseline)
+# ---------------------------------------------------------------------------
+
+
+def decode_tiff(content: bytes) -> dict | None:
+    """Baseline TIFF parse → the image dict shape: real IFD walk, both
+    byte orders (II/MM), uncompressed 8-bit chunky samples, grayscale
+    (photometric 0 — white-is-zero — is inverted to black-is-zero — and
+    1) and RGB, multi-strip assembly.  Compressed variants, non-8-bit
+    samples, planar layout and extra samples raise (digest-stub
+    fallback upstream, same contract as the other codecs)."""
+    if content is None or content[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    try:
+        return _decode_tiff_body(content)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"TIFF: malformed stream ({e})") from e
+
+
+def _decode_tiff_body(content: bytes) -> dict:
+    bo = "<" if content[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(bo + "I", content[4:8])
+    (n_tags,) = struct.unpack(bo + "H", content[ifd_off:ifd_off + 2])
+    tags: dict[int, tuple] = {}
+    for i in range(n_tags):
+        e = content[ifd_off + 2 + 12 * i: ifd_off + 14 + 12 * i]
+        if len(e) != 12:
+            raise ValueError("TIFF: truncated IFD")
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        tags[tag] = (typ, cnt, e[8:12])
+
+    def val(tag: int, default=None):
+        if tag not in tags:
+            return default
+        typ, cnt, raw = tags[tag]
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            raise ValueError(f"TIFF: unsupported tag type {typ}")
+        total = size * cnt
+        if total <= 4:
+            data = raw[:total]
+        else:
+            (off,) = struct.unpack(bo + "I", raw)
+            data = content[off:off + total]
+            if len(data) != total:
+                raise ValueError("TIFF: truncated tag data")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        return list(struct.unpack(bo + fmt * cnt, data))
+
+    wv, hv = val(256), val(257)
+    if wv is None or hv is None:
+        raise ValueError("TIFF: missing dimensions")
+    w, h = int(wv[0]), int(hv[0])
+    comp = val(259, [1])[0]
+    if comp != 1:
+        raise ValueError(f"TIFF: unsupported compression {comp}")
+    phot = val(262, [1])[0]
+    spp = int(val(277, [1])[0])
+    if phot not in (0, 1, 2):
+        raise ValueError(f"TIFF: unsupported photometric {phot}")
+    if (phot == 2) != (spp == 3):
+        raise ValueError(f"TIFF: photometric {phot} with {spp} samples")
+    if spp not in (1, 3):
+        raise ValueError(f"TIFF: unsupported samples/pixel {spp}")
+    bps = val(258, [8] * spp)
+    if any(b != 8 for b in bps):
+        raise ValueError("TIFF: only 8-bit samples supported")
+    if val(284, [1])[0] != 1:
+        raise ValueError("TIFF: planar configuration unsupported")
+    offs, counts = val(273), val(279)
+    if offs is None or counts is None:
+        raise ValueError("TIFF: missing strip layout")
+    data = b"".join(content[o:o + c] for o, c in zip(offs, counts))
+    need = w * h * spp
+    if len(data) < need:
+        raise ValueError("TIFF: truncated pixel data")
+    px = np.frombuffer(data[:need], dtype=np.uint8).reshape(h, w, spp)
+    if phot == 0:
+        px = (255 - px.astype(np.int16)).astype(np.uint8)
+    if spp == 1:
+        px = px[:, :, 0]
+    return {"width": w, "height": h, "n_frames": 1,
+            "_pixels": np.ascontiguousarray(px)}
+
+
+def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<") -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → single-strip uncompressed
+    TIFF (black-is-zero / RGB, chunky), either byte order — the inverse
+    of ``decode_tiff`` for the round-trip tests."""
+    bo = byteorder
+    if bo not in ("<", ">"):
+        raise ValueError("encode_tiff: byteorder must be '<' or '>'")
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    spp = px.shape[2]
+    if spp not in (1, 3):
+        raise ValueError("encode_tiff: gray or RGB input only")
+    h, w, _ = px.shape
+    data = px.tobytes()
+    n_tags = 9
+    ifd_size = 2 + n_tags * 12 + 4
+    bps_extra = 6 if spp == 3 else 0
+    bps_off = 8 + ifd_size
+    data_off = bps_off + bps_extra
+
+    def short(v: int) -> bytes:
+        return struct.pack(bo + "H", v).ljust(4, b"\x00")
+
+    def entry(tag: int, typ: int, cnt: int, payload: bytes) -> bytes:
+        return struct.pack(bo + "HHI", tag, typ, cnt) + payload
+
+    entries = [
+        entry(256, 4, 1, struct.pack(bo + "I", w)),
+        entry(257, 4, 1, struct.pack(bo + "I", h)),
+        entry(258, 3, spp,
+              short(8) if spp == 1 else struct.pack(bo + "I", bps_off)),
+        entry(259, 3, 1, short(1)),
+        entry(262, 3, 1, short(1 if spp == 1 else 2)),
+        entry(273, 4, 1, struct.pack(bo + "I", data_off)),
+        entry(277, 3, 1, short(spp)),
+        entry(278, 4, 1, struct.pack(bo + "I", h)),
+        entry(279, 4, 1, struct.pack(bo + "I", len(data))),
+    ]
+    header = (b"II*\x00" if bo == "<" else b"MM\x00*") + struct.pack(
+        bo + "I", 8)
+    ifd = (struct.pack(bo + "H", n_tags) + b"".join(entries)
+           + struct.pack(bo + "I", 0))
+    bps_block = struct.pack(bo + "HHH", 8, 8, 8) if spp == 3 else b""
+    return header + ifd + bps_block + data

@@ -135,11 +135,12 @@ def _decode_image(content: bytes) -> dict | None:
     meta = decode_raw_image(content)
     if meta is not None:
         return meta
-    from .containers import decode_bmp, decode_gif
+    from .containers import decode_bmp, decode_gif, decode_tiff
     from .jpeg import decode_jpeg
     from .png import decode_png
 
-    for dec in (decode_png, decode_jpeg, decode_bmp, decode_gif):
+    for dec in (decode_png, decode_jpeg, decode_bmp, decode_gif,
+                decode_tiff):
         meta = dec(content)
         if meta is not None:
             return meta
@@ -435,6 +436,42 @@ def synthesize_tone_audio_from_documents(docs: DataFrame) -> DataFrame:
                 rows.append({"media_id": d, "kind": "audio",
                              "content": encode_wav(samples),
                              "mime": "audio/wav"})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def synthesize_tiff_images_from_documents(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA frame of REAL uncompressed TIFFs from pure doc_id
+    arithmetic: even docs are little-endian GRAYSCALE
+    (``v = (d*13 + 7x + 19y) % 256``), odd docs are big-endian RGB
+    (channel ``c`` value ``(d*13 + 7x + 19y + 41c) % 256``), dimensions
+    ``w = 6 + d % 9``, ``h = 5 + d % 7`` — both byte orders and both
+    photometric layouts exercised, every byte SQL-predictable."""
+    import numpy as np
+
+    from .containers import encode_tiff
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 6 + d % 9, 5 + d % 7
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                base = d * 13 + 7 * x + 19 * y
+                if d % 2 == 0:
+                    px = (base % 256).astype(np.uint8)
+                    blob = encode_tiff(px, byteorder="<")
+                else:
+                    c = np.arange(3, dtype=np.int64)[None, None, :]
+                    px = ((base[:, :, None] + 41 * c) % 256).astype(
+                        np.uint8)
+                    blob = encode_tiff(px, byteorder=">")
+                rows.append({"media_id": d, "kind": "image",
+                             "content": blob, "mime": "image/tiff"})
             yield pd.DataFrame(rows,
                                columns=[f.name for f in MEDIA_SCHEMA])
 

@@ -1682,6 +1682,49 @@ QUERIES_LATE["dedup_keep_longest_minhash"] = (
     dedup_keep_longest_minhash, _orc.dedup_keep_longest_sql(3, 6, 6, 123))
 
 
+def media_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF gate: arithmetic TIFFs (even docs little-endian grayscale,
+    odd docs big-endian RGB — both byte orders, both photometric
+    layouts) decoded by the real IFD parser, pixel statistics pinned
+    byte-for-byte by the closed-form oracle."""
+    from ..multimodal.media import (
+        image_pixel_stats,
+        synthesize_tiff_images_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_pixel_stats(synthesize_tiff_images_from_documents(docs))
+
+
+MEDIA_TIFF_PIXEL_STATS_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 6 + doc_id % 9 AS w, 5 + doc_id % 7 AS h
+  FROM documents
+),
+vals AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN
+           list_transform(range(0, w * h), i ->
+             (doc_id*13 + 7*(i % w) + 19*(i // w)) % 256)
+         ELSE
+           list_transform(range(0, w * h * 3), i ->
+             (doc_id*13 + 7*((i // 3) % w) + 19*(i // (3 * w))
+              + 41*(i % 3)) % 256)
+         END AS v
+  FROM dims
+)
+SELECT doc_id AS media_id,
+       list_sum(v)::BIGINT AS px_sum,
+       list_min(v)::INT AS px_min,
+       list_max(v)::INT AS px_max
+FROM vals
+"""
+
+
+QUERIES_LATE["media_tiff_pixel_stats"] = (media_tiff_pixel_stats,
+                                          MEDIA_TIFF_PIXEL_STATS_ORACLE)
+
+
 QUERIES_LATE["image_resize_stats"] = (image_resize_stats,
                                       IMAGE_RESIZE_STATS_ORACLE)
 QUERIES_LATE["video_frame_sample_stats"] = (video_frame_sample_stats,

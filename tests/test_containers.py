@@ -372,3 +372,69 @@ def test_audio_signal_stats_exact_and_null_contract(spark):
             got[2].peak) == (3, 1 + 4 + 9, 2, 3)
     assert got[3].n_samples is None and got[3].sum_sq is None
     assert got[4].n_samples is None
+
+
+def test_tiff_round_trip_both_orders_and_refusals():
+    """TIFF codec: gray/RGB round-trips in both byte orders,
+    photometric-0 inversion, multi-strip assembly, and the refusal
+    contract (compression, 16-bit, planar, foreign magic)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from lsh_spark.multimodal.containers import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(7)
+    for shape in ((3, 9), (6, 4, 3)):
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for bo in ("<", ">"):
+            m = decode_tiff(encode_tiff(px, byteorder=bo))
+            assert (m["_pixels"] == px).all()
+            assert (m["width"], m["height"]) == (px.shape[1], px.shape[0])
+
+    def patch_entry(blob, tag, payload4):
+        b = bytearray(blob)
+        bo = "<" if blob[:2] == b"II" else ">"
+        (n,) = struct.unpack(bo + "H", blob[8:10])
+        for i in range(n):
+            off = 10 + 12 * i
+            t, = struct.unpack(bo + "H", blob[off:off + 2])
+            if t == tag:
+                b[off + 8:off + 12] = payload4
+                return bytes(b)
+        raise AssertionError(f"tag {tag} not found")
+
+    gray = encode_tiff(np.array([[10, 250]], dtype=np.uint8))
+    inv = decode_tiff(patch_entry(gray, 262, struct.pack("<H", 0)
+                                  .ljust(4, b"\x00")))
+    assert inv["_pixels"].tolist() == [[245, 5]]
+    with _pytest.raises(ValueError, match="compression"):
+        decode_tiff(patch_entry(gray, 259, struct.pack("<H", 5)
+                                .ljust(4, b"\x00")))
+    with _pytest.raises(ValueError, match="8-bit"):
+        decode_tiff(patch_entry(gray, 258, struct.pack("<H", 16)
+                                .ljust(4, b"\x00")))
+    assert decode_tiff(b"not a tiff at all") is None
+
+    # multi-strip: split the 1-strip gray file into two strips by
+    # rewriting 273/279 as 2-element arrays appended to the blob
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    blob = encode_tiff(px)
+    data_off = blob.index(px.tobytes())
+    ext = len(blob)
+    offs = struct.pack("<II", data_off, data_off + 4)
+    cnts = struct.pack("<II", 4, 8)
+    blob2 = blob + offs + cnts
+    blob2 = patch_entry(blob2, 273, struct.pack("<I", ext))
+    b = bytearray(blob2)
+    # fix count fields of 273/279 to 2 and point them at the arrays
+    for tag, payload_off in ((273, ext), (279, ext + 8)):
+        for i in range(9):
+            off = 10 + 12 * i
+            t, = struct.unpack("<H", bytes(b[off:off + 2]))
+            if t == tag:
+                b[off + 4:off + 8] = struct.pack("<I", 2)
+                b[off + 8:off + 12] = struct.pack("<I", payload_off)
+    m = decode_tiff(bytes(b))
+    assert (m["_pixels"] == px).all()

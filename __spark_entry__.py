@@ -107,6 +107,7 @@ _REDUNDANT_TAIL = [
     "video_frame_sample_stats",
     "dedup_keep_longest_minhash",
     "media_tiff_pixel_stats",
+    "corpus_summary_report",
 ]
 
 

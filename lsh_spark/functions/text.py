@@ -20,6 +20,7 @@ Functions:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -127,3 +128,30 @@ def lang_guess(col) -> Column:
         .when(es_ratio > 0.15, F.lit("es"))
         .otherwise(F.lit("en"))
     )
+
+
+def compression_ratio(col) -> Column:
+    """zlib-compressibility quality signal (Gopher's compression-ratio
+    heuristic: highly repetitive text compresses far below natural
+    prose): ``deflated_size / utf8_size``, rounded to 6dp; empty/NULL
+    text → NULL.  Runs as an Arrow-batched pandas UDF (zlib is not
+    SQL-expressible, so this feature is pytest-pinned against the
+    python reference rather than oracle-checked; level is FIXED at 6 —
+    zlib output is deterministic for a given level and input)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _udf(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t is None or len(t) == 0:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            out.append(round(len(zlib.compress(raw, 6)) / len(raw), 6))
+        return pd.Series(out, dtype="float64")
+
+    return _udf(F.col(col) if isinstance(col, str) else col)

@@ -1731,6 +1731,63 @@ QUERIES_LATE["video_frame_sample_stats"] = (video_frame_sample_stats,
                                             VIDEO_FRAME_SAMPLE_STATS_ORACLE)
 
 
+# ---------------------------------------------------------------------------
+# corpus summary report — the per-snapshot "dataset card" aggregate a
+# pipeline emits after every build: one scan, per-language rollup.
+# ---------------------------------------------------------------------------
+
+def corpus_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics in ONE scan: document and token
+    volume, char volume, and mean quality score.  The quality mean is
+    made order-independent by summing the 6-dp-rounded per-doc quality
+    as DECIMAL(18,6) (exactly representable) before the final division
+    — the money-aggregate recipe applied to a float feature."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        T.lang_guess("text").alias("lang"),
+        T.char_count("text").alias("__chars"),
+        T.token_count("text").alias("__tokens"),
+        F.round(T.quality_score("text"), 6)
+        .cast("decimal(18,6)").alias("__q"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__chars").alias("total_chars"),
+            F.sum("__tokens").alias("total_tokens"),
+            F.expr("CAST(round(SUM(__q) / COUNT(*), 6) AS DOUBLE)")
+            .alias("avg_quality"),
+        )
+    )
+
+
+def _corpus_summary_oracle() -> str:
+    # reuse the TEXT_QUALITY_ORACLE expressions verbatim via a CTE over
+    # its output shape (lang_guess + quality are already oracle-pinned)
+    return f"""
+WITH tq AS ({TEXT_QUALITY_ORACLE}),
+feats AS (
+  SELECT d.doc_id, t.lang_guess AS lang, t.quality,
+         length(d.text) AS n_chars,
+         CASE WHEN trim(d.text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+              END AS n_tokens
+  FROM documents d JOIN tq t ON t.doc_id = d.doc_id
+)
+SELECT lang, count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       round(sum(quality::DECIMAL(18,6)) / count(*), 6)::DOUBLE
+           AS avg_quality
+FROM feats GROUP BY lang
+"""
+
+
+QUERIES_LATE["corpus_summary_report"] = (corpus_summary_report,
+                                         _corpus_summary_oracle())
+
+
 def _register_streaming_pii() -> None:
     """Late-register the streaming PII scrub (defined in
     ``streaming.documents``) so the registry position of every earlier

@@ -344,3 +344,24 @@ def test_weighted_minhash_tf_sensitivity(spark):
         .alias("b")).collect()}
     assert rows[1] != rows[2]       # tf difference visible
     assert rows[1] == rows[3]       # whitespace-run invariant
+
+
+def test_compression_ratio_matches_zlib_reference(spark):
+    """compression_ratio: exact vs the python zlib reference; repetitive
+    text compresses below prose; empty/NULL -> NULL."""
+    import zlib
+
+    from lsh_spark.functions.text import compression_ratio
+
+    prose = "the quick brown fox jumps over the lazy dog near the bank"
+    repetitive = "spam " * 40
+    rows = [(1, prose), (2, repetitive), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.cr for r in df.select(
+        "id", compression_ratio("text").alias("cr")).collect()}
+    for i, t in ((1, prose), (2, repetitive)):
+        raw = t.encode("utf-8")
+        assert got[i] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+    assert got[3] is None and got[4] is None
+    # the heuristic's point: repetition compresses far below prose
+    assert got[2] < 0.2 < got[1]

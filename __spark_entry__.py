@@ -108,6 +108,7 @@ _REDUNDANT_TAIL = [
     "dedup_keep_longest_minhash",
     "media_tiff_pixel_stats",
     "corpus_summary_report",
+    "corpus_summary_streaming",
 ]
 
 

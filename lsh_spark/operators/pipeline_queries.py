@@ -1788,6 +1788,48 @@ QUERIES_LATE["corpus_summary_report"] = (corpus_summary_report,
                                          _corpus_summary_oracle())
 
 
+def corpus_summary_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card rollup as a STREAMING complete-mode aggregate:
+    documents arrive as a file stream, the per-language summary
+    maintains running state per group (no watermark — a global rollup
+    never expires), drained AvailableNow into a memory sink.  Shares
+    the batch twin's exact oracle."""
+    from ..sources.io import _ensure_session_confs
+    from ..streaming.events import run_available_now
+
+    _ensure_session_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.select(
+            T.lang_guess("text").alias("lang"),
+            T.char_count("text").alias("__chars"),
+            T.token_count("text").alias("__tokens"),
+            F.round(T.quality_score("text"), 6)
+            .cast("decimal(18,6)").alias("__q"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__chars").alias("total_chars"),
+            F.sum("__tokens").alias("total_tokens"),
+            F.expr("CAST(round(SUM(__q) / COUNT(*), 6) AS DOUBLE)")
+            .alias("avg_quality"),
+        )
+    )
+    q = run_available_now(agg, "corpus_summary_streaming_sink", "complete")
+    q.awaitTermination()
+    return spark.table("corpus_summary_streaming_sink")
+
+
+QUERIES_LATE["corpus_summary_streaming"] = (corpus_summary_streaming,
+                                            _corpus_summary_oracle())
+
+
 def _register_streaming_pii() -> None:
     """Late-register the streaming PII scrub (defined in
     ``streaming.documents``) so the registry position of every earlier

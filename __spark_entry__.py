@@ -109,6 +109,7 @@ _REDUNDANT_TAIL = [
     "media_tiff_pixel_stats",
     "corpus_summary_report",
     "corpus_summary_streaming",
+    "ngram_novelty_scores",
 ]
 
 

@@ -1732,6 +1732,97 @@ QUERIES_LATE["video_frame_sample_stats"] = (video_frame_sample_stats,
 
 
 # ---------------------------------------------------------------------------
+# n-gram novelty — per-document content-novelty score by corpus order
+# ---------------------------------------------------------------------------
+
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of a document's DISTINCT word bigrams whose first
+    corpus occurrence (lowest doc_id) is this document — the diversity
+    signal curriculum/mixture builders use to favor novel content over
+    boilerplate.  One explode feeds both the per-(doc, ngram) distinct
+    set and, by re-aggregation, the first-owner table (min doc_id per
+    ngram — a map-side-combining aggregate, no window); ownership joins
+    back by ngram digest.  Ratio is a double division of integer
+    counts, rounded 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .training_ops import _words
+
+    w = _words(F.col("text"))
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(w) - 2),
+                    lambda i: F.concat_ws(" ", F.get(w, i),
+                                          F.get(w, i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    dg = (
+        docs.select("doc_id", F.explode(bigrams).alias("__g"))
+        .select("doc_id", F.md5("__g").alias("__h"))
+        .distinct()
+    )
+    first = dg.groupBy("__h").agg(F.min("doc_id").alias("__first"))
+    per_doc = (
+        dg.join(first, on="__h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_ngrams"),
+            F.sum(F.when(F.col("doc_id") == F.col("__first"), 1)
+                  .otherwise(0)).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id").join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_distinct_ngrams", F.lit(0))
+            .alias("n_distinct_ngrams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(F.col("n_distinct_ngrams") > 0,
+                   F.round(F.col("n_novel")
+                           / F.col("n_distinct_ngrams"), 6))
+            .alias("novelty"),
+        )
+    )
+
+
+NGRAM_NOVELTY_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     t -> t <> '') AS ws
+  FROM documents
+),
+dg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i + 1])) AS g
+  FROM words WHERE len(ws) >= 2
+),
+first_owner AS (
+  SELECT g, min(doc_id) AS first_id FROM dg GROUP BY g
+),
+per_doc AS (
+  SELECT d.doc_id,
+         count(*)::BIGINT AS n_distinct_ngrams,
+         sum(CASE WHEN d.doc_id = f.first_id THEN 1 ELSE 0 END)::BIGINT
+             AS n_novel
+  FROM dg d JOIN first_owner f USING (g)
+  GROUP BY d.doc_id
+)
+SELECT w.doc_id,
+       coalesce(p.n_distinct_ngrams, 0) AS n_distinct_ngrams,
+       coalesce(p.n_novel, 0) AS n_novel,
+       CASE WHEN p.n_distinct_ngrams > 0
+            THEN round(p.n_novel * 1.0 / p.n_distinct_ngrams, 6)
+       END AS novelty
+FROM words w LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+QUERIES_LATE["ngram_novelty_scores"] = (ngram_novelty_scores,
+                                        NGRAM_NOVELTY_ORACLE)
+
+
+# ---------------------------------------------------------------------------
 # corpus summary report — the per-snapshot "dataset card" aggregate a
 # pipeline emits after every build: one scan, per-language rollup.
 # ---------------------------------------------------------------------------

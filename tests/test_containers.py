@@ -438,3 +438,28 @@ def test_tiff_round_trip_both_orders_and_refusals():
                 b[off + 8:off + 12] = struct.pack("<I", payload_off)
     m = decode_tiff(bytes(b))
     assert (m["_pixels"] == px).all()
+
+
+def test_image_pixel_stats_null_and_passthrough(spark):
+    """image_pixel_stats: undecodable payloads and NULL content yield
+    NULL stats; id-column passthrough preserves extra id columns."""
+    import numpy as np
+
+    from lsh_spark.multimodal.containers import encode_bmp
+    from lsh_spark.multimodal.media import image_pixel_stats
+
+    px = np.full((2, 2, 3), 7, dtype=np.uint8)
+    rows = [
+        (1, 0, bytearray(encode_bmp(px))),
+        (2, 1, bytearray(b"garbage bytes, no codec magic")),
+        (3, 2, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, frame binary")
+    got = {r.media_id: r for r in image_pixel_stats(
+        df, content_col="frame",
+        id_cols=("media_id", "frame_idx")).collect()}
+    assert (got[1].px_sum, got[1].px_min, got[1].px_max,
+            got[1].frame_idx) == (84, 7, 7, 0)
+    assert got[2].px_sum is None and got[2].frame_idx == 1
+    assert got[3].px_sum is None and got[3].frame_idx == 2

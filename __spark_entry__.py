@@ -110,6 +110,7 @@ _REDUNDANT_TAIL = [
     "corpus_summary_report",
     "corpus_summary_streaming",
     "ngram_novelty_scores",
+    "q15_top_supplier",
 ]
 
 

@@ -1144,3 +1144,49 @@ GROUP BY o_orderpriority
 
 QUERIES_LATE["order_value_quantiles"] = (order_value_quantiles,
                                          ORDER_VALUE_QUANTILES_ORACLE)
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: quarterly revenue per supplier,
+    keep every supplier whose revenue equals the global maximum — the
+    scalar-max correlated subquery decorrelated to a 1-row broadcast
+    crossJoin (never a global sort or single-partition window).  The
+    DECIMAL revenue is exact, so max-equality is well-defined."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                 & (F.col("l_shipdate") < F.lit("1996-04-01")))
+        .groupBy("l_suppkey")
+        .agg(F.expr("SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+                    " * CAST(1 - l_discount AS DECIMAL(18,2)))")
+             .alias("__rev"))
+    )
+    top = rev.agg(F.max("__rev").alias("__max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .where(F.col("__rev") == F.col("__max_rev"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.expr("CAST(round(__rev, 2) AS DOUBLE)")
+                .alias("total_revenue"))
+    )
+
+
+Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(l_extendedprice::DECIMAL(18,2)
+             * (1 - l_discount)::DECIMAL(18,2)) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(r, 2)::DOUBLE AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT max(r) FROM rev)
+"""
+
+QUERIES_LATE["q15_top_supplier"] = (q15_top_supplier, Q15_ORACLE)

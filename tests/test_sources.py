@@ -258,3 +258,55 @@ def test_zorder_clusters_both_columns(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n
     assert got.agg(F.sum("x")).first()[0] == df.agg(F.sum("x")).first()[0]
+
+
+def test_zorder_point_predicate_prunes_row_groups(spark, tmp_path):
+    """Data-skipping evidence: for a selective point predicate on the
+    SECOND z-order column, far fewer z-ordered row groups admit the
+    value (min/max footer check — exactly what Spark's parquet reader
+    consults) than under an x-only sort, whose every group spans the
+    full y domain."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from lsh_spark.sources.layout import zorder_by
+
+    n = 40000
+    df = (spark.range(n)
+          .select((F.col("id") % 200).alias("x"),
+                  (F.col("id") / 200).cast("long").alias("y")))
+    zout = str(tmp_path / "z2")
+    # small parquet blocks -> many row groups per file, so the footer
+    # check sees the curve at fine granularity (the 100 TB analogue:
+    # row groups are always much finer than files)
+    opts = {"parquet.block.size": "32768"}
+    zorder_by(df, ["x", "y"]).write.options(**opts).parquet(zout)
+    bout = str(tmp_path / "plain2")
+    df.repartitionByRange(4, "x").sortWithinPartitions("x") \
+        .write.options(**opts).parquet(bout)
+
+    def admitting_groups(path, y_val):
+        total = hit = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                cols = {md.row_group(rg).column(i).path_in_schema:
+                        md.row_group(rg).column(i).statistics
+                        for i in range(md.row_group(rg).num_columns)}
+                total += 1
+                if cols["y"].min <= y_val <= cols["y"].max:
+                    hit += 1
+        return hit, total
+
+    # probe near the domain edge: at coarse file granularity the
+    # z-curve still isolates corner cells into few segments, while the
+    # x-only sort's every file spans the full y domain
+    zh, zt = admitting_groups(zout, 5)
+    bh, bt = admitting_groups(bout, 5)
+    assert zt > 1 and bt > 1
+    # the x-only sort admits (nearly) every group; z-order must prune
+    # more than half relative to it
+    assert bh / bt > 0.9
+    assert zh / zt < 0.5 * (bh / bt)

@@ -111,6 +111,7 @@ _REDUNDANT_TAIL = [
     "corpus_summary_streaming",
     "ngram_novelty_scores",
     "q15_top_supplier",
+    "near_dup_index_stats",
 ]
 
 

@@ -1732,6 +1732,67 @@ QUERIES_LATE["video_frame_sample_stats"] = (video_frame_sample_stats,
 
 
 # ---------------------------------------------------------------------------
+# persisted-index health stats — the ops-visibility query an operator
+# runs against a long-lived LSH index (bucket-size skew drives probe
+# cost; a ballooning max bucket is the signal to retune banding)
+# ---------------------------------------------------------------------------
+
+def near_dup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band bucket statistics of the persisted A/B LSH index
+    (session-amortized build shared with the streaming probe, physical
+    tables resolved through the meta generation pointer): bucket count,
+    row count, max bucket size, singleton count.  The oracle recomputes
+    the corpus banding from scratch in SQL — so this also pins that the
+    PERSISTED index content matches a fresh banding of the corpus."""
+    from ..streaming.documents import ensure_ab_index
+    from .similarity_join import _meta, _phys
+
+    index = ensure_ab_index(spark, sf_dir)
+    m = _meta(spark, index)
+    bands = spark.table(_phys(index, "bands", m))
+    buckets = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("__sz"))
+    return (
+        buckets.groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("__sz").alias("n_rows"),
+            F.max("__sz").alias("max_bucket"),
+            F.sum(F.when(F.col("__sz") == 1, 1).otherwise(0))
+            .alias("n_singletons"),
+        )
+        .select(F.col("band_idx").cast("int").alias("band_idx"),
+                "n_buckets", "n_rows", "max_bucket", "n_singletons")
+    )
+
+
+def _index_stats_oracle() -> str:
+    from ..operators.lsh_queries import _JOIN_AB_PLAN
+
+    return f"""
+WITH {_orc.char_shingles_cte(3)},
+{_orc.minhash_bands_ctes(int(_JOIN_AB_PLAN.band_count),
+                         int(_JOIN_AB_PLAN.band_size), 123)},
+corpus_bands AS (
+  SELECT id, band_idx, h FROM bands WHERE id % 2 = 0
+),
+buckets AS (
+  SELECT band_idx, h, count(*) AS sz FROM corpus_bands GROUP BY 1, 2
+)
+SELECT band_idx::INT AS band_idx,
+       count(*)::BIGINT AS n_buckets,
+       sum(sz)::BIGINT AS n_rows,
+       max(sz)::BIGINT AS max_bucket,
+       sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons
+FROM buckets GROUP BY band_idx
+"""
+
+
+QUERIES_LATE["near_dup_index_stats"] = (near_dup_index_stats,
+                                        _index_stats_oracle())
+
+
+# ---------------------------------------------------------------------------
 # n-gram novelty — per-document content-novelty score by corpus order
 # ---------------------------------------------------------------------------
 

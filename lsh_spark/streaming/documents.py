@@ -158,20 +158,18 @@ def similarity_join_ab_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
 
 
-def near_dup_index_probe_streaming(spark: SparkSession,
-                                   sf_dir: str) -> DataFrame:
-    """Driver-gate query: the PRODUCTION streaming near-dup shape — a
-    persisted LSH corpus index (``build_lsh_corpus_index``'s bucketed
-    ``_bands``/``_sets`` tables) probed by a document file-stream via
-    ``foreachBatch``.  The corpus is shingled, banded, and shuffled ONCE
-    at index-build time; each micro-batch computes only its own shingle
-    sets and joins against the bucketed tables with no corpus-side
-    exchange (asserted by tests/test_plans.py).
-
-    Same A/B split, banding plan, and threshold as
-    ``similarity_join_ab_streaming``, so it carries the identical exact
-    DuckDB oracle — the recompute twin and the indexed probe must agree
-    to the hash."""
+def ensure_ab_index(spark: SparkSession, sf_dir: str) -> str:
+    """Session-amortized build of the gate's A/B corpus index (even-id
+    documents, the README join's banding plan); returns the index name.
+    Build once per session, keyed on the banding parameters pinned in
+    the meta row: a parameter change still forces a rebuild (gate
+    hermeticity), but same-session reruns — the bench's best-of-N —
+    reuse the index and time the PROBE only, which is the number that
+    matters at deployment (the build amortizes across every probe).
+    A fresh session (the driver's correctness run) has an empty
+    in-memory catalog, so it always builds.  Build wall goes to stderr
+    so bench logs keep the two costs separate.  Shared by the streaming
+    probe and the index-stats gate queries."""
     from ..operators.lsh_queries import _JOIN_AB_PLAN
     from ..operators.similarity_join import build_lsh_corpus_index
     from ..sources.io import _ensure_session_confs, load_table
@@ -180,17 +178,8 @@ def near_dup_index_probe_streaming(spark: SparkSession,
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 2 == 0).selectExpr(
         "doc_id AS corpus_id", "text")
-
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     index = f"lshidx_ab_{tag}"
-    # Build once per session, keyed on the banding parameters pinned in
-    # the meta row: a parameter change still forces a rebuild (gate
-    # hermeticity), but same-session reruns — the bench's best-of-N —
-    # reuse the index and time the PROBE only, which is the number that
-    # matters at deployment (the build amortizes across every probe).
-    # A fresh session (the driver's correctness run) has an empty
-    # in-memory catalog, so it always builds.  Build wall goes to stderr
-    # so bench logs keep the two costs separate.
     want = dict(text_col="text", id_col="corpus_id", ngram_width=3,
                 band_count=int(_JOIN_AB_PLAN.band_count),
                 band_size=int(_JOIN_AB_PLAN.band_size), seed=123)
@@ -206,10 +195,32 @@ def near_dup_index_probe_streaming(spark: SparkSession,
 
         t0 = time.perf_counter()
         build_lsh_corpus_index(corpus, index, **want)
-        print(f"# near_dup_index_probe_streaming: index build took "
+        print(f"# ensure_ab_index: index build took "
               f"{time.perf_counter() - t0:.2f}s (reused by later runs "
               f"in this session — probe-only wall from run 2 on)",
               file=sys.stderr)
+    return index
+
+
+def near_dup_index_probe_streaming(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Driver-gate query: the PRODUCTION streaming near-dup shape — a
+    persisted LSH corpus index (``build_lsh_corpus_index``'s bucketed
+    ``_bands``/``_sets`` tables) probed by a document file-stream via
+    ``foreachBatch``.  The corpus is shingled, banded, and shuffled ONCE
+    at index-build time; each micro-batch computes only its own shingle
+    sets and joins against the bucketed tables with no corpus-side
+    exchange (asserted by tests/test_plans.py).
+
+    Same A/B split, banding plan, and threshold as
+    ``similarity_join_ab_streaming``, so it carries the identical exact
+    DuckDB oracle — the recompute twin and the indexed probe must agree
+    to the hash."""
+    from ..sources.io import load_table
+
+    index = ensure_ab_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
 
     stream = (
         spark.readStream.schema(docs.schema)

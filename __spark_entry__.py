@@ -112,6 +112,7 @@ _REDUNDANT_TAIL = [
     "ngram_novelty_scores",
     "q15_top_supplier",
     "near_dup_index_stats",
+    "ann_ivf_index_stats",
 ]
 
 

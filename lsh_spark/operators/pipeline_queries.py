@@ -252,15 +252,11 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {_ANN_K
 """
 
 
-def _lloyd_oracle(n_lists: int, n_probe: int, n_iters: int,
-                  n_queries: int, k: int) -> str:
-    """Unrolled-iteration DuckDB mirror of ``ann.ivf_lloyd_topk``.
-
-    Centroid means run in the same 2^20 fixed-point as the Spark side:
-    floor(val*S + 0.5) → exact integer sums (order-independent, so the
-    engines agree bit-for-bit despite different reduction orders) →
-    ``(s/n)/S`` in one fixed op sequence.  Assignment/probe distances use
-    the shared ``(aa - 2ab) + bb`` expression; ties break on cell id."""
+def _lloyd_cell_ctes(n_lists: int, n_iters: int) -> list:
+    """CTE prefix shared by the IVF search oracle and the index-stats
+    oracle: deterministic Lloyd training unrolled ``n_iters`` times,
+    ending at ``c_cells(neighbor_id, v, cell)`` — the full corpus's cell
+    assignment under the trained quantizer."""
     ctes = [
         f"""cent_init AS (
   SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
@@ -299,8 +295,6 @@ def _lloyd_oracle(n_lists: int, n_probe: int, n_iters: int,
   FROM cent_{i} c LEFT JOIN newcent_{i} n USING (cell)
 )""")
     cent = f"cent_{n_iters}"
-    ctes.append(f"""q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
-      FROM embeddings WHERE vec_id < {n_queries})""")
     ctes.append(f"""c_assign AS (
   SELECT vec_id AS neighbor_id, v, cell,
          row_number() OVER (
@@ -309,6 +303,22 @@ def _lloyd_oracle(n_lists: int, n_probe: int, n_iters: int,
   FROM corpus CROSS JOIN {cent}
 )""")
     ctes.append("""c_cells AS (SELECT neighbor_id, v, cell FROM c_assign WHERE r = 1)""")
+    return ctes
+
+
+def _lloyd_oracle(n_lists: int, n_probe: int, n_iters: int,
+                  n_queries: int, k: int) -> str:
+    """Unrolled-iteration DuckDB mirror of ``ann.ivf_lloyd_topk``.
+
+    Centroid means run in the same 2^20 fixed-point as the Spark side:
+    floor(val*S + 0.5) → exact integer sums (order-independent, so the
+    engines agree bit-for-bit despite different reduction orders) →
+    ``(s/n)/S`` in one fixed op sequence.  Assignment/probe distances use
+    the shared ``(aa - 2ab) + bb`` expression; ties break on cell id."""
+    ctes = _lloyd_cell_ctes(n_lists, n_iters)
+    cent = f"cent_{n_iters}"
+    ctes.append(f"""q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < {n_queries})""")
     ctes.append(f"""probes AS (
   SELECT query_id, v, cell FROM (
     SELECT query_id, v, cell,
@@ -1790,6 +1800,45 @@ FROM buckets GROUP BY band_idx
 
 QUERIES_LATE["near_dup_index_stats"] = (near_dup_index_stats,
                                         _index_stats_oracle())
+
+
+def ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF twin of ``near_dup_index_stats``: per-cell posting counts
+    (plus min/max member ids — content, not just volume) of the
+    persisted IVF index, vs an oracle that re-trains the deterministic
+    Lloyd quantizer in SQL and re-assigns the corpus from scratch — so
+    the PERSISTED postings are pinned against an independent
+    recomputation.  Cell-size skew is the probe-cost signal (a fat cell
+    makes every probe touching it scan more vectors)."""
+    from ..operators.ann import _ivf_meta, _ivf_phys
+    from ..streaming.vectors import ensure_ivf_index
+
+    index = ensure_ivf_index(spark, sf_dir)
+    m = _ivf_meta(spark, index)
+    postings = spark.table(_ivf_phys(index, m))
+    return (
+        postings.groupBy("__cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("neighbor_id").alias("min_vec_id"),
+            F.max("neighbor_id").alias("max_vec_id"),
+        )
+        .select(F.col("__cell").cast("int").alias("cell"),
+                "n_vectors", "min_vec_id", "max_vec_id")
+    )
+
+
+def _ivf_stats_oracle() -> str:
+    ctes = _lloyd_cell_ctes(_IVF_LISTS, _IVF_ITERS)
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT cell::INT AS cell, count(*)::BIGINT AS n_vectors,
+       min(neighbor_id) AS min_vec_id, max(neighbor_id) AS max_vec_id
+FROM c_cells GROUP BY cell
+""")
+
+
+QUERIES_LATE["ann_ivf_index_stats"] = (ann_ivf_index_stats,
+                                       _ivf_stats_oracle())
 
 
 # ---------------------------------------------------------------------------

@@ -26,31 +26,21 @@ from pyspark.sql import functions as F
 from .documents import _write_batch_idempotent
 
 
-def ann_ivf_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-gate query: the ``ann_ivf_topk`` workload (queries =
-    ``vec_id < _N_QUERIES``) driven through an actual streaming query —
-    query vectors arrive as a file-source stream and probe the
-    persisted IVF index inside ``foreachBatch``.  Same index parameters
-    as the batch twin, so it carries the identical exact DuckDB oracle
-    (``ANN_IVF_LLOYD_ORACLE``)."""
-    from ..operators.ann import build_ivf_index, search_ivf_index
-    from ..operators.pipeline_queries import (
-        _ANN_K,
-        _IVF_ITERS,
-        _IVF_LISTS,
-        _IVF_PROBE,
-        _N_QUERIES,
-    )
+def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Session-amortized build of the gate's persisted IVF index over
+    the embeddings table (the ``ann_ivf_topk`` parameters); returns the
+    index name.  Build once per session, keyed on the meta-pinned
+    parameters (same amortization pattern as ``ensure_ab_index``: fresh
+    sessions always build, same-session reruns time the probe only).
+    Shared by the streaming search and the index-stats gate queries."""
+    from ..operators.ann import build_ivf_index
+    from ..operators.pipeline_queries import _IVF_ITERS, _IVF_LISTS
     from ..sources.io import _ensure_session_confs, load_table
 
     _ensure_session_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     index = f"ivfidx_{tag}"
-    # build once per session, keyed on the meta-pinned parameters (same
-    # amortization pattern as near_dup_index_probe_streaming: fresh
-    # sessions always build, same-session reruns time the probe only)
     want = dict(vec_col="embedding", id_col="vec_id",
                 n_lists=int(_IVF_LISTS), n_iters=int(_IVF_ITERS))
     have = None
@@ -68,9 +58,26 @@ def ann_ivf_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivf_index(emb, index, vec_col="embedding",
                         id_col="vec_id", n_lists=_IVF_LISTS,
                         n_iters=_IVF_ITERS)
-        print(f"# ann_ivf_search_streaming: index build took "
+        print(f"# ensure_ivf_index: index build took "
               f"{time.perf_counter() - t0:.2f}s (reused by later runs "
               f"in this session)", file=sys.stderr)
+    return index
+
+
+def ann_ivf_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: the ``ann_ivf_topk`` workload (queries =
+    ``vec_id < _N_QUERIES``) driven through an actual streaming query —
+    query vectors arrive as a file-source stream and probe the
+    persisted IVF index inside ``foreachBatch``.  Same index parameters
+    as the batch twin, so it carries the identical exact DuckDB oracle
+    (``ANN_IVF_LLOYD_ORACLE``)."""
+    from ..operators.ann import search_ivf_index
+    from ..operators.pipeline_queries import _ANN_K, _IVF_PROBE, _N_QUERIES
+    from ..sources.io import load_table
+
+    index = ensure_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
 
     stream = (
         spark.readStream.schema(emb.schema)

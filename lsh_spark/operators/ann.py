@@ -658,6 +658,32 @@ def delete_from_ivf_index(ids: DataFrame, table_name: str,
                single_file=True)
 
 
+def ivf_index_stats(spark, table_name: str) -> DataFrame:
+    """Per-cell posting statistics of a persisted IVF index (LIVE rows —
+    merge-on-read tombstones anti-joined exactly as searches do):
+    (cell, n_vectors, min_vec_id, max_vec_id).  Cell-size skew is the
+    probe-cost signal (a fat cell makes every probe touching it scan
+    more vectors); min/max member ids pin content, not just volume."""
+    from pyspark.sql import functions as F
+
+    m = _ivf_meta(spark, table_name)
+    postings = spark.table(_ivf_phys(table_name, m))
+    if spark.catalog.tableExists(f"{table_name}_deletes"):
+        postings = postings.join(
+            F.broadcast(spark.table(f"{table_name}_deletes")),
+            on="neighbor_id", how="left_anti")
+    return (
+        postings.groupBy("__cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("neighbor_id").alias("min_vec_id"),
+            F.max("neighbor_id").alias("max_vec_id"),
+        )
+        .select(F.col("__cell").cast("int").alias("cell"),
+                "n_vectors", "min_vec_id", "max_vec_id")
+    )
+
+
 def search_ivf_index(
     spark,
     table_name: str,

@@ -1755,25 +1755,9 @@ def near_dup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus banding from scratch in SQL — so this also pins that the
     PERSISTED index content matches a fresh banding of the corpus."""
     from ..streaming.documents import ensure_ab_index
-    from .similarity_join import _meta, _phys
+    from .similarity_join import lsh_index_stats
 
-    index = ensure_ab_index(spark, sf_dir)
-    m = _meta(spark, index)
-    bands = spark.table(_phys(index, "bands", m))
-    buckets = bands.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("__sz"))
-    return (
-        buckets.groupBy("band_idx")
-        .agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.sum("__sz").alias("n_rows"),
-            F.max("__sz").alias("max_bucket"),
-            F.sum(F.when(F.col("__sz") == 1, 1).otherwise(0))
-            .alias("n_singletons"),
-        )
-        .select(F.col("band_idx").cast("int").alias("band_idx"),
-                "n_buckets", "n_rows", "max_bucket", "n_singletons")
-    )
+    return lsh_index_stats(spark, ensure_ab_index(spark, sf_dir))
 
 
 def _index_stats_oracle() -> str:
@@ -1810,22 +1794,10 @@ def ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PERSISTED postings are pinned against an independent
     recomputation.  Cell-size skew is the probe-cost signal (a fat cell
     makes every probe touching it scan more vectors)."""
-    from ..operators.ann import _ivf_meta, _ivf_phys
+    from ..operators.ann import ivf_index_stats
     from ..streaming.vectors import ensure_ivf_index
 
-    index = ensure_ivf_index(spark, sf_dir)
-    m = _ivf_meta(spark, index)
-    postings = spark.table(_ivf_phys(index, m))
-    return (
-        postings.groupBy("__cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.min("neighbor_id").alias("min_vec_id"),
-            F.max("neighbor_id").alias("max_vec_id"),
-        )
-        .select(F.col("__cell").cast("int").alias("cell"),
-                "n_vectors", "min_vec_id", "max_vec_id")
-    )
+    return ivf_index_stats(spark, ensure_ivf_index(spark, sf_dir))
 
 
 def _ivf_stats_oracle() -> str:

@@ -603,6 +603,34 @@ def lsh_dedup_clusters(
     )
 
 
+def lsh_index_stats(spark, table_name: str) -> DataFrame:
+    """Per-band bucket statistics of a persisted LSH index (LIVE rows —
+    merge-on-read tombstones anti-joined exactly as probes do):
+    (band_idx, n_buckets, n_rows, max_bucket, n_singletons).  Bucket
+    skew is the probe-cost signal; a ballooning max bucket says retune
+    banding or compact."""
+    m = _meta(spark, table_name)
+    bands = spark.table(_phys(table_name, "bands", m))
+    if spark.catalog.tableExists(f"{table_name}_deletes"):
+        bands = bands.join(
+            F.broadcast(spark.table(f"{table_name}_deletes")),
+            on="__rid", how="left_anti")
+    buckets = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("__sz"))
+    return (
+        buckets.groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("__sz").alias("n_rows"),
+            F.max("__sz").alias("max_bucket"),
+            F.sum(F.when(F.col("__sz") == 1, 1).otherwise(0))
+            .alias("n_singletons"),
+        )
+        .select(F.col("band_idx").cast("int").alias("band_idx"),
+                "n_buckets", "n_rows", "max_bucket", "n_singletons")
+    )
+
+
 def build_lsh_corpus_index(
     corpus: DataFrame,
     table_name: str,

@@ -1502,3 +1502,55 @@ def test_dedup_lines_property_vs_reference(spark):
         assert got == want
 
     run()
+
+
+def test_index_stats_count_live_rows_only(spark):
+    """lsh_index_stats / ivf_index_stats: merge-on-read tombstones are
+    excluded (stats describe what probes actually see), and totals drop
+    by exactly the deleted docs' contribution."""
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.ann import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        ivf_index_stats,
+    )
+    from lsh_spark.operators.similarity_join import (
+        build_lsh_corpus_index,
+        delete_from_lsh_index,
+        lsh_index_stats,
+    )
+    from lsh_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").limit(60)
+    corpus = docs.selectExpr("doc_id AS corpus_id", "text")
+    for sfx in ("bands", "sets", "meta", "deletes"):
+        spark.sql(f"DROP TABLE IF EXISTS statidx_{sfx}")
+    build_lsh_corpus_index(corpus, "statidx", text_col="text",
+                           id_col="corpus_id", ngram_width=3,
+                           band_count=4, band_size=2, seed=123,
+                           num_buckets=4)
+    before = lsh_index_stats(spark, "statidx").agg(
+        F.sum("n_rows")).first()[0]
+    victims = spark.createDataFrame([(0,), (2,)], ["corpus_id"])
+    delete_from_lsh_index(victims, "statidx", id_col="corpus_id")
+    after = lsh_index_stats(spark, "statidx").agg(
+        F.sum("n_rows")).first()[0]
+    # each live doc contributes band_count band rows
+    assert before - after == 2 * 4
+
+    emb = load_table(spark, sf, "embeddings").limit(50)
+    for sfx in ("", "_centroids", "_meta", "_deletes"):
+        spark.sql(f"DROP TABLE IF EXISTS statsivf{sfx}")
+    build_ivf_index(emb, "statsivf", vec_col="embedding",
+                    id_col="vec_id", n_lists=4, n_iters=2,
+                    num_buckets=4)
+    b = ivf_index_stats(spark, "statsivf").agg(
+        F.sum("n_vectors")).first()[0]
+    delete_from_ivf_index(spark.createDataFrame([(1,), (3,), (5,)],
+                                                ["vec_id"]),
+                          "statsivf", id_col="vec_id")
+    a = ivf_index_stats(spark, "statsivf").agg(
+        F.sum("n_vectors")).first()[0]
+    assert b - a == 3

@@ -85,8 +85,15 @@ _REDUNDANT_TAIL = [
     "tfidf_top_terms",
     "documents_upsert",
     # round-6 NEW queries: appended to the tail so head positions keep
-    # their driver-row history; each carries a local sf0.01 gate-replica
-    # row + pytest until a later rotation gives it a driver row
+    # their driver-row history; each carries a local sf0.001 AND sf0.01
+    # gate-replica row + pytest until a later rotation gives it a
+    # driver row.
+    # ROUND-7 ROTATION DUTY: the ~26 round-6 additions below (from
+    # weighted_word_near_dup_pairs down) have never been driver-checked
+    # — promote them into head positions 1-50 next round and demote an
+    # equal number of r6-green queries with unchanged code, using the
+    # same strongest-non-driver-evidence criterion documented above, so
+    # r6+r7 driver rows union to the full registry.
     "weighted_word_near_dup_pairs",
     "media_container_features",
     "image_dhash_signatures",

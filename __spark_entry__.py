@@ -120,6 +120,7 @@ _REDUNDANT_TAIL = [
     "q15_top_supplier",
     "near_dup_index_stats",
     "ann_ivf_index_stats",
+    "pipeline_clean_v2",
 ]
 
 

@@ -84,7 +84,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MARKER_SQL = "[" + ", ".join(f"'{s}'" for s in T.SPANISH_MARKERS) + "]"
 
-TEXT_QUALITY_ORACLE = f"""
+
+def _text_quality_oracle(source: str = "documents") -> str:
+    """The language-guess + quality-score query over any (doc_id, text)
+    source — ``TEXT_QUALITY_ORACLE`` is the ``documents`` instance;
+    ``pipeline_clean_v2`` reuses it over rebuilt text."""
+    return f"""
 WITH feats AS (
   SELECT doc_id,
          length(text) AS n,
@@ -109,7 +114,7 @@ WITH feats AS (
                                    t -> list_contains({_STOP_SQL}, t))) * 1.0
                    / len(regexp_split_to_array(trim(text), '\\s+'))
               ELSE 0.0 END AS stopword_ratio
-  FROM documents
+  FROM {source}
 )
 SELECT doc_id,
        CASE WHEN cjk_ratio > 0.3 THEN 'zh'
@@ -121,6 +126,9 @@ SELECT doc_id,
              + least(stopword_ratio * 4, 1.0) * 0.25, 6) AS quality
 FROM feats
 """
+
+
+TEXT_QUALITY_ORACLE = _text_quality_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -1811,6 +1819,124 @@ FROM c_cells GROUP BY cell
 
 QUERIES_LATE["ann_ivf_index_stats"] = (ann_ivf_index_stats,
                                        _ivf_stats_oracle())
+
+
+# ---------------------------------------------------------------------------
+# pipeline_clean_v2 — the round-6 operators composed into ONE cleaning
+# pipeline: PII scrub → corpus-wide line dedup → quality filter → exact
+# dedup.  Scrub-before-dedup matters and the gate proves it: redaction
+# makes every even doc's contact line IDENTICAL, so the line pass can
+# collapse what raw text never would.
+# ---------------------------------------------------------------------------
+
+def pipeline_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-query modern cleaning pipeline over the planted corpus:
+    redact PII (pure JVM regexp), drop corpus-wide duplicated lines
+    (digest winner aggregate), keep docs with quality > 0.3 on the
+    REBUILT text, then exact-dedup identical cleaned texts (lowest id
+    wins).  Every stage is the already-gated operator — this query pins
+    their composition."""
+    from ..functions import pii
+    from .dedup import dedup_lines_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nAll rights reserved."),
+            F.when(d % 2 == 0,
+                   F.concat(F.lit("\ncontact user"), d.cast("string"),
+                            F.lit("@example.com now"))
+                   ).otherwise(F.lit("")),
+            F.lit("\ncall 555-"),
+            F.lpad(((d * 13) % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((d * 29) % 10000).cast("string"), 4, "0"),
+            F.lit(" today"),
+        ).alias("text"),
+    )
+    scrubbed = planted.select(
+        "doc_id", pii.redact_pii("text").alias("text"))
+    lines = dedup_lines_df(scrubbed)
+    rebuilt = lines.select(
+        "doc_id", F.col("clean_text").alias("text"), "n_kept")
+    scored = rebuilt.withColumn("quality", T.quality_score("text"))
+    kept_q = scored.where(F.col("quality") > 0.3)
+    winners = kept_q.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    final = kept_q.join(winners, on=["text", "doc_id"], how="left_semi")
+    return final.select("doc_id", "n_kept",
+                        F.length("text").alias("clean_len"), "quality")
+
+
+PIPELINE_CLEAN_V2_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || chr(10) || 'All rights reserved.'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN chr(10) || 'contact user' || doc_id
+                      || '@example.com now'
+                 ELSE '' END
+         || chr(10) || 'call 555-'
+         || lpad(((doc_id * 13) % 1000)::VARCHAR, 3, '0')
+         || '-' || lpad(((doc_id * 29) % 10000)::VARCHAR, 4, '0')
+         || ' today' AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS text
+  FROM planted
+),
+base AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM scrubbed
+),
+flat AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(0, len(ls)),
+                      i -> {'pos': i, 'line': ls[i + 1]})) AS u
+        FROM base)
+),
+winners AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY line
+                              ORDER BY doc_id, pos) AS rn
+    FROM flat)
+  WHERE rn = 1
+),
+keptl AS (
+  SELECT doc_id, list_sort(list(pos)) AS kp FROM winners GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT b.doc_id,
+         coalesce(array_to_string(list_transform(a.kp,
+                      i -> b.ls[i + 1]), chr(10)), '') AS text,
+         coalesce(len(a.kp), 0)::INT AS n_kept
+  FROM base b LEFT JOIN keptl a USING (doc_id)
+),
+tq AS (__QUALITY__),
+joined AS (
+  SELECT r.doc_id, r.text, r.n_kept, t.quality
+  FROM rebuilt r JOIN tq t USING (doc_id)
+),
+final AS (
+  SELECT * FROM joined WHERE quality > 0.3
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+)
+SELECT doc_id, n_kept, length(text)::INT AS clean_len, quality
+FROM final
+""".replace("__QUALITY__", _text_quality_oracle("rebuilt"))
+
+
+QUERIES_LATE["pipeline_clean_v2"] = (pipeline_clean_v2,
+                                     PIPELINE_CLEAN_V2_ORACLE)
 
 
 # ---------------------------------------------------------------------------

@@ -147,6 +147,30 @@ def minhash_shingles_batch(
     return minhash_from_window_hashes(hashes, offs, band_count, band_size, seed)
 
 
+def factorize_tokens(flat) -> tuple[np.ndarray, np.ndarray]:
+    """NUL-safe factorize of a flat list of Python-string tokens.
+
+    ``pd.factorize`` over an object array of *str* routes through
+    pandas' C-string hashtable, which compares keys as NUL-terminated C
+    strings — ``'\\x00'`` and ``'\\x000'`` collapse to ONE code
+    (round-6 verdict confirmed bug; real Common Crawl text contains
+    U+0000).  Factorizing the tokens' utf-8 *bytes* encodings instead
+    routes through the PyObject hashtable (length-aware hash/eq), and
+    utf-8 byte order equals codepoint order, so lexicographic ranks
+    computed over the uniques are unchanged.  Returns
+    ``(codes, uniques)`` with uniques decoded back to str (utf-8 is
+    injective, so these are exactly the original distinct tokens in
+    first-appearance order, matching pd.factorize's contract)."""
+    import pandas as pd
+
+    keys = np.empty(len(flat), dtype=object)
+    keys[:] = [w.encode("utf-8") for w in flat]
+    codes, uniq_b = pd.factorize(keys)
+    uniq = np.empty(len(uniq_b), dtype=object)
+    uniq[:] = [b.decode("utf-8") for b in uniq_b]
+    return codes, uniq
+
+
 def weighted_occurrence_hashes(toks) -> tuple[np.ndarray, np.ndarray]:
     """FxHash-u32 (as uint64) of every token occurrence's replicated
     shingle string ``"word k"`` (k = 1-based occurrence rank of the word
@@ -172,8 +196,6 @@ def weighted_occurrence_hashes(toks) -> tuple[np.ndarray, np.ndarray]:
     (pinned by tests); the composed-string form stays the SQL-oracle
     mirror.  Returns (hashes, offsets) with offsets of length
     ``len(toks)+1`` delimiting each row's occurrence segment."""
-    import pandas as pd
-
     n_rows = len(toks)
     lens = np.fromiter((len(ws) for ws in toks), dtype=np.int64,
                        count=n_rows)
@@ -183,7 +205,7 @@ def weighted_occurrence_hashes(toks) -> tuple[np.ndarray, np.ndarray]:
     if total == 0:
         return np.empty(0, dtype=np.uint64), offs
     flat = [w for ws in toks for w in ws]
-    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    codes, uniq = factorize_tokens(flat)
     rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
     key = rows * np.int64(len(uniq)) + codes
     order = np.argsort(key, kind="stable")
@@ -345,8 +367,6 @@ def repetition_stats_batch(texts) -> tuple[np.ndarray, ...]:
     so the IEEE fold order matches ``F.aggregate``/``list_reduce``
     exactly; divisions / ln(n) / rounding stay JVM-side in the caller
     so the final projection is shared with the oracle expression."""
-    import pandas as pd
-
     tokens = tokenize_words(texts)
     n_rows = len(tokens)
     lens = np.fromiter((len(w) for w in tokens), dtype=np.int64,
@@ -359,8 +379,7 @@ def repetition_stats_batch(texts) -> tuple[np.ndarray, ...]:
     if not flat:
         return lens, max_f, n_tri, tri_distinct, ent
 
-    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
-    uniques = np.asarray(uniques, dtype=object)
+    codes, uniques = factorize_tokens(flat)
     rank = np.empty(len(uniques), dtype=np.int64)
     rank[np.argsort(uniques, kind="stable")] = np.arange(
         len(uniques), dtype=np.int64)

@@ -12,11 +12,23 @@ exit; see the caller docstrings for the measured residual curves.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.cache import track
+
+
+class CCNonConvergenceWarning(RuntimeWarning):
+    """``min_label_components`` exhausted ``max_iter`` rounds while
+    labels were still changing: the returned components may be SPLIT
+    (a true component can carry more than one label).  Diameter >
+    max_iter chains are plausible at scale — long duplicate chains —
+    so the condition must be loud, never silent (round-6 verdict
+    item 3).  Remedy: raise ``max_iter``; convergence needs
+    O(component diameter) rounds."""
 
 
 def min_label_components(
@@ -81,8 +93,12 @@ def min_label_components(
     # from the groupBy key, forcing an extra shuffle and re-computing the
     # unpersisted propagation lineage twice)
     prev = None
+    converged = max_iter < 2  # a 1-round budget never measures change
+    changed = 0
+    labels_is_leaf = False  # True once labels is checkpoint-backed
     for it in range(max_iter - 1):
-        labels = track(labels.persist(StorageLevel.MEMORY_AND_DISK))
+        if not labels_is_leaf:
+            labels = track(labels.persist(StorageLevel.MEMORY_AND_DISK))
         bucket_min = (
             edges.join(labels, on="__id")
             .groupBy("band_idx", "band_hash")
@@ -95,6 +111,19 @@ def min_label_components(
         )
         check_now = it % 2 == 1 or it == max_iter - 2
         if check_now:
+            # truncate the plan at every fixed-point check (the GraphX /
+            # GraphFrames iteration idiom): the lazy localCheckpoint is
+            # materialized by the `changed` count and makes labels a
+            # LogicalRDD LEAF.  persist() alone is NOT enough for
+            # high-diameter graphs: each round's InMemoryRelation embeds
+            # the previous round's physical plan, so plan trees (and the
+            # AQE explainString regenerated on every plan update) grow
+            # quadratically with rounds — observed driver heap OOM at
+            # ~20 check rounds on a 40-node path graph.  With the leaf
+            # cut, plan depth is constant regardless of iteration count;
+            # superseded checkpoint blocks are freed by the
+            # ContextCleaner once the Python refs drop below.
+            new_labels = new_labels.localCheckpoint(eager=False)
             changed = (
                 new_labels.join(labels.withColumnRenamed("__label", "__old"),
                                 on="__id")
@@ -102,17 +131,35 @@ def min_label_components(
                 .count()
             )
             if prev is not None:
-                prev.unpersist()
-            labels.unpersist()
+                prev_df, prev_is_leaf = prev
+                if not prev_is_leaf:
+                    prev_df.unpersist()
+            if not labels_is_leaf:
+                labels.unpersist()
             prev = None
             labels = new_labels
+            labels_is_leaf = True
             if changed == 0:
+                converged = True
                 break
         else:
             # no action this round: keep the previous cache pinned so the
             # next round's action can still reuse it through the lineage
-            prev = labels
+            prev = (labels, labels_is_leaf)
             labels = new_labels
+            labels_is_leaf = False
+
+    if not converged and changed > 0:
+        # the final round's fixed-point check (always taken at
+        # it == max_iter - 2) still saw moving labels — surface it
+        warnings.warn(
+            f"min_label_components: no fixed point after {max_iter} "
+            f"rounds ({changed} labels still changing in the last "
+            f"round); components may be split — raise max_iter "
+            f"(needs O(component diameter) rounds)",
+            CCNonConvergenceWarning,
+            stacklevel=2,
+        )
 
     # docs whose every bucket was a singleton never entered the iteration:
     # they are their own cluster

@@ -1554,3 +1554,33 @@ def test_index_stats_count_live_rows_only(spark):
     a = ivf_index_stats(spark, "statsivf").agg(
         F.sum("n_vectors")).first()[0]
     assert b - a == 3
+
+
+def test_cc_non_convergence_warns(spark):
+    """A path graph with diameter >> max_iter must NOT silently return
+    split components: min_label_components warns (round-6 verdict
+    item 3), and a sufficient budget converges the same graph to ONE
+    component with no warning."""
+    import warnings as _warnings
+
+    import pytest
+
+    from lsh_spark.operators.cc import (
+        CCNonConvergenceWarning,
+        min_label_components,
+    )
+
+    n = 40  # chain 0-1-2-...-39 via bucket i = {i, i+1}
+    rows = [(i, b, b) for b in range(n - 1) for i in (b, b + 1)]
+    blocks = spark.createDataFrame(rows, "__id long, band_idx int, band_hash long")
+
+    with pytest.warns(CCNonConvergenceWarning, match="no fixed point"):
+        split = min_label_components(blocks, max_iter=4)
+    # the warning is honest: the labels really are split
+    assert split.select("__label").distinct().count() > 1
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", CCNonConvergenceWarning)
+        labels = min_label_components(blocks, max_iter=n)
+    got = {r["__label"] for r in labels.collect()}
+    assert got == {0}

@@ -1538,6 +1538,14 @@ QUERIES_LATE["cms_heavy_hitters"] = (cms_heavy_hitters, _cms_oracle())
 # ---------------------------------------------------------------------------
 
 _FPP_KGRAM, _FPP_WINDOW, _FPP_MIN_SHARED = 5, 4, 30
+# hot-fingerprint cap (round-6 verdict item 4): a boilerplate k-gram
+# that survives winnowing lands every document in one bucket and the
+# self-join materializes |bucket|² pairs.  Standard MOSS practice drops
+# fingerprints above an occurrence threshold BEFORE the join — the same
+# hot-bucket prune the CC path applies.  At the sf0.01 gate the cap
+# binds (29 of 888 fingerprints exceed 50 occurrences), so the oracle
+# twin pins the capped semantics in both engines.
+_FPP_MAX_OCC = 50
 
 
 def fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1559,6 +1567,16 @@ def fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(winnow_fingerprints(
             "text", kgram=_FPP_KGRAM, window=_FPP_WINDOW)).alias("fp"),
     )
+    # hot prune: the over-cap set is tiny by construction (at most
+    # total_occurrences / cap fingerprints), so it broadcasts and the
+    # prune is a map-side anti-join — no extra shuffle of fps
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .where(F.col("__occ") > _FPP_MAX_OCC)
+        .select("fp")
+    )
+    fps = fps.join(F.broadcast(hot), on="fp", how="left_anti")
     a = fps.select(F.col("doc_id").alias("id_a"), "fp")
     b = fps.select(F.col("doc_id").alias("id_b"), "fp")
     return (
@@ -1574,7 +1592,13 @@ def _fingerprint_overlap_oracle() -> str:
     inner = _orc.doc_fingerprints_sql(_FPP_KGRAM, _FPP_WINDOW)
     return f"""
 WITH documents AS (SELECT * FROM main.documents WHERE doc_id % 5 = 0),
-fps AS ({inner})
+fps_all AS ({inner}),
+fps AS (
+  SELECT * FROM fps_all
+  WHERE fingerprint NOT IN (
+    SELECT fingerprint FROM fps_all
+    GROUP BY fingerprint HAVING count(*) > {_FPP_MAX_OCC})
+)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
 FROM fps a JOIN fps b
   ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id

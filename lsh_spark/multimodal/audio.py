@@ -76,3 +76,58 @@ def audio_signal_stats(media: DataFrame) -> DataFrame:
                                columns=[f.name for f in AUDIO_STATS_SCHEMA])
 
     return media.mapInPandas(_stats, schema=AUDIO_STATS_SCHEMA)
+
+
+MP3_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("mpeg_version", IntegerType(), True),   # 1 | 2 | 25 (=2.5)
+    StructField("sample_rate", IntegerType(), True),
+    StructField("channels", IntegerType(), True),
+    StructField("n_mpeg_frames", IntegerType(), True),
+    StructField("n_samples", LongType(), True),         # frames x spf
+    StructField("bitrate_sum_kbps", LongType(), True),  # VBR: avg = sum/frames
+    StructField("duration_ms", LongType(), True),       # 1000*samples // rate
+    StructField("n_bytes", LongType(), True),
+])
+
+
+def mp3_stream_features(media: DataFrame) -> DataFrame:
+    """(media_id, mpeg_version, sample_rate, channels, n_mpeg_frames,
+    n_samples, bitrate_sum_kbps, duration_ms, n_bytes) for every audio
+    row the MPEG header walk accepts (``containers.decode_mp3`` —
+    metadata only, no DSP); non-MP3 or corrupt rows yield NULLs.  All
+    integer arithmetic (duration is floor-division milliseconds), so an
+    oracle over the arithmetic MP3 corpus replays it exactly.  Narrow
+    shuffle-free map; audio bytes never cross a shuffle."""
+    from .containers import decode_mp3
+
+    cols = [f.name for f in MP3_FEATURES_SCHEMA]
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                out = {c: None for c in cols}
+                out["media_id"] = r["media_id"]
+                if r["kind"] == "audio" and r["content"] is not None:
+                    content = bytes(r["content"])
+                    try:
+                        meta = decode_mp3(content)
+                    except ValueError:
+                        meta = None
+                    if meta is not None:
+                        rate = meta["_sample_rate"]
+                        out.update(
+                            mpeg_version=meta["_mpeg_version"],
+                            sample_rate=rate,
+                            channels=meta["_channels"],
+                            n_mpeg_frames=meta["_mpeg_frames"],
+                            n_samples=meta["n_frames"],
+                            bitrate_sum_kbps=meta["_bitrate_sum_kbps"],
+                            duration_ms=1000 * meta["n_frames"] // rate,
+                            n_bytes=len(content),
+                        )
+                rows.append(out)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_feat, schema=MP3_FEATURES_SCHEMA)

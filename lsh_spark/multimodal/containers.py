@@ -589,3 +589,160 @@ def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<") -> bytes:
            + struct.pack(bo + "I", 0))
     bps_block = struct.pack(bo + "HHH", 8, 8, 8) if spp == 3 else b""
     return header + ifd + bps_block + data
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1/2/2.5 audio) — frame-header walk, metadata only, no DSP
+# ---------------------------------------------------------------------------
+#
+# Everything below is the public MPEG audio frame-header layout
+# (ISO/IEC 11172-3 / 13818-3): 11 sync bits, 2 version bits, 2 layer
+# bits, protection bit, 4 bitrate-index bits, 2 samplerate-index bits,
+# padding bit, then channel mode.  Frame payloads are opaque — the walk
+# yields frame count, per-frame bitrate (VBR-aware), sample rate,
+# channel count, and exact sample count (frames x samples-per-frame),
+# which is all the metadata an LLM multimodal pipeline filters on.
+# Full PCM decode needs the subband/MDCT DSP (external libs) and stays
+# out of scope; this closes the container family the same way GIF
+# closed video.
+
+# version bits → version code (1, 2, or 25 for MPEG-2.5); 1 is reserved
+_MP3_VERSION = {3: 1, 2: 2, 0: 25}
+# layer bits → layer number; 0 is reserved
+_MP3_LAYER = {3: 1, 2: 2, 1: 3}
+_MP3_RATES = {1: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              25: (11025, 12000, 8000)}
+# (version_group, layer) → kbps at bitrate index 1..14 (0 = free, 15 = bad);
+# version group 2 covers MPEG-2 and MPEG-2.5
+_MP3_BITRATES = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+             416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+             384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224,
+             256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+
+def _mp3_spf(version: int, layer: int) -> int:
+    """Samples per frame: Layer I 384, Layer II 1152, Layer III 1152
+    for MPEG-1 and 576 for MPEG-2/2.5."""
+    if layer == 1:
+        return 384
+    if layer == 2:
+        return 1152
+    return 1152 if version == 1 else 576
+
+
+def _mp3_frame_len(version: int, layer: int, kbps: int, rate: int,
+                   pad: int) -> int:
+    """Exact frame byte length; Layer I pads in 4-byte slots."""
+    if layer == 1:
+        return (12_000 * kbps // rate + pad) * 4
+    coeff = 144_000 if (layer == 2 or version == 1) else 72_000
+    return coeff * kbps // rate + pad
+
+
+def decode_mp3(content: bytes) -> dict | None:
+    """MPEG audio header walk → ``{"width": None, "height": None,
+    "n_frames": <total samples per channel>, "_sample_rate",
+    "_channels", "_mpeg_version" (1 | 2 | 25), "_layer" (1-3),
+    "_mpeg_frames", "_bitrate_sum_kbps"}``.
+
+    Accepts an optional leading ID3v2 tag (syncsafe-length skip).
+    ``None`` for foreign bytes (no ID3 magic and no frame sync at the
+    start); ``ValueError`` for corrupt streams — truncated frames,
+    free/bad bitrate or samplerate indices, reserved version/layer
+    bits, mid-stream parameter changes, or trailing garbage."""
+    if content is None:
+        return None
+    start = 0
+    if content[:3] == b"ID3":
+        if len(content) < 10:
+            return None
+        size = ((content[6] & 0x7F) << 21 | (content[7] & 0x7F) << 14
+                | (content[8] & 0x7F) << 7 | (content[9] & 0x7F))
+        start = 10 + size
+    if not (len(content) >= start + 4 and content[start] == 0xFF
+            and content[start + 1] & 0xE0 == 0xE0):
+        return None if start == 0 else _mp3_err("no frame sync after ID3")
+    version = layer = rate = channels = None
+    n_frames = 0
+    kbps_sum = 0
+    pos = start
+    while pos < len(content):
+        if pos + 4 > len(content) or content[pos] != 0xFF \
+                or content[pos + 1] & 0xE0 != 0xE0:
+            _mp3_err(f"lost frame sync at byte {pos}")
+        b1, b2, b3 = content[pos + 1], content[pos + 2], content[pos + 3]
+        ver = _MP3_VERSION.get(b1 >> 3 & 3)
+        lay = _MP3_LAYER.get(b1 >> 1 & 3)
+        if ver is None or lay is None:
+            _mp3_err("reserved version/layer bits")
+        bi, sri, pad = b2 >> 4, b2 >> 2 & 3, b2 >> 1 & 1
+        if bi in (0, 15):
+            _mp3_err(f"free/bad bitrate index {bi}")
+        if sri == 3:
+            _mp3_err("reserved samplerate index")
+        ch = 1 if b3 >> 6 == 3 else 2
+        sr = _MP3_RATES[ver][sri]
+        if version is None:
+            version, layer, rate, channels = ver, lay, sr, ch
+        elif (ver, lay, sr, ch) != (version, layer, rate, channels):
+            _mp3_err("stream parameters changed mid-stream")
+        kbps = _MP3_BITRATES[1 if ver == 1 else 2, lay][bi - 1]
+        flen = _mp3_frame_len(ver, lay, kbps, sr, pad)
+        if pos + flen > len(content):
+            _mp3_err(f"truncated frame at byte {pos}")
+        n_frames += 1
+        kbps_sum += kbps
+        pos += flen
+    spf = _mp3_spf(version, layer)
+    return {"width": None, "height": None,
+            "n_frames": n_frames * spf,
+            "_sample_rate": rate, "_channels": channels,
+            "_mpeg_version": version, "_layer": layer,
+            "_mpeg_frames": n_frames, "_bitrate_sum_kbps": kbps_sum}
+
+
+def _mp3_err(msg: str):
+    raise ValueError(f"MP3: {msg}")
+
+
+def encode_mp3_frames(
+    *,
+    version: int = 1,
+    layer: int = 3,
+    sr_idx: int = 0,
+    mono: bool = True,
+    bitrate_indices,
+    paddings,
+    id3_len: int | None = None,
+) -> bytes:
+    """Spec-valid MPEG audio frame stream (correct headers + exact
+    frame lengths; zero payload bytes — the header walk never reads
+    them) — the inverse of ``decode_mp3`` for round-trip tests and the
+    arithmetic gate corpus.  ``bitrate_indices`` / ``paddings`` give
+    one (index 1-14, pad 0/1) per frame; ``id3_len`` prepends an ID3v2
+    tag with that body length."""
+    vb = {1: 3, 2: 2, 25: 0}[version]
+    lb = {1: 3, 2: 2, 3: 1}[layer]
+    rate = _MP3_RATES[version][sr_idx]
+    out = []
+    if id3_len is not None:
+        out.append(b"ID3" + bytes((4, 0, 0))
+                   + bytes((id3_len >> 21 & 0x7F, id3_len >> 14 & 0x7F,
+                            id3_len >> 7 & 0x7F, id3_len & 0x7F))
+                   + b"\x00" * id3_len)
+    for bi, pad in zip(bitrate_indices, paddings):
+        kbps = _MP3_BITRATES[1 if version == 1 else 2, layer][bi - 1]
+        flen = _mp3_frame_len(version, layer, kbps, rate, pad)
+        hdr = bytes((0xFF, 0xE0 | vb << 3 | lb << 1 | 1,
+                     bi << 4 | sr_idx << 2 | pad << 1,
+                     0xC0 if mono else 0x00))
+        out.append(hdr + b"\x00" * (flen - 4))
+    return b"".join(out)

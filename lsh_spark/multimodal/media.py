@@ -62,8 +62,9 @@ FEATURE_SCHEMA = StructType([
 #
 # The container has no media libraries; the pure-stdlib codecs in
 # ``multimodal.png`` / ``.jpeg`` / ``.containers`` genuinely decode
-# PNG, baseline JPEG, BMP, GIF and RIFF/WAVE, so only MP3/MP4 remain
-# behind the digest stub.  These three RAW formats are the simplest
+# PNG, baseline JPEG, BMP, GIF, RIFF/WAVE, TIFF, and MPEG-audio (MP3)
+# frame headers (metadata, no DSP), so only MP4 remains behind the
+# digest stub.  These three RAW formats are the simplest
 # genuinely-decoded layer — header parse, length validation, real
 # pixel/sample math in numpy — so the full pipeline (decode → feature
 # → resize → frame-sample) runs on real bytes end-to-end:
@@ -148,14 +149,18 @@ def _decode_image(content: bytes) -> dict | None:
 
 
 def _decode_audio(content: bytes) -> dict | None:
-    """Audio decode chain: RAWA, then REAL RIFF/WAVE PCM
-    (``multimodal.containers.decode_wav``)."""
+    """Audio decode chain: RAWA, then REAL RIFF/WAVE PCM, then the
+    MPEG audio (MP3) header walk — metadata only, no DSP
+    (``multimodal.containers.decode_wav`` / ``decode_mp3``)."""
     meta = decode_raw_audio(content)
     if meta is not None:
         return meta
-    from .containers import decode_wav
+    from .containers import decode_mp3, decode_wav
 
-    return decode_wav(content)
+    meta = decode_wav(content)
+    if meta is not None:
+        return meta
+    return decode_mp3(content)
 
 
 def _decode_video(content: bytes) -> dict | None:
@@ -178,10 +183,10 @@ _RAW_DECODERS = {
 
 
 def _decode(kind: str, content: bytes) -> dict:
-    """RAW formats, PNG / baseline-JPEG / BMP / GIF images, WAV audio
-    and GIF video decode for real; anything else falls back to the
-    deterministic stub (the remaining compressed codecs — MP3/MP4 —
-    need external libs).  Bytes that merely *start* with a known magic but
+    """RAW formats, PNG / baseline-JPEG / BMP / GIF images, WAV/MP3
+    audio and GIF video decode for real; anything else falls back to
+    the deterministic stub (full MP3 PCM and MP4 need external libs).
+    Bytes that merely *start* with a known magic but
     fail validation are treated as foreign (stub fallback) — the batch
     pipeline must stay total; strict deployments call the ``decode_*``
     functions directly."""
@@ -436,6 +441,43 @@ def synthesize_tone_audio_from_documents(docs: DataFrame) -> DataFrame:
                 rows.append({"media_id": d, "kind": "audio",
                              "content": encode_wav(samples),
                              "mime": "audio/wav"})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def synthesize_mp3_audio_from_documents(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA frame of spec-valid MPEG-audio (MP3) frame streams
+    from PURE doc_id arithmetic: even docs are MPEG-1 Layer III, odd
+    docs MPEG-2; samplerate index ``d % 3``; mono when ``d % 3 == 0``;
+    ``3 + d % 6`` frames whose per-frame VBR bitrate index is
+    ``1 + (d*7 + j*3) % 14`` with padding bit ``(d + j) % 2``; docs
+    with ``d % 4 == 0`` carry a leading ID3v2 tag of body length
+    ``d % 17``.  Every header-walk output (frame count, sample count,
+    bitrate sum, byte length incl. the exact padded frame sizes) is a
+    closed-form function of doc_id a SQL oracle evaluates without
+    parsing — the gate corpus for ``multimodal.audio.
+    mp3_stream_features``."""
+    from .containers import encode_mp3_frames
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 3 + d % 6
+                content = encode_mp3_frames(
+                    version=1 if d % 2 == 0 else 2,
+                    sr_idx=d % 3,
+                    mono=d % 3 == 0,
+                    bitrate_indices=[1 + (d * 7 + j * 3) % 14
+                                     for j in range(nf)],
+                    paddings=[(d + j) % 2 for j in range(nf)],
+                    id3_len=d % 17 if d % 4 == 0 else None,
+                )
+                rows.append({"media_id": d, "kind": "audio",
+                             "content": content, "mime": "audio/mpeg"})
             yield pd.DataFrame(rows,
                                columns=[f.name for f in MEDIA_SCHEMA])
 

@@ -463,3 +463,91 @@ def test_image_pixel_stats_null_and_passthrough(spark):
             got[1].frame_idx) == (84, 7, 7, 0)
     assert got[2].px_sum is None and got[2].frame_idx == 1
     assert got[3].px_sum is None and got[3].frame_idx == 2
+
+
+# ---------------------------------------------------------------------------
+# MP3 header walk
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_round_trip_v1():
+    from lsh_spark.multimodal.containers import decode_mp3, encode_mp3_frames
+
+    c = encode_mp3_frames(version=1, sr_idx=0, mono=True,
+                          bitrate_indices=[1, 5, 14], paddings=[0, 1, 0],
+                          id3_len=7)
+    # hand-computed: frames 144000*{32,64,320}//44100 = {104,208,1044}
+    # (+1 pad on the middle one) + 17-byte ID3 = 1374
+    assert len(c) == 17 + 104 + 209 + 1044
+    m = decode_mp3(c)
+    assert m["_mpeg_version"] == 1 and m["_layer"] == 3
+    assert m["_sample_rate"] == 44100 and m["_channels"] == 1
+    assert m["_mpeg_frames"] == 3 and m["n_frames"] == 3 * 1152
+    assert m["_bitrate_sum_kbps"] == 32 + 64 + 320
+
+
+def test_mp3_round_trip_v2_stereo_no_id3():
+    from lsh_spark.multimodal.containers import decode_mp3, encode_mp3_frames
+
+    c = decode_mp3(encode_mp3_frames(version=2, sr_idx=2, mono=False,
+                                     bitrate_indices=[3, 3],
+                                     paddings=[1, 1]))
+    assert c["_sample_rate"] == 16000 and c["_channels"] == 2
+    assert c["n_frames"] == 2 * 576          # MPEG-2 Layer III spf
+    assert c["_bitrate_sum_kbps"] == 48
+
+
+def test_mp3_layer1_slot_padding():
+    """Layer I pads in 4-byte slots: frame = (12000*kbps//rate + pad)*4."""
+    from lsh_spark.multimodal.containers import decode_mp3, encode_mp3_frames
+
+    c = encode_mp3_frames(version=1, layer=1, sr_idx=1, mono=True,
+                          bitrate_indices=[4], paddings=[1])
+    # V1 L1 index 4 -> 128 kbps @ 48000: (12000*128//48000 + 1)*4 = 132
+    assert len(c) == 132
+    m = decode_mp3(c)
+    assert m["_layer"] == 1 and m["n_frames"] == 384
+
+
+def test_mp3_foreign_and_corrupt():
+    import pytest
+
+    from lsh_spark.multimodal.containers import decode_mp3, encode_mp3_frames
+
+    assert decode_mp3(b"not audio at all") is None
+    assert decode_mp3(b"RIFF\x00\x00\x00\x00WAVE") is None
+    good = encode_mp3_frames(version=1, sr_idx=0, mono=True,
+                             bitrate_indices=[2, 2], paddings=[0, 0])
+    with pytest.raises(ValueError, match="truncated frame"):
+        decode_mp3(good[:-5])
+    with pytest.raises(ValueError, match="lost frame sync"):
+        decode_mp3(good + b"junk")
+    # free bitrate (index 0) rejected
+    bad = bytearray(good)
+    bad[2] = bad[2] & 0x0F
+    with pytest.raises(ValueError, match="free/bad bitrate"):
+        decode_mp3(bytes(bad))
+    # reserved samplerate index rejected
+    bad = bytearray(good)
+    bad[2] = bad[2] | 0x0C
+    with pytest.raises(ValueError, match="reserved samplerate"):
+        decode_mp3(bytes(bad))
+    # mid-stream parameter change rejected (flip 2nd frame to stereo)
+    two = encode_mp3_frames(version=1, sr_idx=0, mono=True,
+                            bitrate_indices=[2, 2], paddings=[0, 0])
+    flen = len(two) // 2
+    bad = bytearray(two)
+    bad[flen + 3] = 0x00
+    with pytest.raises(ValueError, match="changed mid-stream"):
+        decode_mp3(bytes(bad))
+
+
+def test_mp3_id3_garbage_after_tag():
+    import pytest
+
+    from lsh_spark.multimodal.containers import decode_mp3
+
+    # valid ID3 header but no frame sync after it: corrupt, not foreign
+    tag = b"ID3" + bytes((4, 0, 0, 0, 0, 0, 2)) + b"\x00\x00" + b"XXXX"
+    with pytest.raises(ValueError, match="no frame sync after ID3"):
+        decode_mp3(tag)

@@ -10,6 +10,13 @@ queries, so this script makes the gap explicit and machine-checkable:
 
 It never fails silently: missing rows, extra rows, and failing rows are
 each listed by name.
+
+Exit status (round-6 verdict item 7): a registered query with NEITHER a
+green driver row in ANY CORRECTNESS_r*.json NOR a replica record in
+REPLICA.json (written by tests/test_entry_oracle.py on pass) is an
+UNCOVERED query — the script exits 1 so coverage regressions fail CI
+rather than scroll by.  ``--strict`` additionally fails on any gap in
+the LATEST artifact alone.
 """
 
 from __future__ import annotations
@@ -28,6 +35,28 @@ def latest_artifact() -> Path | None:
         key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
     )
     return arts[-1] if arts else None
+
+
+def _row_green(r: dict) -> bool:
+    return bool(r.get("rows_match") and r.get("schema_match")
+                and r.get("err") is None)
+
+
+def driver_union() -> set[str]:
+    """Names with a green row in ANY round's artifact."""
+    green: set[str] = set()
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        for q, r in json.loads(p.read_text()).items():
+            if _row_green(r):
+                green.add(q)
+    return green
+
+
+def replica_records() -> set[str]:
+    try:
+        return set(json.loads((REPO / "REPLICA.json").read_text()))
+    except (OSError, ValueError):
+        return set()
 
 
 def main() -> int:
@@ -61,6 +90,23 @@ def main() -> int:
         print("rows for queries no longer registered:", ", ".join(extra))
     if failing:
         print("FAILING rows:", ", ".join(failing))
+
+    union = driver_union()
+    replica = replica_records()
+    uncovered = [q for q in registered
+                 if q not in union and q not in replica]
+    never_driver = [q for q in registered if q not in union]
+    print(f"driver-row union (all rounds): "
+          f"{len(registered) - len(never_driver)}/{len(registered)}")
+    if never_driver:
+        print("never driver-checked (rotation backlog):")
+        for q in never_driver:
+            via = "replica" if q in replica else "NOTHING"
+            print(f"  #{registered.index(q) + 1:>2} {q} [covered via {via}]")
+    if uncovered:
+        print("UNCOVERED (no driver row in any round, no replica record):",
+              ", ".join(uncovered))
+        return 1
 
     ok = not missing and not failing
     if "--strict" in sys.argv and not ok:

@@ -8,6 +8,7 @@ Runs at sf0.001 by default (fast); set LSH_SPARK_TEST_SF_DIR for sf0.01.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 
@@ -15,6 +16,32 @@ import duckdb
 import pytest
 
 SF_DIR = os.environ.get("LSH_SPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# Passing queries are recorded here (name -> sorted list of sf dirs the
+# replica passed at) so scripts/check_artifact_coverage.py can fail CI
+# when a registered query has NEITHER a driver row in any
+# CORRECTNESS_r*.json NOR a replica record (round-6 verdict item 7).
+_REPLICA_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "REPLICA.json")
+
+
+def _record_replica(name: str) -> None:
+    sf = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        with open(_REPLICA_PATH) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        rec = {}
+    sfs = set(rec.get(name, []))
+    if sf in sfs:
+        return
+    rec[name] = sorted(sfs | {sf})
+    tmp = _REPLICA_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(dict(sorted(rec.items())), f, indent=0, sort_keys=True)
+        f.write("\n")
+    os.replace(tmp, _REPLICA_PATH)
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -84,6 +111,7 @@ def test_query_matches_oracle(spark, name, fn, sql):
     assert not mismatches, (
         f"{name}: {len(mismatches)} row mismatches; first: "
         f"{cs[mismatches[0]]} vs {cd[mismatches[0]]}")
+    _record_replica(name)
 
 
 def test_entry_smoke(spark):
@@ -102,3 +130,4 @@ def test_rows_only_queries_run(spark):
     for name in sorted(set(qs) - set(oracles)):
         df = qs[name](spark, SF_DIR)
         assert df.count() > 0, f"{name} returned no rows"
+        _record_replica(name)

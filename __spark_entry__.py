@@ -127,6 +127,7 @@ _REDUNDANT_TAIL = [
     # r7-green unchanged-code queries by the same
     # strongest-accumulated-evidence criterion.
     "mp3_stream_features",
+    "mp4_container_features",
 ]
 
 

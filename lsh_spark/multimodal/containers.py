@@ -746,3 +746,191 @@ def encode_mp3_frames(
                      0xC0 if mono else 0x00))
         out.append(hdr + b"\x00" * (flen - 4))
     return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO base media file format) — box-tree walk, metadata only
+# ---------------------------------------------------------------------------
+#
+# Public ISO/IEC 14496-12 box layout: every box is a 32-bit big-endian
+# size + 4-char type (size 1 → 64-bit largesize follows; size 0 → box
+# extends to EOF, last top-level box only).  The walk validates the box
+# tree and reads the metadata an LLM pipeline filters on — brand,
+# movie timescale/duration, per-track handler kinds (vide/soun) and the
+# first video track's presentation dimensions — without touching sample
+# data (mdat stays opaque; codec payload decode needs external libs,
+# exactly like MP3's DSP).  Reference parity: the reference engine has
+# no media surface at all (/root/reference/src — LSH functions only);
+# this is part of the brief's multimodal-column layer.
+
+
+def _mp4_err(msg: str):
+    raise ValueError(f"MP4: {msg}")
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int, top: bool = False):
+    """Yield (box_type, payload_start, payload_end) walking buf[start:end);
+    validates sizes cover the range exactly."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            _mp4_err(f"truncated box header at byte {pos}")
+        size = int.from_bytes(buf[pos:pos + 4], "big")
+        btype = buf[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                _mp4_err(f"truncated largesize at byte {pos}")
+            size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+            if size < 16:
+                _mp4_err(f"bad largesize {size}")
+            body = pos + 16
+        elif size == 0:  # to end of enclosing scope (top level only)
+            if not top:
+                _mp4_err("size-0 box below top level")
+            size = end - pos
+        elif size < 8:
+            _mp4_err(f"bad box size {size} at byte {pos}")
+        if pos + size > end:
+            _mp4_err(f"box {btype!r} overruns buffer at byte {pos}")
+        yield btype, body, pos + size
+        pos += size
+    if pos != end:
+        _mp4_err("box sizes do not tile the buffer")
+
+
+def _mp4_fullbox(buf: bytes, start: int, what: bytes) -> tuple[int, int]:
+    version = buf[start]
+    if version > 1:
+        _mp4_err(f"unsupported {what.decode()} version {version}")
+    return version, start + 4
+
+
+def decode_mp4(content: bytes) -> dict | None:
+    """ISO-BMFF box walk → ``{"width", "height", "n_frames": None,
+    "_major_brand", "_timescale", "_duration", "_n_tracks",
+    "_n_video_tracks", "_n_audio_tracks"}``.
+
+    width/height are the FIRST video track's tkhd presentation size
+    (16.16 fixed point, integral values expected); n_frames stays None
+    — frame counts live in stbl sample tables whose decode is out of
+    scope.  ``None`` for foreign bytes (no ftyp first box);
+    ``ValueError`` for corrupt trees — overrunning or non-tiling box
+    sizes, missing/duplicate moov or mvhd, trak without tkhd/mdhd/hdlr,
+    or v>1 fullboxes."""
+    if content is None or len(content) < 8 or content[4:8] != b"ftyp":
+        return None
+    major_brand = content[8:12].decode("latin-1")
+    moov_span = None
+    for btype, body, bend in _mp4_boxes(content, 0, len(content), top=True):
+        if btype == b"moov":
+            if moov_span is not None:
+                _mp4_err("duplicate moov")
+            moov_span = (body, bend)
+    if moov_span is None:
+        _mp4_err("no moov box")
+
+    timescale = duration = None
+    n_video = n_audio = n_tracks = 0
+    width = height = None
+    for btype, body, bend in _mp4_boxes(content, *moov_span):
+        if btype == b"mvhd":
+            if timescale is not None:
+                _mp4_err("duplicate mvhd")
+            ver, p = _mp4_fullbox(content, body, b"mvhd")
+            if ver == 1:
+                timescale = int.from_bytes(content[p + 16:p + 20], "big")
+                duration = int.from_bytes(content[p + 20:p + 28], "big")
+            else:
+                timescale = int.from_bytes(content[p + 8:p + 12], "big")
+                duration = int.from_bytes(content[p + 12:p + 16], "big")
+            if timescale == 0:
+                _mp4_err("mvhd timescale 0")
+        elif btype == b"trak":
+            n_tracks += 1
+            tw = th = handler = None
+            saw_tkhd = saw_mdhd = False
+            for t, tb, te in _mp4_boxes(content, body, bend):
+                if t == b"tkhd":
+                    ver, p = _mp4_fullbox(content, tb, b"tkhd")
+                    # ver0: creation/modification/id/reserved/duration =
+                    # 5*4 bytes; ver1 widens times+duration to 64-bit
+                    p += 32 if ver else 20
+                    p += 8 + 2 + 2 + 2 + 2 + 36  # reserved..matrix
+                    tw = int.from_bytes(content[p:p + 4], "big") >> 16
+                    th = int.from_bytes(content[p + 4:p + 8], "big") >> 16
+                    saw_tkhd = True
+                elif t == b"mdia":
+                    for m, mb, me in _mp4_boxes(content, tb, te):
+                        if m == b"mdhd":
+                            _mp4_fullbox(content, mb, b"mdhd")
+                            saw_mdhd = True
+                        elif m == b"hdlr":
+                            handler = content[mb + 8:mb + 12]
+            if not (saw_tkhd and saw_mdhd and handler is not None):
+                _mp4_err("trak missing tkhd/mdhd/hdlr")
+            if handler == b"vide":
+                n_video += 1
+                if width is None:
+                    width, height = tw, th
+            elif handler == b"soun":
+                n_audio += 1
+    if timescale is None:
+        _mp4_err("no mvhd box")
+    return {"width": width, "height": height, "n_frames": None,
+            "_major_brand": major_brand, "_timescale": timescale,
+            "_duration": duration, "_n_tracks": n_tracks,
+            "_n_video_tracks": n_video, "_n_audio_tracks": n_audio}
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4_fullbox_payload(version: int, body: bytes) -> bytes:
+    return bytes((version, 0, 0, 0)) + body
+
+
+def encode_mp4(
+    *,
+    major_brand: str = "isom",
+    compat_brands=("mp41",),
+    timescale: int = 600,
+    duration: int = 600,
+    tracks=(("vide", 640, 480, 600),),
+) -> bytes:
+    """Minimal spec-valid ISO-BMFF metadata file (ftyp + moov; no mdat
+    — the walk never reads sample data) — the inverse of ``decode_mp4``
+    for round-trip tests and the arithmetic gate corpus.  ``tracks`` is
+    a sequence of (handler, width, height, media_timescale); box sizes
+    are fully determined by the track count and compat-brand count:
+    ftyp = 16 + 4·len(compat_brands), mvhd = 108, each trak = 185."""
+    ftyp = _mp4_box(b"ftyp", major_brand.encode()[:4].ljust(4)
+                    + struct.pack(">I", 0)
+                    + b"".join(b.encode()[:4].ljust(4)
+                               for b in compat_brands))
+    mvhd = _mp4_box(b"mvhd", _mp4_fullbox_payload(0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">I", 0x0001_0000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x0001_0000, 0, 0, 0, 0x0001_0000, 0, 0, 0,
+                      0x4000_0000)
+        + b"\x00" * 24 + struct.pack(">I", len(tracks) + 1)))
+    traks = []
+    for i, (handler, w, h, mts) in enumerate(tracks):
+        tkhd = _mp4_box(b"tkhd", _mp4_fullbox_payload(0,
+            struct.pack(">IIIII", 0, 0, i + 1, 0, duration)
+            + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(">9I", 0x0001_0000, 0, 0, 0, 0x0001_0000, 0, 0,
+                          0, 0x4000_0000)
+            + struct.pack(">II", (w or 0) << 16, (h or 0) << 16)))
+        mdhd = _mp4_box(b"mdhd", _mp4_fullbox_payload(0,
+            struct.pack(">IIII", 0, 0, mts, duration)
+            + struct.pack(">HH", 0x55C4, 0)))  # language 'und'
+        name = (b"VideoHandler" if handler == "vide" else
+                b"SoundHandler" if handler == "soun" else b"MetaHandler.")
+        hdlr = _mp4_box(b"hdlr", _mp4_fullbox_payload(0,
+            struct.pack(">I", 0) + handler.encode()[:4].ljust(4)
+            + b"\x00" * 12 + name + b"\x00"))
+        traks.append(_mp4_box(b"trak", tkhd + _mp4_box(b"mdia", mdhd + hdlr)))
+    return ftyp + _mp4_box(b"moov", mvhd + b"".join(traks))

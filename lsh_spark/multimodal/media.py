@@ -62,9 +62,10 @@ FEATURE_SCHEMA = StructType([
 #
 # The container has no media libraries; the pure-stdlib codecs in
 # ``multimodal.png`` / ``.jpeg`` / ``.containers`` genuinely decode
-# PNG, baseline JPEG, BMP, GIF, RIFF/WAVE, TIFF, and MPEG-audio (MP3)
-# frame headers (metadata, no DSP), so only MP4 remains behind the
-# digest stub.  These three RAW formats are the simplest
+# PNG, baseline JPEG, BMP, GIF, RIFF/WAVE, TIFF, MPEG-audio (MP3)
+# frame headers and ISO-BMFF (MP4) box trees (metadata, no DSP) — no
+# common container remains stubbed.  These three RAW formats are the
+# simplest
 # genuinely-decoded layer — header parse, length validation, real
 # pixel/sample math in numpy — so the full pipeline (decode → feature
 # → resize → frame-sample) runs on real bytes end-to-end:
@@ -166,13 +167,17 @@ def _decode_audio(content: bytes) -> dict | None:
 def _decode_video(content: bytes) -> dict | None:
     """Video decode chain: RAWV, then animated GIF (real multi-frame
     composition — ``n_frames``/``_frames`` come from actual image
-    blocks)."""
+    blocks), then the ISO-BMFF (MP4) box walk — metadata only
+    (``multimodal.containers.decode_mp4``)."""
     meta = decode_raw_video(content)
     if meta is not None:
         return meta
-    from .containers import decode_gif
+    from .containers import decode_gif, decode_mp4
 
-    return decode_gif(content)
+    meta = decode_gif(content)
+    if meta is not None:
+        return meta
+    return decode_mp4(content)
 
 
 _RAW_DECODERS = {
@@ -184,9 +189,9 @@ _RAW_DECODERS = {
 
 def _decode(kind: str, content: bytes) -> dict:
     """RAW formats, PNG / baseline-JPEG / BMP / GIF images, WAV/MP3
-    audio and GIF video decode for real; anything else falls back to
-    the deterministic stub (full MP3 PCM and MP4 need external libs).
-    Bytes that merely *start* with a known magic but
+    audio and GIF/MP4 video decode for real; anything else falls back
+    to the deterministic stub (full MP3 PCM and MP4 sample decode need
+    external libs).  Bytes that merely *start* with a known magic but
     fail validation are treated as foreign (stub fallback) — the batch
     pipeline must stay total; strict deployments call the ``decode_*``
     functions directly."""
@@ -482,6 +487,99 @@ def synthesize_mp3_audio_from_documents(docs: DataFrame) -> DataFrame:
                                columns=[f.name for f in MEDIA_SCHEMA])
 
     return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def synthesize_mp4_video_from_documents(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA frame of spec-valid ISO-BMFF (MP4) metadata files
+    from PURE doc_id arithmetic: major brand alternates isom/mp42 by
+    parity; ``1 + d % 3`` compatible brands; movie timescale
+    ``(600, 1000, 90000, 48000)[d % 4]`` with duration
+    ``ts·(1 + d % 7) + d % 13``; one video track of
+    ``16·(4 + d % 9) × 16·(3 + d % 5)`` plus ``d % 3`` audio tracks.
+    Box sizes are closed-form (ftyp 16 + 4·brands, mvhd 108, trak 185),
+    so every walk output INCLUDING the byte length is doc_id arithmetic
+    a SQL oracle replays — the gate corpus for ``mp4_box_features``."""
+    from .containers import encode_mp4
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ts = (600, 1000, 90000, 48000)[d % 4]
+                tracks = [("vide", 16 * (4 + d % 9), 16 * (3 + d % 5),
+                           90000)]
+                tracks += [("soun", 0, 0, (8000, 16000, 44100)[(d + j) % 3])
+                           for j in range(d % 3)]
+                content = encode_mp4(
+                    major_brand="isom" if d % 2 == 0 else "mp42",
+                    compat_brands=("mp41", "iso2", "avc1")[:1 + d % 3],
+                    timescale=ts,
+                    duration=ts * (1 + d % 7) + d % 13,
+                    tracks=tracks,
+                )
+                rows.append({"media_id": d, "kind": "video",
+                             "content": content, "mime": "video/mp4"})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+MP4_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("major_brand", StringType(), True),
+    StructField("timescale", IntegerType(), True),
+    StructField("duration_ms", LongType(), True),   # 1000·duration // ts
+    StructField("n_tracks", IntegerType(), True),
+    StructField("n_video_tracks", IntegerType(), True),
+    StructField("n_audio_tracks", IntegerType(), True),
+    StructField("width", IntegerType(), True),      # first video track
+    StructField("height", IntegerType(), True),
+    StructField("n_bytes", LongType(), True),
+])
+
+
+def mp4_box_features(media: DataFrame) -> DataFrame:
+    """(media_id, major_brand, timescale, duration_ms, n_tracks,
+    n_video_tracks, n_audio_tracks, width, height, n_bytes) for every
+    video row the ISO-BMFF box walk accepts (``containers.decode_mp4``
+    — metadata only); non-MP4 or corrupt rows yield NULLs.  Integer
+    arithmetic throughout (duration is floor-division milliseconds).
+    Narrow shuffle-free map; video bytes never cross a shuffle."""
+    from .containers import decode_mp4
+
+    cols = [f.name for f in MP4_FEATURES_SCHEMA]
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                out = {c: None for c in cols}
+                out["media_id"] = r["media_id"]
+                if r["kind"] == "video" and r["content"] is not None:
+                    content = bytes(r["content"])
+                    try:
+                        meta = decode_mp4(content)
+                    except ValueError:
+                        meta = None
+                    if meta is not None:
+                        ts = meta["_timescale"]
+                        out.update(
+                            major_brand=meta["_major_brand"],
+                            timescale=ts,
+                            duration_ms=1000 * meta["_duration"] // ts,
+                            n_tracks=meta["_n_tracks"],
+                            n_video_tracks=meta["_n_video_tracks"],
+                            n_audio_tracks=meta["_n_audio_tracks"],
+                            width=meta["width"],
+                            height=meta["height"],
+                            n_bytes=len(content),
+                        )
+                rows.append(out)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_feat, schema=MP4_FEATURES_SCHEMA)
 
 
 def synthesize_tiff_images_from_documents(docs: DataFrame) -> DataFrame:

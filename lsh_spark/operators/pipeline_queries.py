@@ -2232,3 +2232,62 @@ FROM q
 
 QUERIES_LATE["mp3_stream_features"] = (mp3_stream_features_q,
                                        MP3_STREAM_FEATURES_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# MP4 box features — the ISO-BMFF twin of the MP3 stream corpus:
+# spec-valid box trees synthesized from pure doc_id arithmetic
+# (multimodal.media.synthesize_mp4_video_from_documents), genuinely
+# walked by containers.decode_mp4 (box tree + mvhd/tkhd/mdhd/hdlr,
+# no sample data), with every output — brand, floor-division duration,
+# track kind counts, first-video dimensions, exact byte length from the
+# closed-form box sizes — replayed arithmetically by the oracle.
+# Closes the last container stub: no common media container remains
+# digest-stubbed.
+# ---------------------------------------------------------------------------
+
+def mp4_container_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 gate query: box-walk metadata over the arithmetic ISO-BMFF
+    corpus — the synthesizer's parameters AND the encoder's exact box
+    sizes (ftyp 16 + 4·brands, moov header 8, mvhd 108, trak 185) are
+    closed-form in doc_id, so the oracle pins the full
+    encode → box-walk chain byte-for-byte."""
+    from ..multimodal.media import (
+        mp4_box_features,
+        synthesize_mp4_video_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mp4_box_features(synthesize_mp4_video_from_documents(docs))
+
+
+MP4_CONTAINER_FEATURES_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         ([600, 1000, 90000, 48000])[doc_id % 4 + 1] AS ts,
+         doc_id % 3 AS n_audio
+  FROM documents
+),
+q AS (
+  SELECT doc_id, ts, n_audio,
+         ts * (1 + doc_id % 7) + doc_id % 13 AS dur
+  FROM p
+)
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS major_brand,
+       ts::INT AS timescale,
+       ((1000 * dur) // ts)::BIGINT AS duration_ms,
+       (1 + n_audio)::INT AS n_tracks,
+       1::INT AS n_video_tracks,
+       n_audio::INT AS n_audio_tracks,
+       (16 * (4 + doc_id % 9))::INT AS width,
+       (16 * (3 + doc_id % 5))::INT AS height,
+       (16 + 4 * (1 + doc_id % 3) + 8 + 108
+        + (1 + n_audio) * 185)::BIGINT AS n_bytes
+FROM q
+"""
+
+
+QUERIES_LATE["mp4_container_features"] = (mp4_container_features_q,
+                                          MP4_CONTAINER_FEATURES_ORACLE)
+

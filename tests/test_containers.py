@@ -551,3 +551,87 @@ def test_mp3_id3_garbage_after_tag():
     tag = b"ID3" + bytes((4, 0, 0, 0, 0, 0, 2)) + b"\x00\x00" + b"XXXX"
     with pytest.raises(ValueError, match="no frame sync after ID3"):
         decode_mp3(tag)
+
+
+# ---------------------------------------------------------------------------
+# MP4 box walk
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_round_trip_multitrack():
+    from lsh_spark.multimodal.containers import decode_mp4, encode_mp4
+
+    c = encode_mp4(major_brand="mp42", compat_brands=("mp41", "iso2"),
+                   timescale=1000, duration=12345,
+                   tracks=(("vide", 320, 240, 90000),
+                           ("soun", 0, 0, 44100),
+                           ("soun", 0, 0, 8000)))
+    # closed-form box sizes: ftyp 16+4*2, moov hdr 8, mvhd 108, trak 185
+    assert len(c) == 24 + 8 + 108 + 3 * 185
+    m = decode_mp4(c)
+    assert m["_major_brand"] == "mp42"
+    assert (m["_timescale"], m["_duration"]) == (1000, 12345)
+    assert (m["width"], m["height"]) == (320, 240)
+    assert (m["_n_tracks"], m["_n_video_tracks"],
+            m["_n_audio_tracks"]) == (3, 1, 2)
+    assert m["n_frames"] is None  # sample tables out of scope
+
+
+def test_mp4_audio_only_and_unknown_handler():
+    from lsh_spark.multimodal.containers import decode_mp4, encode_mp4
+
+    m = decode_mp4(encode_mp4(tracks=(("soun", 0, 0, 8000),
+                                      ("meta", 0, 0, 90000))))
+    assert m["width"] is None and m["height"] is None
+    assert (m["_n_tracks"], m["_n_video_tracks"],
+            m["_n_audio_tracks"]) == (2, 0, 1)
+
+
+def test_mp4_largesize_and_size0_boxes():
+    """size==1 (64-bit largesize) and size==0 (to-EOF, last top-level
+    box) both walk; a size-0 box below top level raises."""
+    import struct
+
+    from lsh_spark.multimodal.containers import decode_mp4, encode_mp4
+
+    c = encode_mp4()
+    # split at the moov boundary: ftyp is 16+4 = 20 bytes
+    ftyp, moov = c[:20], c[20:]
+    # rewrite moov as a largesize box: size=1 + 64-bit size (8 extra)
+    large = (struct.pack(">I", 1) + b"moov"
+             + struct.pack(">Q", len(moov) + 8) + moov[8:])
+    m = decode_mp4(ftyp + large)
+    assert m["_n_tracks"] == 1 and m["_timescale"] == 600
+    # size-0 moov (extends to EOF) at top level is legal
+    zero = struct.pack(">I", 0) + b"moov" + moov[8:]
+    assert decode_mp4(ftyp + zero)["_n_tracks"] == 1
+    # size-0 below top level is not
+    mvhd_start = 8
+    bad = bytearray(moov)
+    bad[mvhd_start:mvhd_start + 4] = struct.pack(">I", 0)
+    with pytest.raises(ValueError, match="size-0 box below top level"):
+        decode_mp4(ftyp + bytes(bad))
+
+
+def test_mp4_foreign_and_corrupt():
+    from lsh_spark.multimodal.containers import decode_mp4, encode_mp4
+
+    assert decode_mp4(b"not a video") is None
+    assert decode_mp4(b"\x89PNG\r\n\x1a\n") is None
+    good = encode_mp4(tracks=(("vide", 64, 48, 90000),))
+    with pytest.raises(ValueError, match="overruns buffer"):
+        decode_mp4(good[:-5])
+    with pytest.raises(ValueError, match="no moov"):
+        decode_mp4(good.replace(b"moov", b"mooX"))
+    with pytest.raises(ValueError, match="missing tkhd/mdhd/hdlr"):
+        decode_mp4(good.replace(b"hdlr", b"hdlX"))
+    with pytest.raises(ValueError, match="duplicate moov"):
+        decode_mp4(good + good[20:])
+    # box sizes must tile their parent exactly: a shrunken trak makes
+    # its inner mdia overrun the (now too-small) parent span
+    bad = bytearray(good)
+    trak_at = good.index(b"trak") - 4
+    bad[trak_at:trak_at + 4] = struct.pack(
+        ">I", int.from_bytes(good[trak_at:trak_at + 4], "big") - 4)
+    with pytest.raises(ValueError, match="overruns buffer"):
+        decode_mp4(bytes(bad))

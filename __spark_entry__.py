@@ -128,6 +128,7 @@ _REDUNDANT_TAIL = [
     # strongest-accumulated-evidence criterion.
     "mp3_stream_features",
     "mp4_container_features",
+    "ann_sq8_topk",
 ]
 
 

@@ -69,6 +69,80 @@ def cosine_topk(
     )
 
 
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k cosine neighbors against an 8-bit SCALAR-QUANTIZED corpus —
+    the memory-bound ANN shape for a 100 TB embedding table, where
+    float32 vectors don't fit the scan budget and int8 codes (4× smaller,
+    16× vs float64) do.
+
+    Per-dimension [min, max] bounds come from ONE aggregate (dim min/max
+    expressions, map-side combined — no explode, no extra shuffle); each
+    corpus vector is quantized to ``code = floor((x-mn)·255/(mx-mn) + ½)``
+    and scored DEQUANTIZED (``x̂ = mn + code·(mx-mn)/255``) against
+    full-precision queries, so the entire encode→score chain is plain
+    IEEE float64 arithmetic a SQL oracle replays bit-for-bit.  In a
+    persisted deployment the codes (array<tinyint>/binary) are what you
+    store and scan; the on-the-fly form here keeps the gate oracle exact.
+    Returns (query_id, neighbor_id, cosine_sim, rank) like
+    ``cosine_topk``; constant-dimension corpora only."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn("__qn", norm("__qv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    bounds = c.agg(
+        F.array(*[F.min(F.col("__cv")[i]) for i in range(dim)]).alias("__mn"),
+        F.array(*[F.max(F.col("__cv")[i]) for i in range(dim)]).alias("__mx"),
+    )
+
+    def _dequant(x, i):
+        # element_at is 1-based; transform's index 0-based
+        mn = F.element_at(F.col("__mn"), i + F.lit(1))
+        mx = F.element_at(F.col("__mx"), i + F.lit(1))
+        rng = mx - mn
+        # EXACT oracle-mirrored op sequence:
+        #   mn + (floor(((x - mn) * 255) / rng + 0.5) * rng) / 255
+        return F.when(
+            mx > mn,
+            mn + (F.floor(((x - mn) * F.lit(255.0)) / rng + F.lit(0.5))
+                  * rng) / F.lit(255.0),
+        ).otherwise(mn)
+
+    deq = (
+        c.crossJoin(F.broadcast(bounds))
+        .select("neighbor_id",
+                F.transform("__cv", _dequant).alias("__xv"))
+        .withColumn("__cn", norm("__xv"))
+    )
+    cos = F.when(
+        (F.col("__qn") > 0) & (F.col("__cn") > 0),
+        dot("__qv", "__xv") / (F.col("__qn") * F.col("__cn")),
+    ).otherwise(F.lit(0.0))
+    scored = (
+        F.broadcast(q).crossJoin(deq)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", F.round(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def euclidean_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2291,3 +2291,70 @@ FROM q
 QUERIES_LATE["mp4_container_features"] = (mp4_container_features_q,
                                           MP4_CONTAINER_FEATURES_ORACLE)
 
+
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized ANN — the memory-bound similarity-search shape
+# for a 100 TB embedding corpus (int8 codes are 4x smaller than the
+# float32 vectors the exact scan reads).  The whole
+# bounds -> quantize -> dequantize -> cosine chain is deterministic
+# IEEE float64 arithmetic, so the DuckDB oracle replays it exactly:
+# same bounds (min/max are order-independent), same literal op sequence
+# mn + (floor(((x-mn)*255)/rng + 0.5)*rng)/255, same list_dot_product
+# fold the ann_topk oracle already pins against the Spark dot/norm
+# expressions.
+# ---------------------------------------------------------------------------
+
+_SQ8_DIM = 64
+
+
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.sq8_topk(
+        emb, emb.where(F.col("vec_id") < _N_QUERIES), dim=_SQ8_DIM,
+        k=_ANN_K)
+
+
+ANN_SQ8_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+bounds AS (
+  SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+  FROM (SELECT i, min(cv[i]) AS mn, max(cv[i]) AS mx
+        FROM c, range(1, {_SQ8_DIM + 1}) t(i) GROUP BY i)
+),
+deq AS (
+  SELECT neighbor_id,
+         list_transform(range(1, {_SQ8_DIM + 1}), i ->
+           CASE WHEN b.mx[i] > b.mn[i]
+                THEN b.mn[i]
+                     + (floor(((cv[i] - b.mn[i]) * 255) / (b.mx[i] - b.mn[i])
+                              + 0.5)
+                        * (b.mx[i] - b.mn[i])) / 255
+                ELSE b.mn[i] END) AS xv
+  FROM c, bounds b
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(qv, qv)) > 0
+                     AND sqrt(list_dot_product(xv, xv)) > 0
+               THEN list_dot_product(qv, xv)
+                    / (sqrt(list_dot_product(qv, qv))
+                       * sqrt(list_dot_product(xv, xv)))
+               ELSE 0.0 END, 6) AS cosine_sim
+  FROM q CROSS JOIN deq
+  WHERE query_id != neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+QUERIES_LATE["ann_sq8_topk"] = (ann_sq8_topk, ANN_SQ8_TOPK_ORACLE)

@@ -1584,3 +1584,25 @@ def test_cc_non_convergence_warns(spark):
         labels = min_label_components(blocks, max_iter=n)
     got = {r["__label"] for r in labels.collect()}
     assert got == {0}
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    """8-bit scalar quantization barely moves cosine ranks on real
+    embeddings: top-10 recall vs the exact scan stays high, and
+    dequantized sims stay within the quantization error envelope."""
+    from lsh_spark.operators import ann
+    from lsh_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = ann.cosine_topk(emb, queries, k=10).collect()
+    quant = ann.sq8_topk(emb, queries, dim=64, k=10).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    quant_set = {(r.query_id, r.neighbor_id) for r in quant}
+    recall = len(exact_set & quant_set) / len(exact_set)
+    assert recall >= 0.9, f"SQ8 recall too low: {recall}"
+    exact_sims = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact}
+    for r in quant:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_sims:
+            assert abs(r.cosine_sim - exact_sims[key]) < 0.01

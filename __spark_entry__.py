@@ -129,6 +129,7 @@ _REDUNDANT_TAIL = [
     "mp3_stream_features",
     "mp4_container_features",
     "ann_sq8_topk",
+    "lang_id_predictions",
 ]
 
 

@@ -1,0 +1,110 @@
+"""Character-n-gram language identification — the classic
+Cavnar–Trenkle-style heuristic (profile = the most frequent character
+n-grams per language, score = overlap between a document's n-gram
+counts and each profile), expressed as pure Catalyst aggregates so the
+whole train→score chain is integer arithmetic a SQL oracle replays
+exactly.
+
+Reference parity: the reference engine ships no text-analysis surface
+(/root/reference/src — LSH functions only); language-ID is part of the
+brief's training-data text-analysis layer (lang-ID, quality scoring,
+token counting, fingerprinting).
+
+100 TB design:
+  * profile build is one (lang, ngram) hash-aggregate (map-side
+    combined) + a top-N window over the aggregated counts — the window
+    input is already collapsed to distinct (lang, ngram) rows, and the
+    result is ``n_langs × profile_size`` rows → broadcast;
+  * scoring never shuffles raw n-grams twice: the (doc, ngram) counts
+    are partially aggregated, the profile join is a broadcast hash
+    join, and the per-(doc, lang) sums collapse map-side before the
+    final doc-level argmax window (≤ n_langs rows per doc);
+  * document text never crosses a shuffle — only (id, ngram) pairs and
+    their bounded aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def char_ngram_lang_id(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    ngram_width: int = 3,
+    profile_size: int = 200,
+) -> DataFrame:
+    """Predict each document's language from character n-gram overlap
+    with per-language profiles learned from the labeled corpus itself.
+
+    Profile: the ``profile_size`` most frequent character n-grams per
+    language (occurrence counts over all of that language's text; ties
+    broken by n-gram ascending — fully deterministic).  Score of doc d
+    against language L: sum of d's n-gram occurrence counts restricted
+    to L's profile.  Predicted language = highest score, ties broken by
+    language ascending.  Documents sharing no n-gram with any profile
+    (e.g. shorter than the n-gram width) are not scored and are
+    returned with NULL prediction and score 0.
+
+    Returns (id_col, lang_col, predicted_lang, score, is_match).
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.explode(
+            # guard: Spark sequence(1, stop) with stop < 1 yields a
+            # DESCENDING [1, 0] — not empty — so sub-width docs would
+            # emit spurious partial grams (DuckDB generate_series is
+            # empty there); the CASE keeps both engines identical
+            F.expr(
+                f"CASE WHEN length({text_col}) >= {ngram_width} THEN "
+                f"transform(sequence(1, length({text_col}) "
+                f"- {ngram_width - 1}), "
+                f"i -> substring({text_col}, i, {ngram_width})) "
+                f"ELSE array() END"
+            )
+        ).alias("__ng"),
+    )
+    doc_counts = grams.groupBy(id_col, "__ng").agg(
+        F.count(F.lit(1)).alias("__dn"))
+    profile = (
+        grams.groupBy(F.col(lang_col).alias("__plang"), "__ng")
+        .agg(F.count(F.lit(1)).alias("__ln"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("__plang").orderBy(
+                    F.col("__ln").desc(), F.col("__ng").asc())),
+        )
+        .where(F.col("__rk") <= profile_size)
+        .select("__plang", "__ng")
+    )
+    scores = (
+        doc_counts.join(F.broadcast(profile), on="__ng")
+        .groupBy(id_col, "__plang")
+        .agg(F.sum("__dn").alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("__plang").asc())
+    best = (
+        scores.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(id_col, F.col("__plang").alias("predicted_lang"),
+                F.col("score").cast("long").alias("score"))
+    )
+    return (
+        docs.select(id_col, lang_col)
+        .join(best, on=id_col, how="left")
+        .select(
+            id_col,
+            lang_col,
+            "predicted_lang",
+            F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+            (F.col("predicted_lang") == F.col(lang_col)).alias("is_match"),
+        )
+    )

@@ -2358,3 +2358,65 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {_ANN_K
 
 
 QUERIES_LATE["ann_sq8_topk"] = (ann_sq8_topk, ANN_SQ8_TOPK_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Language identification — Cavnar-Trenkle-style char-n-gram profiles
+# (operators/langid.py).  The train -> score chain is pure integer
+# arithmetic over deterministic orderings (count desc, n-gram asc;
+# score desc, lang asc), so the DuckDB oracle replays it exactly:
+# same profiles, same overlap sums, same argmax.
+# ---------------------------------------------------------------------------
+
+_LANGID_N, _LANGID_PROFILE = 3, 200
+
+
+def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .langid import char_ngram_lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_ngram_lang_id(
+        docs, ngram_width=_LANGID_N, profile_size=_LANGID_PROFILE)
+
+
+LANG_ID_PREDICTIONS_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, lang, substr(text, i, {_LANGID_N}) AS ng
+  FROM (SELECT doc_id, lang, text,
+               unnest(generate_series(1,
+                   greatest(length(text) - {_LANGID_N - 1}, 0))) AS i
+        FROM documents)
+),
+doc_counts AS (
+  SELECT doc_id, ng, count(*) AS dn FROM grams GROUP BY doc_id, ng
+),
+profile AS (
+  SELECT plang, ng FROM (
+    SELECT lang AS plang, ng,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY count(*) DESC, ng ASC) AS rk
+    FROM grams GROUP BY lang, ng
+  ) WHERE rk <= {_LANGID_PROFILE}
+),
+scores AS (
+  SELECT d.doc_id, p.plang, sum(d.dn) AS score
+  FROM doc_counts d JOIN profile p ON d.ng = p.ng
+  GROUP BY d.doc_id, p.plang
+),
+best AS (
+  SELECT doc_id, plang AS predicted_lang, score FROM (
+    SELECT doc_id, plang, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, plang ASC) AS rk
+    FROM scores)
+  WHERE rk = 1
+)
+SELECT d.doc_id, d.lang, b.predicted_lang,
+       coalesce(b.score, 0)::BIGINT AS score,
+       (b.predicted_lang = d.lang) AS is_match
+FROM documents d LEFT JOIN best b USING (doc_id)
+"""
+
+
+QUERIES_LATE["lang_id_predictions"] = (lang_id_predictions,
+                                       LANG_ID_PREDICTIONS_ORACLE)

@@ -1606,3 +1606,32 @@ def test_sq8_topk_recall_vs_exact(spark):
         key = (r.query_id, r.neighbor_id)
         if key in exact_sims:
             assert abs(r.cosine_sim - exact_sims[key]) < 0.01
+
+
+def test_lang_id_discriminates_planted_languages(spark):
+    """Char-trigram profiles separate corpora with distinct character
+    distributions: every doc of three synthetic 'languages' (disjoint
+    alphabets, varied per-doc content) is predicted correctly."""
+    from lsh_spark.operators.langid import char_ngram_lang_id
+
+    def mk(lang, alphabet, i):
+        words = ["".join(alphabet[(i * 7 + j * 3 + k) % len(alphabet)]
+                         for k in range(3 + (i + j) % 4))
+                 for j in range(12)]
+        return (1000 * (ord(lang[0])) + i, " ".join(words), lang)
+
+    rows = [mk(lang, alph, i)
+            for lang, alph in (("aa", "abcdef"), ("bb", "mnopqr"),
+                               ("cc", "uvwxyz"))
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = char_ngram_lang_id(docs, profile_size=50).collect()
+    assert len(out) == 60
+    assert all(r.is_match for r in out), [
+        (r.doc_id, r.lang, r.predicted_lang) for r in out
+        if not r.is_match][:5]
+    # unscorable short docs come back with NULL prediction, score 0
+    tiny = spark.createDataFrame(
+        [(1, "ab", "aa")], "doc_id long, text string, lang string")
+    r = char_ngram_lang_id(tiny).collect()[0]
+    assert r.predicted_lang is None and r.score == 0

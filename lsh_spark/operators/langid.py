@@ -70,11 +70,16 @@ def char_ngram_lang_id(
             )
         ).alias("__ng"),
     )
-    doc_counts = grams.groupBy(id_col, "__ng").agg(
+    # one explode + ONE wide shuffle: lang is functionally dependent on
+    # the doc id, so counting at (id, lang, ngram) grain gives the doc
+    # counts directly AND lets the per-language profile counts collapse
+    # from the already-aggregated frame (map-side combinable re-agg)
+    # instead of re-exploding the corpus a second time
+    doc_counts = grams.groupBy(id_col, lang_col, "__ng").agg(
         F.count(F.lit(1)).alias("__dn"))
     profile = (
-        grams.groupBy(F.col(lang_col).alias("__plang"), "__ng")
-        .agg(F.count(F.lit(1)).alias("__ln"))
+        doc_counts.groupBy(F.col(lang_col).alias("__plang"), "__ng")
+        .agg(F.sum("__dn").alias("__ln"))
         .withColumn(
             "__rk",
             F.row_number().over(

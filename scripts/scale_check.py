@@ -406,6 +406,86 @@ def cleaning() -> None:
     spark.stop()
 
 
+def round7() -> None:
+    """Scale curves for the round-7 ops: char-n-gram language ID (one
+    corpus-wide (id, lang, ngram) aggregate + broadcast profile — the
+    wide shuffle is the scale surface), SQ8 quantized ANN for a FIXED
+    query set (corpus scan, expected linear), and the MP3/MP4 header
+    walks (pure narrow maps, expected flat per row)."""
+    from pyspark import StorageLevel
+
+    from lsh_spark.multimodal.audio import mp3_stream_features
+    from lsh_spark.multimodal.media import (
+        mp4_box_features,
+        synthesize_mp3_audio_from_documents,
+        synthesize_mp4_video_from_documents,
+    )
+    from lsh_spark.operators.ann import sq8_topk
+    from lsh_spark.operators.langid import char_ngram_lang_id
+    from lsh_spark.plans import get_spark
+    from lsh_spark.sources.io import load_table
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 5, 20]
+    spark = get_spark(app_name="lsh_spark-scale-check-r7")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n_base = base.count()
+    emb_base = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n_emb = emb_base.count()
+    for rep in reps:
+        docs = (
+            base.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("doc_id") * rep + F.col("__rep")).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail"),
+                         F.col("__rep").cast("string")).alias("text"),
+                "lang",
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        docs.count()
+        emb = (
+            emb_base.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("vec_id") * rep + F.col("__rep")).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x + (F.col("__rep") % 7).cast("float")
+                    * F.lit(0.001) * (i % 3).cast("float")
+                ).alias("embedding"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        emb.count()
+        t0 = time.perf_counter()
+        n_match = char_ngram_lang_id(docs).where("is_match").count()
+        t_lid = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_hits = sq8_topk(emb, emb.where(F.col("vec_id") < 10), dim=64,
+                          k=10).count()
+        t_sq8 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_mp3 = mp3_stream_features(
+            synthesize_mp3_audio_from_documents(docs)).where(
+            F.col("n_mpeg_frames").isNotNull()).count()
+        t_mp3 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_mp4 = mp4_box_features(
+            synthesize_mp4_video_from_documents(docs)).where(
+            F.col("n_tracks").isNotNull()).count()
+        t_mp4 = time.perf_counter() - t0
+        print(
+            f"rep={rep:3d} docs={n_base * rep:8d} vecs={n_emb * rep:8d}  "
+            f"lang_id={t_lid:6.1f}s ({n_match} matched)  "
+            f"sq8={t_sq8:6.1f}s ({n_hits} hits)  "
+            f"mp3={t_mp3:6.1f}s ({n_mp3})  mp4={t_mp4:6.1f}s ({n_mp4})",
+            flush=True)
+        docs.unpersist()
+        emb.unpersist()
+        spark.catalog.clearCache()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--vectors":
         vectors()
@@ -415,5 +495,7 @@ if __name__ == "__main__":
         training()
     elif len(sys.argv) > 1 and sys.argv[1] == "--cleaning":
         cleaning()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--round7":
+        round7()
     else:
         main()

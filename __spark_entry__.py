@@ -130,6 +130,7 @@ _REDUNDANT_TAIL = [
     "mp4_container_features",
     "ann_sq8_topk",
     "lang_id_predictions",
+    "chunk_documents",
 ]
 
 

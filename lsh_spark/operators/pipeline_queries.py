@@ -2420,3 +2420,41 @@ FROM documents d LEFT JOIN best b USING (doc_id)
 
 QUERIES_LATE["lang_id_predictions"] = (lang_id_predictions,
                                        LANG_ID_PREDICTIONS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking — context-window splitting with overlap
+# (training_ops.chunk_documents_df).  Pure integer character grid +
+# substring, so the oracle replays it literally.
+# ---------------------------------------------------------------------------
+
+_CHUNK_CHARS, _CHUNK_OVERLAP = 256, 32
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_ops import chunk_documents_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents_df(
+        docs, chunk_chars=_CHUNK_CHARS, overlap=_CHUNK_OVERLAP)
+
+
+_CHUNK_STRIDE = _CHUNK_CHARS - _CHUNK_OVERLAP
+
+CHUNK_DOCUMENTS_ORACLE = f"""
+SELECT doc_id,
+       i::INT AS chunk_idx,
+       substr(text, i * {_CHUNK_STRIDE} + 1, {_CHUNK_CHARS}) AS chunk_text,
+       length(substr(text, i * {_CHUNK_STRIDE} + 1,
+                     {_CHUNK_CHARS}))::BIGINT AS n_chars
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+             greatest(length(text) - {_CHUNK_OVERLAP} - 1, 0)
+             // {_CHUNK_STRIDE})) AS i
+  FROM documents WHERE length(text) > 0
+)
+"""
+
+
+QUERIES_LATE["chunk_documents"] = (chunk_documents, CHUNK_DOCUMENTS_ORACLE)

@@ -1111,3 +1111,50 @@ FROM pack p JOIN offs o USING (shard)
 """
 
 QUERIES["pack_sequences"] = (pack_sequences, PACK_ORACLE)
+
+
+def chunk_documents_df(
+    docs: DataFrame,
+    *,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping chunks — the
+    context-window chunking step of a training/RAG pipeline
+    (chunk i covers characters ``i·(chunk_chars-overlap)`` onward,
+    ``chunk_chars`` long; the final chunk is shorter).
+
+    Chunk count per doc is ``1 + (max(len - overlap - 1, 0) DIV
+    stride)`` — a tail that would contain ONLY overlap (no new
+    characters) is not emitted, and empty texts yield no chunks.
+
+    100 TB design: a pure narrow transformation — one in-plan explode
+    bounded by corpus characters / stride, zero shuffle, zero UDFs;
+    the substring and the chunk grid are whole-stage-codegen
+    expressions, and downstream consumers (pack_sequences, dedup,
+    embedding) see ordinary rows keyed by (id, chunk_idx).
+
+    Returns (id_col, chunk_idx, chunk_text, n_chars)."""
+    if overlap >= chunk_chars:
+        raise ValueError(
+            f"overlap {overlap} must be smaller than chunk_chars "
+            f"{chunk_chars}")
+    stride = chunk_chars - overlap
+    grid = (
+        f"CASE WHEN length({text_col}) > 0 THEN "
+        f"sequence(0, CAST((greatest(length({text_col}) - {overlap} - 1, 0))"
+        f" DIV {stride} AS INT)) ELSE array() END"
+    )
+    return (
+        docs.select(F.col(id_col), F.col(text_col),
+                    F.explode(F.expr(grid)).alias("chunk_idx"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.expr(f"substring({text_col}, chunk_idx * {stride} + 1, "
+                   f"{chunk_chars})").alias("chunk_text"),
+        )
+        .withColumn("n_chars", F.length("chunk_text").cast("long"))
+    )

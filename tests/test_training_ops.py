@@ -559,3 +559,34 @@ def test_unigram_logprob_empty_doc_and_exactness(spark):
     assert out[1].n_tokens == 3
     assert out[1].avg_logprob == expected
     assert out[3].avg_logprob == round(math.log(2 / n), 6)
+
+
+def test_chunk_documents_grid_semantics(spark):
+    from lsh_spark.operators.training_ops import chunk_documents_df
+
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 512),          # exactly one chunk
+         (2, "b" * 513),          # tail has 1 new char -> 2 chunks
+         (3, "c" * 64),           # shorter than overlap -> 1 chunk
+         (4, ""),                 # empty -> no chunks
+         (5, "d" * 960)],         # 0..512, 448..960 -> 2 full chunks
+        "doc_id long, text string")
+    out = chunk_documents_df(docs, chunk_chars=512, overlap=64).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_chars == 512
+    assert len(by_doc[2]) == 2
+    tail = sorted(by_doc[2], key=lambda r: r.chunk_idx)[-1]
+    assert tail.n_chars == 513 - 448          # overlap 64 + 1 new char
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_chars == 64
+    assert 4 not in by_doc
+    assert [r.n_chars for r in sorted(by_doc[5],
+                                      key=lambda r: r.chunk_idx)] == [512, 512]
+    # consecutive chunks overlap by exactly `overlap` characters
+    a, b = sorted(by_doc[5], key=lambda r: r.chunk_idx)
+    assert a.chunk_text[-64:] == b.chunk_text[:64]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents_df(docs, chunk_chars=64, overlap=64)

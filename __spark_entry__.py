@@ -131,6 +131,7 @@ _REDUNDANT_TAIL = [
     "ann_sq8_topk",
     "lang_id_predictions",
     "chunk_documents",
+    "media_features_streaming",
 ]
 
 

@@ -2458,3 +2458,16 @@ FROM (
 
 
 QUERIES_LATE["chunk_documents"] = (chunk_documents, CHUNK_DOCUMENTS_ORACLE)
+
+
+def _register_streaming_media() -> None:
+    """Late-register the streaming media decode (defined in
+    ``streaming.documents``); shares the batch twin's exact oracle
+    (the AvailableNow drain is batch-identical)."""
+    from ..streaming.documents import media_features_streaming
+
+    QUERIES_LATE["media_features_streaming"] = (media_features_streaming,
+                                                MP3_STREAM_FEATURES_ORACLE)
+
+
+_register_streaming_media()

@@ -319,3 +319,31 @@ QUERIES = {
 # pipeline_queries.QUERIES_LATE (merged after every streaming family) —
 # adding it to THIS dict would shift the registry positions of every
 # later head query and orphan their driver-row history.
+
+
+def media_features_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: the multimodal decode chain as an ACTUAL
+    Structured Streaming query — documents arrive as a file-source
+    stream, the arithmetic MP3 corpus is synthesized and header-walked
+    by the SAME Arrow ``mapInPandas`` kernels the batch gate uses
+    (``mapInPandas`` is a stateless streaming map: no watermark, no
+    state store, media bytes never leave their partition), drained
+    AvailableNow into a memory sink.  Carries the identical exact
+    oracle as the batch twin (``mp3_stream_features``), so
+    batch/stream parity of the media pipeline is driver-checked."""
+    from ..multimodal.audio import mp3_stream_features
+    from ..multimodal.media import synthesize_mp3_audio_from_documents
+    from ..sources.io import _ensure_session_confs, load_table
+    from .events import run_available_now
+
+    _ensure_session_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    feats = mp3_stream_features(synthesize_mp3_audio_from_documents(stream))
+    q = run_available_now(feats, "media_features_streaming_sink", "append")
+    q.awaitTermination()
+    return spark.table("media_features_streaming_sink")

@@ -132,6 +132,7 @@ _REDUNDANT_TAIL = [
     "lang_id_predictions",
     "chunk_documents",
     "media_features_streaming",
+    "prepare_training_corpus",
 ]
 
 

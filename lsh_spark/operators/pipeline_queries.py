@@ -2471,3 +2471,90 @@ def _register_streaming_media() -> None:
 
 
 _register_streaming_media()
+
+
+# ---------------------------------------------------------------------------
+# prepare_training_corpus — the full LLM training-data preparation flow
+# composed into ONE query: quality filter -> context-window chunking ->
+# exact chunk dedup -> sequence packing.  Every stage is an
+# already-gated operator (text_quality, chunk_documents,
+# dedup-by-min-id, pack_sequences); this query pins their COMPOSITION,
+# with the oracle stacking the stage CTEs in front of the recursive
+# packing replay (training_ops.pack_oracle_sql).
+#
+# Chunks get a composite BIGINT id cid = doc_id * 1e6 + chunk_idx so
+# the greedy packing order is (doc_id, chunk_idx); the bound holds for
+# documents up to ~224 M chars (1e6 chunks of stride 224) — far beyond
+# any web document; a production variant would pack on a struct key.
+# ---------------------------------------------------------------------------
+
+_PTC_QUALITY = 0.3
+_PTC_CID = 1_000_000
+
+
+def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import fanout_scan
+    from .training_ops import chunk_documents_df, pack_sequences_df
+
+    docs = fanout_scan(load_table(spark, sf_dir, "documents"))
+    kept = docs.where(T.quality_score("text") > _PTC_QUALITY)
+    chunks = chunk_documents_df(
+        kept, chunk_chars=_CHUNK_CHARS, overlap=_CHUNK_OVERLAP)
+    deduped = (
+        chunks.select(
+            (F.col("doc_id") * _PTC_CID + F.col("chunk_idx")).alias("cid"),
+            "chunk_text")
+        .groupBy("chunk_text").agg(F.min("cid").alias("cid"))
+    )
+    packed = pack_sequences_df(
+        deduped.select(F.col("cid").alias("doc_id"),
+                       F.col("chunk_text").alias("text")),
+        max_len=64, shard_budget=2000)
+    return packed.select(
+        F.expr(f"doc_id DIV {_PTC_CID}").alias("doc_id"),
+        (F.col("doc_id") % _PTC_CID).cast("int").alias("chunk_idx"),
+        "n_tokens", "seq_id", "seq_pos", "truncated",
+    )
+
+
+def _prepare_training_corpus_oracle() -> str:
+    from .training_ops import pack_oracle_sql
+
+    pre = f"""quality AS (
+  SELECT doc_id FROM ({_text_quality_oracle('documents')}) q
+  WHERE q.quality > {_PTC_QUALITY}
+),
+chunks AS (
+  SELECT doc_id * {_PTC_CID} + i AS cid,
+         substr(text, i * {_CHUNK_STRIDE} + 1, {_CHUNK_CHARS}) AS chunk_text
+  FROM (
+    SELECT d.doc_id, d.text,
+           unnest(generate_series(0,
+               greatest(length(d.text) - {_CHUNK_OVERLAP} - 1, 0)
+               // {_CHUNK_STRIDE})) AS i
+    FROM documents d JOIN quality USING (doc_id)
+    WHERE length(d.text) > 0
+  )
+),
+dedup AS (
+  SELECT min(cid) AS cid, chunk_text FROM chunks GROUP BY chunk_text
+),
+"""
+    toks = r"""
+  SELECT cid AS doc_id,
+         len(coalesce(list_filter(string_split_regex(chunk_text,
+                                  '[ \t\n\x0b\f\r]+'),
+                             t -> t != ''), []))::BIGINT AS n_tokens
+  FROM dedup
+"""
+    inner = pack_oracle_sql(toks, max_len=64, budget=2000, pre_ctes=pre)
+    return f"""
+SELECT doc_id // {_PTC_CID} AS doc_id,
+       (doc_id % {_PTC_CID})::INT AS chunk_idx,
+       n_tokens, seq_id, seq_pos, truncated
+FROM ({inner}) packed
+"""
+
+
+QUERIES_LATE["prepare_training_corpus"] = (prepare_training_corpus,
+                                           _prepare_training_corpus_oracle())

@@ -1052,22 +1052,24 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_len=_PACK_MAX_LEN, shard_budget=_PACK_SHARD_BUDGET)
 
 
-# The greedy next-fit fold is not window-expressible, but it IS
-# recursion-expressible: the oracle walks each shard's docs in doc_id
-# order through a recursive CTE carrying (seq, fill) state — an exact
-# independent replay of the kernel's loop, executed by a different
-# engine through a completely different mechanism.
-PACK_ORACLE = rf"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id,
-         len(coalesce(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
-                             t -> t != ''), []))::BIGINT AS n_tokens
-  FROM documents
-),
+def pack_oracle_sql(toks_body: str, *, max_len: int, budget: int,
+                    pre_ctes: str = "") -> str:
+    """The greedy next-fit fold is not window-expressible, but it IS
+    recursion-expressible: the oracle walks each shard's docs in doc_id
+    order through a recursive CTE carrying (seq, fill) state — an exact
+    independent replay of the kernel's loop, executed by a different
+    engine through a completely different mechanism.
+
+    ``toks_body`` must yield (doc_id, n_tokens); ``pre_ctes`` lets a
+    composed pipeline (e.g. prepare_training_corpus) stack its own
+    stage CTEs in front.  PACK_ORACLE is the plain-documents
+    instance."""
+    return rf"""
+WITH RECURSIVE {pre_ctes}toks AS ({toks_body}),
 ordered AS (
   SELECT doc_id, n_tokens,
          ((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-           - n_tokens) // {_PACK_SHARD_BUDGET})::BIGINT AS shard
+           - n_tokens) // {budget})::BIGINT AS shard
   FROM toks
 ),
 rn AS (
@@ -1077,20 +1079,20 @@ rn AS (
 pack AS (
   SELECT shard, rn, doc_id, n_tokens,
          0::BIGINT AS seq, 0::BIGINT AS pos,
-         least(n_tokens, {_PACK_MAX_LEN})::BIGINT AS fill_after
+         least(n_tokens, {max_len})::BIGINT AS fill_after
   FROM rn WHERE rn = 1
   UNION ALL
   SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
-         CASE WHEN p.fill_after + least(r.n_tokens, {_PACK_MAX_LEN})
-                   > {_PACK_MAX_LEN} AND p.fill_after > 0
+         CASE WHEN p.fill_after + least(r.n_tokens, {max_len})
+                   > {max_len} AND p.fill_after > 0
               THEN p.seq + 1 ELSE p.seq END,
-         CASE WHEN p.fill_after + least(r.n_tokens, {_PACK_MAX_LEN})
-                   > {_PACK_MAX_LEN} AND p.fill_after > 0
+         CASE WHEN p.fill_after + least(r.n_tokens, {max_len})
+                   > {max_len} AND p.fill_after > 0
               THEN 0 ELSE p.fill_after END,
-         CASE WHEN p.fill_after + least(r.n_tokens, {_PACK_MAX_LEN})
-                   > {_PACK_MAX_LEN} AND p.fill_after > 0
-              THEN least(r.n_tokens, {_PACK_MAX_LEN})
-              ELSE p.fill_after + least(r.n_tokens, {_PACK_MAX_LEN}) END
+         CASE WHEN p.fill_after + least(r.n_tokens, {max_len})
+                   > {max_len} AND p.fill_after > 0
+              THEN least(r.n_tokens, {max_len})
+              ELSE p.fill_after + least(r.n_tokens, {max_len}) END
   FROM pack p JOIN rn r ON r.shard = p.shard AND r.rn = p.rn + 1
 ),
 counts AS (
@@ -1106,9 +1108,20 @@ offs AS (
 SELECT p.doc_id, p.n_tokens,
        (o.off + p.seq)::BIGINT AS seq_id,
        p.pos::BIGINT AS seq_pos,
-       p.n_tokens > {_PACK_MAX_LEN} AS truncated
+       p.n_tokens > {max_len} AS truncated
 FROM pack p JOIN offs o USING (shard)
 """
+
+
+_PACK_TOKS_BODY = r"""
+  SELECT doc_id,
+         len(coalesce(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                             t -> t != ''), []))::BIGINT AS n_tokens
+  FROM documents
+"""
+
+PACK_ORACLE = pack_oracle_sql(_PACK_TOKS_BODY, max_len=_PACK_MAX_LEN,
+                              budget=_PACK_SHARD_BUDGET)
 
 QUERIES["pack_sequences"] = (pack_sequences, PACK_ORACLE)
 

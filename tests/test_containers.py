@@ -635,3 +635,81 @@ def test_mp4_foreign_and_corrupt():
         ">I", int.from_bytes(good[trak_at:trak_at + 4], "big") - 4)
     with pytest.raises(ValueError, match="overruns buffer"):
         decode_mp4(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# codec round-trip properties
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    version=st.sampled_from([1, 2, 25]),
+    layer=st.sampled_from([1, 2, 3]),
+    sr_idx=st.integers(0, 2),
+    mono=st.booleans(),
+    frames=st.lists(st.tuples(st.integers(1, 14), st.integers(0, 1)),
+                    min_size=1, max_size=8),
+    id3_len=st.one_of(st.none(), st.integers(0, 64)),
+)
+def test_mp3_roundtrip_property(version, layer, sr_idx, mono, frames,
+                                id3_len):
+    """encode_mp3_frames -> decode_mp3 is the identity on every stream
+    parameter the header walk reads, across all version/layer grids."""
+    from lsh_spark.multimodal.containers import (
+        _MP3_BITRATES,
+        _mp3_spf,
+        decode_mp3,
+        encode_mp3_frames,
+    )
+
+    bis, pads = [f[0] for f in frames], [f[1] for f in frames]
+    c = encode_mp3_frames(version=version, layer=layer, sr_idx=sr_idx,
+                          mono=mono, bitrate_indices=bis, paddings=pads,
+                          id3_len=id3_len)
+    m = decode_mp3(c)
+    assert m["_mpeg_version"] == version and m["_layer"] == layer
+    assert m["_channels"] == (1 if mono else 2)
+    assert m["_mpeg_frames"] == len(frames)
+    assert m["n_frames"] == len(frames) * _mp3_spf(version, layer)
+    grp = 1 if version == 1 else 2
+    assert m["_bitrate_sum_kbps"] == sum(
+        _MP3_BITRATES[grp, layer][b - 1] for b in bis)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    brand=st.sampled_from(["isom", "mp42", "avc1"]),
+    n_compat=st.integers(1, 4),
+    timescale=st.integers(1, 1_000_000),
+    duration=st.integers(0, 2**31 - 1),
+    tracks=st.lists(
+        st.tuples(st.sampled_from(["vide", "soun", "meta"]),
+                  st.integers(0, 4096), st.integers(0, 4096),
+                  st.integers(1, 96000)),
+        min_size=0, max_size=5),
+)
+def test_mp4_roundtrip_property(brand, n_compat, timescale, duration,
+                                tracks):
+    """encode_mp4 -> decode_mp4 is the identity on brand, movie
+    header, track-kind counts, first-video dimensions, and the
+    closed-form byte length."""
+    from lsh_spark.multimodal.containers import decode_mp4, encode_mp4
+
+    c = encode_mp4(major_brand=brand, compat_brands=("mp41",) * n_compat,
+                   timescale=timescale, duration=duration, tracks=tracks)
+    assert len(c) == 16 + 4 * n_compat + 8 + 108 + 185 * len(tracks)
+    m = decode_mp4(c)
+    assert m["_major_brand"] == brand
+    assert m["_timescale"] == timescale and m["_duration"] == duration
+    assert m["_n_tracks"] == len(tracks)
+    assert m["_n_video_tracks"] == sum(1 for t in tracks if t[0] == "vide")
+    assert m["_n_audio_tracks"] == sum(1 for t in tracks if t[0] == "soun")
+    vids = [t for t in tracks if t[0] == "vide"]
+    if vids:
+        assert (m["width"], m["height"]) == (vids[0][1], vids[0][2])
+    else:
+        assert m["width"] is None and m["height"] is None

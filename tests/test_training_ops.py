@@ -590,3 +590,34 @@ def test_chunk_documents_grid_semantics(spark):
     assert a.chunk_text[-64:] == b.chunk_text[:64]
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents_df(docs, chunk_chars=64, overlap=64)
+
+
+def test_chunk_documents_reconstruction(spark):
+    """Lossless-coverage invariant over a grid of lengths and params:
+    chunk 0 plus the non-overlap tail of every later chunk rebuilds the
+    original text exactly, for texts spanning empty..multi-chunk and
+    including multi-byte characters."""
+    from lsh_spark.operators.training_ops import chunk_documents_df
+
+    alphabet = "abcdefghij é中"
+    rows = [(n, "".join(alphabet[(n * 13 + i * 7) % len(alphabet)]
+                        for i in range(n)))
+            for n in (0, 1, 31, 32, 33, 63, 64, 65, 100, 257, 500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for chunk_chars, overlap in ((32, 8), (64, 0), (40, 39)):
+        out = chunk_documents_df(docs, chunk_chars=chunk_chars,
+                                 overlap=overlap).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text
+        for n, text in rows:
+            chunks = [t for _, t in sorted(by_doc.get(n, {}).items())]
+            if n == 0:
+                assert chunks == []
+                continue
+            rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+            assert rebuilt == text, (n, chunk_chars, overlap)
+            # every chunk except the last is full-width; every chunk
+            # past the first contributes new characters
+            assert all(len(c) == chunk_chars for c in chunks[:-1])
+            assert all(len(c) > overlap for c in chunks[1:])

@@ -133,6 +133,7 @@ _REDUNDANT_TAIL = [
     "chunk_documents",
     "media_features_streaming",
     "prepare_training_corpus",
+    "ann_ivf_sq8_search",
 ]
 
 

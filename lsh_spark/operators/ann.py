@@ -69,6 +69,50 @@ def cosine_topk(
     )
 
 
+def sq8_bounds(corpus: DataFrame, *, vec_col: str, dim: int) -> DataFrame:
+    """Single-row (__mn, __mx) per-dimension bounds frame — one
+    map-side-combined aggregate (dim min/max expressions, no explode),
+    broadcastable by construction.  min/max are order-independent, so
+    the bounds are bit-identical across engines and runs."""
+    return corpus.select(
+        F.col(vec_col).cast("array<double>").alias("__v")
+    ).agg(
+        F.array(*[F.min(F.col("__v")[i]) for i in range(dim)]).alias("__mn"),
+        F.array(*[F.max(F.col("__v")[i]) for i in range(dim)]).alias("__mx"),
+    )
+
+
+def _sq8_rng(i):
+    mn = F.element_at(F.col("__mn"), i + F.lit(1))
+    mx = F.element_at(F.col("__mx"), i + F.lit(1))
+    return mn, mx, mx - mn
+
+
+def _sq8_quant(x, i):
+    """int8 code for element x at 0-based dim i against the broadcast
+    (__mn, __mx) row: ``least(greatest(floor(((x-mn)·255)/rng + ½), 0),
+    255)`` — the clamp is an identity for in-bounds x (build-time
+    bounds ARE the corpus min/max) and linear-extrapolation-safe for
+    out-of-range values quantized later against FROZEN index bounds
+    (extend_ivf_index)."""
+    mn, mx, rng = _sq8_rng(i)
+    code = F.least(
+        F.greatest(F.floor(((x - mn) * F.lit(255.0)) / rng + F.lit(0.5)),
+                   F.lit(0)),
+        F.lit(255))
+    return F.when(mx > mn, code).otherwise(F.lit(0)).cast("smallint")
+
+
+def _sq8_dequant(c, i):
+    """Reconstruction ``mn + (code·rng)/255`` — with ``_sq8_quant`` this
+    composes to the EXACT oracle-mirrored sequence
+    ``mn + (floor(((x-mn)·255)/rng + ½)·rng)/255`` (smallint→double is
+    exact for 0..255)."""
+    mn, mx, rng = _sq8_rng(i)
+    return F.when(mx > mn,
+                  mn + (c.cast("double") * rng) / F.lit(255.0)).otherwise(mn)
+
+
 def sq8_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -101,28 +145,13 @@ def sq8_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     )
-    bounds = c.agg(
-        F.array(*[F.min(F.col("__cv")[i]) for i in range(dim)]).alias("__mn"),
-        F.array(*[F.max(F.col("__cv")[i]) for i in range(dim)]).alias("__mx"),
-    )
-
-    def _dequant(x, i):
-        # element_at is 1-based; transform's index 0-based
-        mn = F.element_at(F.col("__mn"), i + F.lit(1))
-        mx = F.element_at(F.col("__mx"), i + F.lit(1))
-        rng = mx - mn
-        # EXACT oracle-mirrored op sequence:
-        #   mn + (floor(((x - mn) * 255) / rng + 0.5) * rng) / 255
-        return F.when(
-            mx > mn,
-            mn + (F.floor(((x - mn) * F.lit(255.0)) / rng + F.lit(0.5))
-                  * rng) / F.lit(255.0),
-        ).otherwise(mn)
-
+    bounds = sq8_bounds(corpus, vec_col=vec_col, dim=dim)
     deq = (
         c.crossJoin(F.broadcast(bounds))
         .select("neighbor_id",
-                F.transform("__cv", _dequant).alias("__xv"))
+                F.transform("__cv",
+                            lambda x, i: _sq8_dequant(_sq8_quant(x, i), i)
+                            ).alias("__xv"))
         .withColumn("__cn", norm("__xv"))
     )
     cos = F.when(
@@ -491,6 +520,8 @@ def build_ivf_index(
     n_lists: int = 16,
     n_iters: int = 2,
     num_buckets: int = 16,
+    storage: str = "float32",
+    dim: "int | None" = None,
 ) -> None:
     """Persist the IVF index for reuse — the real-deployment shape the
     search-time operators only simulate: train the deterministic Lloyd
@@ -501,9 +532,27 @@ def build_ivf_index(
     Amortization at 100 TB: the one corpus-wide shuffle (the bucketed
     write) happens once; every subsequent ``search_ivf_index`` probes
     cells with NO exchange on the corpus side — Spark reads only the
-    matching buckets and shuffles just the (tiny) probe side."""
-    from ..sources.formats import drop_versioned_siblings, write_bucketed_table
+    matching buckets and shuffles just the (tiny) probe side.
 
+    ``storage="sq8"`` (the FAISS IVF-SQ shape; requires ``dim``) stores
+    8-bit scalar-quantized codes instead of the float vectors — 4× less
+    index storage and scan I/O, the difference between fitting and not
+    fitting a 100 TB embedding table's hot set.  Per-dimension bounds
+    are learned at build time, persisted as ``<name>_bounds``, and
+    FROZEN (extends quantize against them; searches dequantize on the
+    fly with the exact oracle-replayable arithmetic of ``sq8_topk``).
+    Lloyd training and cell assignment always run on the full-precision
+    vectors."""
+    from ..sources.formats import (
+        drop_versioned_siblings,
+        save_table,
+        write_bucketed_table,
+    )
+
+    if storage not in ("float32", "sq8"):
+        raise ValueError(f"unknown storage {storage!r}")
+    if storage == "sq8" and dim is None:
+        raise ValueError("storage='sq8' requires dim")
     # a rebuild starts the generation history over at 0 (see the LSH
     # twin): sweep any compaction generations (<name>_v{N}) first
     drop_versioned_siblings(corpus.sparkSession, table_name, 0)
@@ -516,6 +565,17 @@ def build_ivf_index(
         .select("neighbor_id", F.col("__v_neighbor_id").alias("vec"),
                 "__cell")
     )
+    if storage == "sq8":
+        bounds = sq8_bounds(corpus, vec_col=vec_col, dim=dim)
+        assigned = (
+            assigned.crossJoin(F.broadcast(bounds))
+            .select("neighbor_id",
+                    F.transform("vec", _sq8_quant).alias("codes"),
+                    "__cell")
+        )
+        save_table(bounds.select(F.col("__mn").alias("mn"),
+                                 F.col("__mx").alias("mx")),
+                   f"{table_name}_bounds", single_file=True)
     write_bucketed_table(assigned, table_name, bucket_by=["__cell"],
                          num_buckets=num_buckets, sort_by=["__cell"])
     cent_rows = (
@@ -537,6 +597,10 @@ def build_ivf_index(
         # generation pointer (formats.versioned_name): compaction
         # appends a bumped row pointing at <name>_v{N}
         F.lit(0).cast("int").alias("version"),
+        # vector storage: "float32" (raw) | "sq8" (quantized codes +
+        # frozen <name>_bounds); readers fall back to float32 when the
+        # column is absent (pre-sq8 indexes)
+        F.lit(storage).alias("storage"),
     )
     save_table(meta, f"{table_name}_meta", single_file=True)
     # a full build physically removes everything previously tombstoned
@@ -545,6 +609,10 @@ def build_ivf_index(
     from ..sources.formats import drop_table_and_files
 
     drop_table_and_files(corpus.sparkSession, f"{table_name}_deletes")
+    if storage != "sq8":
+        # a float32 rebuild over a former sq8 index must not leave the
+        # stale bounds directory for a later attach to re-register
+        drop_table_and_files(corpus.sparkSession, f"{table_name}_bounds")
 
 
 def _ivf_meta(spark, table_name: str):
@@ -598,6 +666,10 @@ def attach_ivf_index(spark, table_name: str,
     if os.path.isdir(loc(f"{table_name}_deletes")):
         attach_table(spark, f"{table_name}_deletes",
                      loc(f"{table_name}_deletes"))
+    # sq8 indexes carry their frozen quantization bounds
+    if os.path.isdir(loc(f"{table_name}_bounds")):
+        attach_table(spark, f"{table_name}_bounds",
+                     loc(f"{table_name}_bounds"))
 
 
 def extend_ivf_index(
@@ -637,6 +709,19 @@ def extend_ivf_index(
         .select("neighbor_id", F.col("__v_neighbor_id").alias("vec"),
                 "__cell")
     )
+    if ("storage" in m.__fields__ and m.storage == "sq8"):
+        # quantize against the FROZEN build-time bounds (same contract
+        # as the frozen quantizer: drift is impossible, and re-deriving
+        # bounds per ingest would silently re-code the whole index);
+        # out-of-range deltas clamp to the 0/255 code edges
+        bounds = spark.table(f"{table_name}_bounds").select(
+            F.col("mn").alias("__mn"), F.col("mx").alias("__mx"))
+        assigned = (
+            assigned.crossJoin(F.broadcast(bounds))
+            .select("neighbor_id",
+                    F.transform("vec", _sq8_quant).alias("codes"),
+                    "__cell")
+        )
     write_bucketed_table(assigned, _ivf_phys(table_name, m),
                          bucket_by=["__cell"],
                          num_buckets=m.num_buckets, sort_by=["__cell"],
@@ -781,20 +866,32 @@ def search_ivf_index(
     probes = _assign_cells_pandas(
         _ivf_prep(queries, id_col, vec_col, "query_id"),
         _collect_centroids(cents), "__v_query_id", n_probe=n_probe)
-    corpus_tbl = spark.table(_ivf_phys(table_name, _ivf_meta(spark,
-                                                             table_name)))
+    m = _ivf_meta(spark, table_name)
+    corpus_tbl = spark.table(_ivf_phys(table_name, m))
     if spark.catalog.tableExists(f"{table_name}_deletes"):
         # broadcast anti-join keeps the bucketed corpus side's
         # partitioning, so the __cell join stays exchange-free
         corpus_tbl = corpus_tbl.join(
             F.broadcast(spark.table(f"{table_name}_deletes")),
             on="neighbor_id", how="left_anti")
-    scored = (
+    storage = (m.storage if "storage" in m.__fields__ else "float32")
+    joined = (
         probes.join(corpus_tbl, on="__cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim",
-                    F.round(cosine("__v_query_id", "vec"), 6))
     )
+    if storage == "sq8":
+        # dequantize AFTER the bucket join (the 1-row bounds broadcast
+        # composes as a nested-loop join over the probe output, so the
+        # bucketed corpus side stays exchange-free) — only probed rows
+        # pay reconstruction
+        bounds = spark.table(f"{table_name}_bounds").select(
+            F.col("mn").alias("__mn"), F.col("mx").alias("__mx"))
+        joined = (
+            joined.crossJoin(F.broadcast(bounds))
+            .withColumn("vec", F.transform("codes", _sq8_dequant))
+        )
+    scored = joined.withColumn(
+        "cosine_sim", F.round(cosine("__v_query_id", "vec"), 6))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return (

@@ -2558,3 +2558,79 @@ FROM ({inner}) packed
 
 QUERIES_LATE["prepare_training_corpus"] = (prepare_training_corpus,
                                            _prepare_training_corpus_oracle())
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ8 persisted index — the FAISS IVF-SQ shape: the persisted IVF
+# index storing 8-bit scalar-quantized codes + frozen per-dim bounds
+# instead of float vectors (4x less index storage/scan I/O at 100 TB).
+# Lloyd training and cell assignment run full-precision (same
+# _lloyd_cell_ctes replay as the float index); only the stored payload
+# and the probe-side reconstruction change, and both are the exact
+# oracle-replayable SQ8 arithmetic ann_sq8_topk already pins.
+# ---------------------------------------------------------------------------
+
+
+def ann_ivf_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.vectors import ensure_ivf_sq8_index
+
+    index = ensure_ivf_sq8_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.search_ivf_index(
+        spark, index, emb.where(F.col("vec_id") < _N_QUERIES),
+        k=_ANN_K, n_probe=_IVF_PROBE)
+
+
+def _ivf_sq8_oracle() -> str:
+    ctes = _lloyd_cell_ctes(_IVF_LISTS, _IVF_ITERS)
+    cent = f"cent_{_IVF_ITERS}"
+    ctes.append(f"""bounds AS (
+  SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+  FROM (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+        FROM corpus, range(1, {_SQ8_DIM + 1}) t(i) GROUP BY i)
+)""")
+    ctes.append(f"""cq AS (
+  SELECT neighbor_id, cell,
+         list_transform(range(1, {_SQ8_DIM + 1}), i ->
+           CASE WHEN b.mx[i] > b.mn[i]
+                THEN b.mn[i]
+                     + (least(greatest(floor(((v[i] - b.mn[i]) * 255)
+                                  / (b.mx[i] - b.mn[i]) + 0.5), 0), 255)
+                        * (b.mx[i] - b.mn[i])) / 255
+                ELSE b.mn[i] END) AS xv
+  FROM c_cells, bounds b
+)""")
+    ctes.append(f"""q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < {_N_QUERIES})""")
+    ctes.append(f"""probes AS (
+  SELECT query_id, v, cell FROM (
+    SELECT query_id, v, cell,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY {_SQDIST.format(a='v', b='cv')} ASC, cell ASC) AS r
+    FROM q CROSS JOIN {cent}
+  ) WHERE r <= {_IVF_PROBE}
+)""")
+    ctes.append("""scored AS (
+  SELECT p.query_id, cq.neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(p.v, p.v)) > 0
+                     AND sqrt(list_dot_product(cq.xv, cq.xv)) > 0
+               THEN list_dot_product(p.v, cq.xv)
+                    / (sqrt(list_dot_product(p.v, p.v))
+                       * sqrt(list_dot_product(cq.xv, cq.xv)))
+               ELSE 0.0 END, 6) AS cosine_sim
+  FROM probes p JOIN cq USING (cell)
+  WHERE p.query_id != cq.neighbor_id
+)""")
+    ctes.append("""ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT query_id, neighbor_id, cosine_sim, rank"
+              f" FROM ranked WHERE rank <= {_ANN_K}")
+
+
+QUERIES_LATE["ann_ivf_sq8_search"] = (ann_ivf_sq8_search, _ivf_sq8_oracle())

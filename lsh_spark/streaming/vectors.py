@@ -127,3 +127,41 @@ def _oracle() -> str:
 QUERIES = {
     "ann_ivf_search_streaming": (ann_ivf_search_streaming, _oracle()),
 }
+
+
+def ensure_ivf_sq8_index(spark: SparkSession, sf_dir: str) -> str:
+    """Session-amortized build of the QUANTIZED gate index — the
+    ``ensure_ivf_index`` twin with ``storage="sq8"`` (FAISS IVF-SQ
+    shape: int8 codes + frozen per-dim bounds instead of float
+    vectors).  Separate physical name so the float32 gate index and its
+    driver-row history are untouched."""
+    from ..operators.ann import build_ivf_index
+    from ..operators.pipeline_queries import _IVF_ITERS, _IVF_LISTS, _SQ8_DIM
+    from ..sources.io import _ensure_session_confs, load_table
+
+    _ensure_session_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    index = f"ivfsq8idx_{tag}"
+    want = dict(vec_col="embedding", id_col="vec_id",
+                n_lists=int(_IVF_LISTS), n_iters=int(_IVF_ITERS),
+                storage="sq8")
+    have = None
+    if spark.catalog.tableExists(f"{index}_meta"):
+        m = spark.table(f"{index}_meta").first()
+        have = dict(vec_col=m.vec_col, id_col=m.id_col,
+                    n_lists=m.n_lists, n_iters=m.n_iters,
+                    storage=m.storage if "storage" in m.__fields__
+                    else "float32")
+    if have != want:
+        import sys
+        import time
+
+        t0 = time.perf_counter()
+        build_ivf_index(emb, index, vec_col="embedding",
+                        id_col="vec_id", n_lists=_IVF_LISTS,
+                        n_iters=_IVF_ITERS, storage="sq8", dim=_SQ8_DIM)
+        print(f"# ensure_ivf_sq8_index: index build took "
+              f"{time.perf_counter() - t0:.2f}s (reused by later runs "
+              f"in this session)", file=sys.stderr)
+    return index

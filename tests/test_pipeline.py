@@ -1635,3 +1635,82 @@ def test_lang_id_discriminates_planted_languages(spark):
         [(1, "ab", "aa")], "doc_id long, text string, lang string")
     r = char_ngram_lang_id(tiny).collect()[0]
     assert r.predicted_lang is None and r.score == 0
+
+
+def test_ivf_sq8_index_lifecycle(spark):
+    """The quantized (storage='sq8') IVF index through its whole
+    lifecycle: build stores int8 codes + frozen bounds; search equals a
+    manual dequantized replay; extend quantizes deltas against the
+    FROZEN bounds (clamping out-of-range values); delete tombstones;
+    compact folds them out with codes riding along."""
+    from lsh_spark.operators.ann import (
+        build_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        extend_ivf_index,
+        search_ivf_index,
+        sq8_topk,
+    )
+    from lsh_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    name = "sq8life"
+    build_ivf_index(emb, name, n_lists=8, n_iters=2, storage="sq8",
+                    dim=64)
+    # stored payload is int8 codes, not floats
+    tbl = spark.table(name)
+    assert "codes" in tbl.columns and "vec" not in tbl.columns
+    assert dict(tbl.dtypes)["codes"] == "array<smallint>"
+    codes = tbl.agg(F.min(F.array_min("codes")),
+                    F.max(F.array_max("codes"))).first()
+    assert codes[0] >= 0 and codes[1] <= 255
+    assert spark.catalog.tableExists(f"{name}_bounds")
+
+    queries = emb.where(F.col("vec_id") < 5)
+    got = {(r.query_id, r.rank): r for r in
+           search_ivf_index(spark, name, queries, k=5, n_probe=8).collect()}
+    # n_probe = n_lists probes EVERY cell -> results must equal the
+    # flat SQ8 scan (same dequantized corpus, same rerank)
+    want = {(r.query_id, r.rank): r for r in
+            sq8_topk(emb, queries, dim=64, k=5).collect()}
+    assert set(got) == set(want)
+    for k_ in got:
+        assert got[k_].neighbor_id == want[k_].neighbor_id
+        assert got[k_].cosine_sim == want[k_].cosine_sim
+
+    # extend with an in-bounds near-copy of vec 3 and an OUT-OF-RANGE
+    # vector (10x bounds): both quantize against the frozen bounds,
+    # the second clamping to the code edges instead of overflowing
+    delta = emb.where(F.col("vec_id") == 3).select(
+        F.lit(90001).alias("vec_id"), "embedding",
+        F.lit(0).alias("label")).unionByName(
+        emb.where(F.col("vec_id") == 3).select(
+            F.lit(90002).alias("vec_id"),
+            F.transform("embedding",
+                        lambda x: x * F.lit(10.0)).alias("embedding"),
+            F.lit(0).alias("label")))
+    extend_ivf_index(delta, name)
+    lim = spark.table(name).agg(F.min(F.array_min("codes")),
+                                F.max(F.array_max("codes"))).first()
+    assert lim[0] >= 0 and lim[1] <= 255
+    hits = search_ivf_index(
+        spark, name, emb.where(F.col("vec_id") == 3), k=3,
+        n_probe=8).collect()
+    assert 90001 in {r.neighbor_id for r in hits}  # near-copy found
+
+    delete_from_ivf_index(
+        spark.range(1).select(F.lit(90001).alias("vec_id")), name)
+    after = {r.neighbor_id for r in search_ivf_index(
+        spark, name, emb.where(F.col("vec_id") == 3), k=3,
+        n_probe=8).collect()}
+    assert 90001 not in after
+
+    compact_ivf_index(spark, name)
+    assert dict(spark.table(
+        spark.table(f"{name}_meta").agg(
+            F.max("version")).first() and f"{name}_v1").dtypes
+        )["codes"] == "array<smallint>"
+    final = {r.neighbor_id for r in search_ivf_index(
+        spark, name, emb.where(F.col("vec_id") == 3), k=3,
+        n_probe=8).collect()}
+    assert final == after

@@ -420,8 +420,13 @@ def round7() -> None:
         synthesize_mp3_audio_from_documents,
         synthesize_mp4_video_from_documents,
     )
+    from lsh_spark.functions import text as T
     from lsh_spark.operators.ann import sq8_topk
     from lsh_spark.operators.langid import char_ngram_lang_id
+    from lsh_spark.operators.training_ops import (
+        chunk_documents_df,
+        pack_sequences_df,
+    )
     from lsh_spark.plans import get_spark
     from lsh_spark.sources.io import load_table
 
@@ -474,11 +479,29 @@ def round7() -> None:
             synthesize_mp4_video_from_documents(docs)).where(
             F.col("n_tracks").isNotNull()).count()
         t_mp4 = time.perf_counter() - t0
+        # composed quality -> chunk -> chunk-dedup -> pack pipeline
+        # (prepare_training_corpus shape; replicas are near-dups so the
+        # chunk-dedup stage collapses most replicated chunks)
+        t0 = time.perf_counter()
+        kept = docs.where(T.quality_score("text") > 0.3)
+        chunks = chunk_documents_df(kept, chunk_chars=256, overlap=32)
+        deduped = (
+            chunks.select(
+                (F.col("doc_id") * 1_000_000
+                 + F.col("chunk_idx")).alias("doc_id"),
+                F.col("chunk_text").alias("text"))
+            .groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        )
+        n_seqs = pack_sequences_df(
+            deduped, max_len=64, shard_budget=2000).agg(
+            F.countDistinct("seq_id")).first()[0]
+        t_ptc = time.perf_counter() - t0
         print(
             f"rep={rep:3d} docs={n_base * rep:8d} vecs={n_emb * rep:8d}  "
             f"lang_id={t_lid:6.1f}s ({n_match} matched)  "
             f"sq8={t_sq8:6.1f}s ({n_hits} hits)  "
-            f"mp3={t_mp3:6.1f}s ({n_mp3})  mp4={t_mp4:6.1f}s ({n_mp4})",
+            f"mp3={t_mp3:6.1f}s ({n_mp3})  mp4={t_mp4:6.1f}s ({n_mp4})  "
+            f"prep_corpus={t_ptc:6.1f}s ({n_seqs} seqs)",
             flush=True)
         docs.unpersist()
         emb.unpersist()

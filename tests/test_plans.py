@@ -402,3 +402,73 @@ def test_cms_counter_probe_broadcasts(spark):
 
     plan = _plan(cms_heavy_hitters(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_is_pure_narrow_map(spark):
+    """Chunking is one in-plan explode + substring: no Exchange, no
+    Python UDF — whole-stage-codegen all the way to the scan."""
+    from lsh_spark.operators.training_ops import chunk_documents_df
+    from lsh_spark.sources.io import load_table
+
+    plan = _plan(chunk_documents_df(load_table(spark, SF_DIR, "documents")))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # the explode
+    assert "codegen id" in plan
+
+
+def test_lang_id_profile_joins_broadcast(spark):
+    """The scoring join against the per-language profile must be a
+    broadcast hash join (the profile is langs x N rows by construction)
+    and the argmax result re-attaches to docs without shuffling text."""
+    from lsh_spark.operators.langid import char_ngram_lang_id
+    from lsh_spark.sources.io import load_table
+
+    plan = _plan(char_ngram_lang_id(load_table(spark, SF_DIR, "documents")))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sq8_topk_single_bounds_pass_and_broadcast(spark):
+    """SQ8 scan shape: the per-dim bounds reduce to ONE aggregate row
+    broadcast to the scoring scan (BroadcastNestedLoopJoin over the
+    1-row bounds), queries broadcast, no Python UDF anywhere."""
+    from lsh_spark.operators.ann import sq8_topk
+    from lsh_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _plan(sq8_topk(emb, emb.where(F.col("vec_id") < 5), dim=64))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BatchEvalPython" not in plan
+    # quantize+dequantize stay in-plan: no shuffle between the corpus
+    # scan and the scoring join (the only Exchanges serve the window)
+    head = plan.split("Window")[0]
+    assert "ArrowEvalPython" not in head
+
+
+def test_ivf_sq8_search_no_corpus_side_exchange(spark):
+    """The quantized IVF probe keeps the float index's amortization:
+    the cell-bucketed corpus is consumed through its buckets, and the
+    1-row bounds broadcast composes AFTER the bucket join — no corpus-
+    side Exchange appears anywhere in the executed plan."""
+    import uuid
+
+    from lsh_spark.operators.ann import build_ivf_index, search_ivf_index
+    from lsh_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    name = f"sq8_pidx_{uuid.uuid4().hex[:8]}"
+    try:
+        build_ivf_index(emb, name, n_lists=8, n_iters=1, storage="sq8",
+                        dim=64, num_buckets=8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got = search_ivf_index(spark, name,
+                               emb.where(F.col("vec_id") < 5), k=5)
+        got.count()
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert "Bucketed: false" not in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for suffix in ("", "_centroids", "_meta", "_bounds"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")

@@ -134,6 +134,8 @@ _REDUNDANT_TAIL = [
     "media_features_streaming",
     "prepare_training_corpus",
     "ann_ivf_sq8_search",
+    "domain_blocklist_stats",
+    "blocked_docs_filter",
 ]
 
 

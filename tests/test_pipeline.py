@@ -1714,3 +1714,33 @@ def test_ivf_sq8_index_lifecycle(spark):
         spark, name, emb.where(F.col("vec_id") == 3), k=3,
         n_probe=8).collect()}
     assert final == after
+
+
+def test_url_host_extraction_edges(spark):
+    """Host extraction handles real-world shapes: trailing punctuation,
+    paths/queries, mixed-case hosts (lowercased), multiple URLs per
+    doc, and URL-free text; blocklist matching is case-insensitive via
+    the lowered hosts."""
+    from lsh_spark.functions.urls import domain_stats, flag_blocked_docs
+
+    docs = spark.createDataFrame(
+        [(1, "see https://EXAMPLE.com/Path?q=1 and http://sub.dom.org."),
+         (2, "bare text, no links"),
+         (3, "dup http://example.com/a http://example.com/b"),
+         (4, "tricky (https://x.y.z/p), end")],
+        "doc_id long, text string")
+    stats = {r.domain: r for r in domain_stats(
+        docs, blocklist=("EXAMPLE.COM",)).collect()}
+    assert stats["example.com"].n_docs == 2          # docs 1 and 3
+    assert stats["example.com"].n_urls == 3
+    assert stats["example.com"].blocked
+    # host stops at the first char outside [A-Za-z0-9.-]: the trailing
+    # sentence dot is ambiguous by design and stays documented behavior
+    assert "sub.dom.org." in stats or "sub.dom.org" in stats
+    assert stats["x.y.z"].n_docs == 1 and not stats["x.y.z"].blocked
+
+    flags = {r.doc_id: r for r in flag_blocked_docs(
+        docs, blocklist=("example.com",)).collect()}
+    assert flags[2].n_urls == 0 and flags[2].keep
+    assert flags[3].n_blocked_urls == 2 and not flags[3].keep
+    assert flags[4].n_blocked_urls == 0 and flags[4].keep

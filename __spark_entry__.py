@@ -136,6 +136,7 @@ _REDUNDANT_TAIL = [
     "ann_ivf_sq8_search",
     "domain_blocklist_stats",
     "blocked_docs_filter",
+    "dataset_splits",
 ]
 
 

@@ -2730,3 +2730,34 @@ QUERIES_LATE["domain_blocklist_stats"] = (domain_blocklist_stats,
                                           DOMAIN_BLOCKLIST_STATS_ORACLE)
 QUERIES_LATE["blocked_docs_filter"] = (blocked_docs_filter,
                                        BLOCKED_DOCS_FILTER_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# dataset splits — deterministic, growth-stable, group-aware
+# train/val/test assignment (training_ops.dataset_splits_df).  Pure
+# md5-bucket arithmetic, so the oracle replays it literally.
+# ---------------------------------------------------------------------------
+
+
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_ops import dataset_splits_df
+
+    return dataset_splits_df(load_table(spark, sf_dir, "documents"))
+
+
+DATASET_SPLITS_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR || ':split-v1'), 1, 8)
+              )::BIGINT % 10000 AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 500 THEN 'test'
+            WHEN bucket < 1000 THEN 'val'
+            ELSE 'train' END AS split
+FROM b
+"""
+
+
+QUERIES_LATE["dataset_splits"] = (dataset_splits, DATASET_SPLITS_ORACLE)

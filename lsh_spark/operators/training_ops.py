@@ -1171,3 +1171,44 @@ def chunk_documents_df(
         )
         .withColumn("n_chars", F.length("chunk_text").cast("long"))
     )
+
+
+def dataset_splits_df(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    salt: str = "split-v1",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a row's split is a pure
+    function of (id, salt) — md5 bucket < test_frac → 'test', <
+    test_frac+val_frac → 'val', else 'train'.
+
+    The properties that matter for training pipelines: (a) reproducible
+    across runs, engines, and partition layouts (unlike randomSplit);
+    (b) STABLE under corpus growth — adding documents never moves an
+    existing one between splits, so eval sets stay uncontaminated as
+    the corpus is re-crawled; (c) group-aware by construction — hash
+    the GROUP key (document id) and every derived row (chunks,
+    sequences) inherits the split, preventing near-duplicate leakage
+    across the train/test boundary; (d) a zero-shuffle per-row map.
+    The salt isolates independent split families."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
+                                          F.lit(":" + salt))), 1, 8),
+               16, 10).cast("bigint") % buckets
+    )
+    test_lim = int(test_frac * buckets)
+    val_lim = test_lim + int(val_frac * buckets)
+    split = (
+        F.when(F.col("__bucket") < test_lim, F.lit("test"))
+        .when(F.col("__bucket") < val_lim, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        docs.select(F.col(id_col), bucket.alias("__bucket"))
+        .select(id_col, F.col("__bucket").cast("bigint").alias("bucket"),
+                split.alias("split"))
+    )

@@ -621,3 +621,28 @@ def test_chunk_documents_reconstruction(spark):
             # past the first contributes new characters
             assert all(len(c) == chunk_chars for c in chunks[:-1])
             assert all(len(c) > overlap for c in chunks[1:])
+
+
+def test_dataset_splits_stability_and_salts(spark):
+    from lsh_spark.operators.training_ops import dataset_splits_df
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    full = {r.doc_id: r.split for r in dataset_splits_df(docs).collect()}
+    # growth-stable: the split of an existing doc never changes when the
+    # corpus grows (the assignment is a pure function of id + salt)
+    small = {r.doc_id: r.split for r in dataset_splits_df(
+        docs.where("doc_id < 500")).collect()}
+    assert all(full[k] == v for k, v in small.items())
+    # fractions approximately respected
+    from collections import Counter
+
+    c = Counter(full.values())
+    assert 0.03 < c["test"] / 2000 < 0.07
+    assert 0.03 < c["val"] / 2000 < 0.07
+    # independent salt -> a different (but still deterministic) family
+    other = {r.doc_id: r.split for r in dataset_splits_df(
+        docs, salt="split-v2").collect()}
+    assert other != full
+    again = {r.doc_id: r.split for r in dataset_splits_df(
+        docs, salt="split-v2").collect()}
+    assert other == again

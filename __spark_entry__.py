@@ -137,6 +137,7 @@ _REDUNDANT_TAIL = [
     "domain_blocklist_stats",
     "blocked_docs_filter",
     "dataset_splits",
+    "split_leakage_stats",
 ]
 
 

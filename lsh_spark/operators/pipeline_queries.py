@@ -2761,3 +2761,68 @@ FROM b
 
 
 QUERIES_LATE["dataset_splits"] = (dataset_splits, DATASET_SPLITS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# split leakage QA — near-dup pairs straddling train/val/test
+# boundaries (the eval-contamination check run before any split ships:
+# doc-level hashing keeps a document's own derivatives together, but
+# near-duplicate PAIRS across distinct documents can still straddle —
+# this measures how much).  Composes two gated operators: the verified
+# MinHash pair miner and the deterministic splits; the oracle stacks
+# the pair oracle and the split-bucket arithmetic as CTEs.
+# ---------------------------------------------------------------------------
+
+
+def split_leakage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .lsh_queries import minhash_near_dup_pairs
+    from .training_ops import dataset_splits_df
+
+    pairs = minhash_near_dup_pairs(spark, sf_dir)
+    splits = dataset_splits_df(load_table(spark, sf_dir, "documents"))
+    sa = splits.select(F.col("doc_id").alias("id_a"),
+                       F.col("split").alias("__sa"))
+    sb = splits.select(F.col("doc_id").alias("id_b"),
+                       F.col("split").alias("__sb"))
+    return (
+        pairs.join(F.broadcast(sa), on="id_a")
+        .join(F.broadcast(sb), on="id_b")
+        .groupBy(F.least("__sa", "__sb").alias("split_a"),
+                 F.greatest("__sa", "__sb").alias("split_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("leaks", F.col("split_a") != F.col("split_b"))
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from .lsh_queries import QUERIES as _LSH_QUERIES
+
+    pairs_sql = _LSH_QUERIES["minhash_near_dup_pairs"][1]
+    return f"""
+WITH pairs AS ({pairs_sql}),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR || ':split-v1'), 1, 8)
+              )::BIGINT % 10000 AS BIGINT) AS bucket
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 500 THEN 'test'
+              WHEN bucket < 1000 THEN 'val'
+              ELSE 'train' END AS split
+  FROM b
+)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       count(*)::BIGINT AS n_pairs,
+       least(sa.split, sb.split) != greatest(sa.split, sb.split) AS leaks
+FROM pairs p
+JOIN s sa ON sa.doc_id = p.id_a
+JOIN s sb ON sb.doc_id = p.id_b
+GROUP BY 1, 2
+"""
+
+
+QUERIES_LATE["split_leakage_stats"] = (split_leakage_stats,
+                                       _split_leakage_oracle())

@@ -120,24 +120,42 @@ _REDUNDANT_TAIL = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    # ROUND-8 ROTATION DUTY: any NEW round-7 queries appended below
+    # Round-8 HEAD ROTATION (executing the staged round-7 duty): the 12
+    # round-7 additions (mp3_stream_features .. split_leakage_stats,
+    # tail positions 102-113 in round 7, zero driver rows) are promoted
+    # out of the tail into head positions so CORRECTNESS_r08 gives each
+    # its first driver row — r7+r8 driver rows then union to the full
+    # 113-query registry.  The 12 demoted below are exactly the r7-green
+    # head queries with the strongest accumulated driver evidence whose
+    # code is unchanged this round: six with 6 green rows each
+    # (q4/rollup/asof/errors-nearby/top-terms/text_quality), two
+    # event-aggregate queries with 4-5 rows, repetition_stats (4 rows;
+    # its round-7 factorize fix earned its re-check last round), and
+    # three 3-row single-shape relational queries.  Queries whose code
+    # IS touched this round keep head positions for the driver re-check:
+    # split_leakage_stats (de-broadcast), prepare_training_corpus
+    # (digest-keyed chunk dedup), ann_sq8_topk (oracle clamp),
+    # domain_blocklist_stats/blocked_docs_filter (NULL-text coalesce),
+    # ann_ivf_sq8_search (dim in meta), dedup_clusters_minhash
+    # (cc.py max_iter guard) — all already in the head.
+    "q4_order_priority",
+    "supplier_nation_rollup",
+    "asof_purchase_last_click",
+    "errors_with_nearby_clicks",
+    "top_terms_per_lang",
+    "text_quality",
+    "events_sessionize",
+    "events_props_stats",
+    "repetition_stats",
+    "min_cost_supplier",
+    "large_quantity_orders",
+    "events_funnel",
+    # ROUND-9 ROTATION DUTY: any NEW round-8 queries appended below
     # this line have never been driver-checked — promote them (and any
     # still-unchecked stragglers flagged by check_artifact_coverage.py)
     # into head positions 1-50 next round, demoting an equal number of
-    # r7-green unchanged-code queries by the same
+    # r8-green unchanged-code queries by the same
     # strongest-accumulated-evidence criterion.
-    "mp3_stream_features",
-    "mp4_container_features",
-    "ann_sq8_topk",
-    "lang_id_predictions",
-    "chunk_documents",
-    "media_features_streaming",
-    "prepare_training_corpus",
-    "ann_ivf_sq8_search",
-    "domain_blocklist_stats",
-    "blocked_docs_filter",
-    "dataset_splits",
-    "split_leakage_stats",
 ]
 
 

@@ -2776,19 +2776,20 @@ QUERIES_LATE["dataset_splits"] = (dataset_splits, DATASET_SPLITS_ORACLE)
 
 def split_leakage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .lsh_queries import minhash_near_dup_pairs
-    from .training_ops import dataset_splits_df
+    from .training_ops import split_expr
 
+    # the split is a PURE FUNCTION of doc_id (md5-bucket arithmetic —
+    # the exact property that makes dataset_splits_df zero-shuffle), so
+    # project it onto id_a/id_b in-plan: zero joins beyond the pair
+    # miner's own, zero broadcasts (the previous broadcast-join form
+    # shipped a corpus-sized (doc_id, split) table to every executor —
+    # the scale anti-pattern this module's pair ops forbid)
     pairs = minhash_near_dup_pairs(spark, sf_dir)
-    splits = dataset_splits_df(load_table(spark, sf_dir, "documents"))
-    sa = splits.select(F.col("doc_id").alias("id_a"),
-                       F.col("split").alias("__sa"))
-    sb = splits.select(F.col("doc_id").alias("id_b"),
-                       F.col("split").alias("__sb"))
+    sa = split_expr(F.col("id_a"))
+    sb = split_expr(F.col("id_b"))
     return (
-        pairs.join(F.broadcast(sa), on="id_a")
-        .join(F.broadcast(sb), on="id_b")
-        .groupBy(F.least("__sa", "__sb").alias("split_a"),
-                 F.greatest("__sa", "__sb").alias("split_b"))
+        pairs.groupBy(F.least(sa, sb).alias("split_a"),
+                      F.greatest(sa, sb).alias("split_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .withColumn("leaks", F.col("split_a") != F.col("split_b"))
     )

@@ -1195,11 +1195,7 @@ def dataset_splits_df(
     sequences) inherits the split, preventing near-duplicate leakage
     across the train/test boundary; (d) a zero-shuffle per-row map.
     The salt isolates independent split families."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
-                                          F.lit(":" + salt))), 1, 8),
-               16, 10).cast("bigint") % buckets
-    )
+    bucket = split_bucket_expr(F.col(id_col), salt=salt, buckets=buckets)
     test_lim = int(test_frac * buckets)
     val_lim = test_lim + int(val_frac * buckets)
     split = (
@@ -1211,4 +1207,33 @@ def dataset_splits_df(
         docs.select(F.col(id_col), bucket.alias("__bucket"))
         .select(id_col, F.col("__bucket").cast("bigint").alias("bucket"),
                 split.alias("split"))
+    )
+
+
+def split_bucket_expr(id_expr, *, salt: str = "split-v1",
+                      buckets: int = 10_000):
+    """md5 bucket of a single id as a pure column expression — the
+    deterministic core of ``dataset_splits_df``, exposed so consumers
+    can project a split onto ANY id column in-plan instead of joining
+    the corpus-sized (doc_id, split) table (which at 100 TB would mean
+    either a full shuffle or a forbidden corpus-sized broadcast)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(id_expr.cast("string"),
+                                          F.lit(":" + salt))), 1, 8),
+               16, 10).cast("bigint") % buckets
+    )
+
+
+def split_expr(id_expr, *, val_frac: float = 0.05, test_frac: float = 0.05,
+               salt: str = "split-v1", buckets: int = 10_000):
+    """train/val/test label of a single id as a pure column expression —
+    byte-identical to the ``split`` column of ``dataset_splits_df`` for
+    the same parameters (same md5-bucket arithmetic), zero joins."""
+    bucket = split_bucket_expr(id_expr, salt=salt, buckets=buckets)
+    test_lim = int(test_frac * buckets)
+    val_lim = test_lim + int(val_frac * buckets)
+    return (
+        F.when(bucket < test_lim, F.lit("test"))
+        .when(bucket < val_lim, F.lit("val"))
+        .otherwise(F.lit("train"))
     )

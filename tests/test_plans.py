@@ -472,3 +472,27 @@ def test_ivf_sq8_search_no_corpus_side_exchange(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         for suffix in ("", "_centroids", "_meta", "_bounds"):
             spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+
+
+def test_split_leakage_no_join_beyond_pair_miner(spark):
+    """split_leakage_stats projects the split onto id_a/id_b as a pure
+    md5-bucket expression (training_ops.split_expr): the plan must have
+    EXACTLY the pair miner's own joins — no extra join, and no
+    corpus-sized (doc_id, split) broadcast (the round-7 form)."""
+    from lsh_spark.operators.lsh_queries import minhash_near_dup_pairs
+    from lsh_spark.operators.pipeline_queries import split_leakage_stats
+    from lsh_spark.plans import release_intermediates
+
+    def joins(plan: str) -> int:
+        return sum(plan.count(k) for k in
+                   ("BroadcastHashJoin", "SortMergeJoin",
+                    "ShuffledHashJoin", "BroadcastNestedLoopJoin"))
+
+    release_intermediates()
+    pair_joins = joins(_plan(minhash_near_dup_pairs(spark, SF_DIR)))
+    release_intermediates()
+    leak_plan = _plan(split_leakage_stats(spark, SF_DIR))
+    release_intermediates()
+    assert joins(leak_plan) == pair_joins, leak_plan
+    # the split expression stays in-plan: one md5 per pair side
+    assert "md5" in leak_plan

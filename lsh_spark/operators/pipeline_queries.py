@@ -2496,20 +2496,30 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.io import fanout_scan
     from .training_ops import chunk_documents_df, pack_sequences_df
 
+    from .training_ops import _words
+
     docs = fanout_scan(load_table(spark, sf_dir, "documents"))
     kept = docs.where(T.quality_score("text") > _PTC_QUALITY)
     chunks = chunk_documents_df(
         kept, chunk_chars=_CHUNK_CHARS, overlap=_CHUNK_OVERLAP)
+    # dedup on an md5 DIGEST key with n_tokens counted map-side BEFORE
+    # the shuffle: the exchange carries (digest, cid, n_tokens) — never
+    # the chunk text itself (the repo's line-dedup contract,
+    # operators/dedup.py) — a ~4x narrower shuffle at any scale than
+    # grouping on the raw 512-char strings; downstream packing only
+    # needs token counts, so the text is projected away for good
     deduped = (
         chunks.select(
             (F.col("doc_id") * _PTC_CID + F.col("chunk_idx")).alias("cid"),
-            "chunk_text")
-        .groupBy("chunk_text").agg(F.min("cid").alias("cid"))
+            F.md5("chunk_text").alias("__dig"),
+            F.size(_words(F.col("chunk_text"))).cast("bigint")
+            .alias("n_tokens"))
+        .groupBy("__dig").agg(F.min("cid").alias("cid"),
+                              F.min("n_tokens").alias("n_tokens"))
     )
     packed = pack_sequences_df(
-        deduped.select(F.col("cid").alias("doc_id"),
-                       F.col("chunk_text").alias("text")),
-        max_len=64, shard_budget=2000)
+        deduped.select(F.col("cid").alias("doc_id"), "n_tokens"),
+        max_len=64, shard_budget=2000, tokens_precomputed=True)
     return packed.select(
         F.expr(f"doc_id DIV {_PTC_CID}").alias("doc_id"),
         (F.col("doc_id") % _PTC_CID).cast("int").alias("chunk_idx"),
@@ -2537,14 +2547,22 @@ chunks AS (
   )
 ),
 dedup AS (
-  SELECT min(cid) AS cid, chunk_text FROM chunks GROUP BY chunk_text
+  -- digest-keyed dedup, mirroring the Spark plan: group on
+  -- md5(chunk_text) with n_tokens counted before the group so both
+  -- engines share the collision semantics AND the token counts
+  SELECT min(cid) AS cid, min(n_tokens) AS n_tokens
+  FROM (
+    SELECT cid, md5(chunk_text) AS dig,
+           len(coalesce(list_filter(string_split_regex(chunk_text,
+                                    '[ \t\n\x0b\f\r]+'),
+                               t -> t != ''), []))::BIGINT AS n_tokens
+    FROM chunks
+  )
+  GROUP BY dig
 ),
 """
     toks = r"""
-  SELECT cid AS doc_id,
-         len(coalesce(list_filter(string_split_regex(chunk_text,
-                                  '[ \t\n\x0b\f\r]+'),
-                             t -> t != ''), []))::BIGINT AS n_tokens
+  SELECT cid AS doc_id, n_tokens
   FROM dedup
 """
     inner = pack_oracle_sql(toks, max_len=64, budget=2000, pre_ctes=pre)

@@ -900,7 +900,8 @@ def _exclusive_running_sum(df: DataFrame, *, key_col: str, val_col: str,
 
 
 def shard_assignment_df(docs: DataFrame, *, budget: int = _SHARD_BUDGET,
-                        chunk: "int | None" = None) -> DataFrame:
+                        chunk: "int | None" = None,
+                        tokens_precomputed: bool = False) -> DataFrame:
     """Assign each document (in ``doc_id`` order) to a token-budget
     shard: ``shard = floor(running_token_total_before_doc / budget)`` —
     the packing step that turns a cleaned corpus into near-equal
@@ -920,10 +921,16 @@ def shard_assignment_df(docs: DataFrame, *, budget: int = _SHARD_BUDGET,
     job.  An explicit ``chunk`` pins the width (the decomposition is
     exact for any value, so results never depend on it).
     """
-    base = docs.select(
-        "doc_id",
-        F.size(_words(F.col("text"))).cast("bigint").alias("n_tokens"),
-    )
+    if tokens_precomputed:
+        # caller already carries an n_tokens column (e.g. counted before
+        # a digest-keyed dedup so text never crosses that shuffle)
+        base = docs.select("doc_id", F.col("n_tokens").cast("bigint")
+                           .alias("n_tokens"))
+    else:
+        base = docs.select(
+            "doc_id",
+            F.size(_words(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
     run = _exclusive_running_sum(base, key_col="doc_id",
                                  val_col="n_tokens", out_col="__running",
                                  chunk=chunk)
@@ -961,7 +968,8 @@ QUERIES["shard_assignment"] = (shard_assignment, SHARD_ORACLE)
 # ---------------------------------------------------------------------------
 
 def pack_sequences_df(docs: DataFrame, *, max_len: int = 2048,
-                      shard_budget: "int | None" = None) -> DataFrame:
+                      shard_budget: "int | None" = None,
+                      tokens_precomputed: bool = False) -> DataFrame:
     """Pack documents into fixed-capacity training sequences: greedy
     next-fit in ``doc_id`` order, with the greedy state bounded to
     token-budget SHARDS — the distributed-exact formulation (a global
@@ -988,7 +996,8 @@ def pack_sequences_df(docs: DataFrame, *, max_len: int = 2048,
                                    StructType)
 
     shard_budget = shard_budget or max_len * 512
-    assigned = shard_assignment_df(docs, budget=shard_budget)
+    assigned = shard_assignment_df(docs, budget=shard_budget,
+                                   tokens_precomputed=tokens_precomputed)
     schema = StructType(list(assigned.schema.fields) + [
         StructField("seq_in_shard", LongType()),
         StructField("seq_pos", LongType()),

@@ -496,3 +496,21 @@ def test_split_leakage_no_join_beyond_pair_miner(spark):
     assert joins(leak_plan) == pair_joins, leak_plan
     # the split expression stays in-plan: one md5 per pair side
     assert "md5" in leak_plan
+
+
+def test_prepare_corpus_dedup_shuffles_digests_not_chunk_text(spark):
+    """prepare_training_corpus chunk dedup: the dedup exchange carries
+    (md5 digest, cid, n_tokens) — chunk text is projected away map-side
+    and never crosses a shuffle (the line-dedup contract applied to
+    chunks)."""
+    from lsh_spark.operators.pipeline_queries import prepare_training_corpus
+    from lsh_spark.plans import release_intermediates
+
+    release_intermediates()
+    plan = _plan(prepare_training_corpus(spark, SF_DIR))
+    release_intermediates()
+    assert "md5" in plan
+    assert "partial_min" in plan
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines
+    assert "chunk_text" not in " ".join(exchange_lines), plan

@@ -296,13 +296,32 @@ def minhash32_shingle_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group identical texts, keep the smallest doc_id as
-    canonical.  Scales as a single hash-aggregate on a text digest — at
-    100 TB, group on ``xxhash64(text)`` first, then verify within groups;
-    here text itself is the key (the digest pre-grouping is an internal
-    optimization, the semantics are identical)."""
+    canonical — via the 100 TB plan its docstring always promised:
+
+    1. pre-group on ``xxhash64(text)`` — the wide exchange carries an
+       8-byte digest + partial counts, never document text;
+    2. digests seen more than once (bounded by the number of DUPLICATED
+       documents, a small fraction of any corpus — planted-duplicate
+       pytest pins the path) broadcast back as a semi-join filter;
+    3. verify within candidate groups by TRUE text equality, so an
+       xxhash64 collision can never merge two distinct documents — the
+       semantics stay exactly ``GROUP BY text`` (oracle unchanged), only
+       the duplicated subset's text ever crosses a shuffle.
+
+    At extreme duplication rates (dup digests too big to broadcast) the
+    step-2 hint would come off and AQE picks the join side — the
+    semantics don't depend on it."""
     docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "text", F.xxhash64("text").alias("__dig"))
+    dup_digs = (
+        d.groupBy("__dig")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .select("__dig")
+    )
     return (
-        docs.groupBy("text")
+        d.join(F.broadcast(dup_digs), on="__dig", how="left_semi")
+        .groupBy("__dig", "text")
         .agg(
             F.min("doc_id").alias("canonical_id"),
             F.count(F.lit(1)).alias("n_copies"),

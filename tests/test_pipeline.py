@@ -1744,3 +1744,22 @@ def test_url_host_extraction_edges(spark):
     assert flags[2].n_urls == 0 and flags[2].keep
     assert flags[3].n_blocked_urls == 2 and not flags[3].keep
     assert flags[4].n_blocked_urls == 0 and flags[4].keep
+
+
+def test_dedup_exact_planted_duplicates(spark, tmp_path):
+    """dedup_exact semantics under the digest pre-group plan: planted
+    exact duplicates resolve to (min doc_id, copy count); uniques and
+    near-misses (differing by one char — distinct digests OR digest
+    collisions caught by the text verify) never appear."""
+    import os
+
+    from lsh_spark.operators.lsh_queries import dedup_exact
+
+    rows = [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma"),
+            (5, "beta"), (6, "beta"), (7, "alphA"), (8, None), (9, None)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    got = sorted((r.canonical_id, r.n_copies)
+                 for r in dedup_exact(spark, str(tmp_path)).collect())
+    # NULL texts group together under both engines' GROUP BY semantics
+    assert got == [(1, 2), (2, 3), (8, 2)], got

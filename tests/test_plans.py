@@ -139,12 +139,20 @@ def test_sessionize_single_user_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 2
 
 
-def test_dedup_exact_single_aggregate(spark):
+def test_dedup_exact_digest_pregroup(spark):
+    """dedup_exact's wide exchange keys on the xxhash64 digest; raw text
+    is only ever a grouping key WITH the digest (the candidate-only
+    verify aggregate), and the dup-digest filter joins broadcast."""
     from lsh_spark.operators.lsh_queries import dedup_exact
 
     plan = _plan(dedup_exact(spark, SF_DIR))
     assert "partial_min" in plan or "partial_count" in plan  # map-side combine
     assert "EvalPython" not in plan
+    assert "xxhash64" in plan
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "text" in line:
+            assert "__dig" in line, line
 
 
 def test_ivf_centroid_side_broadcast(spark):

@@ -83,9 +83,12 @@ def flag_blocked_docs(
     keep) — ``keep`` is False when ANY cited host is blocklisted, the
     drop rule C4 applies.  Pure per-row map (the membership test runs
     inside a filter over the extracted host array): no shuffle, no
-    join, embarrassingly parallel."""
+    join, embarrassingly parallel.  NULL text extracts to the EMPTY
+    host array (not NULL), so ``keep`` is always a concrete boolean — a
+    NULL-text doc is kept (0 URLs, 0 blocked), never silently dropped
+    by a keep-based filter nor silently retained by its negation."""
     bl = F.array(*[F.lit(b.lower()) for b in blocklist])
-    hosts = url_hosts(text_col)
+    hosts = F.coalesce(url_hosts(text_col), F.array().cast("array<string>"))
     n_blocked = (
         F.size(F.filter(hosts, lambda h: F.array_contains(bl, h)))
         if blocklist else F.lit(0)

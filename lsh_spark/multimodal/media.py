@@ -2,14 +2,26 @@
 typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing (schema contract, partition-preserving iteration,
-batch shape) is real and tested.  Codec work is two-tier: the documented
-uncompressed RAW formats (RAWI/RAWA/RAWV — see the header specs below)
-are GENUINELY decoded, resized (nearest-neighbor resample) and
-frame-sampled with real numpy pixel math; compressed formats (JPEG/MP3/
-MP4…) fall back to a deterministic digest-derived stub because codec
-libraries are not available in this environment — swap in PIL/ffmpeg by
-registering a function with the same ``bytes -> dict`` contract in
-``DECODERS``.
+batch shape) is real and tested.  Codec work is two-tier:
+
+  * GENUINELY decoded, pure-stdlib/numpy (no external codec library):
+    the RAW formats (RAWI/RAWA/RAWV — header specs below) plus PNG
+    (``multimodal.png``), baseline JPEG (``multimodal.jpeg``), BMP, GIF
+    (incl. animated multi-frame composition), uncompressed TIFF and
+    RIFF/WAVE PCM (``multimodal.containers``) — full pixel/sample
+    access, so resize (nearest-neighbor) and frame-sampling are real
+    numpy math; MP3 (frame-header walk) and MP4 (ISO-BMFF box walk)
+    decode METADATA (duration/rate/tracks/dimensions) without DSP.
+    Wiring: ``_decode_image/_decode_audio/_decode_video`` below.
+  * documented refusals: progressive JPEG, RLE-compressed BMP and
+    compressed TIFF return None (foreign bytes) rather than guessing —
+    swap in PIL/ffmpeg by registering a function with the same
+    ``bytes -> dict`` contract in ``DECODERS``.
+
+No media kind falls back to a digest stub anymore (rounds 6-7 replaced
+the last of them); ``_decode`` keeps the digest-derived shape ONLY for
+bytes no real decoder accepts, so foreign blobs still flow through the
+pipeline deterministically instead of erroring mid-batch.
 
 Design notes for 100 TB:
   * media bytes never pass through a shuffle — ``mapInPandas`` is a

@@ -133,8 +133,10 @@ def sq8_topk(
     and scored DEQUANTIZED (``x̂ = mn + code·(mx-mn)/255``) against
     full-precision queries, so the entire encode→score chain is plain
     IEEE float64 arithmetic a SQL oracle replays bit-for-bit.  In a
-    persisted deployment the codes (array<tinyint>/binary) are what you
-    store and scan; the on-the-fly form here keeps the gate oracle exact.
+    persisted deployment the codes are what you store and scan — here
+    ``array<smallint>`` carrying uint8 values 0..255 (Spark's tinyint is
+    SIGNED, so 0..255 doesn't fit it; a production sink would pack the
+    codes into binary); the on-the-fly form keeps the gate oracle exact.
     Returns (query_id, neighbor_id, cosine_sim, rank) like
     ``cosine_topk``; constant-dimension corpora only."""
     q = queries.select(
@@ -601,6 +603,10 @@ def build_ivf_index(
         # frozen <name>_bounds); readers fall back to float32 when the
         # column is absent (pre-sq8 indexes)
         F.lit(storage).alias("storage"),
+        # code width for sq8 (NULL for float32): rebuild checks compare
+        # it so changing the embedding dimension can never silently
+        # reuse a stale index with wrong-width bounds/codes
+        F.lit(dim).cast("int").alias("dim"),
     )
     save_table(meta, f"{table_name}_meta", single_file=True)
     # a full build physically removes everything previously tombstoned

@@ -93,7 +93,20 @@ def min_label_components(
     # from the groupBy key, forcing an extra shuffle and re-computing the
     # unpersisted propagation lineage twice)
     prev = None
-    converged = max_iter < 2  # a 1-round budget never measures change
+    converged = False
+    if max_iter < 2:
+        # a 1-round budget never MEASURES change, which is not the same
+        # as converging — say so loudly instead of silently returning
+        # possibly-split components (the exact condition the warning
+        # exists for)
+        warnings.warn(
+            f"min_label_components: max_iter={max_iter} leaves no round "
+            "to check the fixed point — components may be split; use "
+            "max_iter >= 2 (needs O(component diameter) rounds)",
+            CCNonConvergenceWarning,
+            stacklevel=2,
+        )
+        converged = True  # suppress the redundant post-loop warning
     changed = 0
     labels_is_leaf = False  # True once labels is checkpoint-backed
     for it in range(max_iter - 1):

@@ -2326,12 +2326,17 @@ bounds AS (
         FROM c, range(1, {_SQ8_DIM + 1}) t(i) GROUP BY i)
 ),
 deq AS (
+  -- the 0..255 clamp mirrors _sq8_quant's least/greatest exactly
+  -- (identity for in-bounds corpus values — the bounds ARE the corpus
+  -- min/max — but both SQ8 oracles now share one literal op sequence
+  -- with the IVF-SQ8 twin, where extend() can see out-of-bounds input)
   SELECT neighbor_id,
          list_transform(range(1, {_SQ8_DIM + 1}), i ->
            CASE WHEN b.mx[i] > b.mn[i]
                 THEN b.mn[i]
-                     + (floor(((cv[i] - b.mn[i]) * 255) / (b.mx[i] - b.mn[i])
-                              + 0.5)
+                     + (least(greatest(
+                          floor(((cv[i] - b.mn[i]) * 255)
+                                / (b.mx[i] - b.mn[i]) + 0.5), 0), 255)
                         * (b.mx[i] - b.mn[i])) / 255
                 ELSE b.mn[i] END) AS xv
   FROM c, bounds b

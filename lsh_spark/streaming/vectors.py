@@ -145,14 +145,16 @@ def ensure_ivf_sq8_index(spark: SparkSession, sf_dir: str) -> str:
     index = f"ivfsq8idx_{tag}"
     want = dict(vec_col="embedding", id_col="vec_id",
                 n_lists=int(_IVF_LISTS), n_iters=int(_IVF_ITERS),
-                storage="sq8")
+                storage="sq8", dim=int(_SQ8_DIM))
     have = None
     if spark.catalog.tableExists(f"{index}_meta"):
         m = spark.table(f"{index}_meta").first()
         have = dict(vec_col=m.vec_col, id_col=m.id_col,
                     n_lists=m.n_lists, n_iters=m.n_iters,
                     storage=m.storage if "storage" in m.__fields__
-                    else "float32")
+                    else "float32",
+                    # pre-dim meta rows (round 7) force one rebuild
+                    dim=m.dim if "dim" in m.__fields__ else None)
     if have != want:
         import sys
         import time

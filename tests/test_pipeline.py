@@ -1763,3 +1763,38 @@ def test_dedup_exact_planted_duplicates(spark, tmp_path):
                  for r in dedup_exact(spark, str(tmp_path)).collect())
     # NULL texts group together under both engines' GROUP BY semantics
     assert got == [(1, 2), (2, 3), (8, 2)], got
+
+
+def test_flag_blocked_docs_null_text_concrete(spark):
+    """NULL text must yield concrete (0, 0, keep=true) — never NULL
+    flags that a keep-based filter silently neither keeps nor drops."""
+    from lsh_spark.functions.urls import flag_blocked_docs
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "see https://bad.example.org/x"), (3, "no urls")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in flag_blocked_docs(
+        docs, blocklist=("bad.example.org",)).collect()}
+    assert (rows[1].n_urls, rows[1].n_blocked_urls, rows[1].keep) == (0, 0, True)
+    assert rows[2].keep is False and rows[2].n_blocked_urls == 1
+    assert rows[3].keep is True and rows[3].n_urls == 0
+    # and with an EMPTY blocklist too (the other code path)
+    rows0 = {r.doc_id: r for r in flag_blocked_docs(docs).collect()}
+    assert (rows0[1].n_urls, rows0[1].keep) == (0, True)
+
+
+def test_cc_one_round_budget_warns(spark):
+    """max_iter <= 1 leaves no round to measure the fixed point — that
+    is an UNMEASURED run, not a converged one, and must warn."""
+    import pytest
+
+    from lsh_spark.operators.cc import (
+        CCNonConvergenceWarning,
+        min_label_components,
+    )
+
+    rows = [(i, b, b) for b in range(3) for i in (b, b + 1)]
+    blocks = spark.createDataFrame(
+        rows, "__id long, band_idx int, band_hash long")
+    with pytest.warns(CCNonConvergenceWarning, match="no round"):
+        min_label_components(blocks, max_iter=1)

@@ -730,8 +730,11 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = enriched.where(
         (F.col("lang_guess") == "en") & (F.col("quality") >= _CLEAN_Q_MIN))
-    first_ids = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    exact = kept.join(first_ids, on=["text", "doc_id"], how="left_semi")
+    # keep-first exact dedup through the digest-pregroup helper: the
+    # cleaned corpus's text is never a corpus-wide shuffle key
+    from .dedup import exact_dedup
+
+    exact = exact_dedup(kept, "text", "doc_id")
     # materialize the cleaned corpus once: three downstream branches (the
     # shingle pass, the pair blocking, the survivor anti-join) would each
     # re-run the regex-heavy enrichment scan otherwise — the in-job
@@ -1888,8 +1891,9 @@ def pipeline_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("clean_text").alias("text"), "n_kept")
     scored = rebuilt.withColumn("quality", T.quality_score("text"))
     kept_q = scored.where(F.col("quality") > 0.3)
-    winners = kept_q.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    final = kept_q.join(winners, on=["text", "doc_id"], how="left_semi")
+    from .dedup import exact_dedup
+
+    final = exact_dedup(kept_q, "text", "doc_id")
     return final.select("doc_id", "n_kept",
                         F.length("text").alias("clean_len"), "quality")
 

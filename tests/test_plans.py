@@ -522,3 +522,24 @@ def test_prepare_corpus_dedup_shuffles_digests_not_chunk_text(spark):
     exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
     assert exchange_lines
     assert "chunk_text" not in " ".join(exchange_lines), plan
+
+
+def test_exact_dedup_single_digest_aggregate(spark):
+    """exact_dedup (the keep-first survivor operator): ONE exchange,
+    keyed on the md5 digest — upstream is scanned once, text is never a
+    shuffle key, min(struct) combines map-side."""
+    from lsh_spark.operators.dedup import exact_dedup
+    from lsh_spark.sources.io import load_table
+
+    import re
+
+    plan = _plan(exact_dedup(load_table(spark, SF_DIR, "documents"),
+                             "text", "doc_id"))
+    assert "partial_min" in plan
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    exchanges = [l for l in plan.splitlines()
+                 if "hashpartitioning" in l]
+    assert len(exchanges) == 1, plan
+    # the exchange keys on the md5 grouping expression, never raw text
+    assert "text#" not in exchanges[0], exchanges[0]

@@ -156,6 +156,9 @@ _REDUNDANT_TAIL = [
     # into head positions 1-50 next round, demoting an equal number of
     # r8-green unchanged-code queries by the same
     # strongest-accumulated-evidence criterion.
+    "bm25_search",
+    "mixture_sample_counts",
+    "duplicate_substring_spans",
 ]
 
 

@@ -89,6 +89,77 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cross-document duplicate SUBSTRING detection (anchor-hash windows — the
+# suffix-array-flavored exact-substring dedup of "Deduplicating Training
+# Data Makes Language Models Better", approximated with strided fixed
+# windows so it runs as one distributed aggregate instead of a global
+# suffix sort)
+# ---------------------------------------------------------------------------
+
+# canonical-occurrence packing bound: pos < 1e6 (the _PTC_CID idiom —
+# documents beyond ~1e6 chars would need a struct key)
+_SPAN_CID = 1_000_000
+
+
+def duplicate_substring_spans_df(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 16,
+) -> DataFrame:
+    """Fixed-width substring windows (``window`` chars every ``stride``)
+    hashed and grouped across the corpus: windows whose text occurs in
+    MORE THAN ONE document are repeated spans — the memorization /
+    boilerplate signal exact-substring dedup cuts on.  Any repeated
+    substring of length ≥ window + stride − 1 is guaranteed to produce
+    at least one aligned window hit in both copies when the copies are
+    aligned modulo stride; unaligned copies are detected with
+    probability ~(window−stride)/window per span (raise the overlap by
+    lowering ``stride`` for recall, at linear cost).
+
+    Returns one row per duplicated window text: the canonical first
+    occurrence (lowest (doc_id, pos)) plus corpus-wide counts —
+    ``(doc_id, pos, n_docs, n_occurrences)``; ``pos`` is 0-based.
+
+    100 TB shape: one in-plan explode (no Python), the wide exchange
+    carries (md5 digest, packed id) pairs — window TEXT never shuffles;
+    the distinct-doc count and the min-occurrence pack are both
+    combiner-friendly aggregates."""
+    grid = (
+        f"CASE WHEN length({text_col}) >= {window} THEN "
+        f"sequence(0, CAST((length({text_col}) - {window}) DIV {stride} "
+        f"AS INT)) ELSE array() END"
+    )
+    spans = (
+        docs.select(F.col(id_col), F.col(text_col),
+                    F.explode(F.expr(grid)).alias("__i"))
+        .select(
+            F.col(id_col),
+            (F.col("__i").cast("long") * stride).alias("__pos"),
+            F.md5(F.expr(
+                f"substring({text_col}, __i * {stride} + 1, {window})"))
+            .alias("__dig"),
+        )
+    )
+    agg = (
+        spans.groupBy("__dig")
+        .agg(
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min(F.col(id_col) * _SPAN_CID + F.col("__pos")).alias("__w"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+    return agg.select(
+        F.expr(f"__w DIV {_SPAN_CID}").alias(id_col),
+        (F.col("__w") % _SPAN_CID).alias("pos"),
+        "n_docs", "n_occurrences",
+    )
+
+
+# ---------------------------------------------------------------------------
 # line-level dedup (C4 / RefinedWeb-style duplicated-line removal)
 # ---------------------------------------------------------------------------
 

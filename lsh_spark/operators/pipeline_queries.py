@@ -2854,3 +2854,133 @@ GROUP BY 1, 2
 
 QUERIES_LATE["split_leakage_stats"] = (split_leakage_stats,
                                        _split_leakage_oracle())
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (operators/retrieval.py) — lexical top-k over the
+# corpus for a fixed literal query set; scores fold left-to-right over
+# sorted matched terms (the unigram_logprob exactness recipe), 6-dp
+# round BEFORE ranking, ties on doc_id.
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = (
+    (0, "hash join merge"),
+    (1, "window scan sort"),
+    (2, "fast batch stream"),
+)
+_BM25_K = 10
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .retrieval import bm25_topk
+
+    texts = F.array(*[F.lit(t) for _qid, t in _BM25_QUERIES])
+    queries = spark.range(len(_BM25_QUERIES)).select(
+        F.col("id").alias("query_id"),
+        F.element_at(texts, (F.col("id") + 1).cast("int"))
+        .alias("query_text"))
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, queries, k=_BM25_K)
+
+
+def _bm25_oracle() -> str:
+    from .retrieval import bm25_oracle_sql
+
+    values = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    return bm25_oracle_sql(values, k=_BM25_K)
+
+
+QUERIES_LATE["bm25_search"] = (bm25_search, _bm25_oracle())
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling (training_ops.mixture_sample_df) — per-source
+# weighted deterministic keep, the data-mixing stage between cleaning
+# and packing.  The gate weights hit all the regimes: weight 0 (source
+# dropped entirely), 1.0 (kept whole), and five fractional levels.
+# ---------------------------------------------------------------------------
+
+# src0..src19 → weight (i % 8) / 7: includes 0.0 and 1.0 endpoints
+_MIX_WEIGHTS = {f"src{i}": (i % 8) / 7 for i in range(20)}
+
+
+def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_ops import mixture_sample_df
+
+    kept = mixture_sample_df(load_table(spark, sf_dir, "documents"),
+                             _MIX_WEIGHTS)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.min("doc_id").alias("first_id"),
+        F.max("doc_id").alias("last_id"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def _mixture_oracle() -> str:
+    lims = " ".join(
+        f"WHEN '{s}' THEN {int(w * 10_000)}"
+        for s, w in sorted(_MIX_WEIGHTS.items()))
+    return f"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR || ':mix-v1'), 1, 8)
+              )::BIGINT % 10000 AS BIGINT) AS bucket,
+         CASE source {lims} ELSE 0 END AS lim
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_kept,
+       min(doc_id) AS first_id, max(doc_id) AS last_id,
+       sum(doc_id) AS id_sum
+FROM b WHERE bucket < lim
+GROUP BY source
+"""
+
+
+QUERIES_LATE["mixture_sample_counts"] = (mixture_sample_counts,
+                                         _mixture_oracle())
+
+
+# ---------------------------------------------------------------------------
+# duplicate substring spans (operators/dedup.duplicate_substring_spans_df)
+# — anchor-hash exact-substring dedup signal; the oracle replays the
+# window grid + md5 grouping and packs the canonical occurrence with the
+# same doc_id·1e6 + pos arithmetic.
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 64
+_SPAN_S = 16
+
+
+def duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import duplicate_substring_spans_df
+
+    return duplicate_substring_spans_df(
+        load_table(spark, sf_dir, "documents"),
+        window=_SPAN_W, stride=_SPAN_S)
+
+
+DUP_SUBSTRING_SPANS_ORACLE = f"""
+WITH spans AS (
+  SELECT doc_id, (i * {_SPAN_S})::BIGINT AS pos,
+         md5(substr(text, i * {_SPAN_S} + 1, {_SPAN_W})) AS dig
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(0,
+                   (length(text) - {_SPAN_W}) // {_SPAN_S})) AS i
+        FROM documents WHERE length(text) >= {_SPAN_W})
+),
+agg AS (
+  SELECT dig,
+         count(DISTINCT doc_id)::BIGINT AS n_docs,
+         count(*)::BIGINT AS n_occurrences,
+         min(doc_id * 1000000 + pos) AS w
+  FROM spans GROUP BY dig
+  HAVING count(DISTINCT doc_id) > 1
+)
+SELECT w // 1000000 AS doc_id, w % 1000000 AS pos, n_docs, n_occurrences
+FROM agg
+"""
+
+
+QUERIES_LATE["duplicate_substring_spans"] = (duplicate_substring_spans,
+                                             DUP_SUBSTRING_SPANS_ORACLE)

@@ -1233,6 +1233,34 @@ def split_bucket_expr(id_expr, *, salt: str = "split-v1",
     )
 
 
+def mixture_sample_df(
+    docs: DataFrame,
+    weights: "dict[str, float]",
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix-v1",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic data-mixing: keep each row with its source's target
+    probability — the md5-bucket machinery of ``dataset_splits_df``
+    applied to mixture weighting (the per-source up/down-sampling step
+    that turns raw crawl proportions into a training mix).
+
+    ``weights`` maps source → keep probability in [0, 1]; sources
+    absent from the map default to 0 (dropped).  Same properties as the
+    splits: reproducible across engines and partition layouts, STABLE
+    under corpus growth (new rows never flip old keep decisions), and a
+    zero-shuffle per-row map.  Weights quantize to ``1/buckets``
+    (keep iff bucket < int(weight · buckets))."""
+    bucket = split_bucket_expr(F.col(id_col), salt=salt, buckets=buckets)
+    lim = F.lit(0)
+    for src, wt in sorted(weights.items()):
+        lim = F.when(F.col(source_col) == src,
+                     F.lit(int(wt * buckets))).otherwise(lim)
+    return docs.where(bucket < lim)
+
+
 def split_expr(id_expr, *, val_frac: float = 0.05, test_frac: float = 0.05,
                salt: str = "split-v1", buckets: int = 10_000):
     """train/val/test label of a single id as a pure column expression —

@@ -509,6 +509,86 @@ def round7() -> None:
     spark.stop()
 
 
+def urls_splits() -> None:
+    """Scale curves for the round-7 URL/domain family (host extraction
+    is a per-row JVM regexp map — only (doc, domain) pairs ever
+    shuffle), the deterministic split assignment (pure md5 arithmetic,
+    zero shuffle — expected flat per row), and the round-8-fixed
+    split-leakage composition (pair miner + in-plan split projection:
+    after the de-broadcast the ONLY scale surface left is the pair
+    miner itself)."""
+    from pyspark import StorageLevel
+
+    from lsh_spark.functions.urls import domain_stats, flag_blocked_docs
+    from lsh_spark.operators.similarity_join import lsh_self_dedup_pairs
+    from lsh_spark.operators.training_ops import (
+        dataset_splits_df,
+        split_expr,
+    )
+    from lsh_spark.plans import get_spark
+    from lsh_spark.sources.io import load_table
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 5, 20]
+    spark = get_spark(app_name="lsh_spark-scale-check-urls")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n_base = base.count()
+    blocklist = tuple(f"site{i}.example0.org" for i in range(0, 40, 5))
+    for rep in reps:
+        docs = (
+            base.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("doc_id") * rep + F.col("__rep")).alias("doc_id"),
+                # plant 1-3 URLs per doc so extraction does real work
+                F.concat(
+                    F.col("text"), F.lit(" see https://site"),
+                    (F.col("doc_id") % 40).cast("string"),
+                    F.lit(".example"), (F.col("__rep") % 3).cast("string"),
+                    F.lit(".org/page and http://site"),
+                    ((F.col("doc_id") + 7) % 40).cast("string"),
+                    F.lit(".example0.org/x"),
+                ).alias("text"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        docs.count()
+        t0 = time.perf_counter()
+        n_dom = domain_stats(docs, blocklist=blocklist).count()
+        t_dom = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_drop = flag_blocked_docs(docs, blocklist=blocklist).where(
+            ~F.col("keep")).count()
+        t_flag = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_splits = dataset_splits_df(docs).groupBy("split").count().count()
+        t_split = time.perf_counter() - t0
+        # split-leakage composition: the gate query's exact shape
+        # (tuner-selected banding differs; the surface is identical)
+        t0 = time.perf_counter()
+        pairs = lsh_self_dedup_pairs(
+            docs, "text", id_col="doc_id", ngram_width=3, band_count=6,
+            band_size=6, seed=123, threshold=0.7)
+        n_leak = (
+            pairs.groupBy(
+                F.least(split_expr(F.col("id_a")),
+                        split_expr(F.col("id_b"))).alias("a"),
+                F.greatest(split_expr(F.col("id_a")),
+                           split_expr(F.col("id_b"))).alias("b"))
+            .count().count()
+        )
+        t_leak = time.perf_counter() - t0
+        print(
+            f"rep={rep:3d} docs={n_base * rep:8d}  "
+            f"domain_stats={t_dom:6.1f}s ({n_dom} domains)  "
+            f"flag_blocked={t_flag:6.1f}s ({n_drop} dropped)  "
+            f"splits={t_split:6.1f}s ({n_splits})  "
+            f"split_leakage={t_leak:6.1f}s ({n_leak} cells)",
+            flush=True)
+        docs.unpersist()
+        spark.catalog.clearCache()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--vectors":
         vectors()
@@ -520,5 +600,7 @@ if __name__ == "__main__":
         cleaning()
     elif len(sys.argv) > 1 and sys.argv[1] == "--round7":
         round7()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--urls-splits":
+        urls_splits()
     else:
         main()

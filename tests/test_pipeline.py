@@ -1798,3 +1798,79 @@ def test_cc_one_round_budget_warns(spark):
         rows, "__id long, band_idx int, band_hash long")
     with pytest.warns(CCNonConvergenceWarning, match="no round"):
         min_label_components(blocks, max_iter=1)
+
+
+def test_bm25_single_term_ranks_by_tf_over_equal_lengths(spark):
+    """BM25 sanity on a controlled corpus: for a single-term query over
+    equal-length docs, ranking must follow term frequency; docs without
+    the term never appear; ties break on doc_id."""
+    from lsh_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple pear plum grape"), (2, "apple apple plum grape"),
+         (3, "apple apple apple pear"), (4, "pear plum grape kiwi")],
+        "doc_id long, text string")
+    queries = spark.createDataFrame([(0, "apple")],
+                                    "query_id long, query_text string")
+    got = bm25_topk(docs, queries, k=10).orderBy("rank").collect()
+    assert [r.doc_id for r in got] == [3, 2, 1]
+    assert got[0].score > got[1].score > got[2].score > 0
+
+
+def test_bm25_multi_term_fold_is_sum_of_contributions(spark):
+    """Two single-term queries and their two-term union: the union's
+    score per doc equals the sum of the parts (fold correctness), up to
+    the terminal 6-dp round."""
+    from lsh_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "red blue green"), (2, "red red yellow"), (3, "blue blue")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(0, "red"), (1, "blue"), (2, "red blue")],
+        "query_id long, query_text string")
+    rows = bm25_topk(docs, qs, k=10).collect()
+    by = {(r.query_id, r.doc_id): r.score for r in rows}
+    assert abs(by[(2, 1)] - (by[(0, 1)] + by[(1, 1)])) < 2e-6
+    assert (2, 3) in by and (0, 3) not in by  # doc3 matches only 'blue'
+
+
+def test_mixture_sample_weight_endpoints_and_determinism(spark):
+    """weight 0 drops the source entirely, weight 1 keeps it whole,
+    fractional weights keep a doc iff its md5 bucket clears the limit;
+    re-running yields the identical set (no RNG)."""
+    from lsh_spark.operators.training_ops import mixture_sample_df
+
+    rows = [(i, f"t{i}", ("a", "b", "c")[i % 3]) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = mixture_sample_df(docs, {"a": 0.0, "b": 1.0, "c": 0.5})
+    got = {(r.doc_id, r.source) for r in kept.collect()}
+    assert not any(s == "a" for _i, s in got)
+    assert sum(1 for _i, s in got if s == "b") == 100
+    n_c = sum(1 for _i, s in got if s == "c")
+    assert 20 < n_c < 80  # ~50 of 100 at weight 0.5
+    again = {(r.doc_id, r.source)
+             for r in mixture_sample_df(
+                 docs, {"a": 0.0, "b": 1.0, "c": 0.5}).collect()}
+    assert got == again
+
+
+def test_duplicate_substring_spans_planted(spark):
+    """A 80-char block planted verbatim in three docs (aligned to the
+    stride in two, shifted in one) is detected; unique docs produce no
+    rows; the canonical occurrence is the lowest (doc_id, pos)."""
+    import string
+
+    from lsh_spark.operators.dedup import duplicate_substring_spans_df
+
+    block = (string.ascii_letters + string.digits + "==") * 2  # 128 chars
+    uniq = "".join(chr(97 + (i * 7) % 26) for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, block + uniq), (2, uniq[::-1] + "x" * 31 + block),
+         (3, "y" * 64 + block), (4, uniq + "zz")],
+        "doc_id long, text string")
+    got = duplicate_substring_spans_df(docs, window=64, stride=16).collect()
+    assert got, "planted duplicate block not detected"
+    # every reported span is canonical in doc 1 (lowest id containing it)
+    assert all(r.doc_id == 1 for r in got), got
+    assert all(r.n_docs >= 2 for r in got)

@@ -543,3 +543,49 @@ def test_exact_dedup_single_digest_aggregate(spark):
     assert len(exchanges) == 1, plan
     # the exchange keys on the md5 grouping expression, never raw text
     assert "text#" not in exchanges[0], exchanges[0]
+
+
+def test_bm25_shuffles_terms_and_ids_never_text(spark):
+    """BM25: the postings aggregate shuffles (doc_id, term) pairs; the
+    query-term set, df table and corpus-stats row all broadcast; raw
+    document text never appears in an exchange."""
+    from lsh_spark.operators.pipeline_queries import bm25_search
+    from lsh_spark.plans import release_intermediates
+
+    release_intermediates()
+    plan = _plan(bm25_search(spark, SF_DIR))
+    release_intermediates()
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    exchange_lines = " ".join(
+        l for l in plan.splitlines() if "Exchange" in l)
+    assert "text#" not in exchange_lines, exchange_lines
+
+
+def test_duplicate_substring_spans_digest_shuffle(spark):
+    """Span detection: one scan, in-plan explode (no Python), and the
+    wide exchange keys on the md5 digest — window text never shuffles."""
+    import re
+
+    from lsh_spark.operators.pipeline_queries import duplicate_substring_spans
+
+    plan = _plan(duplicate_substring_spans(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "Generate" in plan  # the explode
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
+
+
+def test_mixture_sample_zero_shuffle(spark):
+    """Mixture sampling is a pure per-row filter: no exchange, no
+    Python, predicate evaluated in-plan."""
+    from lsh_spark.operators.training_ops import mixture_sample_df
+    from lsh_spark.sources.io import load_table
+
+    kept = mixture_sample_df(load_table(spark, SF_DIR, "documents"),
+                             {"src0": 0.5, "src1": 1.0})
+    plan = _plan(kept)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

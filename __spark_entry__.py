@@ -159,6 +159,8 @@ _REDUNDANT_TAIL = [
     "bm25_search",
     "mixture_sample_counts",
     "duplicate_substring_spans",
+    "bm25_index_search",
+    "bm25_index_stats",
 ]
 
 

@@ -2984,3 +2984,42 @@ FROM agg
 
 QUERIES_LATE["duplicate_substring_spans"] = (duplicate_substring_spans,
                                              DUP_SUBSTRING_SPANS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# persisted BM25 index (retrieval.build_text_index): the probe gate
+# shares bm25_search's oracle verbatim — identical semantics, different
+# physical path (bucketed postings, tombstone-aware stats) — and the
+# stats gate pins the persisted index content against an independent
+# from-scratch SQL derivation.
+# ---------------------------------------------------------------------------
+
+def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .retrieval import bm25_search_indexed, ensure_text_index
+
+    index = ensure_text_index(spark, sf_dir)
+    texts = F.array(*[F.lit(t) for _qid, t in _BM25_QUERIES])
+    queries = spark.range(len(_BM25_QUERIES)).select(
+        F.col("id").alias("query_id"),
+        F.element_at(texts, (F.col("id") + 1).cast("int"))
+        .alias("query_text"))
+    return bm25_search_indexed(spark, index, queries, k=_BM25_K)
+
+
+QUERIES_LATE["bm25_index_search"] = (bm25_index_search, _bm25_oracle())
+
+
+def bm25_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .retrieval import ensure_text_index, text_index_stats
+
+    return text_index_stats(spark, ensure_text_index(spark, sf_dir))
+
+
+def _text_index_stats_oracle() -> str:
+    from .retrieval import text_index_stats_oracle_sql
+
+    return text_index_stats_oracle_sql()
+
+
+QUERIES_LATE["bm25_index_stats"] = (bm25_index_stats,
+                                    _text_index_stats_oracle())

@@ -60,16 +60,32 @@ def bm25_topk(
         F.size(_words(F.col(text_col))).cast("long").alias("__dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("__n_docs"),
                    F.sum("__dl").alias("__total"))
-    qt = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.explode(F.array_distinct(_words(F.col(query_text_col))))
-        .alias("__term"))
+    qt = _query_terms(queries, query_id_col, query_text_col)
     # postings pruned to the query vocabulary; persisted because two
     # branches (the df aggregate and the scoring join) consume it and
     # the explode+agg lineage is the expensive part
     post = track(
         toks.join(F.broadcast(qt.select("__term").distinct()), "__term")
         .persist(StorageLevel.MEMORY_AND_DISK))
+    return _bm25_score(post, qt, dl, stats, k=k, k1=k1, b=b)
+
+
+def _query_terms(queries: DataFrame, query_id_col: str,
+                 query_text_col: str) -> DataFrame:
+    return queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(_words(F.col(query_text_col))))
+        .alias("__term"))
+
+
+def _bm25_score(post: DataFrame, qt: DataFrame, dl: DataFrame,
+                stats: DataFrame, *, k: int, k1: float, b: float
+                ) -> DataFrame:
+    """Shared scoring tail for the on-the-fly and persisted-index forms:
+    ``post`` is (doc_id, __term, __tf) already restricted to the query
+    vocabulary, ``dl`` is (doc_id, __dl), ``stats`` a 1-row
+    (__n_docs, __total).  All three callers' oracles replay the same
+    literal op order."""
     dfreq = post.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
     avgdl = F.col("__total").cast("double") / F.col("__n_docs").cast("double")
     idf = F.log(
@@ -179,4 +195,275 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted index (the standing-deployment form: postings and
+# doc lengths are computed once and bucketed, so every query batch
+# probes with zero corpus-side exchange — the LSH/IVF index lifecycle
+# applied to lexical retrieval)
+# ---------------------------------------------------------------------------
+
+def _meta(spark, table_name: str):
+    from ..sources.formats import index_meta
+
+    return index_meta(spark, f"{table_name}_meta")
+
+
+def _phys(table_name: str, suffix: str, m) -> str:
+    from ..sources.formats import meta_version, versioned_name
+
+    return versioned_name(f"{table_name}_{suffix}", meta_version(m))
+
+
+def build_text_index(
+    corpus: DataFrame,
+    table_name: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> None:
+    """Persist a corpus's BM25 inverted index for repeated probing:
+
+    * ``<name>_postings`` (doc_id, __term, __tf) bucketed by term — the
+      df aggregate and the query-vocabulary join read matching buckets
+      with no exchange;
+    * ``<name>_doclen`` (doc_id, __dl) bucketed by id — the
+      length-normalization re-attach;
+    * ``<name>_stats`` — the 1-row (N, total tokens) aggregate, written
+      as a table (not collected) so probes broadcast it without a
+      driver job;
+    * ``<name>_meta`` — parameters + bucket spec + generation pointer
+      (the append-only versioning contract shared with the LSH/IVF
+      indexes).
+
+    Tombstones (``delete_from_text_index``) are merge-on-read: probes
+    anti-join ``<name>_deletes`` on doc_id and correct N/total/df
+    in-plan, so BM25 statistics exclude deleted documents exactly; a
+    full rebuild clears them FILE-level."""
+    from ..sources.formats import (
+        drop_table_and_files,
+        drop_versioned_siblings,
+        save_table,
+        write_bucketed_table,
+    )
+
+    spark = corpus.sparkSession
+    for suffix in ("postings", "doclen", "stats"):
+        drop_versioned_siblings(spark, f"{table_name}_{suffix}", 0)
+    toks = (
+        corpus.select(F.col(id_col).alias("doc_id"),
+                      F.explode(_words(F.col(text_col))).alias("__term"))
+        .groupBy("doc_id", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dl = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_words(F.col(text_col))).cast("long").alias("__dl"))
+    write_bucketed_table(toks, f"{table_name}_postings",
+                         bucket_by=["__term"], num_buckets=num_buckets,
+                         sort_by=["__term"])
+    write_bucketed_table(dl, f"{table_name}_doclen",
+                         bucket_by=["doc_id"], num_buckets=num_buckets)
+    save_table(
+        dl.agg(F.count(F.lit(1)).alias("__n_docs"),
+               F.sum("__dl").alias("__total")),
+        f"{table_name}_stats", single_file=True)
+    meta = spark.range(1).select(
+        F.lit(text_col).alias("text_col"),
+        F.lit(id_col).alias("id_col"),
+        F.lit(num_buckets).cast("int").alias("num_buckets"),
+        F.lit(0).cast("int").alias("version"),
+    )
+    save_table(meta, f"{table_name}_meta", single_file=True)
+    drop_table_and_files(spark, f"{table_name}_deletes")
+
+
+def delete_from_text_index(ids: DataFrame, table_name: str,
+                           id_col: "str | None" = None) -> None:
+    """Tombstone deletion (merge-on-read — the LSH-index contract):
+    deleted ids append to ``<name>_deletes``; probes anti-join them AND
+    correct the corpus statistics in-plan, so a delete is O(delta) and
+    scores match a from-scratch index over the surviving docs."""
+    from ..operators.similarity_join import _adopt_orphan_tombstones
+    from ..sources.formats import save_table
+
+    spark = ids.sparkSession
+    if id_col is None:
+        id_col = _meta(spark, table_name).id_col
+    rows = ids.select(F.col(id_col).alias("__rid")).distinct()
+    _adopt_orphan_tombstones(spark, table_name)
+    save_table(rows, f"{table_name}_deletes", mode="append",
+               single_file=True)
+
+
+def _live_side(spark, table_name: str, df: DataFrame) -> DataFrame:
+    """Anti-join a postings/doclen frame against the tombstone table
+    (broadcast — deletion sets are small next to the corpus)."""
+    if not spark.catalog.tableExists(f"{table_name}_deletes"):
+        return df
+    dels = spark.table(f"{table_name}_deletes").select(
+        F.col("__rid").alias("doc_id"))
+    return df.join(F.broadcast(dels), "doc_id", "left_anti")
+
+
+def _live_stats(spark, table_name: str, m) -> DataFrame:
+    """1-row (N, total) with tombstoned docs subtracted: the stats row
+    minus a broadcast-joined (deletes ⨝ doclen) aggregate — both sides
+    tiny, no corpus scan."""
+    stats = spark.table(_phys(table_name, "stats", m))
+    if not spark.catalog.tableExists(f"{table_name}_deletes"):
+        return stats
+    dels = spark.table(f"{table_name}_deletes").select(
+        F.col("__rid").alias("doc_id"))
+    gone = (
+        spark.table(_phys(table_name, "doclen", m))
+        .join(F.broadcast(dels), "doc_id")
+        .agg(F.count(F.lit(1)).alias("__gn"),
+             F.coalesce(F.sum("__dl"), F.lit(0)).alias("__gt"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(gone))
+        .select((F.col("__n_docs") - F.col("__gn")).alias("__n_docs"),
+                (F.col("__total") - F.col("__gt")).alias("__total"))
+    )
+
+
+def bm25_search_indexed(
+    spark,
+    table_name: str,
+    queries: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k against a ``build_text_index`` corpus: identical
+    semantics (and oracle) to ``bm25_topk`` — the bucketed postings make
+    the query-vocabulary join and the df aggregate exchange-free on the
+    corpus side, and only the matched subset ever shuffles."""
+    m = _meta(spark, table_name)
+    qt = _query_terms(queries, query_id_col, query_text_col)
+    post = _live_side(
+        spark, table_name,
+        spark.table(_phys(table_name, "postings", m))
+        .join(F.broadcast(qt.select("__term").distinct()), "__term"))
+    dl = _live_side(spark, table_name,
+                    spark.table(_phys(table_name, "doclen", m)))
+    stats = _live_stats(spark, table_name, m)
+    return _bm25_score(post, qt, dl, stats, k=k, k1=k1, b=b)
+
+
+def text_index_stats(spark, table_name: str) -> DataFrame:
+    """Corpus-level statistics of the LIVE index content (tombstones
+    excluded — the lsh_index_stats contract): one row
+    (n_docs, total_tokens, n_terms, n_postings)."""
+    m = _meta(spark, table_name)
+    post = _live_side(spark, table_name,
+                      spark.table(_phys(table_name, "postings", m)))
+    agg = post.agg(
+        F.countDistinct("__term").cast("long").alias("n_terms"),
+        F.count(F.lit(1)).cast("long").alias("n_postings"))
+    return (
+        _live_stats(spark, table_name, m)
+        .crossJoin(F.broadcast(agg))
+        .select(F.col("__n_docs").cast("long").alias("n_docs"),
+                F.col("__total").cast("long").alias("total_tokens"),
+                "n_terms", "n_postings")
+    )
+
+
+def attach_text_index(spark, table_name: str,
+                      location_root: "str | None" = None) -> None:
+    """Re-register a ``build_text_index`` written by an earlier session
+    (in-memory catalog — the LSH-index attach contract): reads the
+    bucket spec from the persisted meta row and re-creates the tables
+    as external tables over their surviving files, bucket metadata
+    included."""
+    import os
+
+    from ..sources.formats import (
+        _warehouse_path,
+        attach_bucketed_table,
+        attach_table,
+    )
+
+    root = location_root or _warehouse_path(spark)
+
+    def loc(name: str) -> str:
+        return os.path.join(root, name.lower())
+
+    attach_table(spark, f"{table_name}_meta", loc(f"{table_name}_meta"))
+    m = _meta(spark, table_name)
+    attach_bucketed_table(spark, _phys(table_name, "postings", m),
+                          bucket_by=["__term"],
+                          num_buckets=int(m.num_buckets),
+                          location=loc(_phys(table_name, "postings", m)))
+    attach_bucketed_table(spark, _phys(table_name, "doclen", m),
+                          bucket_by=["doc_id"],
+                          num_buckets=int(m.num_buckets),
+                          location=loc(_phys(table_name, "doclen", m)))
+    attach_table(spark, _phys(table_name, "stats", m),
+                 loc(_phys(table_name, "stats", m)))
+    dels = loc(f"{table_name}_deletes")
+    if os.path.isdir(dels):
+        attach_table(spark, f"{table_name}_deletes", dels)
+
+
+def ensure_text_index(spark, sf_dir: str) -> str:
+    """Session-amortized build of the gate's BM25 index over documents
+    (the ``ensure_ab_index`` pattern): fresh sessions always build; a
+    parameter change forces a rebuild via the meta row; same-session
+    reruns time the probe only."""
+    import os
+    import sys
+    import time
+
+    from ..sources.io import _ensure_session_confs, load_table
+
+    _ensure_session_confs(spark)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    index = f"textidx_{tag}"
+    want = dict(text_col="text", id_col="doc_id")
+    have = None
+    if spark.catalog.tableExists(f"{index}_meta"):
+        m = _meta(spark, index)
+        have = dict(text_col=m.text_col, id_col=m.id_col)
+    if have != want:
+        t0 = time.perf_counter()
+        build_text_index(load_table(spark, sf_dir, "documents"), index)
+        print(f"# ensure_text_index: index build took "
+              f"{time.perf_counter() - t0:.2f}s (reused by later runs "
+              f"in this session)", file=sys.stderr)
+    return index
+
+
+def text_index_stats_oracle_sql(source: str = "documents") -> str:
+    """Independent from-scratch derivation of ``text_index_stats`` —
+    pins the persisted postings/doclen/stats content against the raw
+    corpus (the lsh_index_stats oracle contract)."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text,
+                              '[ \t\n\x0b\f\r]+'), t -> t != '')) AS t
+    FROM {source})
+),
+dl AS (
+  SELECT doc_id,
+         len(coalesce(list_filter(string_split_regex(text,
+                                  '[ \t\n\x0b\f\r]+'),
+                 t -> t != ''), []))::BIGINT AS dl
+  FROM {source}
+)
+SELECT (SELECT count(*) FROM dl)::BIGINT AS n_docs,
+       (SELECT sum(dl) FROM dl)::BIGINT AS total_tokens,
+       count(DISTINCT term)::BIGINT AS n_terms,
+       count(DISTINCT (doc_id, term))::BIGINT AS n_postings
+FROM toks
 """

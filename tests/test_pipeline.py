@@ -1874,3 +1874,78 @@ def test_duplicate_substring_spans_planted(spark):
     # every reported span is canonical in doc 1 (lowest id containing it)
     assert all(r.doc_id == 1 for r in got), got
     assert all(r.n_docs >= 2 for r in got)
+
+
+def test_text_index_lifecycle(spark):
+    """build → indexed search equals the on-the-fly bm25_topk;
+    tombstoned docs vanish AND surviving scores equal a from-scratch
+    index over the survivors (the merge-on-read stats correction is
+    exact integer arithmetic); attach re-registers from files; stats
+    count live rows."""
+    import uuid
+
+    from lsh_spark.operators.retrieval import (
+        attach_text_index,
+        bm25_search_indexed,
+        bm25_topk,
+        build_text_index,
+        delete_from_text_index,
+        text_index_stats,
+    )
+
+    rows = [(i, " ".join(
+        ["alpha"] * (1 + i % 3) + ["beta"] * (i % 2) + [f"w{i % 5}", "tail"]))
+        for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame([(0, "alpha beta"), (1, "w3 tail")],
+                                    "query_id long, query_text string")
+    name = f"txtidx_{uuid.uuid4().hex[:8]}"
+    try:
+        build_text_index(docs, name, num_buckets=4)
+        direct = sorted(map(tuple, bm25_topk(docs, queries, k=5).collect()))
+        viaidx = sorted(map(tuple,
+                            bm25_search_indexed(spark, name, queries,
+                                                k=5).collect()))
+        assert direct == viaidx
+
+        st = text_index_stats(spark, name).first()
+        assert st.n_docs == 40 and st.total_tokens > 0
+
+        delete_from_text_index(
+            spark.createDataFrame([(0,), (1,)], ["doc_id"]), name)
+        surv = docs.where(F.col("doc_id") >= 2)
+        after = sorted(map(tuple,
+                           bm25_search_indexed(spark, name, queries,
+                                               k=5).collect()))
+        fresh = sorted(map(tuple, bm25_topk(surv, queries, k=5).collect()))
+        assert after == fresh
+        assert not any(t[1] in (0, 1) for t in after)
+        assert text_index_stats(spark, name).first().n_docs == 38
+
+        # "new session": copy the table dirs to a fresh location root and
+        # attach under a new index name (the attach_lsh test pattern —
+        # managed-table DROP would delete the files)
+        import os
+        import shutil
+        import tempfile
+
+        from lsh_spark.sources.formats import _warehouse_path
+
+        wh = _warehouse_path(spark)
+        tmp = tempfile.mkdtemp()
+        name2 = f"{name}b"
+        for sfx in ("_postings", "_doclen", "_stats", "_meta", "_deletes"):
+            shutil.copytree(os.path.join(wh, f"{name}{sfx}"),
+                            os.path.join(tmp, f"{name2}{sfx}"))
+        attach_text_index(spark, name2, location_root=tmp)
+        again = sorted(map(tuple,
+                           bm25_search_indexed(spark, name2, queries,
+                                               k=5).collect()))
+        assert again == fresh  # tombstones re-attached too
+    finally:
+        from lsh_spark.sources.formats import drop_table_and_files
+
+        for nm in (name, f"{name}b"):
+            for sfx in ("_postings", "_doclen", "_stats", "_meta",
+                        "_deletes"):
+                drop_table_and_files(spark, f"{nm}{sfx}")

@@ -589,3 +589,35 @@ def test_mixture_sample_zero_shuffle(spark):
     plan = _plan(kept)
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_text_index_probe_reads_buckets(spark):
+    """The persisted BM25 index probe consumes the postings through
+    their buckets (no corpus-side exchange for the term join or the df
+    aggregate) — the executed plan must read the bucketed table as
+    bucketed."""
+    import uuid
+
+    from lsh_spark.operators.retrieval import (
+        bm25_search_indexed,
+        build_text_index,
+    )
+    from lsh_spark.sources.formats import drop_table_and_files
+    from lsh_spark.sources.io import load_table
+
+    name = f"txtpidx_{uuid.uuid4().hex[:8]}"
+    try:
+        build_text_index(load_table(spark, SF_DIR, "documents"), name,
+                         num_buckets=8)
+        queries = spark.range(1).select(
+            F.col("id").alias("query_id"),
+            F.lit("hash join merge").alias("query_text"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got = bm25_search_indexed(spark, name, queries, k=5)
+        got.count()
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for sfx in ("_postings", "_doclen", "_stats", "_meta", "_deletes"):
+            drop_table_and_files(spark, f"{name}{sfx}")

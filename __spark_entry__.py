@@ -161,6 +161,11 @@ _REDUNDANT_TAIL = [
     "duplicate_substring_spans",
     "bm25_index_search",
     "bm25_index_stats",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q19_bracket_revenue",
+    "q22_sales_opportunity",
 ]
 
 

@@ -1190,3 +1190,283 @@ WHERE r = (SELECT max(r) FROM rev)
 """
 
 QUERIES_LATE["q15_top_supplier"] = (q15_top_supplier, Q15_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# round-8 TPC-H ports over the simplified schemas (no partsupp /
+# commit-receipt dates / shipmode-container columns in the testdata, so
+# q7/q8/q10 port classically and q19/q22 keep their join/predicate
+# SHAPE with the available columns).  Money discipline throughout:
+# DECIMAL(18,2) element casts, exact decimal SUM (summation-order
+# independent), round → DOUBLE only at the output boundary.
+# ---------------------------------------------------------------------------
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral shipping volume between two nations by year.
+    Dimensions (supplier+nation, customer+nation) broadcast onto the
+    lineitem ⨝ orders fact join; the OR'd nation pair filter runs
+    post-join in-plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("__sn_key"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("__cn_key"),
+                       F.col("n_name").alias("cust_nation"))
+    sn = supp.join(F.broadcast(n1), supp.s_nationkey == F.col("__sn_key"))
+    cn = cust.join(F.broadcast(n2), cust.c_nationkey == F.col("__cn_key"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.where((F.col("l_shipdate") >= F.lit("1995-01-01"))
+                 & (F.col("l_shipdate") <= F.lit("1996-12-31")))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.expr(_DEC_REVENUE).alias("revenue"))
+    )
+
+
+Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2)::DOUBLE AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate)::INT AS l_year,
+         l_extendedprice::DECIMAL(18,2)
+           * (1 - l_discount)::DECIMAL(18,2) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <= TIMESTAMP '1996-12-31 00:00:00'
+)
+GROUP BY 1, 2, 3
+"""
+
+QUERIES_LATE["q7_volume_shipping"] = (q7_volume_shipping, Q7_ORACLE)
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_5's share of ASIA's PROMO-part order volume by
+    year — the conditional-aggregate ratio over a 7-table star; every
+    dimension broadcasts, the two fact tables co-shuffle once.  Both
+    sums stay exact DECIMAL; the share divides their rounded DOUBLE
+    images (deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    n1 = (nation.join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+                      nation.n_regionkey == F.col("r_regionkey"))
+          .select(F.col("n_nationkey").alias("__mkt_key")))
+    n2 = nation.select(F.col("n_nationkey").alias("__sup_key"),
+                       F.col("n_name").alias("__sup_nation"))
+    vol = "CAST(round(SUM(CASE WHEN __sup_nation = 'NATION_5' THEN " \
+          f"{_DEC_PRICE} * {_DEC_DISC} ELSE CAST(0 AS DECIMAL(18,2)) END)" \
+          ", 2) AS DOUBLE)"
+    tot = f"CAST(round(SUM({_DEC_PRICE} * {_DEC_DISC}), 2) AS DOUBLE)"
+    return (
+        li.join(F.broadcast(part.where(F.col("p_type") == "PROMO")),
+                li.l_partkey == part.p_partkey)
+        .join(orders.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") <= F.lit("1996-12-31"))),
+            li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("__mkt_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("__sup_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.expr(vol).alias("__num"), F.expr(tot).alias("__den"))
+        .select("o_year",
+                F.round(F.col("__num") / F.col("__den"), 6)
+                .alias("mkt_share"))
+    )
+
+
+Q8_ORACLE = """
+SELECT o_year,
+       round(round(sum(CASE WHEN sup_nation = 'NATION_5'
+                            THEN volume
+                            ELSE 0::DECIMAL(18,2) END), 2)::DOUBLE
+             / round(sum(volume), 2)::DOUBLE, 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate)::INT AS o_year,
+         l_extendedprice::DECIMAL(18,2)
+           * (1 - l_discount)::DECIMAL(18,2) AS volume,
+         n2.n_name AS sup_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'
+)
+GROUP BY o_year
+"""
+
+QUERIES_LATE["q8_market_share"] = (q8_market_share, Q8_ORACLE)
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    quarter.  LIMIT-with-ties is made deterministic the repo way: rank
+    by (exact-decimal revenue DESC, c_custkey ASC) and keep rank <= 20."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders.where(
+            (F.col("o_orderdate") >= F.lit("1995-10-01"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01"))),
+            li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation),
+              cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.expr(_DEC_REVENUE).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        rev.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= 20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         round(sum(l_extendedprice::DECIMAL(18,2)
+                   * (1 - l_discount)::DECIMAL(18,2)), 2)::DOUBLE AS revenue,
+         row_number() OVER (
+           ORDER BY sum(l_extendedprice::DECIMAL(18,2)
+                        * (1 - l_discount)::DECIMAL(18,2)) DESC,
+                    c_custkey ASC) AS r
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+)
+WHERE r <= 20
+"""
+
+QUERIES_LATE["q10_returned_items"] = (q10_returned_items, Q10_ORACLE)
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19's SHAPE with the available columns (the testdata has no
+    container/shipmode): one scalar revenue over an OR of three
+    (brand, size-range, quantity-range) brackets — the classic
+    pushdown-unfriendly disjunction the optimizer must evaluate
+    post-join without turning the broadcast join into a cross product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#2")
+         & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#15")
+           & F.col("p_size").between(5, 25)
+           & F.col("l_quantity").between(5, 40))
+        | ((F.col("p_brand") == "Brand#19")
+           & F.col("p_size").between(10, 50)
+           & F.col("l_quantity").between(10, 60))
+    )
+    return joined.where(bracket).agg(F.expr(_DEC_REVENUE).alias("revenue"))
+
+
+Q19_ORACLE = """
+SELECT round(sum(l_extendedprice::DECIMAL(18,2)
+                 * (1 - l_discount)::DECIMAL(18,2)), 2)::DOUBLE AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 5 AND 25
+       AND l_quantity BETWEEN 5 AND 40)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 50
+       AND l_quantity BETWEEN 10 AND 60)
+"""
+
+QUERIES_LATE["q19_bracket_revenue"] = (q19_bracket_revenue, Q19_ORACLE)
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's SHAPE over nations (the testdata has no phone
+    country codes): customers above the average positive account
+    balance with NO orders, rolled up per nation.  The scalar threshold
+    stays inside the job as a broadcast 1-row cross join (the
+    plan-construction-zero-jobs rule); the no-orders test is a
+    shuffle-free broadcast anti-join only if orders were small — here
+    it is the honest left-anti shuffle join on custkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    thr = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg((F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)")
+              / F.count(F.lit(1))).alias("__thr"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("__thr"))
+        .join(orders.select(F.col("o_custkey").alias("c_custkey")),
+              "c_custkey", "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_custs"),
+             F.expr("CAST(round(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) "
+                    "AS DOUBLE)").alias("total_acctbal"))
+    )
+
+
+Q22_ORACLE = """
+WITH thr AS (
+  SELECT sum(c_acctbal::DECIMAL(18,2))::DOUBLE / count(*) AS t
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, count(*)::BIGINT AS n_custs,
+       round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+CROSS JOIN thr
+WHERE c_acctbal > thr.t
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+QUERIES_LATE["q22_sales_opportunity"] = (q22_sales_opportunity, Q22_ORACLE)

@@ -621,3 +621,29 @@ def test_text_index_probe_reads_buckets(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         for sfx in ("_postings", "_doclen", "_stats", "_meta", "_deletes"):
             drop_table_and_files(spark, f"{name}{sfx}")
+
+
+def test_q7_q8_broadcast_dimensions_single_fact_shuffle(spark):
+    """q7/q8: every dimension side (supplier/customer/nation/region/
+    part) broadcasts; the only shuffle joins are lineitem ⨝ orders."""
+    from lsh_spark.operators.relational import (
+        q7_volume_shipping,
+        q8_market_share,
+    )
+
+    for q in (q7_volume_shipping, q8_market_share):
+        plan = _plan(q(spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert (plan.count("SortMergeJoin")
+                + plan.count("ShuffledHashJoin")) <= 1, plan
+
+
+def test_q19_disjunction_stays_a_join(spark):
+    """The OR'd bracket predicate must evaluate post-join — never turn
+    the broadcast equi-join into a nested-loop cross product."""
+    from lsh_spark.operators.relational import q19_bracket_revenue
+
+    plan = _plan(q19_bracket_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -166,6 +166,7 @@ _REDUNDANT_TAIL = [
     "q10_returned_items",
     "q19_bracket_revenue",
     "q22_sales_opportunity",
+    "bm25_search_streaming",
 ]
 
 

@@ -3023,3 +3023,31 @@ def _text_index_stats_oracle() -> str:
 
 QUERIES_LATE["bm25_index_stats"] = (bm25_index_stats,
                                     _text_index_stats_oracle())
+
+
+# ---------------------------------------------------------------------------
+# streaming BM25 probe (streaming/documents.bm25_search_streaming):
+# query texts stream against the persisted inverted index; oracle = the
+# batch BM25 replay with the query CTE drawn from documents.
+# ---------------------------------------------------------------------------
+
+_BM25_STREAM_Q = 3
+
+
+def _bm25_stream_oracle() -> str:
+    from .retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(
+        k=_BM25_K,
+        queries_select=(f"SELECT doc_id AS query_id, text AS query_text "
+                        f"FROM documents WHERE doc_id < {_BM25_STREAM_Q}"))
+
+
+def _bm25_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents import bm25_search_streaming
+
+    return bm25_search_streaming(spark, sf_dir)
+
+
+QUERIES_LATE["bm25_search_streaming"] = (_bm25_search_streaming,
+                                         _bm25_stream_oracle())

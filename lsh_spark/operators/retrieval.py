@@ -129,12 +129,19 @@ def _bm25_score(post: DataFrame, qt: DataFrame, dl: DataFrame,
     )
 
 
-def bm25_oracle_sql(queries_values: str, *, k: int = 10, k1: float = 1.2,
-                    b: float = 0.75, source: str = "documents") -> str:
+def bm25_oracle_sql(queries_values: str = "", *, k: int = 10,
+                    k1: float = 1.2, b: float = 0.75,
+                    source: str = "documents",
+                    queries_select: "str | None" = None) -> str:
     """DuckDB replay of ``bm25_topk`` over ``source``;
-    ``queries_values`` is a SQL VALUES list ``(id, 'text'), ...``."""
+    ``queries_values`` is a SQL VALUES list ``(id, 'text'), ...``, or
+    pass ``queries_select`` — a SELECT yielding
+    (query_id, query_text) — for table-derived query sets."""
+    q_cte = (queries_select if queries_select is not None
+             else f"SELECT * FROM (VALUES {queries_values})"
+                  f" q(query_id, query_text)")
     return rf"""
-WITH q AS (SELECT * FROM (VALUES {queries_values}) q(query_id, query_text)),
+WITH q AS ({q_cte}),
 qt AS (
   SELECT query_id,
          unnest(list_distinct(list_filter(

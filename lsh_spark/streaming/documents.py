@@ -347,3 +347,62 @@ def media_features_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_available_now(feats, "media_features_streaming_sink", "append")
     q.awaitTermination()
     return spark.table("media_features_streaming_sink")
+
+
+def bm25_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: streaming lexical retrieval — query texts
+    arrive as a file-source stream (the first ``_BM25_STREAM_Q``
+    documents, self-included in the corpus) and probe the PERSISTED
+    BM25 inverted index inside ``foreachBatch``
+    (``retrieval.bm25_search_indexed``), so each micro-batch shuffles
+    only its own query terms while the corpus-side postings read
+    through their buckets.  Batch/stream parity is by construction —
+    the operator is the same one the batch gate pins — so the oracle is
+    the batch BM25 replay with the query CTE drawn from documents."""
+    import shutil
+
+    from ..operators.retrieval import bm25_search_indexed, ensure_text_index
+    from ..sources.io import load_table
+
+    from ..operators.pipeline_queries import _BM25_K, _BM25_STREAM_Q
+
+    index = ensure_text_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+        .where(F.col("doc_id") < _BM25_STREAM_Q)
+        .selectExpr("doc_id AS query_id", "text AS query_text")
+    )
+    out_dir = f"/tmp/lsh_spark_stream_bm25_{tag}"
+    ckpt = f"/tmp/lsh_spark_ckpt_stream_bm25_{tag}"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = bm25_search_indexed(spark, index, batch_df, k=_BM25_K)
+        _write_batch_idempotent(res, out_dir, batch_id)
+
+    from .events import scoped_state_partitions
+
+    with scoped_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    if not os.path.isdir(out_dir) or not any(
+            f.startswith("batch_id=") for f in os.listdir(out_dir)):
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score double, rank int")
+    return spark.read.parquet(out_dir).select(
+        "query_id", "doc_id", "score", "rank")

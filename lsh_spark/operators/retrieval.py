@@ -288,6 +288,42 @@ def build_text_index(
     drop_table_and_files(spark, f"{table_name}_deletes")
 
 
+def extend_text_index(new_docs: DataFrame, table_name: str) -> None:
+    """Incrementally index new documents (the ``extend_lsh_corpus_index``
+    contract): postings and doclen rows APPEND into the existing bucket
+    spec, and the corpus statistics append a DELTA row — ``_stats`` is
+    append-only and every reader SUMS it, so the increment is one tiny
+    write with no stats rewrite and no driver collect.  Searches after
+    an extend equal a from-scratch index over the union (integer stats,
+    same literal score arithmetic).  Re-appending a tombstoned id does
+    NOT resurrect it (tombstones win until the next full build); naming
+    an id already live double-counts it — dedup upstream."""
+    spark = new_docs.sparkSession
+    m = _meta(spark, table_name)
+    from ..sources.formats import save_table, write_bucketed_table
+
+    toks = (
+        new_docs.select(F.col(m.id_col).alias("doc_id"),
+                        F.explode(_words(F.col(m.text_col))).alias("__term"))
+        .groupBy("doc_id", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dl = new_docs.select(
+        F.col(m.id_col).alias("doc_id"),
+        F.size(_words(F.col(m.text_col))).cast("long").alias("__dl"))
+    write_bucketed_table(toks, _phys(table_name, "postings", m),
+                         bucket_by=["__term"],
+                         num_buckets=int(m.num_buckets),
+                         sort_by=["__term"], mode="append")
+    write_bucketed_table(dl, _phys(table_name, "doclen", m),
+                         bucket_by=["doc_id"],
+                         num_buckets=int(m.num_buckets), mode="append")
+    save_table(
+        dl.agg(F.count(F.lit(1)).alias("__n_docs"),
+               F.coalesce(F.sum("__dl"), F.lit(0)).alias("__total")),
+        _phys(table_name, "stats", m), mode="append", single_file=True)
+
+
 def delete_from_text_index(ids: DataFrame, table_name: str,
                            id_col: "str | None" = None) -> None:
     """Tombstone deletion (merge-on-read — the LSH-index contract):
@@ -317,10 +353,13 @@ def _live_side(spark, table_name: str, df: DataFrame) -> DataFrame:
 
 
 def _live_stats(spark, table_name: str, m) -> DataFrame:
-    """1-row (N, total) with tombstoned docs subtracted: the stats row
-    minus a broadcast-joined (deletes ⨝ doclen) aggregate — both sides
+    """1-row (N, total) with tombstoned docs subtracted: the summed
+    stats deltas (``_stats`` is append-only — extend appends increments)
+    minus a broadcast-joined (deletes ⨝ doclen) aggregate — all sides
     tiny, no corpus scan."""
-    stats = spark.table(_phys(table_name, "stats", m))
+    stats = spark.table(_phys(table_name, "stats", m)).agg(
+        F.sum("__n_docs").alias("__n_docs"),
+        F.sum("__total").alias("__total"))
     if not spark.catalog.tableExists(f"{table_name}_deletes"):
         return stats
     dels = spark.table(f"{table_name}_deletes").select(

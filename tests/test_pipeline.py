@@ -1949,3 +1949,52 @@ def test_text_index_lifecycle(spark):
             for sfx in ("_postings", "_doclen", "_stats", "_meta",
                         "_deletes"):
                 drop_table_and_files(spark, f"{nm}{sfx}")
+
+
+def test_text_index_extend_matches_rebuild(spark):
+    """extend_text_index: searches after an incremental append equal a
+    from-scratch index over the union (append-only stats deltas sum to
+    the union's integer statistics), and extend composes with
+    tombstones."""
+    import uuid
+
+    from lsh_spark.operators.retrieval import (
+        bm25_search_indexed,
+        bm25_topk,
+        build_text_index,
+        delete_from_text_index,
+        extend_text_index,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 4} tail") for i in range(20)],
+        "doc_id long, text string")
+    more = spark.createDataFrame(
+        [(i, f"alpha gamma w{i % 4} tail") for i in range(20, 30)],
+        "doc_id long, text string")
+    queries = spark.createDataFrame([(0, "alpha gamma"), (1, "beta w3")],
+                                    "query_id long, query_text string")
+    name = f"txtext_{uuid.uuid4().hex[:8]}"
+    try:
+        build_text_index(base, name, num_buckets=4)
+        extend_text_index(more, name)
+        got = sorted(map(tuple,
+                         bm25_search_indexed(spark, name, queries,
+                                             k=8).collect()))
+        want = sorted(map(tuple,
+                          bm25_topk(base.unionByName(more), queries,
+                                    k=8).collect()))
+        assert got == want
+        delete_from_text_index(
+            spark.createDataFrame([(25,), (3,)], ["doc_id"]), name)
+        surv = base.unionByName(more).where(~F.col("doc_id").isin(25, 3))
+        after = sorted(map(tuple,
+                           bm25_search_indexed(spark, name, queries,
+                                               k=8).collect()))
+        fresh = sorted(map(tuple, bm25_topk(surv, queries, k=8).collect()))
+        assert after == fresh
+    finally:
+        from lsh_spark.sources.formats import drop_table_and_files
+
+        for sfx in ("_postings", "_doclen", "_stats", "_meta", "_deletes"):
+            drop_table_and_files(spark, f"{name}{sfx}")

@@ -167,6 +167,7 @@ _REDUNDANT_TAIL = [
     "q19_bracket_revenue",
     "q22_sales_opportunity",
     "bm25_search_streaming",
+    "bigram_logprob_scores",
 ]
 
 

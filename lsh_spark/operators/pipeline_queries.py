@@ -3051,3 +3051,141 @@ def _bm25_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_LATE["bm25_search_streaming"] = (_bm25_search_streaming,
                                          _bm25_stream_oracle())
+
+
+# ---------------------------------------------------------------------------
+# bigram LM log-probability (the CCNet LM-filter shape one order up from
+# unigram_logprob_scores): add-k-smoothed P(w2|w1) with the corpus as
+# its own LM.  Same exactness recipe — integer counts, one literal
+# double op order, fold left-to-right over the doc's SORTED distinct
+# bigrams, terminal 6-dp round.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_K = 0.5
+
+
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability
+    ``(Σ_(w1,w2) c·ln((cw+k)/(c1+k·V))) / (n_tokens−1)`` — c the doc's
+    bigram count, cw/c1 the corpus bigram/context counts, V the unigram
+    vocabulary size, k=0.5 add-k smoothing (docs under 2 tokens score
+    NULL).
+
+    Scale shape: ONE token explode feeds the doc-bigram counts; the
+    corpus bigram table is their re-aggregation (never a second scan)
+    and joins back by bigram key (honest shuffle join — bigram vocab is
+    corpus-sized); the context table re-aggregates the bigram table by
+    w1 and the scalar V broadcasts as a 1-row cross join."""
+    from .training_ops import _words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", _words(F.col("text")).alias("__t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(size(__t) - 1, 0)), "
+            "i -> struct(element_at(__t, i) AS w1, "
+            "element_at(__t, i + 1) AS w2))")).alias("__g"),
+    ).select("doc_id", F.col("__g.w1").alias("__w1"),
+             F.col("__g.w2").alias("__w2"))
+    dc = grams.groupBy("doc_id", "__w1", "__w2").agg(
+        F.count(F.lit(1)).alias("__c"))
+    freq = dc.groupBy("__w1", "__w2").agg(F.sum("__c").alias("__cw"))
+    ctx = freq.groupBy("__w1").agg(F.sum("__cw").alias("__c1"))
+    vocab = (
+        docs.select(F.explode(_words(F.col("text"))).alias("__w"))
+        .agg(F.countDistinct("__w").alias("__v"))
+    )
+    k = float(_BIGRAM_K)
+    terms = (
+        dc.join(freq, ["__w1", "__w2"])
+        .join(ctx, "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id", "__c",
+            F.struct(
+                F.col("__w1"), F.col("__w2"),
+                (F.col("__c").cast("double")
+                 * F.log((F.col("__cw").cast("double") + F.lit(k))
+                         / (F.col("__c1").cast("double")
+                            + F.lit(k) * F.col("__v").cast("double"))))
+                .alias("__t"),
+            ).alias("__bt"),
+        )
+    )
+    collected = terms.groupBy("doc_id").agg(
+        F.sum("__c").alias("n_bigrams"),
+        F.sort_array(F.collect_list("__bt")).alias("__arr"),
+    )
+    return (
+        docs.select("doc_id").join(collected, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(
+                    F.aggregate(F.col("__arr"), F.lit(0.0),
+                                lambda a, x: a + x["__t"])
+                    / F.col("n_bigrams"), 6),
+            ).alias("avg_logprob2"),
+        )
+    )
+
+
+BIGRAM_LOGPROB_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                     t -> t != '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT doc_id, ts,
+               unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+        FROM tok)
+),
+dc AS (
+  SELECT doc_id, w1, w2, count(*)::BIGINT AS c
+  FROM grams GROUP BY doc_id, w1, w2
+),
+freq AS (
+  SELECT w1, w2, sum(c)::BIGINT AS cw FROM dc GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, sum(cw)::BIGINT AS c1 FROM freq GROUP BY w1
+),
+vocab AS (
+  SELECT count(DISTINCT t)::BIGINT AS v
+  FROM (SELECT unnest(list_filter(string_split_regex(text,
+                                  '[ \t\n\x0b\f\r]+'),
+               t -> t != '')) AS t
+        FROM documents)
+),
+terms AS (
+  SELECT d.doc_id, d.w1, d.w2, d.c,
+         d.c::DOUBLE * ln((f.cw::DOUBLE + {_BIGRAM_K})
+                          / (x.c1::DOUBLE + {_BIGRAM_K} * vb.v::DOUBLE)) AS t
+  FROM dc d
+  JOIN freq f USING (w1, w2)
+  JOIN ctx x USING (w1)
+  CROSS JOIN vocab vb
+),
+agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+         list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY w1, w2)),
+                     (a, b) -> a + b) AS s
+  FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       CASE WHEN a.n_bigrams > 0
+            THEN round(a.s / a.n_bigrams, 6) END AS avg_logprob2
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+QUERIES_LATE["bigram_logprob_scores"] = (bigram_logprob_scores,
+                                         BIGRAM_LOGPROB_ORACLE)

@@ -513,3 +513,79 @@ SELECT (SELECT count(*) FROM dl)::BIGINT AS n_docs,
        count(DISTINCT (doc_id, term))::BIGINT AS n_postings
 FROM toks
 """
+
+
+def compact_text_index(spark, table_name: str, *,
+                       keep_previous: bool = False) -> None:
+    """Maintenance pass after ``extend_text_index`` appends and
+    tombstones (the ``compact_lsh_index`` contract): rewrite postings
+    and doclen into one file-set per bucket with tombstoned docs FOLDED
+    OUT, collapse the append-only ``_stats`` deltas into one exact row
+    recomputed from the compacted doclen, and truncate ``_deletes`` —
+    probes stop paying the growing anti-join + per-file open costs and
+    results are unchanged.  The generation swap is probe-safe: new
+    physical tables ``<name>_*_v{N+1}`` published by ONE appended meta
+    row; ``keep_previous=True`` leaves the old generation (and the
+    folded deletes its readers still need) for in-flight plans.
+    Indexes attached at a custom location_root are refused (the new
+    generation lands in the session warehouse)."""
+    from ..sources.formats import (
+        drop_table_and_files,
+        drop_versioned_siblings,
+        generation_in_warehouse,
+        meta_version,
+        save_table,
+        versioned_name,
+        write_bucketed_table,
+    )
+
+    m = _meta(spark, table_name)
+    cur = meta_version(m)
+    nxt = cur + 1
+    for suffix in ("postings", "doclen", "stats"):
+        phys = versioned_name(f"{table_name}_{suffix}", cur)
+        if not generation_in_warehouse(spark, phys):
+            raise ValueError(
+                f"refusing to compact {table_name}: {phys} is attached "
+                "at a custom location, and the compacted generation "
+                "always lands in the session warehouse — the index "
+                "would end up split across directories; copy it into "
+                "the warehouse (the attach default) or rebuild first")
+    deletes = None
+    if spark.catalog.tableExists(f"{table_name}_deletes"):
+        deletes = spark.table(f"{table_name}_deletes").select(
+            F.col("__rid").alias("doc_id"))
+    for suffix, bucket_by in (("postings", ["__term"]),
+                              ("doclen", ["doc_id"])):
+        base = f"{table_name}_{suffix}"
+        drop_versioned_siblings(spark, base, cur)
+        src = spark.table(versioned_name(base, cur))
+        if deletes is not None:
+            src = src.join(F.broadcast(deletes), on="doc_id",
+                           how="left_anti")
+        write_bucketed_table(src, versioned_name(base, nxt),
+                             bucket_by=bucket_by,
+                             num_buckets=int(m.num_buckets))
+    drop_versioned_siblings(spark, f"{table_name}_stats", cur)
+    save_table(
+        spark.table(versioned_name(f"{table_name}_doclen", nxt))
+        .agg(F.count(F.lit(1)).alias("__n_docs"),
+             F.coalesce(F.sum("__dl"), F.lit(0)).alias("__total")),
+        versioned_name(f"{table_name}_stats", nxt), single_file=True)
+    if "version" not in spark.table(f"{table_name}_meta").columns:
+        migrated = spark.table(f"{table_name}_meta").withColumn(
+            "version", F.lit(cur).cast("int"))
+        save_table(migrated.localCheckpoint(eager=True),
+                   f"{table_name}_meta", single_file=True)
+    flipped = spark.range(1).select(
+        *[F.lit(m[c]).alias(c) for c in spark.table(
+            f"{table_name}_meta").columns if c != "version"],
+        F.lit(nxt).cast("int").alias("version"))
+    save_table(flipped, f"{table_name}_meta", mode="append",
+               single_file=True)
+    if not keep_previous:
+        for suffix in ("postings", "doclen", "stats"):
+            drop_table_and_files(
+                spark, versioned_name(f"{table_name}_{suffix}", cur))
+        if deletes is not None:
+            drop_table_and_files(spark, f"{table_name}_deletes")

@@ -1998,3 +1998,56 @@ def test_text_index_extend_matches_rebuild(spark):
 
         for sfx in ("_postings", "_doclen", "_stats", "_meta", "_deletes"):
             drop_table_and_files(spark, f"{name}{sfx}")
+
+
+def test_text_index_compaction(spark):
+    """compact_text_index folds tombstones out into generation 1 (one
+    appended meta row is the swap), truncates _deletes, collapses the
+    stats deltas, and probe results are unchanged — equal to a rebuild
+    over the survivors."""
+    import uuid
+
+    from lsh_spark.operators.retrieval import (
+        bm25_search_indexed,
+        bm25_topk,
+        build_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        extend_text_index,
+        text_index_stats,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 4} tail") for i in range(20)],
+        "doc_id long, text string")
+    more = spark.createDataFrame(
+        [(i, f"alpha gamma w{i % 4} tail") for i in range(20, 30)],
+        "doc_id long, text string")
+    queries = spark.createDataFrame([(0, "alpha gamma w2")],
+                                    "query_id long, query_text string")
+    name = f"txtcmp_{uuid.uuid4().hex[:8]}"
+    try:
+        build_text_index(base, name, num_buckets=4)
+        extend_text_index(more, name)
+        delete_from_text_index(
+            spark.createDataFrame([(5,), (22,)], ["doc_id"]), name)
+        before = sorted(map(tuple,
+                            bm25_search_indexed(spark, name, queries,
+                                                k=8).collect()))
+        compact_text_index(spark, name)
+        after = sorted(map(tuple,
+                           bm25_search_indexed(spark, name, queries,
+                                               k=8).collect()))
+        surv = base.unionByName(more).where(~F.col("doc_id").isin(5, 22))
+        fresh = sorted(map(tuple, bm25_topk(surv, queries, k=8).collect()))
+        assert before == after == fresh
+        # generation flipped, deletes truncated, stats collapsed + live
+        assert spark.catalog.tableExists(f"{name}_postings_v1")
+        assert not spark.catalog.tableExists(f"{name}_deletes")
+        assert text_index_stats(spark, name).first().n_docs == 28
+    finally:
+        from lsh_spark.sources.formats import drop_table_and_files
+
+        for sfx in ("_postings", "_doclen", "_stats", "_meta", "_deletes"):
+            for v in ("", "_v1", "_v2"):
+                drop_table_and_files(spark, f"{name}{sfx}{v}")

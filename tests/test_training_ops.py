@@ -646,3 +646,39 @@ def test_dataset_splits_stability_and_salts(spark):
     again = {r.doc_id: r.split for r in dataset_splits_df(
         docs, salt="split-v2").collect()}
     assert other == again
+
+
+def test_split_expr_matches_dataset_splits(spark):
+    """split_expr (the in-plan projection split_leakage_stats relies on)
+    must stay byte-identical to dataset_splits_df's split column for
+    the same parameters — the round-8 de-broadcast depends on it."""
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.training_ops import dataset_splits_df, split_expr
+
+    docs = spark.range(0, 5000, 7).select(F.col("id").alias("doc_id"))
+    via_df = dataset_splits_df(docs).select("doc_id", "split")
+    via_expr = docs.select("doc_id", split_expr(F.col("doc_id")).alias("s"))
+    diff = (via_df.join(via_expr, "doc_id")
+            .where(F.col("split") != F.col("s")).count())
+    assert diff == 0
+
+
+def test_mixture_sample_monotone_in_weight(spark):
+    """Growth-stable mixing contract: raising a source's weight only
+    ADDS documents (kept sets are nested), because keep is a fixed
+    bucket threshold test per id."""
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.training_ops import mixture_sample_df
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"),
+        F.lit("s").alias("source"))
+    prev: set = set()
+    for w in (0.1, 0.3, 0.7, 1.0):
+        kept = {r.doc_id for r in
+                mixture_sample_df(docs, {"s": w}).collect()}
+        assert prev <= kept, f"weight {w} dropped previously-kept docs"
+        prev = kept
+    assert len(prev) == 500

@@ -168,6 +168,7 @@ _REDUNDANT_TAIL = [
     "q22_sales_opportunity",
     "bm25_search_streaming",
     "bigram_logprob_scores",
+    "hybrid_search_rrf",
 ]
 
 

@@ -3189,3 +3189,88 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 QUERIES_LATE["bigram_logprob_scores"] = (bigram_logprob_scores,
                                          BIGRAM_LOGPROB_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval (retrieval.hybrid_topk_rrf): BM25 + exact-cosine
+# channels fused by reciprocal rank.  Queries are the first _HYB_Q
+# documents themselves (text from documents, vector from embeddings —
+# the id spaces align 1:1 in the testdata), both channels
+# self-excluded; the oracle composes the two channel oracles and
+# replays the fusion arithmetic in the same literal order.
+# ---------------------------------------------------------------------------
+
+_HYB_Q = 3
+_HYB_CH_K = 20
+_HYB_K = 10
+_RRF_C = 60.0
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .retrieval import hybrid_topk_rrf
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qtexts = docs.where(F.col("doc_id") < _HYB_Q).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"))
+    qvecs = emb.where(F.col("vec_id") < _HYB_Q)
+    return hybrid_topk_rrf(docs, emb, qtexts, qvecs,
+                           k=_HYB_K, channel_k=_HYB_CH_K, rrf_c=_RRF_C)
+
+
+def _hybrid_oracle() -> str:
+    from .retrieval import bm25_oracle_sql
+
+    lex = bm25_oracle_sql(
+        k=_HYB_CH_K, exclude_self=True,
+        queries_select=(f"SELECT doc_id AS query_id, text AS query_text "
+                        f"FROM documents WHERE doc_id < {_HYB_Q}"))
+    vec = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {_HYB_Q}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(qv, qv)) > 0
+                     AND sqrt(list_dot_product(cv, cv)) > 0
+               THEN list_dot_product(qv, cv)
+                    / (sqrt(list_dot_product(qv, qv))
+                       * sqrt(list_dot_product(cv, cv)))
+               ELSE 0.0 END, 6) AS cosine_sim
+  FROM q CROSS JOIN c
+  WHERE query_id != neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC
+                           ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {_HYB_CH_K}"""
+    return f"""
+WITH lex AS ({lex}),
+vec AS ({vec}),
+fused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.neighbor_id) AS doc_id,
+         round(coalesce(1.0 / ({_RRF_C} + l.rank), 0.0)
+               + coalesce(1.0 / ({_RRF_C} + v.rank), 0.0), 6) AS rrf_score
+  FROM lex l
+  FULL OUTER JOIN vec v
+    ON l.query_id = v.query_id AND l.doc_id = v.neighbor_id
+),
+rk AS (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_score, rank FROM rk WHERE rank <= {_HYB_K}
+"""
+
+
+QUERIES_LATE["hybrid_search_rrf"] = (hybrid_search_rrf, _hybrid_oracle())

@@ -41,12 +41,15 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-k BM25 documents per query: (query_id, doc_id, score, rank).
 
     ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·((1-b) + b·dl/avgdl))``
     over the query's DISTINCT terms present in the doc, folded in term
-    order; ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``."""
+    order; ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``.
+    ``exclude_self`` drops doc_id == query_id BEFORE ranking (for
+    corpus-drawn queries — the ``cosine_topk`` self-match contract)."""
     from pyspark import StorageLevel
 
     toks = (
@@ -67,7 +70,8 @@ def bm25_topk(
     post = track(
         toks.join(F.broadcast(qt.select("__term").distinct()), "__term")
         .persist(StorageLevel.MEMORY_AND_DISK))
-    return _bm25_score(post, qt, dl, stats, k=k, k1=k1, b=b)
+    return _bm25_score(post, qt, dl, stats, k=k, k1=k1, b=b,
+                       exclude_self=exclude_self)
 
 
 def _query_terms(queries: DataFrame, query_id_col: str,
@@ -79,8 +83,8 @@ def _query_terms(queries: DataFrame, query_id_col: str,
 
 
 def _bm25_score(post: DataFrame, qt: DataFrame, dl: DataFrame,
-                stats: DataFrame, *, k: int, k1: float, b: float
-                ) -> DataFrame:
+                stats: DataFrame, *, k: int, k1: float, b: float,
+                exclude_self: bool = False) -> DataFrame:
     """Shared scoring tail for the on-the-fly and persisted-index forms:
     ``post`` is (doc_id, __term, __tf) already restricted to the query
     vocabulary, ``dl`` is (doc_id, __dl), ``stats`` a 1-row
@@ -118,6 +122,8 @@ def _bm25_score(post: DataFrame, qt: DataFrame, dl: DataFrame,
                                 lambda a, x: a + x["__s"]), 6)
             .alias("score"))
     )
+    if exclude_self:
+        scored = scored.where(F.col("doc_id") != F.col("query_id"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -132,7 +138,8 @@ def _bm25_score(post: DataFrame, qt: DataFrame, dl: DataFrame,
 def bm25_oracle_sql(queries_values: str = "", *, k: int = 10,
                     k1: float = 1.2, b: float = 0.75,
                     source: str = "documents",
-                    queries_select: "str | None" = None) -> str:
+                    queries_select: "str | None" = None,
+                    exclude_self: bool = False) -> str:
     """DuckDB replay of ``bm25_topk`` over ``source``;
     ``queries_values`` is a SQL VALUES list ``(id, 'text'), ...``, or
     pass ``queries_select`` — a SELECT yielding
@@ -194,6 +201,7 @@ scored AS (
                                         list(contrib ORDER BY term)),
                            (a, x) -> a + x), 6) AS score
   FROM terms GROUP BY query_id, doc_id
+  {"HAVING doc_id != query_id" if exclude_self else ""}
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
@@ -589,3 +597,59 @@ def compact_text_index(spark, table_name: str, *,
                 spark, versioned_name(f"{table_name}_{suffix}", cur))
         if deletes is not None:
             drop_table_and_files(spark, f"{table_name}_deletes")
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval — reciprocal-rank fusion of the lexical (BM25) and
+# vector (exact cosine) channels, the standard RAG two-tower fusion.
+# Integer ranks make the fusion score exact: each channel contributes
+# 1/(c + rank) in one literal double op order, summed lexical-first.
+# ---------------------------------------------------------------------------
+
+def hybrid_topk_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_texts: DataFrame,
+    query_vecs: DataFrame,
+    *,
+    k: int = 10,
+    channel_k: int = 20,
+    rrf_c: float = 60.0,
+) -> DataFrame:
+    """Top-k documents per query by reciprocal-rank fusion:
+    ``rrf = 1/(c + rank_bm25) + 1/(c + rank_cosine)`` over the union of
+    each channel's top ``channel_k`` (a doc missing from a channel
+    contributes 0).  Both channels exclude self-matches.  Returns
+    (query_id, doc_id, rrf_score, rank); 6-dp round before ranking,
+    ties on doc_id.
+
+    Scale shape: the channels are the already-audited operators
+    (postings-pruned BM25, broadcast-queries cosine scan); fusion adds
+    only a full-outer join of two ≤ |Q|·channel_k frames."""
+    from .ann import cosine_topk
+
+    lex = bm25_topk(docs, query_texts, k=channel_k,
+                    exclude_self=True).select(
+        "query_id", "doc_id", F.col("rank").alias("__rl"))
+    vec = cosine_topk(embeddings, query_vecs, k=channel_k).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("__rv"))
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(rrf_c) + F.col("__rl").cast("double")),
+                   F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(rrf_c) + F.col("__rv").cast("double")),
+                     F.lit(0.0))
+    )
+    fused = (
+        lex.join(vec, ["query_id", "doc_id"], "full_outer")
+        .select("query_id", "doc_id", F.round(rrf, 6).alias("rrf_score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf_score", "rank")
+    )

@@ -2051,3 +2051,30 @@ def test_text_index_compaction(spark):
         for sfx in ("_postings", "_doclen", "_stats", "_meta", "_deletes"):
             for v in ("", "_v1", "_v2"):
                 drop_table_and_files(spark, f"{name}{sfx}{v}")
+
+
+def test_hybrid_rrf_fuses_both_channels(spark):
+    """RRF sanity on a controlled corpus: a doc that is strong in BOTH
+    channels outranks docs strong in only one; single-channel docs
+    still surface with the other channel contributing 0."""
+    from lsh_spark.operators.retrieval import hybrid_topk_rrf
+
+    # doc 1: lexical+vector match; doc 2: lexical only; doc 3: vector only
+    docs = spark.createDataFrame(
+        [(0, "apple banana"), (1, "apple banana"), (2, "apple banana"),
+         (3, "kiwi plum")],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [-1.0, 0.2]),
+         (3, [0.95, 0.05])],
+        "vec_id long, embedding array<double>")
+    qt = docs.where(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text"))
+    qv = emb.where(F.col("vec_id") == 0)
+    got = {r.doc_id: r for r in hybrid_topk_rrf(
+        docs, emb, qt, qv, k=4, channel_k=3).collect()}
+    assert got[1].rank == 1  # both channels
+    assert 2 in got and 3 in got  # single-channel docs surface
+    assert got[1].rrf_score > got[2].rrf_score
+    assert got[1].rrf_score > got[3].rrf_score
+    assert 0 not in got  # self excluded in both channels

@@ -589,6 +589,70 @@ def urls_splits() -> None:
     spark.stop()
 
 
+def retrieval() -> None:
+    """Retrieval-family scale check: corpus replication (perturbed
+    texts) with a FIXED 3-query set.  Expected shapes: on-the-fly BM25
+    linear in corpus rows (the postings aggregate); the persisted
+    index's BUILD linear, its PROBE bounded by the matched postings
+    (query-vocabulary buckets), not the corpus."""
+    from pyspark import StorageLevel
+
+    from lsh_spark.operators.retrieval import (
+        bm25_search_indexed,
+        bm25_topk,
+        build_text_index,
+    )
+    from lsh_spark.plans import get_spark
+    from lsh_spark.sources.formats import drop_table_and_files
+    from lsh_spark.sources.io import load_table
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 5, 20]
+    spark = get_spark(app_name="lsh_spark-scale-check-retrieval")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n_base = base.count()
+    queries = spark.createDataFrame(
+        [(0, "hash join merge"), (1, "window scan sort"),
+         (2, "fast batch stream")],
+        "query_id long, query_text string").persist(
+        StorageLevel.MEMORY_AND_DISK)
+    queries.count()
+    for rep in reps:
+        docs = (
+            base.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("doc_id") * rep + F.col("__rep")).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail"),
+                         F.col("__rep").cast("string")).alias("text"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        docs.count()
+        t0 = time.perf_counter()
+        n_fly = bm25_topk(docs, queries, k=10).count()
+        t_fly = time.perf_counter() - t0
+        name = f"scalecheck_txt_{rep}"
+        t0 = time.perf_counter()
+        build_text_index(docs, name)
+        t_build = time.perf_counter() - t0
+        t_probe = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_idx = bm25_search_indexed(spark, name, queries, k=10).count()
+            t_probe = min(t_probe, time.perf_counter() - t0)
+        print(
+            f"rep={rep:3d} docs={n_base * rep:8d}  "
+            f"bm25_fly={t_fly:6.1f}s ({n_fly})  "
+            f"index_build={t_build:6.1f}s  "
+            f"index_probe={t_probe:6.1f}s ({n_idx})",
+            flush=True)
+        for sfx in ("_postings", "_doclen", "_stats", "_meta", "_deletes"):
+            drop_table_and_files(spark, f"{name}{sfx}")
+        docs.unpersist()
+        spark.catalog.clearCache()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--vectors":
         vectors()
@@ -602,5 +666,7 @@ if __name__ == "__main__":
         round7()
     elif len(sys.argv) > 1 and sys.argv[1] == "--urls-splits":
         urls_splits()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--retrieval":
+        retrieval()
     else:
         main()

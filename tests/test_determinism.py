@@ -24,6 +24,16 @@ QUERIES_TO_CHECK = [
     "jaccard_near_dup_pairs",
     "events_sessionize",
     "high_value_order_customers",
+    # round-8 float-fold / digest-plan queries — the exact surfaces a
+    # 1000-executor repartitioning would break if any summation order
+    # or keep-first tie leaked partition layout:
+    "bm25_search",            # term-sorted sequential fold + ranking
+    "hybrid_search_rrf",      # two-channel fusion of integer ranks
+    "bigram_logprob_scores",  # bigram-sorted sequential fold
+    "prepare_training_corpus",  # digest chunk dedup + greedy packing
+    "split_leakage_stats",    # in-plan md5 split over mined pairs
+    "duplicate_substring_spans",  # min-pack canonical occurrence
+    "mixture_sample_counts",  # md5-bucket weighted keep
 ]
 
 _RUNNER = """

@@ -169,6 +169,7 @@ _REDUNDANT_TAIL = [
     "bm25_search_streaming",
     "bigram_logprob_scores",
     "hybrid_search_rrf",
+    "corpus_snapshot_diff",
 ]
 
 

@@ -120,3 +120,43 @@ def unpivot(df: DataFrame, id_cols: list[str], value_cols: list[str],
     expr = (f"stack({len(value_cols)}, {pairs}) "
             f"as ({ident(var_name)}, {ident(value_name)})")
     return df.selectExpr(*[ident(c) for c in id_cols], expr)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, *, key: str,
+                  compare_cols: "list[str] | None" = None) -> DataFrame:
+    """Diff two corpus snapshots by key: one row per key present in
+    either side with status ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` — the data-ops audit between crawl refreshes that
+    upsert/SCD2 pipelines are validated against.
+
+    Change detection compares an md5 digest over ``compare_cols``
+    (default: every non-key column both sides share, in sorted-name
+    order) so wide rows never cross the join as payloads: each side
+    reduces to (key, digest) map-side, the FULL OUTER join ships ~24
+    bytes per row, and the statuses fall out of null-ness + digest
+    inequality.  Deterministic, no collect, one join."""
+    from pyspark.sql import functions as F
+
+    if compare_cols is None:
+        compare_cols = sorted(
+            c for c in old.columns if c != key and c in new.columns)
+
+    def digest(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(key),
+            F.md5(F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                          for c in compare_cols])).alias(alias))
+
+    o = digest(old, "__ho")
+    n = digest(new, "__hn")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, key, "full_outer")
+        .select(F.col(key), status.alias("status"))
+    )

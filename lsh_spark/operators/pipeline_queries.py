@@ -3274,3 +3274,69 @@ SELECT query_id, doc_id, rrf_score, rank FROM rk WHERE rank <= {_HYB_K}
 
 
 QUERIES_LATE["hybrid_search_rrf"] = (hybrid_search_rrf, _hybrid_oracle())
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff (operators/merge.snapshot_diff) — the data-ops
+# audit between crawl refreshes.  The "new" snapshot is a deterministic
+# planted variant (drop %11, revise %7, append %97 at id+1e6 — the
+# documents_upsert idiom) so the oracle replays the plant closed-form;
+# keys reduce to (id, md5 digest) map-side and only those cross the
+# full-outer join.
+# ---------------------------------------------------------------------------
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .merge import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    survived = docs.where(F.col("doc_id") % 11 != 0)
+    revised = survived.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text")))
+    appended = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.lit("new: "), F.col("text")))
+    )
+    new = revised.unionByName(appended)
+    return (
+        snapshot_diff(docs, new, key="doc_id", compare_cols=["text"])
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.min("doc_id").alias("first_id"),
+             F.max("doc_id").alias("last_id"),
+             F.sum("doc_id").alias("id_sum"))
+    )
+
+
+CORPUS_SNAPSHOT_DIFF_ORACLE = """
+WITH new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END
+           AS text
+  FROM documents WHERE doc_id % 11 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new: ' || text AS text
+  FROM documents WHERE doc_id % 97 = 0
+),
+o AS (SELECT doc_id, md5(coalesce(text, chr(0))) AS ho FROM documents),
+n AS (SELECT doc_id, md5(coalesce(text, chr(0))) AS hn FROM new),
+d AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.ho != n.hn THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT status, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS first_id, max(doc_id) AS last_id,
+       sum(doc_id) AS id_sum
+FROM d GROUP BY status
+"""
+
+
+QUERIES_LATE["corpus_snapshot_diff"] = (corpus_snapshot_diff,
+                                        CORPUS_SNAPSHOT_DIFF_ORACLE)

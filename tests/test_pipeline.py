@@ -2078,3 +2078,21 @@ def test_hybrid_rrf_fuses_both_channels(spark):
     assert got[1].rrf_score > got[2].rrf_score
     assert got[1].rrf_score > got[3].rrf_score
     assert 0 not in got  # self excluded in both channels
+
+
+def test_snapshot_diff_statuses(spark):
+    """snapshot_diff: all four statuses over a controlled pair of
+    snapshots; NULL payloads compare as equal-to-NULL, not as changed;
+    multi-column digests detect a change in EITHER column."""
+    from lsh_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, None, "z"), (4, "gone", "w")],
+        "id long, t string, u string")
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "CHANGED"), (3, None, "z"), (5, "new", "v")],
+        "id long, t string, u string")
+    got = {r.id: r.status for r in
+           snapshot_diff(old, new, key="id").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "unchanged",
+                   4: "removed", 5: "added"}

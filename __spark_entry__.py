@@ -170,6 +170,8 @@ _REDUNDANT_TAIL = [
     "bigram_logprob_scores",
     "hybrid_search_rrf",
     "corpus_snapshot_diff",
+    "vocab_stats",
+    "pmi_top_pairs",
 ]
 
 

@@ -3340,3 +3340,140 @@ FROM d GROUP BY status
 
 QUERIES_LATE["corpus_snapshot_diff"] = (corpus_snapshot_diff,
                                         CORPUS_SNAPSHOT_DIFF_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary statistics (dataset-card lexical metrics) — one
+# explode feeding two aggregates; every output is an integer count or a
+# double division of integer counts.
+# ---------------------------------------------------------------------------
+
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus lexical profile: token count, vocabulary size,
+    hapax count (frequency-1 types), type-token ratio and hapax share —
+    the quick-look numbers a dataset card reports before training."""
+    from .training_ops import _words
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(_words(F.col("text"))).alias("__w"))
+        .groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return freq.agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_hapax"),
+        F.round(F.count(F.lit(1)).cast("double")
+                / F.sum("__c").cast("double"), 6).alias("type_token_ratio"),
+        F.round(F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"), 6).alias("hapax_share"),
+    )
+
+
+VOCAB_STATS_ORACLE = r"""
+WITH freq AS (
+  SELECT t AS w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(list_filter(string_split_regex(text,
+                                  '[ \t\n\x0b\f\r]+'),
+               t -> t != '')) AS t
+        FROM documents)
+  GROUP BY t
+)
+SELECT sum(c)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS vocab_size,
+       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+       round(count(*)::DOUBLE / sum(c)::DOUBLE, 6) AS type_token_ratio,
+       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS hapax_share
+FROM freq
+"""
+
+
+QUERIES_LATE["vocab_stats"] = (vocab_stats, VOCAB_STATS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — pointwise mutual information of adjacent word
+# pairs: ln((c12·N) / (c1·c2)) over integer counts (one ln per pair, no
+# fold needed), min-count filtered, top-k by rounded PMI with (w1, w2)
+# tie-breaks.  Reuses the bigram machinery's explode shape.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_K = 50
+
+
+def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .training_ops import _words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _words(F.col("text")).alias("__t"))
+    grams = toks.select(
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(size(__t) - 1, 0)), "
+            "i -> struct(element_at(__t, i) AS w1, "
+            "element_at(__t, i + 1) AS w2))")).alias("__g"),
+    ).select(F.col("__g.w1").alias("w1"), F.col("__g.w2").alias("w2"))
+    pair = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    # unigram counts AS BIGRAM ENDPOINTS (left/right marginals of the
+    # pair table — no second corpus scan, and the PMI normalization is
+    # exactly the marginal probability of the pair distribution)
+    left = pair.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
+    right = pair.groupBy("w2").agg(F.sum("__c12").alias("__c2"))
+    total = pair.agg(F.sum("__c12").alias("__n"))
+    pmi = F.log(
+        (F.col("__c12").cast("double") * F.col("__n").cast("double"))
+        / (F.col("__c1").cast("double") * F.col("__c2").cast("double")))
+    scored = (
+        pair.where(F.col("__c12") >= _PMI_MIN_COUNT)
+        .join(left, "w1").join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", F.col("__c12").cast("long").alias("n_pair"),
+                F.round(pmi, 6).alias("pmi"))
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(),
+                       F.col("w2").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _PMI_K)
+    )
+
+
+PMI_TOP_PAIRS_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                     t -> t != '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT doc_id, ts,
+               unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+        FROM tok)
+),
+pair AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM grams GROUP BY w1, w2),
+lft AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM pair GROUP BY w1),
+rgt AS (SELECT w2, sum(c12)::BIGINT AS c2 FROM pair GROUP BY w2),
+tot AS (SELECT sum(c12)::BIGINT AS n FROM pair),
+scored AS (
+  SELECT p.w1, p.w2, p.c12 AS n_pair,
+         round(ln((p.c12::DOUBLE * t.n::DOUBLE)
+                  / (l.c1::DOUBLE * r.c2::DOUBLE)), 6) AS pmi
+  FROM pair p JOIN lft l USING (w1) JOIN rgt r USING (w2) CROSS JOIN tot t
+  WHERE p.c12 >= {_PMI_MIN_COUNT}
+),
+rk AS (
+  SELECT w1, w2, n_pair, pmi,
+         row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rank
+  FROM scored
+)
+SELECT w1, w2, n_pair, pmi, rank FROM rk WHERE rank <= {_PMI_K}
+"""
+
+
+QUERIES_LATE["pmi_top_pairs"] = (pmi_top_pairs, PMI_TOP_PAIRS_ORACLE)

@@ -219,3 +219,55 @@ def test_allpairs_kernel_zero_and_single_rows(spark):
     one = spark.createDataFrame([(7, [1.0, 0.0])],
                                 "vec_id long, embedding array<double>")
     assert embedding_allpairs_cosine(one, threshold=0.5).count() == 0
+
+
+def test_round8_operators_degenerate_inputs(spark):
+    """Empty/degenerate inputs return empty (or all-zero) frames with
+    the contract schema — no exceptions, no NULL-poisoned columns."""
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.dedup import duplicate_substring_spans_df
+    from lsh_spark.operators.merge import snapshot_diff
+    from lsh_spark.operators.retrieval import bm25_topk, hybrid_topk_rrf
+    from lsh_spark.operators.training_ops import mixture_sample_df
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "")],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    no_q = spark.createDataFrame([], "query_id long, query_text string")
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+
+    # BM25: empty queries -> empty; empty corpus -> empty; a query with
+    # no matching terms -> no rows for it (never NULL scores)
+    assert bm25_topk(docs, no_q, k=5).count() == 0
+    q = spark.createDataFrame([(0, "alpha"), (1, "zzz-missing")],
+                              "query_id long, query_text string")
+    assert bm25_topk(no_docs, q, k=5).count() == 0
+    rows = bm25_topk(docs, q, k=5).collect()
+    assert {r.query_id for r in rows} == {0}
+    assert all(r.score is not None for r in rows)
+
+    # spans: all docs shorter than the window -> empty
+    assert duplicate_substring_spans_df(docs, window=64,
+                                        stride=16).count() == 0
+
+    # mixture: empty weights drop everything; NULL-source rows drop too
+    src = docs.withColumn("source", F.when(F.col("doc_id") == 1,
+                                           "a").otherwise(F.lit(None)))
+    assert mixture_sample_df(src, {}).count() == 0
+    assert {r.doc_id for r in
+            mixture_sample_df(src, {"a": 1.0}).collect()} == {1}
+
+    # hybrid: a query with neither channel output yields nothing;
+    # channels surviving alone still rank
+    qz = spark.createDataFrame([(9, "zzz-missing")],
+                               "query_id long, query_text string")
+    vz = emb.where(F.col("vec_id") < 0)
+    assert hybrid_topk_rrf(docs, emb, qz, vz, k=5).count() == 0
+
+    # snapshot_diff of a frame against itself: all unchanged
+    st = {r.status for r in snapshot_diff(docs, docs, key="doc_id").collect()}
+    assert st == {"unchanged"}

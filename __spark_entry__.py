@@ -172,6 +172,8 @@ _REDUNDANT_TAIL = [
     "corpus_snapshot_diff",
     "vocab_stats",
     "pmi_top_pairs",
+    "near_dup_threshold_histogram",
+    "source_quality_report",
 ]
 
 

@@ -3477,3 +3477,109 @@ SELECT w1, w2, n_pair, pmi, rank FROM rk WHERE rank <= {_PMI_K}
 
 
 QUERIES_LATE["pmi_top_pairs"] = (pmi_top_pairs, PMI_TOP_PAIRS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# near-dup similarity histogram — the threshold-tuning artifact: mined
+# verified pairs bucketed by jaccard (width 0.05), so an operator can
+# see how much a threshold move costs BEFORE re-running dedup.
+# Composes the WORD-bigram pair miner (the cheapest audited miner whose
+# low 0.4 threshold yields a wide, informative histogram); the oracle
+# stacks its CTE and replays the bucket arithmetic (floor over an exact
+# 6-dp-rounded jaccard — both engines bucket the same rounded value).
+# ---------------------------------------------------------------------------
+
+def near_dup_threshold_histogram(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    from .lsh_queries import word_bigram_near_dup_pairs
+
+    pairs = word_bigram_near_dup_pairs(spark, sf_dir)
+    bucket = F.floor(F.col("jaccard") / F.lit(0.05)).cast("int")
+    return (
+        pairs.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+             F.min("jaccard").alias("min_jaccard"),
+             F.max("jaccard").alias("max_jaccard"))
+        .withColumn("bucket_lo",
+                    F.round(F.col("bucket").cast("double") * F.lit(0.05), 2))
+    )
+
+
+def _near_dup_hist_oracle() -> str:
+    from .lsh_queries import QUERIES as _LSH_QUERIES
+
+    pairs_sql = _LSH_QUERIES["word_bigram_near_dup_pairs"][1]
+    return f"""
+WITH pairs AS ({pairs_sql})
+SELECT floor(jaccard / 0.05)::INT AS bucket,
+       count(*)::BIGINT AS n_pairs,
+       min(jaccard) AS min_jaccard,
+       max(jaccard) AS max_jaccard,
+       round(floor(jaccard / 0.05)::INT::DOUBLE * 0.05::DOUBLE, 2) AS bucket_lo
+FROM pairs
+GROUP BY floor(jaccard / 0.05)::INT
+"""
+
+
+QUERIES_LATE["near_dup_threshold_histogram"] = (near_dup_threshold_histogram,
+                                                _near_dup_hist_oracle())
+
+
+# ---------------------------------------------------------------------------
+# per-source quality report — the dataset-card rollup of the quality
+# stage: per source, document/token volume, mean quality (exact-decimal
+# style: double division of a SORTED sequential fold is overkill here —
+# quality scores are already 6-dp-rounded per doc, so the mean uses the
+# decimal-sum trick), keep-rate at the clean_corpus threshold.
+# ---------------------------------------------------------------------------
+
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source",
+        T.token_count("text").alias("__toks"),
+        # per-doc quality is 6-dp rounded -> a DECIMAL(18,6) sum is
+        # exact and summation-order independent (the money discipline)
+        F.round(T.quality_score("text"), 6).cast("decimal(18,6)")
+        .alias("__q"),
+        (T.quality_score("text") >= _CLEAN_Q_MIN).alias("__keep"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__toks").cast("long").alias("n_tokens"),
+            F.expr("CAST(round(SUM(__q) / COUNT(*), 6) AS DOUBLE)")
+            .alias("avg_quality"),
+            F.round(F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+                    .cast("double") / F.count(F.lit(1)).cast("double"), 6)
+            .alias("keep_rate"),
+        )
+    )
+
+
+def _source_quality_oracle() -> str:
+    return f"""
+WITH q AS ({_text_quality_oracle('documents')}),
+toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_toks,
+         source
+  FROM documents
+)
+SELECT t.source,
+       count(*)::BIGINT AS n_docs,
+       sum(t.n_toks)::BIGINT AS n_tokens,
+       round(sum(round(q.quality, 6)::DECIMAL(18,6)) / count(*),
+             6)::DOUBLE AS avg_quality,
+       round(sum(CASE WHEN q.quality >= {_CLEAN_Q_MIN} THEN 1 ELSE 0 END
+                )::DOUBLE / count(*)::DOUBLE, 6) AS keep_rate
+FROM toks t JOIN q USING (doc_id)
+GROUP BY t.source
+"""
+
+
+QUERIES_LATE["source_quality_report"] = (source_quality_report,
+                                         _source_quality_oracle())

@@ -174,6 +174,8 @@ _REDUNDANT_TAIL = [
     "pmi_top_pairs",
     "near_dup_threshold_histogram",
     "source_quality_report",
+    "embedding_stats",
+    "ann_recall_report",
 ]
 
 

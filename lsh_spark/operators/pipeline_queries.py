@@ -3583,3 +3583,111 @@ GROUP BY t.source
 
 QUERIES_LATE["source_quality_report"] = (source_quality_report,
                                          _source_quality_oracle())
+
+
+# ---------------------------------------------------------------------------
+# vector dataset card (embedding_stats) + ANN recall audit
+# (ann_recall_report).  Exactness recipes: per-vector norms are the
+# audited sequential dot/sqrt; corpus means go through the 6-dp-round →
+# DECIMAL(18,6) sum trick (summation-order independent); recall is
+# integer set intersection over the two audited top-k result sets.
+# ---------------------------------------------------------------------------
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row vector-corpus profile: count, dimension, zero-vector
+    count, min/max/mean L2 norm — the sanity numbers checked before
+    building any vector index."""
+    from .ann import norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.size("embedding").alias("__dim"),
+        F.round(norm(F.col("embedding").cast("array<double>")), 6)
+        .alias("__n"))
+    return v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.min("__dim").cast("int").alias("dim_min"),
+        F.max("__dim").cast("int").alias("dim_max"),
+        F.sum(F.when(F.col("__n") == 0.0, 1).otherwise(0)).cast("long")
+        .alias("n_zero_vectors"),
+        F.min("__n").alias("min_norm"),
+        F.max("__n").alias("max_norm"),
+        F.expr("CAST(round(SUM(CAST(__n AS DECIMAL(18,6))) / COUNT(*), 6) "
+               "AS DOUBLE)").alias("avg_norm"),
+    )
+
+
+EMBEDDING_STATS_ORACLE = """
+WITH v AS (
+  SELECT len(embedding) AS dim,
+         round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])), 6) AS n
+  FROM embeddings
+)
+SELECT count(*)::BIGINT AS n_vectors,
+       min(dim)::INT AS dim_min,
+       max(dim)::INT AS dim_max,
+       sum(CASE WHEN n = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_vectors,
+       min(n) AS min_norm,
+       max(n) AS max_norm,
+       round(sum(n::DECIMAL(18,6)) / count(*), 6)::DOUBLE AS avg_norm
+FROM v
+"""
+
+
+QUERIES_LATE["embedding_stats"] = (embedding_stats, EMBEDDING_STATS_ORACLE)
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against the exact scan, per
+    query plus ids of the misses' count — the measurement an ANN
+    deployment watches when retuning band parameters.  Composes the two
+    audited top-k operators; recall is pure integer set arithmetic."""
+    exact = ann_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("__e"))
+    approx = ann_lsh_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("__a"))
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (F.col("__e") == F.col("__a")),
+    ).groupBy(exact.query_id.alias("query_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"))
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id", "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"))
+        .withColumn(
+            "recall",
+            F.round(F.col("n_hits").cast("double")
+                    / F.col("n_exact").cast("double"), 6))
+    )
+    return per_q
+
+
+def _ann_recall_oracle() -> str:
+    lsh_sql = _orc.ann_lsh_topk_sql(2.0, 8, 1, 123, 64, k=_ANN_K,
+                                    n_queries=_N_QUERIES)
+    return f"""
+WITH exact_k AS ({ANN_TOPK_ORACLE}),
+approx_k AS ({lsh_sql}),
+hits AS (
+  SELECT e.query_id, count(*)::BIGINT AS n_hits
+  FROM exact_k e JOIN approx_k a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+),
+base AS (
+  SELECT query_id, count(*)::BIGINT AS n_exact
+  FROM exact_k GROUP BY query_id
+)
+SELECT b.query_id, b.n_exact,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(h.n_hits, 0)::DOUBLE / b.n_exact::DOUBLE, 6) AS recall
+FROM base b LEFT JOIN hits h USING (query_id)
+"""
+
+
+QUERIES_LATE["ann_recall_report"] = (ann_recall_report, _ann_recall_oracle())

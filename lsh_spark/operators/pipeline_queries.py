@@ -3435,12 +3435,14 @@ def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", F.col("__c12").cast("long").alias("n_pair"),
                 F.round(pmi, 6).alias("pmi"))
     )
+    # global top-k WITHOUT the single-partition window funnel: orderBy +
+    # limit plans as a distributed TakeOrderedAndProject; the rank
+    # window then runs over only the k survivors
+    top = scored.orderBy(F.col("pmi").desc(), F.col("w1").asc(),
+                         F.col("w2").asc()).limit(_PMI_K)
     w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(),
                        F.col("w2").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _PMI_K)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 PMI_TOP_PAIRS_ORACLE = rf"""

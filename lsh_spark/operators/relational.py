@@ -1354,10 +1354,12 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.expr(_DEC_REVENUE).alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    # distributed TakeOrdered instead of a global single-partition
+    # window: orderBy + limit keeps the top-20 selection parallel; the
+    # exact-decimal revenue makes the order deterministic
     return (
-        rev.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= 20)
+        rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
 

@@ -284,7 +284,7 @@ def build_text_index(
                          bucket_by=["doc_id"], num_buckets=num_buckets)
     save_table(
         dl.agg(F.count(F.lit(1)).alias("__n_docs"),
-               F.sum("__dl").alias("__total")),
+               F.coalesce(F.sum("__dl"), F.lit(0)).alias("__total")),
         f"{table_name}_stats", single_file=True)
     meta = spark.range(1).select(
         F.lit(text_col).alias("text_col"),

@@ -647,3 +647,16 @@ def test_q19_disjunction_stays_a_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_topk_avoids_window_funnel(spark):
+    """q10 / pmi_top_pairs global top-k: the plan must use the
+    distributed TakeOrderedAndProject, never a single-partition global
+    window over the full candidate set."""
+    from lsh_spark.operators.pipeline_queries import pmi_top_pairs
+    from lsh_spark.operators.relational import q10_returned_items
+
+    q10 = _plan(q10_returned_items(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in q10, q10
+    pmi = _plan(pmi_top_pairs(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in pmi, pmi

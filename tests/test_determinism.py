@@ -34,6 +34,11 @@ QUERIES_TO_CHECK = [
     "split_leakage_stats",    # in-plan md5 split over mined pairs
     "duplicate_substring_spans",  # min-pack canonical occurrence
     "mixture_sample_counts",  # md5-bucket weighted keep
+    "q10_returned_items",     # TakeOrdered top-k (exact-decimal order)
+    "pmi_top_pairs",          # TakeOrdered top-k + per-pair ln
+    "ann_recall_report",      # integer set intersection of two top-ks
+    "source_quality_report",  # DECIMAL(18,6) mean of 6-dp scores
+    "corpus_snapshot_diff",   # digest full-outer statuses
 ]
 
 _RUNNER = """

@@ -65,33 +65,28 @@ from pyspark.sql import DataFrame, SparkSession
 # artifact-vs-registry diff machine-checkable and exits non-zero on a
 # query with neither driver-row nor replica evidence.
 _REDUNDANT_TAIL = [
-    "top_orders_per_customer",
-    "events_hourly",
-    "customers_without_orders",
-    "part_brand_stats",
-    "high_value_order_customers",
-    "event_type_distribution",
-    "text_stats",
-    "dedup_exact",
-    "dedup_normalized",
-    "simhash_near_dup_pairs",
-    "embedding_dup_pairs",
-    "semantic_dedup",
-    "minhash_signatures",
-    "minhash32_signatures",
-    "minhash_shingle_signatures",
-    "minhash32_shingle_signatures",
-    "euclidean_signatures",
-    "euclidean32_signatures",
-    "jaccard_near_dup_pairs",
-    "doc_fingerprints",
-    "distinct_ngram_counts",
-    "kmv_doc_stats",
-    "tfidf_top_terms",
-    "documents_upsert",
-    # round-7 demotions: r5+r6 double-green driver rows, code unchanged
-    # this round.
-    "minhash_near_dup_pairs",
+    # Round-9 HEAD ROTATION (executing the round-8 verdict items 1+6):
+    # the head (positions 1-50 = registry minus this tail) now holds
+    #   * the 21 never-driver-checked queries: the 20 round-8 additions
+    #     (bm25_search .. ann_recall_report) plus this round's new
+    #     hybrid_search_indexed;
+    #   * the 3 queries whose avg-quality decimal division changed this
+    #     round (text_quality, corpus_summary_report/_streaming — the
+    #     SUM(dec)::DOUBLE / COUNT op-order fix needs a driver re-check);
+    #   * ALL 24 queries whose last driver row is r5 — the staleness
+    #     criterion the round-8 verdict asked for, covering the whole
+    #     minhash/euclidean signature family + jaccard_near_dup_pairs
+    #     (shared kernels last driver-checked before the r5/r6 batch.py
+    #     changes);
+    #   * 2 of the r6-last queries: minhash_near_dup_pairs (the entry()
+    #     flagship) and clean_corpus (the widest composite pipeline,
+    #     r8 digest-keep-first rewrite earns a second row).
+    # Demotions below are grouped by accumulated evidence, strongest
+    # (most recent + most rows) last-checked-r8 block at the end; all
+    # have >= 2 green driver rows for unchanged code plus sf0.001+sf0.01
+    # replica records in REPLICA.json.
+    #
+    # last driver row r6 (r5+r6 double-green, code unchanged):
     "minhash_near_dup_pairs_rotated",
     "similarity_join_ab",
     "word_bigram_near_dup_pairs",
@@ -103,7 +98,6 @@ _REDUNDANT_TAIL = [
     "dedup_keep_first_minhash",
     "media_features",
     "media_raw_features",
-    "clean_corpus",
     "contamination_overlap",
     "stratified_sample",
     "shard_assignment",
@@ -115,67 +109,76 @@ _REDUNDANT_TAIL = [
     "events_hourly_append_streaming",
     "similarity_join_ab_streaming",
     "near_dup_index_probe_streaming",
-    # round-7 demotions: five green driver rows each (r1-r4 + r6),
-    # single-aggregate pytest-pinned plans, code unchanged this round.
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    # Round-8 HEAD ROTATION (executing the staged round-7 duty): the 12
-    # round-7 additions (mp3_stream_features .. split_leakage_stats,
-    # tail positions 102-113 in round 7, zero driver rows) are promoted
-    # out of the tail into head positions so CORRECTNESS_r08 gives each
-    # its first driver row — r7+r8 driver rows then union to the full
-    # 113-query registry.  The 12 demoted below are exactly the r7-green
-    # head queries with the strongest accumulated driver evidence whose
-    # code is unchanged this round: six with 6 green rows each
-    # (q4/rollup/asof/errors-nearby/top-terms/text_quality), two
-    # event-aggregate queries with 4-5 rows, repetition_stats (4 rows;
-    # its round-7 factorize fix earned its re-check last round), and
-    # three 3-row single-shape relational queries.  Queries whose code
-    # IS touched this round keep head positions for the driver re-check:
-    # split_leakage_stats (de-broadcast), prepare_training_corpus
-    # (digest-keyed chunk dedup), ann_sq8_topk (oracle clamp),
-    # domain_blocklist_stats/blocked_docs_filter (NULL-text coalesce),
-    # ann_ivf_sq8_search (dim in meta), dedup_clusters_minhash
-    # (cc.py max_iter guard) — all already in the head.
+    # last driver row r7 (6 green rows for most, code unchanged):
     "q4_order_priority",
     "supplier_nation_rollup",
     "asof_purchase_last_click",
     "errors_with_nearby_clicks",
     "top_terms_per_lang",
-    "text_quality",
     "events_sessionize",
     "events_props_stats",
     "repetition_stats",
     "min_cost_supplier",
     "large_quantity_orders",
     "events_funnel",
-    # ROUND-9 ROTATION DUTY: any NEW round-8 queries appended below
+    # last driver row r8 (freshest evidence, code unchanged this round):
+    "weighted_minhash_signatures",
+    "weighted_near_dup_pairs",
+    "weighted_word_near_dup_pairs",
+    "dedup_clusters_minhash",
+    "dup_ngram_stats",
+    "remove_duplicated_spans",
+    "pack_sequences",
+    "ann_ivf_search_streaming",
+    "events_type_pivot",
+    "lineitem_cube",
+    "events_weekly_cohorts",
+    "customer_order_counts",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "supplier_revenue_salted",
+    "order_value_quantiles",
+    "q15_top_supplier",
+    "media_container_features",
+    "image_dhash_signatures",
+    "image_dhash_near_dup_pairs",
+    "image_dhash_clusters",
+    "pii_scrub_stats",
+    "line_dedup_docs",
+    "audio_signal_features",
+    "unigram_logprob_scores",
+    "cms_heavy_hitters",
+    "fingerprint_overlap_pairs",
+    "dedup_keep_longest_minhash",
+    "media_tiff_pixel_stats",
+    "image_resize_stats",
+    "video_frame_sample_stats",
+    "near_dup_index_stats",
+    "ann_ivf_index_stats",
+    "pipeline_clean_v2",
+    "ngram_novelty_scores",
+    "pii_scrub_streaming",
+    "mp3_stream_features",
+    "mp4_container_features",
+    "ann_sq8_topk",
+    "lang_id_predictions",
+    "chunk_documents",
+    "media_features_streaming",
+    "prepare_training_corpus",
+    "ann_ivf_sq8_search",
+    "domain_blocklist_stats",
+    "blocked_docs_filter",
+    "dataset_splits",
+    "split_leakage_stats",
+    # ROUND-10 ROTATION DUTY: any NEW round-9 queries appended below
     # this line have never been driver-checked — promote them (and any
-    # still-unchecked stragglers flagged by check_artifact_coverage.py)
-    # into head positions 1-50 next round, demoting an equal number of
-    # r8-green unchanged-code queries by the same
-    # strongest-accumulated-evidence criterion.
-    "bm25_search",
-    "mixture_sample_counts",
-    "duplicate_substring_spans",
-    "bm25_index_search",
-    "bm25_index_stats",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q19_bracket_revenue",
-    "q22_sales_opportunity",
-    "bm25_search_streaming",
-    "bigram_logprob_scores",
-    "hybrid_search_rrf",
-    "corpus_snapshot_diff",
-    "vocab_stats",
-    "pmi_top_pairs",
-    "near_dup_threshold_histogram",
-    "source_quality_report",
-    "embedding_stats",
-    "ann_recall_report",
+    # stragglers flagged by check_artifact_coverage.py) into head
+    # positions 1-50 next round, demoting an equal number of r9-green
+    # unchanged-code queries, preferring STALENESS (the r6-last block
+    # above is next in line) for the remaining demotion slots.
 ]
 
 

@@ -78,6 +78,13 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
       * md5 equality IS the dedup criterion (same trust the line-dedup
         operator documents); struct comparison resolves on the id field
         because every other field is a function of the identical text.
+
+    Contract: every column of ``df`` must be ORDERABLE (the winner is
+    ``min(struct(id, *other_columns))``) — frames carrying map-typed
+    columns fail at analysis time.  Project unorderable payloads out
+    and re-attach by id afterwards (the repo's ids-only re-attach
+    idiom); packing only the id into the min would force a second scan
+    of the upstream lineage per the measurement above.
     """
     others = [c for c in df.columns if c != id_col]
     w = (
@@ -126,9 +133,21 @@ def duplicate_substring_spans_df(
     100 TB shape: one in-plan explode (no Python), the wide exchange
     carries (md5 digest, packed id) pairs — window TEXT never shuffles;
     the distinct-doc count and the min-occurrence pack are both
-    combiner-friendly aggregates."""
+    combiner-friendly aggregates.
+
+    Packing bound: the canonical occurrence rides as ``doc_id * 1e6 +
+    pos``, so a document longer than ``1e6 + window - 1`` chars would
+    silently corrupt the unpacked key — the grid expression raises
+    in-plan (one length comparison per document) instead; split
+    oversized documents upstream or swap the pack for a struct key."""
+    overflow = _SPAN_CID + window
     grid = (
-        f"CASE WHEN length({text_col}) >= {window} THEN "
+        f"CASE WHEN length({text_col}) >= {overflow} THEN "
+        f"sequence(0, CAST(raise_error('duplicate_substring_spans: "
+        f"document text of {overflow}+ chars overflows the packed "
+        f"(doc_id, pos) key (pos < {_SPAN_CID}); split oversized "
+        f"documents or use a struct key') AS INT)) "
+        f"WHEN length({text_col}) >= {window} THEN "
         f"sequence(0, CAST((length({text_col}) - {window}) DIV {stride} "
         f"AS INT)) ELSE array() END"
     )

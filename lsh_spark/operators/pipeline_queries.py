@@ -2083,8 +2083,12 @@ def corpus_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__chars").alias("total_chars"),
             F.sum("__tokens").alias("total_tokens"),
-            F.expr("CAST(round(SUM(__q) / COUNT(*), 6) AS DOUBLE)")
-            .alias("avg_quality"),
+            # cast the exact decimal sum to DOUBLE BEFORE dividing (the
+            # q22 idiom): DuckDB's '/' on DECIMAL operands degrades to
+            # IEEE double division, so Spark's exact decimal division
+            # would use a different op sequence before the 6dp round
+            F.expr("CAST(round(CAST(SUM(__q) AS DOUBLE) / COUNT(*), 6) "
+                   "AS DOUBLE)").alias("avg_quality"),
         )
     )
 
@@ -2144,8 +2148,12 @@ def corpus_summary_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__chars").alias("total_chars"),
             F.sum("__tokens").alias("total_tokens"),
-            F.expr("CAST(round(SUM(__q) / COUNT(*), 6) AS DOUBLE)")
-            .alias("avg_quality"),
+            # cast the exact decimal sum to DOUBLE BEFORE dividing (the
+            # q22 idiom): DuckDB's '/' on DECIMAL operands degrades to
+            # IEEE double division, so Spark's exact decimal division
+            # would use a different op sequence before the 6dp round
+            F.expr("CAST(round(CAST(SUM(__q) AS DOUBLE) / COUNT(*), 6) "
+                   "AS DOUBLE)").alias("avg_quality"),
         )
     )
     q = run_available_now(agg, "corpus_summary_streaming_sink", "complete")
@@ -3251,6 +3259,14 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine_sim, rank
 FROM ranked WHERE rank <= {_HYB_CH_K}"""
+    return _rrf_fuse_sql(lex, vec)
+
+
+def _rrf_fuse_sql(lex: str, vec: str) -> str:
+    """Fusion tail shared by the on-the-fly and indexed hybrid oracles:
+    ``lex`` yields (query_id, doc_id, rank), ``vec``
+    (query_id, neighbor_id, rank) — the same literal lexical-first RRF
+    sum as ``retrieval._rrf_fuse``."""
     return f"""
 WITH lex AS ({lex}),
 vec AS ({vec}),
@@ -3274,6 +3290,45 @@ SELECT query_id, doc_id, rrf_score, rank FROM rk WHERE rank <= {_HYB_K}
 
 
 QUERIES_LATE["hybrid_search_rrf"] = (hybrid_search_rrf, _hybrid_oracle())
+
+
+def hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing-deployment hybrid: BM25 over the session's persisted
+    text index fused with the persisted IVF index's probe (gate IVF
+    params, partial ``n_probe`` — the vector channel IS the audited
+    ``ann_ivf_topk`` machinery, so its oracle is the unrolled Lloyd
+    replay at channel_k, not the exact scan)."""
+    from ..streaming.vectors import ensure_ivf_index
+    from .retrieval import ensure_text_index
+    from .retrieval import hybrid_search_indexed as _hybrid_indexed
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qtexts = docs.where(F.col("doc_id") < _HYB_Q).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"))
+    qvecs = emb.where(F.col("vec_id") < _HYB_Q)
+    text_index = ensure_text_index(spark, sf_dir)
+    ivf_index = ensure_ivf_index(spark, sf_dir)
+    return _hybrid_indexed(
+        spark, text_index, ivf_index, qtexts, qvecs,
+        k=_HYB_K, channel_k=_HYB_CH_K, rrf_c=_RRF_C, n_probe=_IVF_PROBE)
+
+
+def _hybrid_indexed_oracle() -> str:
+    from .retrieval import bm25_oracle_sql
+
+    lex = bm25_oracle_sql(
+        k=_HYB_CH_K, exclude_self=True,
+        queries_select=(f"SELECT doc_id AS query_id, text AS query_text "
+                        f"FROM documents WHERE doc_id < {_HYB_Q}"))
+    vec = _lloyd_oracle(_IVF_LISTS, _IVF_PROBE, _IVF_ITERS,
+                        _HYB_Q, _HYB_CH_K)
+    return _rrf_fuse_sql(lex, vec)
+
+
+QUERIES_LATE["hybrid_search_indexed"] = (hybrid_search_indexed,
+                                         _hybrid_indexed_oracle())
 
 
 # ---------------------------------------------------------------------------
@@ -3551,8 +3606,12 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("__toks").cast("long").alias("n_tokens"),
-            F.expr("CAST(round(SUM(__q) / COUNT(*), 6) AS DOUBLE)")
-            .alias("avg_quality"),
+            # cast the exact decimal sum to DOUBLE BEFORE dividing (the
+            # q22 idiom): DuckDB's '/' on DECIMAL operands degrades to
+            # IEEE double division, so Spark's exact decimal division
+            # would use a different op sequence before the 6dp round
+            F.expr("CAST(round(CAST(SUM(__q) AS DOUBLE) / COUNT(*), 6) "
+                   "AS DOUBLE)").alias("avg_quality"),
             F.round(F.sum(F.when(F.col("__keep"), 1).otherwise(0))
                     .cast("double") / F.count(F.lit(1)).cast("double"), 6)
             .alias("keep_rate"),
@@ -3614,8 +3673,10 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_zero_vectors"),
         F.min("__n").alias("min_norm"),
         F.max("__n").alias("max_norm"),
-        F.expr("CAST(round(SUM(CAST(__n AS DECIMAL(18,6))) / COUNT(*), 6) "
-               "AS DOUBLE)").alias("avg_norm"),
+        # decimal sum (exact, order-independent) -> DOUBLE before the
+        # division, matching DuckDB's double-degrading '/' op order
+        F.expr("CAST(round(CAST(SUM(CAST(__n AS DECIMAL(18,6))) AS DOUBLE) "
+               "/ COUNT(*), 6) AS DOUBLE)").alias("avg_norm"),
     )
 
 

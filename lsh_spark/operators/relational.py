@@ -1352,15 +1352,24 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation),
               cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.expr(_DEC_REVENUE).alias("revenue"))
+        .agg(F.expr(f"SUM({_DEC_PRICE} * {_DEC_DISC})").alias("revenue_dec"))
     )
     # distributed TakeOrdered instead of a global single-partition
-    # window: orderBy + limit keeps the top-20 selection parallel; the
-    # exact-decimal revenue makes the order deterministic
+    # window: orderBy + limit keeps the top-20 selection parallel.  Rank
+    # on the EXACT decimal sum (the oracle's row_number key) and round
+    # to 2dp only in the output projection — ranking on the rounded
+    # DOUBLE could pick a different customer when two exact revenues
+    # straddling the rank-20 boundary round to the same 2dp value.
     return (
-        rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        rev.orderBy(F.col("revenue_dec").desc(), F.col("c_custkey").asc())
         .limit(20)
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.expr("CAST(round(revenue_dec, 2) AS DOUBLE)").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
     )
 
 

@@ -70,7 +70,16 @@ def bm25_topk(
     post = track(
         toks.join(F.broadcast(qt.select("__term").distinct()), "__term")
         .persist(StorageLevel.MEMORY_AND_DISK))
-    return _bm25_score(post, qt, dl, stats, k=k, k1=k1, b=b,
+    # only MATCHED documents need their length in the scoring join: a
+    # left-semi against the (persisted) matched postings' doc ids drops
+    # unmatched lengths before the wide per-(query, doc) join — at
+    # 10^11 docs the full (doc_id, dl) table is a ~TB-scale shuffle of
+    # rows the query never touches.  Corpus stats (N, total) stay
+    # derived from the UNPRUNED dl.  The persisted-index form doesn't
+    # need this (doclen is bucketed by doc_id — exchange-free).
+    dl_matched = dl.join(post.select("doc_id").distinct(),
+                         "doc_id", "left_semi")
+    return _bm25_score(post, qt, dl_matched, stats, k=k, k1=k1, b=b,
                        exclude_self=exclude_self)
 
 
@@ -304,12 +313,28 @@ def extend_text_index(new_docs: DataFrame, table_name: str) -> None:
     write with no stats rewrite and no driver collect.  Searches after
     an extend equal a from-scratch index over the union (integer stats,
     same literal score arithmetic).  Re-appending a tombstoned id does
-    NOT resurrect it (tombstones win until the next full build); naming
-    an id already live double-counts it — dedup upstream."""
+    NOT resurrect it (tombstones win until the next full build).
+    Re-appending an id the index ALREADY CARRIES is skipped by an
+    anti-join against the indexed doclen ids — without it the postings
+    and the ``_stats`` deltas would silently double-count the document
+    (the drift a 100 TB index discovers months later); the winning copy
+    is the FIRST indexed one."""
     spark = new_docs.sparkSession
     m = _meta(spark, table_name)
     from ..sources.formats import save_table, write_bucketed_table
 
+    indexed_ids = spark.table(_phys(table_name, "doclen", m)).select(
+        F.col("doc_id").alias(m.id_col))
+    # the anti-join MUST be pinned (eager localCheckpoint of the tiny
+    # batch-scale id set) before any append: the doclen write below
+    # appends to the very table the anti-join reads, and a lazy re-read
+    # during the stats-delta job would see the batch's own ids as
+    # already indexed and write an empty delta
+    fresh_ids = (
+        new_docs.select(m.id_col)
+        .join(indexed_ids, on=m.id_col, how="left_anti")
+        .localCheckpoint(eager=True))
+    new_docs = new_docs.join(fresh_ids, on=m.id_col, how="left_semi")
     toks = (
         new_docs.select(F.col(m.id_col).alias("doc_id"),
                         F.explode(_words(F.col(m.text_col))).alias("__term"))
@@ -395,6 +420,7 @@ def bm25_search_indexed(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """BM25 top-k against a ``build_text_index`` corpus: identical
     semantics (and oracle) to ``bm25_topk`` — the bucketed postings make
@@ -409,7 +435,8 @@ def bm25_search_indexed(
     dl = _live_side(spark, table_name,
                     spark.table(_phys(table_name, "doclen", m)))
     stats = _live_stats(spark, table_name, m)
-    return _bm25_score(post, qt, dl, stats, k=k, k1=k1, b=b)
+    return _bm25_score(post, qt, dl, stats, k=k, k1=k1, b=b,
+                       exclude_self=exclude_self)
 
 
 def text_index_stats(spark, table_name: str) -> DataFrame:
@@ -634,6 +661,14 @@ def hybrid_topk_rrf(
     vec = cosine_topk(embeddings, query_vecs, k=channel_k).select(
         "query_id", F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("__rv"))
+    return _rrf_fuse(lex, vec, k=k, rrf_c=rrf_c)
+
+
+def _rrf_fuse(lex: DataFrame, vec: DataFrame, *, k: int,
+              rrf_c: float) -> DataFrame:
+    """Shared RRF fusion tail: ``lex`` is (query_id, doc_id, __rl) and
+    ``vec`` is (query_id, doc_id, __rv); both callers' oracles replay
+    the same literal lexical-first double sum."""
     rrf = (
         F.coalesce(F.lit(1.0) / (F.lit(rrf_c) + F.col("__rl").cast("double")),
                    F.lit(0.0))
@@ -653,3 +688,39 @@ def hybrid_topk_rrf(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "rrf_score", "rank")
     )
+
+
+def hybrid_search_indexed(
+    spark,
+    text_index: str,
+    ivf_index: str,
+    query_texts: DataFrame,
+    query_vecs: DataFrame,
+    *,
+    k: int = 10,
+    channel_k: int = 20,
+    rrf_c: float = 60.0,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """``hybrid_topk_rrf`` over the STANDING-DEPLOYMENT channels: the
+    lexical side probes a ``build_text_index`` corpus, the vector side a
+    ``build_ivf_index`` — neither touches the raw corpus, so a query
+    batch pays only the two index probes plus the tiny fusion join.
+    With ``n_probe`` = the index's cell count the vector channel equals
+    the exact scan and results match ``hybrid_topk_rrf`` bit-for-bit
+    (pytest-pinned); at partial probe the fusion is over the audited
+    IVF results instead."""
+    from .ann import search_ivf_index
+
+    lex = bm25_search_indexed(
+        spark, text_index, query_texts, k=channel_k,
+        exclude_self=True).select(
+        "query_id", "doc_id", F.col("rank").alias("__rl"))
+    vec = search_ivf_index(
+        spark, ivf_index, query_vecs, vec_col=vec_col, id_col=vec_id_col,
+        k=channel_k, n_probe=n_probe).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("__rv"))
+    return _rrf_fuse(lex, vec, k=k, rrf_c=rrf_c)

@@ -2000,6 +2000,56 @@ def test_text_index_extend_matches_rebuild(spark):
             drop_table_and_files(spark, f"{name}{sfx}")
 
 
+def test_text_index_extend_skips_already_indexed_ids(spark):
+    """extend_text_index with a batch that re-names ids the index
+    already carries must NOT double-count them (postings, doclen, or
+    the append-only stats deltas): the anti-join against the indexed
+    doclen ids keeps the FIRST indexed copy and results equal a
+    from-scratch index over base ∪ (genuinely new docs) — the silent
+    stats drift a 100 TB index would otherwise discover months later
+    (mirrors the LSH/IVF extend pins)."""
+    import uuid
+
+    from lsh_spark.operators.retrieval import (
+        bm25_search_indexed,
+        bm25_topk,
+        build_text_index,
+        extend_text_index,
+        text_index_stats,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 4} tail") for i in range(20)],
+        "doc_id long, text string")
+    # 5-9 overlap ids already indexed (with DIFFERENT text — the indexed
+    # copy must win); 20-24 are genuinely new
+    overlap_and_new = spark.createDataFrame(
+        [(i, "alpha gamma CHANGED") for i in range(5, 10)]
+        + [(i, f"alpha gamma w{i % 4} tail") for i in range(20, 25)],
+        "doc_id long, text string")
+    queries = spark.createDataFrame([(0, "alpha gamma"), (1, "beta w3")],
+                                    "query_id long, query_text string")
+    name = f"txtre_{uuid.uuid4().hex[:8]}"
+    try:
+        build_text_index(base, name, num_buckets=4)
+        extend_text_index(overlap_and_new, name)
+        union_dedup = base.unionByName(
+            overlap_and_new.where(F.col("doc_id") >= 20))
+        got = sorted(map(tuple,
+                         bm25_search_indexed(spark, name, queries,
+                                             k=8).collect()))
+        want = sorted(map(tuple,
+                          bm25_topk(union_dedup, queries, k=8).collect()))
+        assert got == want
+        st = text_index_stats(spark, name).first()
+        assert st.n_docs == 25  # 20 base + 5 new, overlap NOT re-counted
+    finally:
+        from lsh_spark.sources.formats import drop_table_and_files
+
+        for sfx in ("_postings", "_doclen", "_stats", "_meta", "_deletes"):
+            drop_table_and_files(spark, f"{name}{sfx}")
+
+
 def test_text_index_compaction(spark):
     """compact_text_index folds tombstones out into generation 1 (one
     appended meta row is the swap), truncates _deletes, collapses the
@@ -2078,6 +2128,53 @@ def test_hybrid_rrf_fuses_both_channels(spark):
     assert got[1].rrf_score > got[2].rrf_score
     assert got[1].rrf_score > got[3].rrf_score
     assert 0 not in got  # self excluded in both channels
+
+
+def test_hybrid_indexed_full_probe_matches_on_the_fly(spark):
+    """hybrid_search_indexed over the persisted text + IVF indexes with
+    n_probe = n_lists (every cell probed → the vector channel IS the
+    exact scan) equals hybrid_topk_rrf bit-for-bit at the same params —
+    the standing-deployment fusion is pinned against the audited
+    on-the-fly form.  Vector components are float32-exact so the
+    index's float32 storage is lossless."""
+    import uuid
+
+    from lsh_spark.operators.ann import build_ivf_index
+    from lsh_spark.operators.retrieval import (
+        build_text_index,
+        hybrid_search_indexed,
+        hybrid_topk_rrf,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"apple banana w{i % 3} tail") for i in range(12)]
+        + [(i, f"kiwi plum w{i % 3}") for i in range(12, 16)],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(i, [0.5 + 0.25 * (i % 4), 1.0 - 0.125 * (i % 5), 0.25 * (i % 3)])
+         for i in range(16)],
+        "vec_id long, embedding array<double>")
+    qt = docs.where(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text"))
+    qv = emb.where(F.col("vec_id") < 2)
+    tname = f"hybtxt_{uuid.uuid4().hex[:8]}"
+    vname = f"hybivf_{uuid.uuid4().hex[:8]}"
+    try:
+        build_text_index(docs, tname, num_buckets=4)
+        build_ivf_index(emb, vname, n_lists=4, num_buckets=4)
+        got = sorted(map(tuple, hybrid_search_indexed(
+            spark, tname, vname, qt, qv, k=6, channel_k=5,
+            n_probe=4).collect()))
+        want = sorted(map(tuple, hybrid_topk_rrf(
+            docs, emb, qt, qv, k=6, channel_k=5).collect()))
+        assert got == want
+    finally:
+        from lsh_spark.sources.formats import drop_table_and_files
+
+        for sfx in ("_postings", "_doclen", "_stats", "_meta", "_deletes"):
+            drop_table_and_files(spark, f"{tname}{sfx}")
+        for sfx in ("", "_centroids", "_meta", "_bounds", "_deletes"):
+            drop_table_and_files(spark, f"{vname}{sfx}")
 
 
 def test_snapshot_diff_statuses(spark):

@@ -562,6 +562,27 @@ def test_bm25_shuffles_terms_and_ids_never_text(spark):
     assert "text#" not in exchange_lines, exchange_lines
 
 
+def test_bm25_doc_lengths_pruned_to_matched_docs(spark):
+    """The on-the-fly BM25 form must bound the doc-length join by the
+    MATCHED postings' doc ids (a LeftSemi on doc_id upstream of the
+    scoring join) — without it every document's length shuffles through
+    the per-(query, doc) join, a ~TB-scale exchange of rows the query
+    never touches at 10^11 docs."""
+    from lsh_spark.operators.pipeline_queries import bm25_search
+    from lsh_spark.plans import release_intermediates
+
+    release_intermediates()
+    plan = _plan(bm25_search(spark, SF_DIR))
+    release_intermediates()
+    lines = plan.splitlines()
+    semi_idx = [i for i, l in enumerate(lines) if "Join type: LeftSemi" in l]
+    assert semi_idx, plan
+    # the detail block lists "Left keys"/"Right keys" just above the
+    # join type — the semi must key on doc_id
+    assert any("doc_id" in " ".join(lines[max(0, i - 3):i])
+               for i in semi_idx), plan
+
+
 def test_duplicate_substring_spans_digest_shuffle(spark):
     """Span detection: one scan, in-plan explode (no Python), and the
     wide exchange keys on the md5 digest — window text never shuffles."""

@@ -179,6 +179,11 @@ _REDUNDANT_TAIL = [
     # positions 1-50 next round, demoting an equal number of r9-green
     # unchanged-code queries, preferring STALENESS (the r6-last block
     # above is next in line) for the remaining demotion slots.
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "phrase_search_docs",
+    "ann_pq_topk",
 ]
 
 

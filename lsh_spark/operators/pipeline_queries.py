@@ -260,57 +260,61 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {_ANN_K
 """
 
 
-def _lloyd_cell_ctes(n_lists: int, n_iters: int) -> list:
-    """CTE prefix shared by the IVF search oracle and the index-stats
-    oracle: deterministic Lloyd training unrolled ``n_iters`` times,
-    ending at ``c_cells(neighbor_id, v, cell)`` — the full corpus's cell
-    assignment under the trained quantizer."""
+def _lloyd_cell_ctes(n_lists: int, n_iters: int, *, sfx: str = "",
+                     vexpr: str = "embedding::DOUBLE[]") -> list:
+    """CTE prefix shared by the IVF search oracle, the index-stats
+    oracle and (per-subspace, via ``sfx``/``vexpr``) the PQ oracle:
+    deterministic Lloyd training unrolled ``n_iters`` times, ending at
+    ``c_cells{sfx}(neighbor_id, v, cell)`` — the full corpus's cell
+    assignment under the trained quantizer.  ``vexpr`` is the vector
+    expression over ``embeddings`` (a slice for PQ subspaces); ``sfx``
+    suffixes every CTE name so chains compose in one WITH."""
     ctes = [
-        f"""cent_init AS (
-  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+        f"""cent_init{sfx} AS (
+  SELECT vec_id, {vexpr} AS cv FROM embeddings
   ORDER BY vec_id LIMIT {n_lists}
 )""",
-        """cent_0 AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, cv FROM cent_init
+        f"""cent_0{sfx} AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, cv FROM cent_init{sfx}
 )""",
-        """corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""",
+        f"""corpus{sfx} AS (SELECT vec_id, {vexpr} AS v FROM embeddings)""",
     ]
     for i in range(n_iters):
-        ctes.append(f"""assign_{i} AS (
+        ctes.append(f"""assign_{i}{sfx} AS (
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, ct.cell,
            row_number() OVER (
              PARTITION BY e.vec_id
              ORDER BY {_SQDIST.format(a='e.v', b='ct.cv')} ASC,
                       ct.cell ASC) AS r
-    FROM corpus e CROSS JOIN cent_{i} ct
+    FROM corpus{sfx} e CROSS JOIN cent_{i}{sfx} ct
   ) WHERE r = 1
 )""")
-        ctes.append(f"""sums_{i} AS (
+        ctes.append(f"""sums_{i}{sfx} AS (
   SELECT cell, pos,
          sum(CAST(floor(val * 1048576.0 + 0.5) AS BIGINT)) AS s,
          count(*) AS n
   FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
-        FROM assign_{i})
+        FROM assign_{i}{sfx})
   GROUP BY cell, pos
 )""")
-        ctes.append(f"""newcent_{i} AS (
+        ctes.append(f"""newcent_{i}{sfx} AS (
   SELECT cell, list((s::DOUBLE / n::DOUBLE) / 1048576.0 ORDER BY pos) AS cv
-  FROM sums_{i} GROUP BY cell
+  FROM sums_{i}{sfx} GROUP BY cell
 )""")
-        ctes.append(f"""cent_{i + 1} AS (
+        ctes.append(f"""cent_{i + 1}{sfx} AS (
   SELECT c.cell, coalesce(n.cv, c.cv) AS cv
-  FROM cent_{i} c LEFT JOIN newcent_{i} n USING (cell)
+  FROM cent_{i}{sfx} c LEFT JOIN newcent_{i}{sfx} n USING (cell)
 )""")
-    cent = f"cent_{n_iters}"
-    ctes.append(f"""c_assign AS (
+    cent = f"cent_{n_iters}{sfx}"
+    ctes.append(f"""c_assign{sfx} AS (
   SELECT vec_id AS neighbor_id, v, cell,
          row_number() OVER (
            PARTITION BY vec_id
            ORDER BY {_SQDIST.format(a='v', b='cv')} ASC, cell ASC) AS r
-  FROM corpus CROSS JOIN {cent}
+  FROM corpus{sfx} CROSS JOIN {cent}
 )""")
-    ctes.append("""c_cells AS (SELECT neighbor_id, v, cell FROM c_assign WHERE r = 1)""")
+    ctes.append(f"""c_cells{sfx} AS (SELECT neighbor_id, v, cell FROM c_assign{sfx} WHERE r = 1)""")
     return ctes
 
 
@@ -3331,6 +3335,35 @@ QUERIES_LATE["hybrid_search_indexed"] = (hybrid_search_indexed,
                                          _hybrid_indexed_oracle())
 
 
+# exact-phrase retrieval (retrieval.phrase_search): positional-postings
+# anchor voting; integer counts end-to-end, so the oracle is exact by
+# construction.
+_PHRASES = [(0, "sort merge"), (1, "table scan merge"), (2, "hash join")]
+
+
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .retrieval import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    # literal projection, not createDataFrame (the Python-local relation
+    # costs seconds per materialization on this host — see CLAUDE.md)
+    phrases = F.array(*[F.lit(p) for _qid, p in _PHRASES])
+    queries = spark.range(len(_PHRASES)).select(
+        F.col("id").alias("query_id"),
+        F.element_at(phrases, (F.col("id") + 1).cast("int")).alias("phrase"))
+    return phrase_search(docs, queries)
+
+
+def _phrase_oracle() -> str:
+    from .retrieval import phrase_search_oracle_sql
+
+    vals = ", ".join(f"({i}, '{p}')" for i, p in _PHRASES)
+    return phrase_search_oracle_sql(vals)
+
+
+QUERIES_LATE["phrase_search_docs"] = (phrase_search_docs, _phrase_oracle())
+
+
 # ---------------------------------------------------------------------------
 # corpus snapshot diff (operators/merge.snapshot_diff) — the data-ops
 # audit between crawl refreshes.  The "new" snapshot is a deterministic
@@ -3754,3 +3787,73 @@ FROM base b LEFT JOIN hits h USING (query_id)
 
 
 QUERIES_LATE["ann_recall_report"] = (ann_recall_report, _ann_recall_oracle())
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN (ann.pq_topk — the FAISS PQ/ADC recipe):
+# m per-subspace Lloyd codebooks (the deterministic fixed-point trainer,
+# so the oracle unrolls m independent Lloyd chains over array slices),
+# corpus stored as m small ints, per-query LUT summed in subspace order.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4
+_PQ_CODES = 8
+_PQ_ITERS = 2
+_PQ_DIM = 64
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.pq_topk(
+        emb, emb.where(F.col("vec_id") < _N_QUERIES), k=_ANN_K,
+        m=_PQ_M, n_codes=_PQ_CODES, n_iters=_PQ_ITERS, dim=_PQ_DIM)
+
+
+def _pq_oracle(m: int, n_codes: int, n_iters: int, n_queries: int,
+               k: int, dim: int) -> str:
+    """DuckDB replay of ``ann.pq_topk``: one unrolled Lloyd chain per
+    subspace over the array slice, codes from the final assignment,
+    ADC distance as a list_reduce fold over the per-subspace LUT terms
+    in subspace order — the Spark side's literal
+    ``((0 + d_0) + d_1) + ...`` chain."""
+    width = dim // m
+    ctes = []
+    term_selects = []
+    for s in range(m):
+        lo, hi = s * width + 1, (s + 1) * width
+        sfx = f"_s{s}"
+        ctes.extend(_lloyd_cell_ctes(
+            n_codes, n_iters, sfx=sfx,
+            vexpr=f"(embedding::DOUBLE[])[{lo}:{hi}]"))
+        term_selects.append(
+            f"""  SELECT q.query_id, cc.neighbor_id, {s} AS s,
+         {_SQDIST.format(a=f'(q.v)[{lo}:{hi}]', b='ct.cv')} AS d
+  FROM q CROSS JOIN c_cells{sfx} cc
+  JOIN cent_{n_iters}{sfx} ct ON ct.cell = cc.cell""")
+    ctes.append(f"""q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < {n_queries})""")
+    ctes.append("terms AS (\n"
+                + "\n  UNION ALL\n".join(term_selects) + "\n)")
+    ctes.append("""scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_reduce(list_prepend(0.0::DOUBLE, list(d ORDER BY s)),
+                           (a, x) -> a + x), 6) AS approx_dist
+  FROM terms WHERE query_id != neighbor_id
+  GROUP BY query_id, neighbor_id
+)""")
+    ctes.append("""ranked AS (
+  SELECT query_id, neighbor_id, approx_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_dist ASC, neighbor_id ASC
+                           ) AS rank
+  FROM scored
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT query_id, neighbor_id, approx_dist, rank"
+              f" FROM ranked WHERE rank <= {k}")
+
+
+ANN_PQ_ORACLE = _pq_oracle(_PQ_M, _PQ_CODES, _PQ_ITERS, _N_QUERIES,
+                           _ANN_K, _PQ_DIM)
+
+QUERIES_LATE["ann_pq_topk"] = (ann_pq_topk, ANN_PQ_ORACLE)

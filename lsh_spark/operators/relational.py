@@ -1481,3 +1481,146 @@ GROUP BY n_name
 """
 
 QUERIES_LATE["q22_sales_opportunity"] = (q22_sales_opportunity, Q22_ORACLE)
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count, INCLUDING
+    zero-order customers (the left-outer is the point of the query).
+    Shape (ref behavior: host-engine relational suite): customer
+    LEFT JOIN orders → per-customer count → count-of-counts.
+
+    100 TB plan: the first aggregate shuffles bare (custkey) pairs;
+    the second groups the per-customer counts — cardinality = number
+    of customers, then number of distinct counts.  No payload columns
+    ever shuffle."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, count(o_custkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+QUERIES_LATE["q13_customer_distribution"] = (q13_customer_distribution,
+                                             Q13_ORACLE)
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's shape: yearly-average revenue lost to small-quantity
+    orders of one brand — lineitem rows whose quantity is below 20% of
+    that part's average quantity.  The classic correlated scalar
+    subquery, planned Spark-first as a per-part aggregate broadcast
+    back onto the fact scan (one lineitem pass computes BOTH the
+    per-part averages and the candidate rows; AQE broadcasts the tiny
+    filtered-part aggregate).
+
+    Exactness: the per-part average quantity is SUM(DECIMAL)::DOUBLE /
+    COUNT (the q22 idiom — DuckDB's DECIMAL '/' degrades to double);
+    the final sum is exact DECIMAL rounded once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.where(F.col("p_brand") == "Brand#2").select("p_partkey")
+    cand = li.join(F.broadcast(brand_parts),
+                   li.l_partkey == brand_parts.p_partkey)
+    avg_qty = (
+        cand.groupBy("l_partkey")
+        .agg(F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+                    " / COUNT(*)").alias("__avg_qty"))
+    )
+    return (
+        cand.join(F.broadcast(avg_qty), "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(F.expr(
+            "CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)"
+            " AS DOUBLE)").alias("avg_yearly"))
+    )
+
+
+Q17_ORACLE = """
+WITH cand AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#2'
+),
+avg_qty AS (
+  SELECT l_partkey,
+         sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*) AS aq
+  FROM cand GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice::DECIMAL(18,2)) / 7.0, 2)::DOUBLE
+         AS avg_yearly
+FROM cand JOIN avg_qty USING (l_partkey)
+WHERE l_quantity < 0.2 * aq
+"""
+
+QUERIES_LATE["q17_small_quantity_revenue"] = (q17_small_quantity_revenue,
+                                              Q17_ORACLE)
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with any order whose total quantity exceeds
+    a threshold, top-100 by (o_totalprice DESC, o_orderdate ASC) —
+    deterministic ties on o_orderkey.
+
+    100 TB plan: the HAVING aggregate shuffles bare (orderkey,
+    quantity) pairs with map-side partial sums; only qualifying order
+    keys (tiny) join back — broadcast — onto orders/customer; the
+    top-100 is a distributed TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr("CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) "
+                    "AS DOUBLE)").alias("total_qty"))
+        .where(F.col("total_qty") > 270.0)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.col("o_orderdate").cast("date").cast("string")
+                .alias("o_orderdate"),
+                "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc(),
+                 F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey,
+         round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE > 270.0
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100
+"""
+
+QUERIES_LATE["q18_large_volume_customers"] = (q18_large_volume_customers,
+                                              Q18_ORACLE)

@@ -222,6 +222,104 @@ SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def phrase_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Exact multi-token PHRASE match via positional postings — the
+    retrieval primitive BM25's bag-of-words scoring cannot express
+    (contiguous token sequences: named entities, boilerplate strings,
+    quoted queries).  Returns one row per (query, matching doc):
+    ``(query_id, doc_id, n_occurrences, first_pos)`` with 0-based token
+    positions.
+
+    The distributed phrase-match recipe: every posting that matches ANY
+    phrase term at offset ``i`` votes for anchor ``pos − i``; an anchor
+    collecting votes from ALL ``len(phrase)`` offsets is a full
+    occurrence.  Repeated phrase terms work because each (pos, offset)
+    pair contributes exactly one vote to exactly one anchor.
+
+    100 TB shape: the phrase-term table (|Q| × phrase_len rows)
+    broadcasts; the corpus-side explode feeds one hash aggregate keyed
+    (query_id, doc_id, anchor) — the shuffle carries bare ids and two
+    ints, never text, with map-side partial counts; negative anchors
+    are provably sub-full (offset > pos) and pruned in-plan."""
+    pos_post = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_words(F.col(text_col))).alias("__pos", "__term"))
+    toks = F.col("__toks")
+    qtok = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _words(F.col(phrase_col)).alias("__toks"))
+    ph = qtok.select(
+        "query_id", F.posexplode(toks).alias("__off", "__term"))
+    plen = qtok.select("query_id", F.size(toks).alias("__plen"))
+    anchors = (
+        pos_post.join(F.broadcast(ph), "__term")
+        .select("query_id", "doc_id",
+                (F.col("__pos") - F.col("__off")).alias("__anchor"))
+        .where(F.col("__anchor") >= 0)
+        .groupBy("query_id", "doc_id", "__anchor")
+        .agg(F.count(F.lit(1)).alias("__nmatch"))
+    )
+    return (
+        anchors.join(F.broadcast(plen), "query_id")
+        .where(F.col("__nmatch") == F.col("__plen"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+             F.min("__anchor").cast("long").alias("first_pos"))
+    )
+
+
+def phrase_search_oracle_sql(queries_values: str, *,
+                             source: str = "documents") -> str:
+    """DuckDB replay of ``phrase_search``: 1-based generate_subscripts
+    shifted to the Spark side's 0-based positions, same anchor-vote
+    count."""
+    ws = r"'[ \t\n\x0b\f\r]+'"
+    return rf"""
+WITH q AS (SELECT * FROM (VALUES {queries_values}) q(query_id, phrase)),
+qtok AS (
+  SELECT query_id,
+         list_filter(string_split_regex(phrase, {ws}), t -> t != '')
+           AS toks
+  FROM q
+),
+ph AS (
+  SELECT query_id, generate_subscripts(toks, 1) - 1 AS off,
+         unnest(toks) AS term
+  FROM qtok
+),
+plen AS (SELECT query_id, len(toks) AS plen FROM qtok),
+post AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+         unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, {ws}), t -> t != '')
+                 AS toks
+        FROM {source})
+),
+anchors AS (
+  SELECT f.query_id, p.doc_id, p.pos - f.off AS anchor,
+         count(*) AS nm
+  FROM post p JOIN ph f USING (term)
+  WHERE p.pos - f.off >= 0
+  GROUP BY 1, 2, 3
+)
+SELECT a.query_id, a.doc_id,
+       count(*)::BIGINT AS n_occurrences,
+       min(a.anchor)::BIGINT AS first_pos
+FROM anchors a JOIN plen l USING (query_id)
+WHERE a.nm = l.plen
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # persisted inverted index (the standing-deployment form: postings and
 # doc lengths are computed once and bucketed, so every query batch

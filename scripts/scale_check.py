@@ -653,6 +653,94 @@ def retrieval() -> None:
     spark.stop()
 
 
+def pmi_vocab() -> None:
+    """PMI/vocab-family scale check (round-8 verdict item 5): the pair
+    table is the corpus's DISTINCT adjacent-bigram set — worst case
+    ~vocab² but in natural text bounded by observed adjacencies (Heaps-
+    law-ish growth), and the min-count filter bounds the scoring join.
+    Replication note: replicas multiply COUNTS of existing bigrams and
+    add ~1 new type per doc (the ' tailN' suffix), so distinct-pair
+    growth here is deliberately sublinear — the numbers to watch are
+    wall vs rows (explode+agg cost) and survivors vs min-count."""
+    from pyspark import StorageLevel
+
+    from lsh_spark.operators.training_ops import _words
+    from lsh_spark.plans import get_spark
+    from lsh_spark.sources.io import load_table
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 5, 20]
+    spark = get_spark(app_name="lsh_spark-scale-check-pmi")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n_base = base.count()
+    for rep in reps:
+        docs = (
+            base.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("doc_id") * rep + F.col("__rep")).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail"),
+                         F.col("__rep").cast("string")).alias("text"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        docs.count()
+        # vocab_stats plan over the replicated frame
+        t0 = time.perf_counter()
+        freq = (
+            docs.select(F.explode(_words(F.col("text"))).alias("__w"))
+            .groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+        )
+        row = freq.agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+        ).first()
+        t_vocab = time.perf_counter() - t0
+        # pmi_top_pairs plan (same shape as the gate query), plus the
+        # two scale diagnostics: distinct-pair count and min-count
+        # survivors
+        t0 = time.perf_counter()
+        toks = docs.select(_words(F.col("text")).alias("__t"))
+        grams = toks.select(
+            F.explode(F.expr(
+                "transform(sequence(1, greatest(size(__t) - 1, 0)), "
+                "i -> struct(element_at(__t, i) AS w1, "
+                "element_at(__t, i + 1) AS w2))")).alias("__g"),
+        ).select(F.col("__g.w1").alias("w1"), F.col("__g.w2").alias("w2"))
+        pair = (grams.groupBy("w1", "w2")
+                .agg(F.count(F.lit(1)).alias("__c12"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        diag = pair.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("__c12") >= 5, 1).otherwise(0))
+            .alias("n_kept")).first()
+        left = pair.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
+        right = pair.groupBy("w2").agg(F.sum("__c12").alias("__c2"))
+        total = pair.agg(F.sum("__c12").alias("__n"))
+        pmi = F.log(
+            (F.col("__c12").cast("double") * F.col("__n").cast("double"))
+            / (F.col("__c1").cast("double") * F.col("__c2").cast("double")))
+        n_top = (
+            pair.where(F.col("__c12") >= 5)
+            .join(left, "w1").join(right, "w2")
+            .crossJoin(F.broadcast(total))
+            .select("w1", "w2", F.round(pmi, 6).alias("pmi"))
+            .orderBy(F.col("pmi").desc(), F.col("w1").asc(),
+                     F.col("w2").asc())
+            .limit(50).count()
+        )
+        t_pmi = time.perf_counter() - t0
+        print(
+            f"rep={rep:3d} docs={n_base * rep:8d}  "
+            f"vocab_stats={t_vocab:6.1f}s (tokens={row.n_tokens} "
+            f"vocab={row.vocab})  pmi={t_pmi:6.1f}s "
+            f"(pairs={diag.n_pairs} kept>=5={diag.n_kept} top={n_top})",
+            flush=True)
+        pair.unpersist()
+        docs.unpersist()
+        spark.catalog.clearCache()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--vectors":
         vectors()
@@ -668,5 +756,7 @@ if __name__ == "__main__":
         urls_splits()
     elif len(sys.argv) > 1 and sys.argv[1] == "--retrieval":
         retrieval()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--pmi-vocab":
+        pmi_vocab()
     else:
         main()

@@ -174,6 +174,42 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
             assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]
 
 
+def test_pq_topk_semantics(spark):
+    """PQ/ADC on controlled two-cluster data: a query's own cluster
+    fills its top-k (codes separate well-spread clusters), ranks are
+    contiguous with non-decreasing rounded distance, self excluded,
+    and dim % m != 0 raises."""
+    import pytest
+
+    from lsh_spark.operators import ann
+
+    # two clusters, dim 8: ids 0-19 near e_A, ids 20-39 near e_B, with
+    # deterministic per-id jitter well inside the cluster gap
+    rows = []
+    for i in range(40):
+        base = ([10.0] * 4 + [0.0] * 4) if i < 20 else ([0.0] * 4 + [10.0] * 4)
+        rows.append((i, [b + 0.01 * ((i * 7 + d) % 5) for d, b in
+                         enumerate(base)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id").isin(0, 25))
+    got = ann.pq_topk(emb, queries, k=8, m=2, n_codes=4, n_iters=2,
+                      dim=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r.approx_dist for r in rs]
+        assert dists == sorted(dists)
+        assert all(r.neighbor_id != qid for r in rs)
+        same_cluster = [r for r in rs
+                        if (r.neighbor_id < 20) == (qid < 20)]
+        assert len(same_cluster) == len(rs), (qid, rs)
+    with pytest.raises(ValueError, match="not divisible"):
+        ann.pq_topk(emb, queries, m=3, dim=8)
+
+
 def test_tune_bands_properties():
     from lsh_spark.operators.banding import (
         BandingPlan,
@@ -2175,6 +2211,30 @@ def test_hybrid_indexed_full_probe_matches_on_the_fly(spark):
             drop_table_and_files(spark, f"{tname}{sfx}")
         for sfx in ("", "_centroids", "_meta", "_bounds", "_deletes"):
             drop_table_and_files(spark, f"{vname}{sfx}")
+
+
+def test_phrase_search_semantics(spark):
+    """Anchor-vote phrase matching: overlapping occurrences all count
+    ("a a a" contains "a a" twice), repeated-term phrases match only
+    true contiguous runs, sub-phrase scatter (terms present but not
+    adjacent) does NOT match, and first_pos is the earliest anchor."""
+    from lsh_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [(0, "x a a a y"),       # "a a" twice (overlap), anchors 1,2
+         (1, "a b a b"),          # "a b" twice, non-overlapping
+         (2, "b a x a b"),        # scattered: "a b" only at anchor 3
+         (3, "b b x")],           # no "a" at all
+        "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(0, "a a"), (1, "a b")], "query_id long, phrase string")
+    got = {(r.query_id, r.doc_id): (r.n_occurrences, r.first_pos)
+           for r in phrase_search(docs, qs).collect()}
+    assert got == {
+        (0, 0): (2, 1),   # overlapping "a a" at positions 1 and 2
+        (1, 1): (2, 0),   # "a b" at 0 and 2
+        (1, 2): (1, 3),   # only the adjacent pair counts
+    }
 
 
 def test_snapshot_diff_statuses(spark):

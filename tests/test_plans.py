@@ -583,6 +583,40 @@ def test_bm25_doc_lengths_pruned_to_matched_docs(spark):
                for i in semi_idx), plan
 
 
+def test_pq_scores_codes_not_vectors(spark):
+    """PQ/ADC: codebooks are trained at plan-construction (collected
+    broadcasts + literal LUT centroids), so the EXECUTED plan has
+    exactly one Python pass — the encode kernel — and no exchange ever
+    carries the raw embedding array; scoring is the fixed element_at
+    chain over m int codes."""
+    from lsh_spark.operators.pipeline_queries import ann_pq_topk
+    from lsh_spark.plans import release_intermediates
+
+    import re
+
+    release_intermediates()
+    plan = _plan(ann_pq_topk(spark, SF_DIR))
+    release_intermediates()
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    exchange_lines = " ".join(
+        l for l in plan.splitlines() if "Exchange" in l)
+    assert "embedding#" not in exchange_lines, exchange_lines
+
+
+def test_phrase_search_shuffles_ids_never_text(spark):
+    """Phrase search: the phrase-term table broadcasts; the anchor
+    aggregate's exchange carries (query_id, doc_id, anchor) ints only —
+    document text never shuffles, and no Python runs."""
+    from lsh_spark.operators.pipeline_queries import phrase_search_docs
+
+    plan = _plan(phrase_search_docs(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    exchange_lines = " ".join(
+        l for l in plan.splitlines() if "Exchange" in l)
+    assert "text#" not in exchange_lines, exchange_lines
+
+
 def test_duplicate_substring_spans_digest_shuffle(spark):
     """Span detection: one scan, in-plan explode (no Python), and the
     wide exchange keys on the md5 digest — window text never shuffles."""

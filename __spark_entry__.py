@@ -184,6 +184,9 @@ _REDUNDANT_TAIL = [
     "q18_large_volume_customers",
     "phrase_search_docs",
     "ann_pq_topk",
+    "zipf_fit_stats",
+    "ann_pq_index_search",
+    "ann_pq_index_stats",
 ]
 
 

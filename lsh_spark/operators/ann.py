@@ -607,6 +607,20 @@ def pq_topk(
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("__v")),
         bcs, "__v").drop("__v")
+    qs = _pq_query_luts(queries, [b.value for b in bcs],
+                        vec_col=vec_col, id_col=id_col, width=width)
+    return _pq_score(codes, qs, m=m, k=k)
+
+
+def _pq_query_luts(queries: DataFrame, books_np, *, vec_col: str,
+                   id_col: str, width: int) -> DataFrame:
+    """Append ``__lut_0..__lut_{m-1}`` per query: d2 to every codebook
+    entry, array-indexed by code.  Codebooks ride as LITERAL struct
+    arrays rebuilt from the already-collected numpy (float64 literals
+    round-trip exactly) — joining the Lloyd lineage here would make the
+    executed plan re-train all m codebooks a second time.  Queries-side
+    only — tiny, so the interpreted HOF is fine HERE; the corpus-side
+    lookup in ``_pq_score`` stays codegen."""
     qs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__q"))
@@ -616,17 +630,8 @@ def pq_topk(
         # F.transform as the (element, index) form
         return lambda ct: _sqdist_mirror(qslice, ct["__cv"])
 
-    for s in range(m):
+    for s, (cells, mat) in enumerate(books_np):
         qslice = F.slice(F.col("__q"), s * width + 1, width)
-        # per-query LUT: d2 to every codebook entry, array-indexed by
-        # code.  The codebook rides as a LITERAL struct array rebuilt
-        # from the ALREADY-collected broadcast (float64 literals
-        # round-trip exactly) — joining the Lloyd lineage here would
-        # make the executed plan re-train all m codebooks a second
-        # time (2·m extra corpus passes).  Queries-side only — tiny,
-        # so the interpreted HOF is fine HERE; the corpus-side lookup
-        # below stays codegen.
-        cells, mat = bcs[s].value
         cent_lit = F.array(*[
             F.struct(F.lit(int(cells[j])).alias("__cell"),
                      F.array(*[F.lit(float(x)) for x in mat[j]])
@@ -634,10 +639,17 @@ def pq_topk(
             for j in range(len(cells))])
         qs = qs.withColumn(f"__lut_{s}",
                            F.transform(cent_lit, _lut(qslice)))
-    qs = qs.drop("__q")
-    pairs = codes.crossJoin(F.broadcast(qs)).where(
+    return qs.drop("__q")
+
+
+def _pq_score(codes: DataFrame, qs_with_luts: DataFrame, *, m: int,
+              k: int) -> DataFrame:
+    """Shared ADC scoring tail (on-the-fly and persisted-index forms):
+    crossJoin the broadcast (query, LUTs) frame onto the codes scan and
+    sum the m ``element_at`` lookups in subspace order — the oracle's
+    ``((0 + d_0) + d_1) + ...`` fold, whole-stage codegen."""
+    pairs = codes.crossJoin(F.broadcast(qs_with_luts)).where(
         F.col("query_id") != F.col("neighbor_id"))
-    # ((0 + d_0) + d_1) + ... — the oracle's list_reduce fold order
     dist = F.lit(0.0)
     for s in range(m):
         dist = dist + F.element_at(F.col(f"__lut_{s}"),
@@ -650,6 +662,241 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# persisted PQ index — the encode-once shape of pq_topk: codebooks are
+# trained once, the corpus persists as m ints per vector, and every
+# query batch pays only the LUT build (driver-tiny) plus one scan of
+# the codes table (m/8·dim of the raw float64 bytes).  Same lifecycle
+# contract as the LSH/IVF/text families: build/search/extend/delete/
+# attach/stats, merge-on-read tombstones, append-skip of already-
+# indexed ids, meta-row parameter pinning.
+# ---------------------------------------------------------------------------
+
+def build_pq_index(
+    corpus: DataFrame,
+    table_name: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    n_codes: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+) -> None:
+    """Persist a PQ index: ``<name>_codes`` (neighbor_id,
+    __code_0..__code_{m-1}), ``<name>_codebooks`` (sub, cell, centroid)
+    written as a literal projection (no Python-local relation), and a
+    ``<name>_meta`` row pinning every parameter.  Searches equal
+    ``pq_topk`` with the same parameters by construction — same
+    trainer, same encoder, same fold."""
+    from ..sources.formats import (
+        drop_table_and_files,
+        drop_versioned_siblings,
+        save_table,
+    )
+
+    if dim % m:
+        raise ValueError(f"build_pq_index: dim={dim} not divisible by m={m}")
+    width = dim // m
+    spark = corpus.sparkSession
+    drop_versioned_siblings(spark, f"{table_name}_codes", 0)
+    books = []
+    for s in range(m):
+        sl = corpus.select(
+            F.col(id_col).alias("__vid"),
+            F.slice(F.col(vec_col).cast("array<double>"),
+                    s * width + 1, width).alias("__sv"))
+        books.append(_collect_centroids(
+            lloyd_centroids(sl, vec_col="__sv", id_col="__vid",
+                            n_lists=n_codes, n_iters=n_iters)))
+    codes = _pq_encode_pandas(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("__v")),
+        books, "__v").drop("__v")
+    save_table(codes, f"{table_name}_codes")
+    cb_rows = []
+    for s, b in enumerate(books):
+        cells, mat = b.value
+        for j in range(len(cells)):
+            cb_rows.append(F.struct(
+                F.lit(s).cast("int").alias("sub"),
+                F.lit(int(cells[j])).cast("int").alias("cell"),
+                F.array(*[F.lit(float(x)) for x in mat[j]])
+                .alias("centroid")))
+    cb = (
+        spark.range(1)
+        .select(F.explode(F.array(*cb_rows)).alias("__r"))
+        .select("__r.sub", "__r.cell", "__r.centroid")
+    )
+    save_table(cb, f"{table_name}_codebooks", single_file=True)
+    meta = spark.range(1).select(
+        F.lit(vec_col).alias("vec_col"),
+        F.lit(id_col).alias("id_col"),
+        F.lit(m).cast("int").alias("m"),
+        F.lit(n_codes).cast("int").alias("n_codes"),
+        F.lit(n_iters).cast("int").alias("n_iters"),
+        F.lit(dim).cast("int").alias("dim"),
+        F.lit(0).cast("int").alias("version"),
+    )
+    save_table(meta, f"{table_name}_meta", single_file=True)
+    drop_table_and_files(spark, f"{table_name}_deletes")
+
+
+def _pq_meta(spark, table_name: str):
+    from ..sources.formats import index_meta
+
+    return index_meta(spark, f"{table_name}_meta")
+
+
+def _pq_books_from_table(spark, table_name: str):
+    """Collect the persisted codebooks back to the list-of-(cells, mat)
+    numpy shape the encode/LUT helpers consume (m · n_codes rows —
+    driver-tiny, the _collect_centroids trade)."""
+    import numpy as np
+
+    rows = spark.table(f"{table_name}_codebooks").collect()
+    by_sub: dict = {}
+    for r in rows:
+        by_sub.setdefault(r.sub, []).append(r)
+    books = []
+    for s in sorted(by_sub):
+        ordered = sorted(by_sub[s], key=lambda r: r.cell)
+        cells = np.array([r.cell for r in ordered], dtype=np.int32)
+        mat = np.array([list(r.centroid) for r in ordered],
+                       dtype=np.float64)
+        books.append((cells, mat))
+    return books
+
+
+def search_pq_index(
+    spark,
+    table_name: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k over a persisted ``build_pq_index``: LUTs from the
+    persisted codebooks, one scan of the codes table, tombstones
+    anti-joined — identical results to ``pq_topk`` at the build's
+    parameters (pytest-pinned)."""
+    from ..sources.formats import meta_version, versioned_name
+
+    mt = _pq_meta(spark, table_name)
+    codes = spark.table(
+        versioned_name(f"{table_name}_codes", meta_version(mt)))
+    if spark.catalog.tableExists(f"{table_name}_deletes"):
+        codes = codes.join(
+            F.broadcast(spark.table(f"{table_name}_deletes")),
+            on="neighbor_id", how="left_anti")
+    books = _pq_books_from_table(spark, table_name)
+    qs = _pq_query_luts(queries, books, vec_col=mt.vec_col,
+                        id_col=mt.id_col, width=int(mt.dim) // int(mt.m))
+    return _pq_score(codes, qs, m=int(mt.m), k=k)
+
+
+def extend_pq_index(new_vecs: DataFrame, table_name: str) -> None:
+    """Incrementally encode new vectors against the FROZEN persisted
+    codebooks and append their codes (the extend_ivf_index contract:
+    the quantizer never retrains on extend).  Ids the index already
+    carries are skipped via an anti-join pinned with an eager
+    localCheckpoint BEFORE the append (the self-referential-lazy-read
+    guard of ``extend_text_index``); tombstoned ids stay deleted."""
+    from ..plans.cache import track_broadcast
+    from ..sources.formats import meta_version, save_table, versioned_name
+
+    spark = new_vecs.sparkSession
+    mt = _pq_meta(spark, table_name)
+    phys = versioned_name(f"{table_name}_codes", meta_version(mt))
+    indexed = spark.table(phys).select(
+        F.col("neighbor_id").alias(mt.id_col))
+    fresh_ids = (
+        new_vecs.select(mt.id_col)
+        .join(indexed, on=mt.id_col, how="left_anti")
+        .localCheckpoint(eager=True))
+    fresh = new_vecs.join(fresh_ids, on=mt.id_col, how="left_semi")
+    books = [track_broadcast(spark.sparkContext.broadcast(b))
+             for b in _pq_books_from_table(spark, table_name)]
+    codes = _pq_encode_pandas(
+        fresh.select(F.col(mt.id_col).alias("neighbor_id"),
+                     F.col(mt.vec_col).cast("array<double>").alias("__v")),
+        books, "__v").drop("__v")
+    save_table(codes, phys, mode="append")
+
+
+def delete_from_pq_index(ids: DataFrame, table_name: str,
+                         id_col: "str | None" = None) -> None:
+    """Merge-on-read tombstones (the delete_from_ivf_index contract):
+    searches anti-join ``<name>_deletes``; a full build clears
+    file-level; re-appending a tombstoned id does not resurrect it
+    (its codes row survives, so the extend anti-join skips it and the
+    tombstone keeps winning)."""
+    from ..sources.formats import save_table
+    from .similarity_join import _adopt_orphan_tombstones
+
+    spark = ids.sparkSession
+    if id_col is None:
+        id_col = _pq_meta(spark, table_name).id_col
+    rows = ids.select(F.col(id_col).alias("neighbor_id")).distinct()
+    _adopt_orphan_tombstones(spark, table_name)
+    save_table(rows, f"{table_name}_deletes", mode="append",
+               single_file=True)
+
+
+def attach_pq_index(spark, table_name: str,
+                    location_root: "str | None" = None) -> None:
+    """Re-register a ``build_pq_index`` written by an earlier session
+    (in-memory catalog — the attach contract shared by every index
+    family)."""
+    import os
+
+    from ..sources.formats import (
+        _warehouse_path,
+        attach_table,
+        meta_version,
+        versioned_name,
+    )
+
+    root = location_root or _warehouse_path(spark)
+
+    def loc(name: str) -> str:
+        return os.path.join(root, name.lower())
+
+    attach_table(spark, f"{table_name}_meta", loc(f"{table_name}_meta"))
+    mt = _pq_meta(spark, table_name)
+    phys = versioned_name(f"{table_name}_codes", meta_version(mt))
+    attach_table(spark, phys, loc(phys))
+    attach_table(spark, f"{table_name}_codebooks",
+                 loc(f"{table_name}_codebooks"))
+    dels = loc(f"{table_name}_deletes")
+    if os.path.isdir(dels):
+        attach_table(spark, f"{table_name}_deletes", dels)
+
+
+def pq_index_stats(spark, table_name: str) -> DataFrame:
+    """Live content statistics (tombstones anti-joined exactly as
+    searches do): one row (n_vectors, m, n_codes, dim,
+    n_distinct_codewords) — the codeword-diversity number is the
+    quantization-health signal (collapsed codebooks show here first)."""
+    from ..sources.formats import meta_version, versioned_name
+
+    mt = _pq_meta(spark, table_name)
+    codes = spark.table(
+        versioned_name(f"{table_name}_codes", meta_version(mt)))
+    if spark.catalog.tableExists(f"{table_name}_deletes"):
+        codes = codes.join(
+            F.broadcast(spark.table(f"{table_name}_deletes")),
+            on="neighbor_id", how="left_anti")
+    m = int(mt.m)
+    word = F.struct(*[F.col(f"__code_{s}") for s in range(m)])
+    return codes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.lit(m).cast("int").alias("m"),
+        F.lit(int(mt.n_codes)).cast("int").alias("n_codes"),
+        F.lit(int(mt.dim)).cast("int").alias("dim"),
+        F.countDistinct(word).cast("long").alias("n_distinct_codewords"),
     )
 
 

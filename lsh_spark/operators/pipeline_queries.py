@@ -3483,6 +3483,101 @@ QUERIES_LATE["vocab_stats"] = (vocab_stats, VOCAB_STATS_ORACLE)
 
 
 # ---------------------------------------------------------------------------
+# Zipf power-law fit (dataset-card lexical diagnostics): least-squares
+# slope/intercept of ln(freq) on ln(rank) over the top-N types.  The
+# top-N selection is a distributed TakeOrdered (never a global window
+# over the full vocabulary); per-type log terms are 6-dp-quantized then
+# DECIMAL-summed (exact, order-independent — the money discipline for
+# irrational doubles), and the closed-form slope runs in ONE literal
+# double op order after casting the decimal sums.
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP_N = 1000
+
+
+def zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .training_ops import _words
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(_words(F.col("text"))).alias("__w"))
+        .groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    top = freq.orderBy(F.col("__c").desc(), F.col("__w").asc()) \
+        .limit(_ZIPF_TOP_N)
+    w = Window.orderBy(F.col("__c").desc(), F.col("__w").asc())
+    ranked = top.withColumn("__r", F.row_number().over(w))
+    x = F.round(F.log(F.col("__r").cast("double")), 6)
+    y = F.round(F.log(F.col("__c").cast("double")), 6)
+    terms = ranked.select(
+        x.cast("decimal(28,6)").alias("__x"),
+        y.cast("decimal(28,6)").alias("__y"),
+        F.round(x * y, 6).cast("decimal(28,6)").alias("__xy"),
+        F.round(x * x, 6).cast("decimal(28,6)").alias("__xx"),
+    )
+    sums = terms.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.expr("CAST(SUM(__x) AS DOUBLE)").alias("__sx"),
+        F.expr("CAST(SUM(__y) AS DOUBLE)").alias("__sy"),
+        F.expr("CAST(SUM(__xy) AS DOUBLE)").alias("__sxy"),
+        F.expr("CAST(SUM(__xx) AS DOUBLE)").alias("__sxx"),
+    )
+    slope = ((F.col("__n") * F.col("__sxy")) - (F.col("__sx") * F.col("__sy"))) \
+        / ((F.col("__n") * F.col("__sxx")) - (F.col("__sx") * F.col("__sx")))
+    intercept = (F.col("__sy") - (F.round(slope, 6) * F.col("__sx"))) \
+        / F.col("__n")
+    return sums.select(
+        F.col("__n").cast("long").alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+ZIPF_FIT_ORACLE = rf"""
+WITH freq AS (
+  SELECT t AS w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(list_filter(string_split_regex(text,
+                                  '[ \t\n\x0b\f\r]+'),
+               t -> t != '')) AS t
+        FROM documents)
+  GROUP BY t
+),
+top_n AS (
+  SELECT w, c FROM freq ORDER BY c DESC, w ASC LIMIT {_ZIPF_TOP_N}
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r FROM top_n
+),
+terms AS (
+  SELECT round(ln(r::DOUBLE), 6)::DECIMAL(28,6) AS x,
+         round(ln(c::DOUBLE), 6)::DECIMAL(28,6) AS y,
+         round(round(ln(r::DOUBLE), 6) * round(ln(c::DOUBLE), 6),
+               6)::DECIMAL(28,6) AS xy,
+         round(round(ln(r::DOUBLE), 6) * round(ln(r::DOUBLE), 6),
+               6)::DECIMAL(28,6) AS xx
+  FROM ranked
+),
+sums AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+         sum(xy)::DOUBLE AS sxy, sum(xx)::DOUBLE AS sxx
+  FROM terms
+)
+SELECT n::BIGINT AS n_types,
+       round(((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)), 6)
+         AS zipf_slope,
+       round((sy - (round(((n * sxy) - (sx * sy))
+                          / ((n * sxx) - (sx * sx)), 6) * sx)) / n, 6)
+         AS zipf_intercept
+FROM sums
+"""
+
+QUERIES_LATE["zipf_fit_stats"] = (zipf_fit_stats, ZIPF_FIT_ORACLE)
+
+
+# ---------------------------------------------------------------------------
 # PMI collocations — pointwise mutual information of adjacent word
 # pairs: ln((c12·N) / (c1·c2)) over integer counts (one ln per pair, no
 # fold needed), min-count filtered, top-k by rounded PMI with (w1, w2)
@@ -3857,3 +3952,62 @@ ANN_PQ_ORACLE = _pq_oracle(_PQ_M, _PQ_CODES, _PQ_ITERS, _N_QUERIES,
                            _ANN_K, _PQ_DIM)
 
 QUERIES_LATE["ann_pq_topk"] = (ann_pq_topk, ANN_PQ_ORACLE)
+
+
+def ann_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``ann_pq_topk`` workload against the session's PERSISTED PQ
+    index (ensure_pq_index — encode once, probe many): same parameters,
+    so it carries the identical exact oracle; the persisted codes and
+    codebooks are thereby pinned against an independent from-scratch
+    derivation every round."""
+    from ..streaming.vectors import ensure_pq_index
+    from .ann import search_pq_index
+
+    index = ensure_pq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return search_pq_index(
+        spark, index, emb.where(F.col("vec_id") < _N_QUERIES), k=_ANN_K)
+
+
+QUERIES_LATE["ann_pq_index_search"] = (ann_pq_index_search, ANN_PQ_ORACLE)
+
+
+def ann_pq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live-content statistics of the persisted PQ index; the oracle
+    recomputes the codes from scratch (the m unrolled Lloyd chains), so
+    persisted state is checked against an independent derivation — the
+    lsh_index_stats contract."""
+    from ..streaming.vectors import ensure_pq_index
+    from .ann import pq_index_stats
+
+    index = ensure_pq_index(spark, sf_dir)
+    return pq_index_stats(spark, index)
+
+
+def _pq_stats_oracle(m: int, n_codes: int, n_iters: int, dim: int) -> str:
+    width = dim // m
+    ctes = []
+    for s in range(m):
+        lo, hi = s * width + 1, (s + 1) * width
+        ctes.extend(_lloyd_cell_ctes(
+            n_codes, n_iters, sfx=f"_s{s}",
+            vexpr=f"(embedding::DOUBLE[])[{lo}:{hi}]"))
+    joins = "".join(
+        f" JOIN c_cells_s{s} c{s} USING (neighbor_id)" for s in range(1, m))
+    word = ", ".join(f"c{s}.cell" for s in range(m))
+    ctes.append(f"""words AS (
+  SELECT c0.neighbor_id, {", ".join(f"c{s}.cell AS w{s}" for s in range(m))}
+  FROM c_cells_s0 c0{joins}
+)""".replace("{word}", word))
+    tup = ", ".join(f"w{s}" for s in range(m))
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT count(*)::BIGINT AS n_vectors,
+       {m}::INT AS m, {n_codes}::INT AS n_codes, {dim}::INT AS dim,
+       count(DISTINCT ({tup}))::BIGINT AS n_distinct_codewords
+FROM words
+""")
+
+
+QUERIES_LATE["ann_pq_index_stats"] = (
+    ann_pq_index_stats,
+    _pq_stats_oracle(_PQ_M, _PQ_CODES, _PQ_ITERS, _PQ_DIM))

@@ -167,3 +167,44 @@ def ensure_ivf_sq8_index(spark: SparkSession, sf_dir: str) -> str:
               f"{time.perf_counter() - t0:.2f}s (reused by later runs "
               f"in this session)", file=sys.stderr)
     return index
+
+
+def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Session-amortized build of the gate's persisted PQ index over the
+    embeddings table (the ``ann_pq_topk`` parameters); same contract as
+    ``ensure_ivf_index``: fresh sessions build, parameter changes force
+    a rebuild via the meta row, same-session reruns time the probe
+    only."""
+    from ..operators.ann import build_pq_index
+    from ..operators.pipeline_queries import (
+        _PQ_CODES,
+        _PQ_DIM,
+        _PQ_ITERS,
+        _PQ_M,
+    )
+    from ..sources.io import _ensure_session_confs, load_table
+
+    _ensure_session_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    index = f"pqidx_{tag}"
+    want = dict(vec_col="embedding", id_col="vec_id", m=int(_PQ_M),
+                n_codes=int(_PQ_CODES), n_iters=int(_PQ_ITERS),
+                dim=int(_PQ_DIM))
+    have = None
+    if spark.catalog.tableExists(f"{index}_meta"):
+        mt = spark.table(f"{index}_meta").first()
+        have = dict(vec_col=mt.vec_col, id_col=mt.id_col, m=mt.m,
+                    n_codes=mt.n_codes, n_iters=mt.n_iters, dim=mt.dim)
+    if have != want:
+        import sys
+        import time
+
+        t0 = time.perf_counter()
+        build_pq_index(emb, index, vec_col="embedding", id_col="vec_id",
+                       m=_PQ_M, n_codes=_PQ_CODES, n_iters=_PQ_ITERS,
+                       dim=_PQ_DIM)
+        print(f"# ensure_pq_index: index build took "
+              f"{time.perf_counter() - t0:.2f}s (reused by later runs "
+              f"in this session)", file=sys.stderr)
+    return index

@@ -210,6 +210,75 @@ def test_pq_topk_semantics(spark):
         ann.pq_topk(emb, queries, m=3, dim=8)
 
 
+def test_pq_index_lifecycle(spark):
+    """build → search equals on-the-fly pq_topk at the same params;
+    extend encodes against the FROZEN codebooks, skips already-indexed
+    ids, and the new vectors surface; delete tombstones merge-on-read
+    and stats count live rows; attach re-registers from files."""
+    import uuid
+
+    from lsh_spark.operators import ann
+
+    rows = [(i, [0.25 * ((i * 3 + d) % 7) for d in range(8)])
+            for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") < 3)
+    name = f"pqidx_{uuid.uuid4().hex[:8]}"
+    try:
+        ann.build_pq_index(emb, name, m=2, n_codes=4, n_iters=2, dim=8)
+        direct = sorted(map(tuple, ann.pq_topk(
+            emb, queries, k=5, m=2, n_codes=4, n_iters=2, dim=8).collect()))
+        viaidx = sorted(map(tuple, ann.search_pq_index(
+            spark, name, queries, k=5).collect()))
+        assert direct == viaidx
+
+        st = ann.pq_index_stats(spark, name).first()
+        assert st.n_vectors == 30 and st.m == 2 and st.n_codes == 4
+
+        # extend: ids 25-29 overlap (skipped — frozen first copy wins),
+        # 30-34 are new
+        more = spark.createDataFrame(
+            [(i, [0.25 * ((i * 3 + d) % 7) for d in range(8)])
+             for i in range(25, 35)],
+            "vec_id long, embedding array<double>")
+        ann.extend_pq_index(more, name)
+        assert ann.pq_index_stats(spark, name).first().n_vectors == 35
+        after = ann.search_pq_index(spark, name, queries, k=35).collect()
+        assert {r.neighbor_id for r in after} >= {30, 31, 32, 33, 34}
+
+        # delete: tombstoned ids vanish from search and stats
+        ann.delete_from_pq_index(
+            spark.createDataFrame([(30,), (1,)], ["vec_id"]), name)
+        live = ann.search_pq_index(spark, name, queries, k=35).collect()
+        assert not any(r.neighbor_id in (30, 1) for r in live)
+        assert ann.pq_index_stats(spark, name).first().n_vectors == 33
+
+        # attach from copied files under a new name (the cross-session
+        # re-register contract)
+        import os
+        import shutil
+        import tempfile
+
+        from lsh_spark.sources.formats import _warehouse_path
+
+        wh = _warehouse_path(spark)
+        tmp = tempfile.mkdtemp()
+        name2 = f"{name}b"
+        for sfx in ("_codes", "_codebooks", "_meta", "_deletes"):
+            shutil.copytree(os.path.join(wh, f"{name}{sfx}"),
+                            os.path.join(tmp, f"{name2}{sfx}"))
+        ann.attach_pq_index(spark, name2, location_root=tmp)
+        again = sorted(map(tuple, ann.search_pq_index(
+            spark, name2, queries, k=35).collect()))
+        assert again == sorted(map(tuple, live))
+    finally:
+        from lsh_spark.sources.formats import drop_table_and_files
+
+        for nm in (name, f"{name}b"):
+            for sfx in ("_codes", "_codebooks", "_meta", "_deletes"):
+                drop_table_and_files(spark, f"{nm}{sfx}")
+
+
 def test_tune_bands_properties():
     from lsh_spark.operators.banding import (
         BandingPlan,

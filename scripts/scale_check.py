@@ -741,6 +741,69 @@ def pmi_vocab() -> None:
     spark.stop()
 
 
+def pq() -> None:
+    """PQ-family scale check: embeddings replicated with fresh ids and
+    a per-replica component nudge (so codes do real work).  Expected
+    shapes: on-the-fly pq_topk linear-ish in rows (train + encode +
+    scan per call); the persisted index's BUILD linear and paid once,
+    its SEARCH linear in rows but over m ints per vector instead of
+    dim floats — the compression claim, measured."""
+    from pyspark import StorageLevel
+
+    from lsh_spark.operators.ann import (
+        build_pq_index,
+        pq_topk,
+        search_pq_index,
+    )
+    from lsh_spark.plans import get_spark
+    from lsh_spark.sources.formats import drop_table_and_files
+    from lsh_spark.sources.io import load_table
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 5, 20]
+    spark = get_spark(app_name="lsh_spark-scale-check-pq")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n_base = base.count()
+    for rep in reps:
+        emb = (
+            base.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("vec_id") * rep + F.col("__rep")).alias("vec_id"),
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x: x + F.col("__rep").cast("double") * 0.001)
+                .alias("embedding"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        emb.count()
+        queries = emb.where(F.col("vec_id") < 10)
+        t0 = time.perf_counter()
+        n_fly = pq_topk(emb, queries, k=10, m=4, n_codes=8, n_iters=2,
+                        dim=64).count()
+        t_fly = time.perf_counter() - t0
+        name = f"scalecheck_pq_{rep}"
+        t0 = time.perf_counter()
+        build_pq_index(emb, name, m=4, n_codes=8, n_iters=2, dim=64)
+        t_build = time.perf_counter() - t0
+        t_search = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_idx = search_pq_index(spark, name, queries, k=10).count()
+            t_search = min(t_search, time.perf_counter() - t0)
+        print(
+            f"rep={rep:3d} vecs={n_base * rep:8d}  "
+            f"pq_fly={t_fly:6.1f}s ({n_fly})  "
+            f"index_build={t_build:6.1f}s  "
+            f"index_search={t_search:6.1f}s ({n_idx})",
+            flush=True)
+        for sfx in ("_codes", "_codebooks", "_meta", "_deletes"):
+            drop_table_and_files(spark, f"{name}{sfx}")
+        emb.unpersist()
+        spark.catalog.clearCache()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--vectors":
         vectors()
@@ -758,5 +821,7 @@ if __name__ == "__main__":
         retrieval()
     elif len(sys.argv) > 1 and sys.argv[1] == "--pmi-vocab":
         pmi_vocab()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--pq":
+        pq()
     else:
         main()

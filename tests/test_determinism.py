@@ -39,6 +39,11 @@ QUERIES_TO_CHECK = [
     "ann_recall_report",      # integer set intersection of two top-ks
     "source_quality_report",  # DECIMAL(18,6) mean of 6-dp scores
     "corpus_snapshot_diff",   # digest full-outer statuses
+    # round-9 surfaces:
+    "ann_pq_topk",            # fixed-point Lloyd ×m + ADC LUT chain
+    "phrase_search_docs",     # anchor-vote counts (pure integers)
+    "zipf_fit_stats",         # decimal-summed quantized log terms
+    "q17_small_quantity_revenue",  # per-part avg broadcast filter
 ]
 
 _RUNNER = """

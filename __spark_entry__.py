@@ -187,6 +187,7 @@ _REDUNDANT_TAIL = [
     "zipf_fit_stats",
     "ann_pq_index_search",
     "ann_pq_index_stats",
+    "ann_pq_search_streaming",
 ]
 
 

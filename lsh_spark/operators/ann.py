@@ -875,6 +875,58 @@ def attach_pq_index(spark, table_name: str,
         attach_table(spark, f"{table_name}_deletes", dels)
 
 
+def compact_pq_index(spark, table_name: str, *,
+                     keep_previous: bool = False) -> None:
+    """Maintenance pass after ``extend_pq_index`` appends and
+    tombstones (the compact_ivf_index contract): rewrite the codes
+    into one compacted file-set with tombstoned vectors FOLDED OUT and
+    truncate ``_deletes`` — searches stop paying the growing anti-join
+    and per-file opens; codebooks are untouched (the quantizer never
+    retrains) so results are unchanged.  Probe-safe generation swap:
+    the compacted codes land as ``<name>_codes_v{N+1}``, published by
+    ONE appended meta row; ``keep_previous=True`` defers old-generation
+    cleanup.  Warehouse-resident indexes only."""
+    from ..sources.formats import (
+        drop_table_and_files,
+        drop_versioned_siblings,
+        generation_in_warehouse,
+        meta_version,
+        save_table,
+        versioned_name,
+    )
+
+    mt = _pq_meta(spark, table_name)
+    cur = meta_version(mt)
+    nxt = cur + 1
+    phys = versioned_name(f"{table_name}_codes", cur)
+    if not generation_in_warehouse(spark, phys):
+        raise ValueError(
+            f"refusing to compact {table_name}: {phys} is attached at "
+            "a custom location, and the compacted generation always "
+            "lands in the session warehouse — the index would end up "
+            "split across directories; copy it into the warehouse "
+            "(the attach default) or rebuild first")
+    deletes = None
+    if spark.catalog.tableExists(f"{table_name}_deletes"):
+        deletes = spark.table(f"{table_name}_deletes")
+    drop_versioned_siblings(spark, f"{table_name}_codes", cur)
+    src = spark.table(phys)
+    if deletes is not None:
+        src = src.join(F.broadcast(deletes), on="neighbor_id",
+                       how="left_anti")
+    save_table(src, versioned_name(f"{table_name}_codes", nxt))
+    flipped = spark.range(1).select(
+        *[F.lit(mt[c]).alias(c) for c in spark.table(
+            f"{table_name}_meta").columns if c != "version"],
+        F.lit(nxt).cast("int").alias("version"))
+    save_table(flipped, f"{table_name}_meta", mode="append",
+               single_file=True)
+    if not keep_previous:
+        drop_table_and_files(spark, phys)
+        if deletes is not None:
+            drop_table_and_files(spark, f"{table_name}_deletes")
+
+
 def pq_index_stats(spark, table_name: str) -> DataFrame:
     """Live content statistics (tombstones anti-joined exactly as
     searches do): one row (n_vectors, m, n_codes, dim,

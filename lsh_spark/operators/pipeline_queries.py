@@ -4011,3 +4011,15 @@ FROM words
 QUERIES_LATE["ann_pq_index_stats"] = (
     ann_pq_index_stats,
     _pq_stats_oracle(_PQ_M, _PQ_CODES, _PQ_ITERS, _PQ_DIM))
+
+
+def _pq_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # late-registered here (not in streaming_vectors.QUERIES) so the
+    # earlier registry positions stay stable — the QUERIES_LATE contract
+    from ..streaming.vectors import ann_pq_search_streaming
+
+    return ann_pq_search_streaming(spark, sf_dir)
+
+
+QUERIES_LATE["ann_pq_search_streaming"] = (_pq_search_streaming,
+                                           ANN_PQ_ORACLE)

@@ -118,6 +118,60 @@ def ann_ivf_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "cosine_sim", "rank")
 
 
+def ann_pq_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``ann_pq_topk`` workload driven through a streaming query:
+    query vectors arrive as a file-source stream and probe the
+    persisted PQ index inside ``foreachBatch`` — same parameters as
+    the batch twin, so it carries the identical exact unrolled-Lloyd
+    ADC oracle.  Registered via pipeline_queries.QUERIES_LATE (the
+    late-registration contract keeps earlier registry positions
+    stable)."""
+    from ..operators.ann import search_pq_index
+    from ..operators.pipeline_queries import _ANN_K, _N_QUERIES
+    from ..sources.io import load_table
+
+    index = ensure_pq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+        .where(F.col("vec_id") < _N_QUERIES)
+    )
+    out_dir = f"/tmp/lsh_spark_stream_pq_{tag}"
+    ckpt = f"/tmp/lsh_spark_ckpt_stream_pq_{tag}"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = search_pq_index(spark, index, batch_df, k=_ANN_K)
+        _write_batch_idempotent(res, out_dir, batch_id)
+
+    from .events import scoped_state_partitions
+
+    with scoped_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    if not os.path.isdir(out_dir) or not any(
+            f.startswith("batch_id=") for f in os.listdir(out_dir)):
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, approx_dist double, "
+                "rank int")
+    return spark.read.parquet(out_dir).select(
+        "query_id", "neighbor_id", "approx_dist", "rank")
+
+
 def _oracle() -> str:
     from ..operators.pipeline_queries import ANN_IVF_LLOYD_ORACLE
 

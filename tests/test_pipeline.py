@@ -279,6 +279,45 @@ def test_pq_index_lifecycle(spark):
                 drop_table_and_files(spark, f"{nm}{sfx}")
 
 
+def test_pq_index_compaction(spark):
+    """compact_pq_index folds tombstones out into generation 1 (one
+    appended meta row is the swap), truncates _deletes, leaves the
+    codebooks untouched, and search results are unchanged."""
+    import uuid
+
+    from lsh_spark.operators import ann
+
+    rows = [(i, [0.25 * ((i * 3 + d) % 7) for d in range(8)])
+            for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") < 3)
+    name = f"pqcmp_{uuid.uuid4().hex[:8]}"
+    try:
+        ann.build_pq_index(emb, name, m=2, n_codes=4, n_iters=2, dim=8)
+        more = spark.createDataFrame(
+            [(i, [0.25 * ((i * 3 + d) % 7) for d in range(8)])
+             for i in range(30, 35)],
+            "vec_id long, embedding array<double>")
+        ann.extend_pq_index(more, name)
+        ann.delete_from_pq_index(
+            spark.createDataFrame([(7,), (31,)], ["vec_id"]), name)
+        before = sorted(map(tuple, ann.search_pq_index(
+            spark, name, queries, k=35).collect()))
+        ann.compact_pq_index(spark, name)
+        after = sorted(map(tuple, ann.search_pq_index(
+            spark, name, queries, k=35).collect()))
+        assert before == after
+        assert spark.catalog.tableExists(f"{name}_codes_v1")
+        assert not spark.catalog.tableExists(f"{name}_deletes")
+        assert ann.pq_index_stats(spark, name).first().n_vectors == 33
+    finally:
+        from lsh_spark.sources.formats import drop_table_and_files
+
+        for sfx in ("_codes", "_codes_v1", "_codes_v2", "_codebooks",
+                    "_meta", "_deletes"):
+            drop_table_and_files(spark, f"{name}{sfx}")
+
+
 def test_tune_bands_properties():
     from lsh_spark.operators.banding import (
         BandingPlan,

@@ -3524,10 +3524,16 @@ def zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(__xy) AS DOUBLE)").alias("__sxy"),
         F.expr("CAST(SUM(__xx) AS DOUBLE)").alias("__sxx"),
     )
-    slope = ((F.col("__n") * F.col("__sxy")) - (F.col("__sx") * F.col("__sy"))) \
-        / ((F.col("__n") * F.col("__sxx")) - (F.col("__sx") * F.col("__sx")))
-    intercept = (F.col("__sy") - (F.round(slope, 6) * F.col("__sx"))) \
-        / F.col("__n")
+    # degenerate vocabularies (0 or 1 distinct rank → denominator 0)
+    # must yield NULL, not raise: Spark 4 runs ANSI mode where double
+    # x/0 THROWS, while DuckDB returns NULL — both sides guard with an
+    # explicit CASE so the op sequences stay identical
+    num = (F.col("__n") * F.col("__sxy")) - (F.col("__sx") * F.col("__sy"))
+    den = (F.col("__n") * F.col("__sxx")) - (F.col("__sx") * F.col("__sx"))
+    slope = F.when(den != F.lit(0.0), num / den)
+    intercept = F.when(
+        F.col("__n") != F.lit(0.0),
+        (F.col("__sy") - (F.round(slope, 6) * F.col("__sx"))) / F.col("__n"))
     return sums.select(
         F.col("__n").cast("long").alias("n_types"),
         F.round(slope, 6).alias("zipf_slope"),
@@ -3566,10 +3572,14 @@ sums AS (
   FROM terms
 )
 SELECT n::BIGINT AS n_types,
-       round(((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)), 6)
+       round(CASE WHEN ((n * sxx) - (sx * sx)) != 0.0
+             THEN ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)) END, 6)
          AS zipf_slope,
-       round((sy - (round(((n * sxy) - (sx * sy))
-                          / ((n * sxx) - (sx * sx)), 6) * sx)) / n, 6)
+       round(CASE WHEN n != 0.0
+             THEN (sy - (round(CASE WHEN ((n * sxx) - (sx * sx)) != 0.0
+                               THEN ((n * sxy) - (sx * sy))
+                                    / ((n * sxx) - (sx * sx)) END, 6)
+                         * sx)) / n END, 6)
          AS zipf_intercept
 FROM sums
 """

@@ -271,3 +271,56 @@ def test_round8_operators_degenerate_inputs(spark):
     # snapshot_diff of a frame against itself: all unchanged
     st = {r.status for r in snapshot_diff(docs, docs, key="doc_id").collect()}
     assert st == {"unchanged"}
+
+
+def test_round9_operators_degenerate_inputs(spark):
+    """Round-9 operator edges: phrase search with absent/oversized
+    phrases and NULL/empty text, PQ search with empty query sets, and
+    the Zipf fit's NULL-slope contract on a degenerate (single-type)
+    vocabulary — both engines yield NULL on the 0-denominator double
+    division, so the gate stays hash-stable."""
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators import ann
+    from lsh_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, ""), (4, "alpha")],
+        "doc_id long, text string")
+
+    # phrase not present / longer than every doc / empty phrase set
+    qs = spark.createDataFrame(
+        [(0, "zzz missing"), (1, "alpha beta gamma delta epsilon")],
+        "query_id long, phrase string")
+    assert phrase_search(docs, qs).count() == 0
+    no_q = spark.createDataFrame([], "query_id long, phrase string")
+    assert phrase_search(docs, no_q).count() == 0
+    # single-token phrase degenerates to term lookup (anchors = hits)
+    one = spark.createDataFrame([(0, "alpha")],
+                                "query_id long, phrase string")
+    got = {(r.doc_id, r.n_occurrences, r.first_pos)
+           for r in phrase_search(docs, one).collect()}
+    assert got == {(1, 1, 0), (4, 1, 0)}
+
+    # PQ: empty query set -> empty result, encode/train still fine
+    emb = spark.createDataFrame(
+        [(i, [0.5 * ((i + d) % 3) for d in range(4)]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    no_v = emb.where(F.col("vec_id") < 0)
+    assert ann.pq_topk(emb, no_v, k=3, m=2, n_codes=2, n_iters=1,
+                       dim=4).count() == 0
+
+    # Zipf on a single-type corpus: the fit denominator is 0 — Spark 4
+    # ANSI mode RAISES on double x/0, so the operator must guard and
+    # yield NULL (DuckDB's CASE twin yields NULL too)
+    import tempfile
+
+    from lsh_spark.operators.pipeline_queries import zipf_fit_stats
+
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame([(1, "same same same")],
+                          "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    row = zipf_fit_stats(spark, tmp).first()
+    assert row.n_types == 1
+    assert row.zipf_slope is None and row.zipf_intercept is None

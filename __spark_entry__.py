@@ -188,6 +188,7 @@ _REDUNDANT_TAIL = [
     "ann_pq_index_search",
     "ann_pq_index_stats",
     "ann_pq_search_streaming",
+    "ann_ivf_pq_topk",
 ]
 
 

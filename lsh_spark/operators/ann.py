@@ -665,6 +665,81 @@ def _pq_score(codes: DataFrame, qs_with_luts: DataFrame, *, m: int,
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 4,
+    cells_iters: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    pq_iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ — the full FAISS shape: a coarse Lloyd quantizer prunes
+    the candidate set to ``n_probe`` cells per query, and within the
+    probed cells the asymmetric-distance PQ chain scores compressed
+    codes instead of raw vectors.  Codebooks are trained on the raw
+    subvectors (FAISS ``by_residual=false``), which keeps every stage —
+    coarse cells, PQ codes, ADC distances — bit-exactly replayed by the
+    DuckDB oracle.
+
+    Returns (query_id, neighbor_id, approx_dist, rank); 6-dp round
+    before ranking, ascending, ties on neighbor_id; self excluded.
+
+    100 TB shape: candidate work per query drops to
+    ~|corpus|·n_probe/n_lists AND each candidate costs m int lookups
+    instead of a dim-float scan — the two axes (pruning × compression)
+    compose; both corpus passes (cell assign, encode) are zero-shuffle
+    kernels, the scoring join keys on the broadcast probe cells, and a
+    deployment persists (cell, codes) bucketed by cell."""
+    if dim % m:
+        raise ValueError(f"ivf_pq_topk: dim={dim} not divisible by m={m}")
+    width = dim // m
+    cents = lloyd_centroids(corpus, vec_col=vec_col, id_col=id_col,
+                            n_lists=n_lists, n_iters=cells_iters)
+    bc = _collect_centroids(cents)
+    books = []
+    for s in range(m):
+        sl = corpus.select(
+            F.col(id_col).alias("__vid"),
+            F.slice(F.col(vec_col).cast("array<double>"),
+                    s * width + 1, width).alias("__sv"))
+        books.append(_collect_centroids(
+            lloyd_centroids(sl, vec_col="__sv", id_col="__vid",
+                            n_lists=n_codes, n_iters=pq_iters)))
+    assigned = _assign_cells_pandas(
+        _ivf_prep(corpus, id_col, vec_col, "neighbor_id"), bc,
+        "__v_neighbor_id")
+    codes = _pq_encode_pandas(assigned, books, "__v_neighbor_id") \
+        .drop("__v_neighbor_id")
+    probes = _assign_cells_pandas(
+        _ivf_prep(queries, id_col, vec_col, "query_id"), bc,
+        "__v_query_id", n_probe=n_probe).select("query_id", "__cell")
+    luts = _pq_query_luts(queries, [b.value for b in books],
+                          vec_col=vec_col, id_col=id_col, width=width)
+    pairs = codes.join(
+        F.broadcast(probes.join(luts, "query_id")), on="__cell").where(
+        F.col("query_id") != F.col("neighbor_id"))
+    dist = F.lit(0.0)
+    for s in range(m):
+        dist = dist + F.element_at(F.col(f"__lut_{s}"),
+                                   F.col(f"__code_{s}") + F.lit(1))
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(dist, 6).alias("approx_dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # persisted PQ index — the encode-once shape of pq_topk: codebooks are
 # trained once, the corpus persists as m ints per vector, and every

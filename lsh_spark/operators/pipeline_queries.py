@@ -4033,3 +4033,76 @@ def _pq_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_LATE["ann_pq_search_streaming"] = (_pq_search_streaming,
                                            ANN_PQ_ORACLE)
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (ann.ivf_pq_topk): coarse-cell pruning × PQ compression,
+    both trained by the deterministic fixed-point Lloyd — the oracle
+    composes the IVF chain (cells + probes) with the m PQ chains and
+    restricts the ADC fold to probed cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.ivf_pq_topk(
+        emb, emb.where(F.col("vec_id") < _N_QUERIES), k=_ANN_K,
+        n_lists=_IVF_LISTS, n_probe=_IVF_PROBE, cells_iters=_IVF_ITERS,
+        m=_PQ_M, n_codes=_PQ_CODES, pq_iters=_PQ_ITERS, dim=_PQ_DIM)
+
+
+def _ivf_pq_oracle(n_lists: int, n_probe: int, cells_iters: int, m: int,
+                   n_codes: int, pq_iters: int, n_queries: int, k: int,
+                   dim: int) -> str:
+    """Compose the coarse-quantizer chain (default CTE names) with the
+    m per-subspace PQ chains (``_s{s}``): candidates are (probe ⨝ cell)
+    pairs, each scored by the ADC fold over the neighbor's per-subspace
+    codes."""
+    width = dim // m
+    ctes = _lloyd_cell_ctes(n_lists, cells_iters)
+    cent = f"cent_{cells_iters}"
+    term_selects = []
+    for s in range(m):
+        lo, hi = s * width + 1, (s + 1) * width
+        ctes.extend(_lloyd_cell_ctes(
+            n_codes, pq_iters, sfx=f"_s{s}",
+            vexpr=f"(embedding::DOUBLE[])[{lo}:{hi}]"))
+        term_selects.append(
+            f"""  SELECT p.query_id, cc.neighbor_id, {s} AS s,
+         {_SQDIST.format(a=f'(p.v)[{lo}:{hi}]', b='ct.cv')} AS d
+  FROM probes p
+  JOIN c_cells cc USING (cell)
+  JOIN c_cells_s{s} cs ON cs.neighbor_id = cc.neighbor_id
+  JOIN cent_{pq_iters}_s{s} ct ON ct.cell = cs.cell""")
+    ctes.append(f"""q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < {n_queries})""")
+    ctes.append(f"""probes AS (
+  SELECT query_id, v, cell FROM (
+    SELECT query_id, v, cell,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY {_SQDIST.format(a='v', b='cv')} ASC, cell ASC) AS r
+    FROM q CROSS JOIN {cent}
+  ) WHERE r <= {n_probe}
+)""")
+    ctes.append("terms AS (\n"
+                + "\n  UNION ALL\n".join(term_selects) + "\n)")
+    ctes.append("""scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_reduce(list_prepend(0.0::DOUBLE, list(d ORDER BY s)),
+                           (a, x) -> a + x), 6) AS approx_dist
+  FROM terms WHERE query_id != neighbor_id
+  GROUP BY query_id, neighbor_id
+)""")
+    ctes.append("""ranked AS (
+  SELECT query_id, neighbor_id, approx_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_dist ASC, neighbor_id ASC
+                           ) AS rank
+  FROM scored
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT query_id, neighbor_id, approx_dist, rank"
+              f" FROM ranked WHERE rank <= {k}")
+
+
+QUERIES_LATE["ann_ivf_pq_topk"] = (
+    ann_ivf_pq_topk,
+    _ivf_pq_oracle(_IVF_LISTS, _IVF_PROBE, _IVF_ITERS, _PQ_M, _PQ_CODES,
+                   _PQ_ITERS, _N_QUERIES, _ANN_K, _PQ_DIM))

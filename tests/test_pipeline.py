@@ -209,6 +209,20 @@ def test_pq_topk_semantics(spark):
     with pytest.raises(ValueError, match="not divisible"):
         ann.pq_topk(emb, queries, m=3, dim=8)
 
+    # IVF-PQ on the same clusters: coarse pruning keeps the query's
+    # cluster (the clusters ARE the natural cells), PQ scores inside —
+    # results stay same-cluster and ranks contiguous
+    ivfpq = ann.ivf_pq_topk(emb, queries, k=8, n_lists=2, n_probe=1,
+                            cells_iters=2, m=2, n_codes=4, pq_iters=2,
+                            dim=8).collect()
+    by_q2 = {}
+    for r in ivfpq:
+        by_q2.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q2.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all((r.neighbor_id < 20) == (qid < 20) for r in rs), rs
+
 
 def test_pq_index_lifecycle(spark):
     """build → search equals on-the-fly pq_topk at the same params;

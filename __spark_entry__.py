@@ -189,6 +189,7 @@ _REDUNDANT_TAIL = [
     "ann_pq_index_stats",
     "ann_pq_search_streaming",
     "ann_ivf_pq_topk",
+    "ann_ivf_pq_index_search",
 ]
 
 

@@ -741,6 +741,228 @@ def ivf_pq_topk(
 
 
 # ---------------------------------------------------------------------------
+# persisted IVF-PQ index — the standing-deployment form of ivf_pq_topk:
+# (cell, codes) rows bucketed BY CELL, so probes read only matching
+# buckets (no corpus-side exchange) and scan m ints per candidate.
+# ---------------------------------------------------------------------------
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    table_name: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 8,
+    cells_iters: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    pq_iters: int = 2,
+    dim: int = 64,
+    num_buckets: int = 8,
+) -> None:
+    """Persist the two-level IVF-PQ index: ``<name>_codes``
+    (neighbor_id, __cell, __code_*) bucketed by cell,
+    ``<name>_centroids`` (coarse cells), ``<name>_codebooks`` (m
+    per-subspace books), and the parameter-pinning meta row.  Searches
+    equal ``ivf_pq_topk`` at the build parameters by construction."""
+    from ..sources.formats import (
+        drop_table_and_files,
+        drop_versioned_siblings,
+        save_table,
+        write_bucketed_table,
+    )
+
+    if dim % m:
+        raise ValueError(
+            f"build_ivf_pq_index: dim={dim} not divisible by m={m}")
+    width = dim // m
+    spark = corpus.sparkSession
+    drop_versioned_siblings(spark, f"{table_name}_codes", 0)
+    cents = lloyd_centroids(corpus, vec_col=vec_col, id_col=id_col,
+                            n_lists=n_lists, n_iters=cells_iters)
+    bc = _collect_centroids(cents)
+    books = []
+    for s in range(m):
+        sl = corpus.select(
+            F.col(id_col).alias("__vid"),
+            F.slice(F.col(vec_col).cast("array<double>"),
+                    s * width + 1, width).alias("__sv"))
+        books.append(_collect_centroids(
+            lloyd_centroids(sl, vec_col="__sv", id_col="__vid",
+                            n_lists=n_codes, n_iters=pq_iters)))
+    assigned = _assign_cells_pandas(
+        _ivf_prep(corpus, id_col, vec_col, "neighbor_id"), bc,
+        "__v_neighbor_id")
+    codes = _pq_encode_pandas(assigned, books, "__v_neighbor_id") \
+        .drop("__v_neighbor_id")
+    write_bucketed_table(codes, f"{table_name}_codes",
+                         bucket_by=["__cell"], num_buckets=num_buckets,
+                         sort_by=["__cell"])
+    cent_rows = (
+        cents.select(F.explode("__cents").alias("__c"))
+        .select(F.col("__c.__cell").alias("__cell"),
+                F.col("__c.__cv").alias("centroid"))
+    )
+    save_table(cent_rows, f"{table_name}_centroids", single_file=True)
+    cb_rows = []
+    for s, b in enumerate(books):
+        cells, mat = b.value
+        for j in range(len(cells)):
+            cb_rows.append(F.struct(
+                F.lit(s).cast("int").alias("sub"),
+                F.lit(int(cells[j])).cast("int").alias("cell"),
+                F.array(*[F.lit(float(x)) for x in mat[j]])
+                .alias("centroid")))
+    cb = (
+        spark.range(1)
+        .select(F.explode(F.array(*cb_rows)).alias("__r"))
+        .select("__r.sub", "__r.cell", "__r.centroid")
+    )
+    save_table(cb, f"{table_name}_codebooks", single_file=True)
+    meta = spark.range(1).select(
+        F.lit(vec_col).alias("vec_col"),
+        F.lit(id_col).alias("id_col"),
+        F.lit(n_lists).cast("int").alias("n_lists"),
+        F.lit(cells_iters).cast("int").alias("cells_iters"),
+        F.lit(m).cast("int").alias("m"),
+        F.lit(n_codes).cast("int").alias("n_codes"),
+        F.lit(pq_iters).cast("int").alias("pq_iters"),
+        F.lit(dim).cast("int").alias("dim"),
+        F.lit(num_buckets).cast("int").alias("num_buckets"),
+        F.lit(0).cast("int").alias("version"),
+    )
+    save_table(meta, f"{table_name}_meta", single_file=True)
+    drop_table_and_files(spark, f"{table_name}_deletes")
+
+
+def _ivf_pq_cents(spark, table_name: str) -> DataFrame:
+    return spark.table(f"{table_name}_centroids").agg(
+        F.sort_array(F.collect_list(
+            F.struct("__cell", F.col("centroid").alias("__cv"))))
+        .alias("__cents"))
+
+
+def search_ivf_pq_index(
+    spark,
+    table_name: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ADC top-k over a persisted ``build_ivf_pq_index``: probes assign
+    against the persisted coarse centroids (broadcast numpy argmin),
+    the bucketed codes table is read per probed cell with no
+    corpus-side exchange, LUTs come from the persisted codebooks, and
+    tombstones anti-join — identical results to ``ivf_pq_topk`` at the
+    build parameters (pytest-pinned)."""
+    from ..sources.formats import meta_version, versioned_name
+
+    mt = _pq_meta(spark, table_name)
+    probes = _assign_cells_pandas(
+        _ivf_prep(queries, mt.id_col, mt.vec_col, "query_id"),
+        _collect_centroids(_ivf_pq_cents(spark, table_name)),
+        "__v_query_id", n_probe=n_probe).select("query_id", "__cell")
+    codes = spark.table(
+        versioned_name(f"{table_name}_codes", meta_version(mt)))
+    if spark.catalog.tableExists(f"{table_name}_deletes"):
+        codes = codes.join(
+            F.broadcast(spark.table(f"{table_name}_deletes")),
+            on="neighbor_id", how="left_anti")
+    books = _pq_books_from_table(spark, table_name)
+    luts = _pq_query_luts(queries, books, vec_col=mt.vec_col,
+                          id_col=mt.id_col,
+                          width=int(mt.dim) // int(mt.m))
+    pairs = codes.join(F.broadcast(probes.join(luts, "query_id")),
+                       on="__cell").where(
+        F.col("query_id") != F.col("neighbor_id"))
+    mm = int(mt.m)
+    dist = F.lit(0.0)
+    for s in range(mm):
+        dist = dist + F.element_at(F.col(f"__lut_{s}"),
+                                   F.col(f"__code_{s}") + F.lit(1))
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(dist, 6).alias("approx_dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
+def extend_ivf_pq_index(new_vecs: DataFrame, table_name: str) -> None:
+    """Incrementally assign + encode new vectors against the FROZEN
+    persisted coarse centroids and codebooks, appending into the
+    bucket spec; already-indexed ids are skipped via the eagerly
+    checkpointed anti-join (the extend_text_index guard); tombstoned
+    ids stay deleted."""
+    from ..plans.cache import track_broadcast
+    from ..sources.formats import (
+        meta_version,
+        versioned_name,
+        write_bucketed_table,
+    )
+
+    spark = new_vecs.sparkSession
+    mt = _pq_meta(spark, table_name)
+    phys = versioned_name(f"{table_name}_codes", meta_version(mt))
+    indexed = spark.table(phys).select(
+        F.col("neighbor_id").alias(mt.id_col))
+    fresh_ids = (
+        new_vecs.select(mt.id_col)
+        .join(indexed, on=mt.id_col, how="left_anti")
+        .localCheckpoint(eager=True))
+    fresh = new_vecs.join(fresh_ids, on=mt.id_col, how="left_semi")
+    assigned = _assign_cells_pandas(
+        _ivf_prep(fresh, mt.id_col, mt.vec_col, "neighbor_id"),
+        _collect_centroids(_ivf_pq_cents(spark, table_name)),
+        "__v_neighbor_id")
+    books = [track_broadcast(spark.sparkContext.broadcast(b))
+             for b in _pq_books_from_table(spark, table_name)]
+    codes = _pq_encode_pandas(assigned, books, "__v_neighbor_id") \
+        .drop("__v_neighbor_id")
+    write_bucketed_table(codes, phys, bucket_by=["__cell"],
+                         num_buckets=int(mt.num_buckets),
+                         sort_by=["__cell"], mode="append")
+
+
+def attach_ivf_pq_index(spark, table_name: str,
+                        location_root: "str | None" = None) -> None:
+    """Re-register a ``build_ivf_pq_index`` from an earlier session,
+    bucket metadata included (exchange-free probes survive attach)."""
+    import os
+
+    from ..sources.formats import (
+        _warehouse_path,
+        attach_bucketed_table,
+        attach_table,
+        meta_version,
+        versioned_name,
+    )
+
+    root = location_root or _warehouse_path(spark)
+
+    def loc(name: str) -> str:
+        return os.path.join(root, name.lower())
+
+    attach_table(spark, f"{table_name}_meta", loc(f"{table_name}_meta"))
+    mt = _pq_meta(spark, table_name)
+    phys = versioned_name(f"{table_name}_codes", meta_version(mt))
+    attach_bucketed_table(spark, phys, bucket_by=["__cell"],
+                          num_buckets=int(mt.num_buckets),
+                          location=loc(phys))
+    attach_table(spark, f"{table_name}_centroids",
+                 loc(f"{table_name}_centroids"))
+    attach_table(spark, f"{table_name}_codebooks",
+                 loc(f"{table_name}_codebooks"))
+    dels = loc(f"{table_name}_deletes")
+    if os.path.isdir(dels):
+        attach_table(spark, f"{table_name}_deletes", dels)
+
+
+# ---------------------------------------------------------------------------
 # persisted PQ index — the encode-once shape of pq_topk: codebooks are
 # trained once, the corpus persists as m ints per vector, and every
 # query batch pays only the LUT build (driver-tiny) plus one scan of

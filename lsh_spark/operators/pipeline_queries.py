@@ -4102,7 +4102,27 @@ def _ivf_pq_oracle(n_lists: int, n_probe: int, cells_iters: int, m: int,
               f" FROM ranked WHERE rank <= {k}")
 
 
-QUERIES_LATE["ann_ivf_pq_topk"] = (
-    ann_ivf_pq_topk,
-    _ivf_pq_oracle(_IVF_LISTS, _IVF_PROBE, _IVF_ITERS, _PQ_M, _PQ_CODES,
-                   _PQ_ITERS, _N_QUERIES, _ANN_K, _PQ_DIM))
+ANN_IVF_PQ_ORACLE = _ivf_pq_oracle(
+    _IVF_LISTS, _IVF_PROBE, _IVF_ITERS, _PQ_M, _PQ_CODES,
+    _PQ_ITERS, _N_QUERIES, _ANN_K, _PQ_DIM)
+
+QUERIES_LATE["ann_ivf_pq_topk"] = (ann_ivf_pq_topk, ANN_IVF_PQ_ORACLE)
+
+
+def ann_ivf_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``ann_ivf_pq_topk`` workload against the session's PERSISTED
+    two-level index (ensure_ivf_pq_index): same parameters → the same
+    composed oracle, so the persisted bucketed codes, coarse centroids
+    and codebooks are pinned against a from-scratch derivation."""
+    from ..streaming.vectors import ensure_ivf_pq_index
+    from .ann import search_ivf_pq_index
+
+    index = ensure_ivf_pq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return search_ivf_pq_index(
+        spark, index, emb.where(F.col("vec_id") < _N_QUERIES),
+        k=_ANN_K, n_probe=_IVF_PROBE)
+
+
+QUERIES_LATE["ann_ivf_pq_index_search"] = (ann_ivf_pq_index_search,
+                                           ANN_IVF_PQ_ORACLE)

@@ -262,3 +262,49 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
               f"{time.perf_counter() - t0:.2f}s (reused by later runs "
               f"in this session)", file=sys.stderr)
     return index
+
+
+def ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Session-amortized build of the gate's persisted IVF-PQ index
+    (the ``ann_ivf_pq_topk`` parameters); same contract as the other
+    ensure_* helpers."""
+    from ..operators.ann import build_ivf_pq_index
+    from ..operators.pipeline_queries import (
+        _IVF_ITERS,
+        _IVF_LISTS,
+        _PQ_CODES,
+        _PQ_DIM,
+        _PQ_ITERS,
+        _PQ_M,
+    )
+    from ..sources.io import _ensure_session_confs, load_table
+
+    _ensure_session_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    index = f"ivfpqidx_{tag}"
+    want = dict(vec_col="embedding", id_col="vec_id",
+                n_lists=int(_IVF_LISTS), cells_iters=int(_IVF_ITERS),
+                m=int(_PQ_M), n_codes=int(_PQ_CODES),
+                pq_iters=int(_PQ_ITERS), dim=int(_PQ_DIM))
+    have = None
+    if spark.catalog.tableExists(f"{index}_meta"):
+        mt = spark.table(f"{index}_meta").first()
+        have = dict(vec_col=mt.vec_col, id_col=mt.id_col,
+                    n_lists=mt.n_lists, cells_iters=mt.cells_iters,
+                    m=mt.m, n_codes=mt.n_codes, pq_iters=mt.pq_iters,
+                    dim=mt.dim)
+    if have != want:
+        import sys
+        import time
+
+        t0 = time.perf_counter()
+        build_ivf_pq_index(emb, index, vec_col="embedding",
+                           id_col="vec_id", n_lists=_IVF_LISTS,
+                           cells_iters=_IVF_ITERS, m=_PQ_M,
+                           n_codes=_PQ_CODES, pq_iters=_PQ_ITERS,
+                           dim=_PQ_DIM)
+        print(f"# ensure_ivf_pq_index: index build took "
+              f"{time.perf_counter() - t0:.2f}s (reused by later runs "
+              f"in this session)", file=sys.stderr)
+    return index

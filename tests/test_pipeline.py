@@ -293,6 +293,79 @@ def test_pq_index_lifecycle(spark):
                 drop_table_and_files(spark, f"{nm}{sfx}")
 
 
+def test_ivf_pq_index_lifecycle(spark):
+    """build → search equals on-the-fly ivf_pq_topk at the same params;
+    extend assigns+encodes against the FROZEN centroids/codebooks and
+    skips already-indexed ids; tombstones merge-on-read; attach
+    re-registers with bucket metadata (delete_from_pq_index is shared —
+    it only needs the meta id_col and the _deletes contract)."""
+    import uuid
+
+    from lsh_spark.operators import ann
+
+    rows = [(i, [0.25 * ((i * 3 + d) % 7) for d in range(8)])
+            for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") < 3)
+    name = f"ivfpq_{uuid.uuid4().hex[:8]}"
+    params = dict(n_lists=3, cells_iters=2, m=2, n_codes=4, pq_iters=2,
+                  dim=8)
+    try:
+        ann.build_ivf_pq_index(emb, name, num_buckets=4, **params)
+        direct = sorted(map(tuple, ann.ivf_pq_topk(
+            emb, queries, k=5, n_probe=2, **params).collect()))
+        viaidx = sorted(map(tuple, ann.search_ivf_pq_index(
+            spark, name, queries, k=5, n_probe=2).collect()))
+        assert direct == viaidx
+
+        more = spark.createDataFrame(
+            [(i, [0.25 * ((i * 3 + d) % 7) for d in range(8)])
+             for i in range(25, 35)],
+            "vec_id long, embedding array<double>")
+        ann.extend_ivf_pq_index(more, name)
+        got = ann.search_ivf_pq_index(spark, name, queries, k=40,
+                                      n_probe=3).collect()
+        ids = {r.neighbor_id for r in got}
+        assert ids & {30, 31, 32, 33, 34}  # new vectors reachable
+        # the 25-29 overlap was skipped: at most one (query, neighbor)
+        # row each — a double-encode would surface duplicates
+        from collections import Counter
+
+        pair_counts = Counter((r.query_id, r.neighbor_id) for r in got)
+        assert max(pair_counts.values()) == 1, pair_counts.most_common(3)
+
+        ann.delete_from_pq_index(
+            spark.createDataFrame([(30,), (2,)], ["vec_id"]), name)
+        live = ann.search_ivf_pq_index(spark, name, queries, k=40,
+                                       n_probe=3).collect()
+        assert not any(r.neighbor_id in (30, 2) for r in live)
+
+        import os
+        import shutil
+        import tempfile
+
+        from lsh_spark.sources.formats import _warehouse_path
+
+        wh = _warehouse_path(spark)
+        tmp = tempfile.mkdtemp()
+        name2 = f"{name}b"
+        for sfx in ("_codes", "_centroids", "_codebooks", "_meta",
+                    "_deletes"):
+            shutil.copytree(os.path.join(wh, f"{name}{sfx}"),
+                            os.path.join(tmp, f"{name2}{sfx}"))
+        ann.attach_ivf_pq_index(spark, name2, location_root=tmp)
+        again = sorted(map(tuple, ann.search_ivf_pq_index(
+            spark, name2, queries, k=40, n_probe=3).collect()))
+        assert again == sorted(map(tuple, live))
+    finally:
+        from lsh_spark.sources.formats import drop_table_and_files
+
+        for nm in (name, f"{name}b"):
+            for sfx in ("_codes", "_centroids", "_codebooks", "_meta",
+                        "_deletes"):
+                drop_table_and_files(spark, f"{nm}{sfx}")
+
+
 def test_pq_index_compaction(spark):
     """compact_pq_index folds tombstones out into generation 1 (one
     appended meta row is the swap), truncates _deletes, leaves the

@@ -190,6 +190,7 @@ _REDUNDANT_TAIL = [
     "ann_pq_search_streaming",
     "ann_ivf_pq_topk",
     "ann_ivf_pq_index_search",
+    "curriculum_stages",
 ]
 
 

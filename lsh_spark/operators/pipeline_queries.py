@@ -4126,3 +4126,54 @@ def ann_ivf_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_LATE["ann_ivf_pq_index_search"] = (ann_ivf_pq_index_search,
                                            ANN_IVF_PQ_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# curriculum staging — quality-quantile bucketing for curriculum-ordered
+# training (easy→hard): exact distributed percentile boundaries (Spark
+# `percentile` and DuckDB `quantile_cont` are BIT-equal on identical
+# 6dp-rounded inputs — probe-verified across interpolating fractions),
+# stage = 1 + count(boundaries strictly below).  No global sort and no
+# full-corpus window: boundaries are one map-side-combined aggregate
+# broadcast as a 1-row frame; the stage is a per-row expression.
+# ---------------------------------------------------------------------------
+
+_CURR_STAGES = 4
+
+
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.round(T.quality_score("text"), 6).alias("quality"))
+    n = _CURR_STAGES
+    bounds = scored.agg(*[
+        F.expr(f"percentile(quality, {i / n!r})").alias(f"__b{i}")
+        for i in range(1, n)])
+    stage = F.lit(1)
+    for i in range(1, n):
+        stage = stage + F.when(F.col("quality") > F.col(f"__b{i}"),
+                               1).otherwise(0)
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .select("doc_id", "quality", stage.cast("int").alias("stage"))
+    )
+
+
+def _curriculum_oracle() -> str:
+    n = _CURR_STAGES
+    bs = ", ".join(
+        f"quantile_cont(quality, {i / n!r}) AS b{i}" for i in range(1, n))
+    terms = " + ".join(
+        f"(CASE WHEN quality > b{i} THEN 1 ELSE 0 END)"
+        for i in range(1, n))
+    return f"""
+WITH tq AS ({_text_quality_oracle('documents')}),
+q AS (SELECT doc_id, quality FROM tq),
+b AS (SELECT {bs} FROM q)
+SELECT doc_id, quality, (1 + {terms})::INT AS stage
+FROM q CROSS JOIN b
+"""
+
+
+QUERIES_LATE["curriculum_stages"] = (curriculum_stages,
+                                     _curriculum_oracle())

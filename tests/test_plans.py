@@ -583,6 +583,36 @@ def test_bm25_doc_lengths_pruned_to_matched_docs(spark):
                for i in semi_idx), plan
 
 
+def test_ivf_pq_index_probe_reads_buckets(spark):
+    """The persisted IVF-PQ probe must consume the codes table through
+    its cell buckets — no corpus-side exchange for the probe join."""
+    import uuid
+
+    from lsh_spark.operators.ann import (
+        build_ivf_pq_index,
+        search_ivf_pq_index,
+    )
+    from lsh_spark.sources.formats import drop_table_and_files
+    from lsh_spark.sources.io import load_table
+
+    name = f"ivfpqp_{uuid.uuid4().hex[:8]}"
+    try:
+        emb = load_table(spark, SF_DIR, "embeddings")
+        build_ivf_pq_index(emb, name, n_lists=4, cells_iters=1, m=2,
+                           n_codes=4, pq_iters=1, dim=64, num_buckets=4)
+        queries = emb.where(F.col("vec_id") < 2)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got = search_ivf_pq_index(spark, name, queries, k=5, n_probe=2)
+        got.count()
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for sfx in ("_codes", "_centroids", "_codebooks", "_meta",
+                    "_deletes"):
+            drop_table_and_files(spark, f"{name}{sfx}")
+
+
 def test_pq_scores_codes_not_vectors(spark):
     """PQ/ADC: codebooks are trained at plan-construction (collected
     broadcasts + literal LUT centroids), so the EXECUTED plan has

@@ -44,6 +44,8 @@ QUERIES_TO_CHECK = [
     "phrase_search_docs",     # anchor-vote counts (pure integers)
     "zipf_fit_stats",         # decimal-summed quantized log terms
     "q17_small_quantity_revenue",  # per-part avg broadcast filter
+    "ann_ivf_pq_topk",        # two-level index: cells × ADC codes
+    "curriculum_stages",      # exact-percentile boundary bucketing
 ]
 
 _RUNNER = """

@@ -3,11 +3,12 @@
 ``entry(spark)`` — flagship query (LSH near-dup detection on documents).
 ``queries()`` — every implemented operator from SURVEY.md §2 + the
 training-pipeline suite; each callable takes (spark, sf_dir) → DataFrame.
-``oracle_sql()`` — DuckDB-equivalent SQL per query where SQL can express
-the semantics; minhash/euclidean signature queries are intentionally
-omitted (their bit-exactness is pinned by the golden-vector tests in
-``tests/test_core_golden.py`` — ChaCha12/FxHash streams are not
-SQL-expressible; the driver records a rows-only check).
+``oracle_sql()`` — an exact DuckDB twin for EVERY query (since round 2
+even the minhash/euclidean signature queries carry generated oracles:
+``lsh_spark/oracles/duckdb_lsh.py`` inlines the RNG-derived constants
+and replays the wrapping-u64 FxHash arithmetic in HUGEINT SQL; their
+bit-exactness is additionally pinned by the golden-vector tests in
+``tests/test_core_golden.py``).
 """
 
 from __future__ import annotations

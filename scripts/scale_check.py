@@ -804,6 +804,50 @@ def pq() -> None:
     spark.stop()
 
 
+def phrase() -> None:
+    """Phrase-search scale check: corpus replication with a fixed
+    3-phrase set.  Expected shape: linear-ish in rows (the posexplode +
+    anchor aggregate is the cost; the shuffle carries ids+ints only),
+    with occurrence counts scaling exactly with rep."""
+    from pyspark import StorageLevel
+
+    from lsh_spark.operators.retrieval import phrase_search
+    from lsh_spark.plans import get_spark
+    from lsh_spark.sources.io import load_table
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 5, 20]
+    spark = get_spark(app_name="lsh_spark-scale-check-phrase")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n_base = base.count()
+    queries = spark.createDataFrame(
+        [(0, "sort merge"), (1, "table scan merge"), (2, "hash join")],
+        "query_id long, phrase string").persist(
+        StorageLevel.MEMORY_AND_DISK)
+    queries.count()
+    for rep in reps:
+        docs = (
+            base.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("doc_id") * rep + F.col("__rep")).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail"),
+                         F.col("__rep").cast("string")).alias("text"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        docs.count()
+        t = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = phrase_search(docs, queries).count()
+            t = min(t, time.perf_counter() - t0)
+        print(f"rep={rep:3d} docs={n_base * rep:8d}  "
+              f"phrase={t:6.1f}s (matching docs={n})", flush=True)
+        docs.unpersist()
+        spark.catalog.clearCache()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--vectors":
         vectors()
@@ -823,5 +867,7 @@ if __name__ == "__main__":
         pmi_vocab()
     elif len(sys.argv) > 1 and sys.argv[1] == "--pq":
         pq()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--phrase":
+        phrase()
     else:
         main()

@@ -66,66 +66,33 @@ from pyspark.sql import DataFrame, SparkSession
 # artifact-vs-registry diff machine-checkable and exits non-zero on a
 # query with neither driver-row nor replica evidence.
 _REDUNDANT_TAIL = [
-    # Round-9 HEAD ROTATION (executing the round-8 verdict items 1+6):
+    # Round-10 HEAD ROTATION (executing the round-9 verdict items 1+3):
     # the head (positions 1-50 = registry minus this tail) now holds
-    #   * the 21 never-driver-checked queries: the 20 round-8 additions
-    #     (bm25_search .. ann_recall_report) plus this round's new
-    #     hybrid_search_indexed;
-    #   * the 3 queries whose avg-quality decimal division changed this
-    #     round (text_quality, corpus_summary_report/_streaming — the
-    #     SUM(dec)::DOUBLE / COUNT op-order fix needs a driver re-check);
-    #   * ALL 24 queries whose last driver row is r5 — the staleness
-    #     criterion the round-8 verdict asked for, covering the whole
-    #     minhash/euclidean signature family + jaccard_near_dup_pairs
-    #     (shared kernels last driver-checked before the r5/r6 batch.py
-    #     changes);
-    #   * 2 of the r6-last queries: minhash_near_dup_pairs (the entry()
-    #     flagship) and clean_corpus (the widest composite pipeline,
-    #     r8 digest-keep-first rewrite earns a second row).
-    # Demotions below are grouped by accumulated evidence, strongest
-    # (most recent + most rows) last-checked-r8 block at the end; all
-    # have >= 2 green driver rows for unchanged code plus sf0.001+sf0.01
-    # replica records in REPLICA.json.
+    #   * the 12 never-driver-checked round-9 additions (q13/q17/q18,
+    #     phrase_search_docs, zipf_fit_stats, the PQ/IVF-PQ family,
+    #     curriculum_stages) — replica-green at sf0.001+sf0.01, driver
+    #     rows are the gate that counts;
+    #   * mixture_sample_counts + corpus_snapshot_diff — the two r9
+    #     hash-reds, fixed this round (sum(doc_id)::BIGINT in their
+    #     oracles; values were already identical) and kept in head to
+    #     earn green rows;
+    #   * ann_ivf_search_streaming + ann_ivf_sq8_search — their
+    #     ensure_* index helpers' meta read changed this round
+    #     (formats.index_meta max(version) instead of .first(), the
+    #     round-9 ADVICE item) so they get driver re-checks alongside
+    #     the head PQ/IVF-PQ index queries touched by the same change;
+    #   * the 25 queries whose last driver row is r6 and 9 of the 11
+    #     whose last row is r7 — the staleness criterion.
+    # Demotions below are grouped by accumulated evidence, weakest
+    # first: the 2 r7-last relational singles traded for the two
+    # meta-read promotions, then the 46 r8-last queries, then the 48
+    # r9-green queries (freshest rows, code unchanged this round).
     #
-    # last driver row r6 (r5+r6 double-green, code unchanged):
-    "minhash_near_dup_pairs_rotated",
-    "similarity_join_ab",
-    "word_bigram_near_dup_pairs",
-    "ann_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_ivf_flat_topk",
-    "embedding_near_dup_lsh_pairs",
-    "dedup_keep_first_minhash",
-    "media_features",
-    "media_raw_features",
-    "contamination_overlap",
-    "stratified_sample",
-    "shard_assignment",
-    "events_hourly_streaming",
-    "events_sessions_streaming",
-    "events_dedup_streaming",
-    "events_user_totals_streaming",
-    "events_error_click_pairs_streaming",
-    "events_hourly_append_streaming",
-    "similarity_join_ab_streaming",
-    "near_dup_index_probe_streaming",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    # last driver row r7 (6 green rows for most, code unchanged):
-    "q4_order_priority",
-    "supplier_nation_rollup",
-    "asof_purchase_last_click",
-    "errors_with_nearby_clicks",
-    "top_terms_per_lang",
-    "events_sessionize",
-    "events_props_stats",
-    "repetition_stats",
+    # last driver row r7 (6 green rows each, single-aggregate plans
+    # pytest-pinned; demoted to fund the meta-read promotions):
     "min_cost_supplier",
     "large_quantity_orders",
-    "events_funnel",
-    # last driver row r8 (freshest evidence, code unchanged this round):
+    # last driver row r8 (code unchanged this round):
     "weighted_minhash_signatures",
     "weighted_near_dup_pairs",
     "weighted_word_near_dup_pairs",
@@ -133,7 +100,6 @@ _REDUNDANT_TAIL = [
     "dup_ngram_stats",
     "remove_duplicated_spans",
     "pack_sequences",
-    "ann_ivf_search_streaming",
     "events_type_pivot",
     "lineitem_cube",
     "events_weekly_cohorts",
@@ -169,29 +135,65 @@ _REDUNDANT_TAIL = [
     "chunk_documents",
     "media_features_streaming",
     "prepare_training_corpus",
-    "ann_ivf_sq8_search",
     "domain_blocklist_stats",
     "blocked_docs_filter",
     "dataset_splits",
     "split_leakage_stats",
-    # ROUND-10 ROTATION DUTY: any NEW round-9 queries appended below
+    # last driver row r9 (freshest evidence, code unchanged):
+    "top_orders_per_customer",
+    "events_hourly",
+    "customers_without_orders",
+    "part_brand_stats",
+    "high_value_order_customers",
+    "event_type_distribution",
+    "jaccard_near_dup_pairs",
+    "minhash_signatures",
+    "minhash32_signatures",
+    "minhash_near_dup_pairs",
+    "euclidean_signatures",
+    "euclidean32_signatures",
+    "minhash_shingle_signatures",
+    "minhash32_shingle_signatures",
+    "dedup_exact",
+    "text_stats",
+    "text_quality",
+    "dedup_normalized",
+    "embedding_dup_pairs",
+    "simhash_near_dup_pairs",
+    "doc_fingerprints",
+    "distinct_ngram_counts",
+    "kmv_doc_stats",
+    "tfidf_top_terms",
+    "clean_corpus",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q19_bracket_revenue",
+    "q22_sales_opportunity",
+    "semantic_dedup",
+    "documents_upsert",
+    "corpus_summary_report",
+    "corpus_summary_streaming",
+    "bm25_search",
+    "duplicate_substring_spans",
+    "bm25_index_search",
+    "bm25_index_stats",
+    "bm25_search_streaming",
+    "bigram_logprob_scores",
+    "hybrid_search_rrf",
+    "hybrid_search_indexed",
+    "vocab_stats",
+    "pmi_top_pairs",
+    "near_dup_threshold_histogram",
+    "source_quality_report",
+    "embedding_stats",
+    "ann_recall_report",
+    # ROUND-11 ROTATION DUTY: any NEW round-10 queries appended below
     # this line have never been driver-checked — promote them (and any
-    # stragglers flagged by check_artifact_coverage.py) into head
-    # positions 1-50 next round, demoting an equal number of r9-green
-    # unchanged-code queries, preferring STALENESS (the r6-last block
-    # above is next in line) for the remaining demotion slots.
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "phrase_search_docs",
-    "ann_pq_topk",
-    "zipf_fit_stats",
-    "ann_pq_index_search",
-    "ann_pq_index_stats",
-    "ann_pq_search_streaming",
-    "ann_ivf_pq_topk",
-    "ann_ivf_pq_index_search",
-    "curriculum_stages",
+    # stragglers flagged by check_artifact_coverage.py --emit-promotions)
+    # into head positions 1-50 next round, demoting an equal number of
+    # r10-green unchanged-code queries, preferring STALENESS (the r8
+    # block above is next in line) for the remaining demotion slots.
 ]
 
 

@@ -2943,7 +2943,7 @@ WITH b AS (
 )
 SELECT source, count(*)::BIGINT AS n_kept,
        min(doc_id) AS first_id, max(doc_id) AS last_id,
-       sum(doc_id) AS id_sum
+       sum(doc_id)::BIGINT AS id_sum
 FROM b WHERE bucket < lim
 GROUP BY source
 """
@@ -3421,7 +3421,7 @@ d AS (
 )
 SELECT status, count(*)::BIGINT AS n_docs,
        min(doc_id) AS first_id, max(doc_id) AS last_id,
-       sum(doc_id) AS id_sum
+       sum(doc_id)::BIGINT AS id_sum
 FROM d GROUP BY status
 """
 
@@ -4004,11 +4004,10 @@ def _pq_stats_oracle(m: int, n_codes: int, n_iters: int, dim: int) -> str:
             vexpr=f"(embedding::DOUBLE[])[{lo}:{hi}]"))
     joins = "".join(
         f" JOIN c_cells_s{s} c{s} USING (neighbor_id)" for s in range(1, m))
-    word = ", ".join(f"c{s}.cell" for s in range(m))
     ctes.append(f"""words AS (
   SELECT c0.neighbor_id, {", ".join(f"c{s}.cell AS w{s}" for s in range(m))}
   FROM c_cells_s0 c0{joins}
-)""".replace("{word}", word))
+)""")
     tup = ", ".join(f"w{s}" for s in range(m))
     return ("WITH " + ",\n".join(ctes) + f"""
 SELECT count(*)::BIGINT AS n_vectors,

@@ -185,7 +185,9 @@ def ensure_ab_index(spark: SparkSession, sf_dir: str) -> str:
                 band_size=int(_JOIN_AB_PLAN.band_size), seed=123)
     have = None
     if spark.catalog.tableExists(f"{index}_meta"):
-        m = spark.table(f"{index}_meta").first()
+        from ..sources.formats import index_meta
+
+        m = index_meta(spark, f"{index}_meta")
         have = dict(text_col=m.text_col, id_col=m.id_col,
                     ngram_width=m.ngram_width, band_count=m.band_count,
                     band_size=m.band_size, seed=m.seed)

@@ -23,6 +23,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.formats import index_meta
 from .documents import _write_batch_idempotent
 
 
@@ -45,7 +46,7 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
                 n_lists=int(_IVF_LISTS), n_iters=int(_IVF_ITERS))
     have = None
     if spark.catalog.tableExists(f"{index}_meta"):
-        m = spark.table(f"{index}_meta").first()
+        m = index_meta(spark, f"{index}_meta")
         have = dict(vec_col=m.vec_col, id_col=m.id_col,
                     n_lists=m.n_lists,
                     n_iters=m.n_iters if "n_iters" in m.__fields__
@@ -202,7 +203,7 @@ def ensure_ivf_sq8_index(spark: SparkSession, sf_dir: str) -> str:
                 storage="sq8", dim=int(_SQ8_DIM))
     have = None
     if spark.catalog.tableExists(f"{index}_meta"):
-        m = spark.table(f"{index}_meta").first()
+        m = index_meta(spark, f"{index}_meta")
         have = dict(vec_col=m.vec_col, id_col=m.id_col,
                     n_lists=m.n_lists, n_iters=m.n_iters,
                     storage=m.storage if "storage" in m.__fields__
@@ -247,7 +248,7 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
                 dim=int(_PQ_DIM))
     have = None
     if spark.catalog.tableExists(f"{index}_meta"):
-        mt = spark.table(f"{index}_meta").first()
+        mt = index_meta(spark, f"{index}_meta")
         have = dict(vec_col=mt.vec_col, id_col=mt.id_col, m=mt.m,
                     n_codes=mt.n_codes, n_iters=mt.n_iters, dim=mt.dim)
     if have != want:
@@ -289,7 +290,7 @@ def ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
                 pq_iters=int(_PQ_ITERS), dim=int(_PQ_DIM))
     have = None
     if spark.catalog.tableExists(f"{index}_meta"):
-        mt = spark.table(f"{index}_meta").first()
+        mt = index_meta(spark, f"{index}_meta")
         have = dict(vec_col=mt.vec_col, id_col=mt.id_col,
                     n_lists=mt.n_lists, cells_iters=mt.cells_iters,
                     m=mt.m, n_codes=mt.n_codes, pq_iters=mt.pq_iters,

@@ -59,11 +59,47 @@ def replica_records() -> set[str]:
         return set()
 
 
+def last_green_round() -> dict[str, int]:
+    """query name -> latest round with a fully-green driver row
+    (rows+schema+hash, no err); absent = never driver-green."""
+    best: dict[str, int] = {}
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        rnd = int(re.search(r"r(\d+)", p.name).group(1))
+        for q, r in json.loads(p.read_text()).items():
+            if (_row_green(r) and r.get("hash_match")
+                    and rnd > best.get(q, -1)):
+                best[q] = rnd
+    return best
+
+
+def emit_promotions(registered: list[str], head_size: int = 50) -> list[str]:
+    """Mechanical next-round head list (round-9 verdict item 6): the
+    ``head_size`` registered queries with the WEAKEST driver evidence —
+    never-driver-green first (includes new additions and red rows),
+    then by staleness (oldest green round first), registry position as
+    the tie-break.  Code-changed-this-round promotions still need the
+    builder's judgment on top; this emits the staleness baseline."""
+    green = last_green_round()
+    return sorted(
+        registered,
+        key=lambda q: (green.get(q, -1), registered.index(q)),
+    )[:head_size]
+
+
 def main() -> int:
     sys.path.insert(0, str(REPO))
     import __spark_entry__ as entry
 
     registered = list(entry.queries())
+    if "--emit-promotions" in sys.argv:
+        promos = emit_promotions(registered)
+        green = last_green_round()
+        print(f"# suggested next-round head ({len(promos)} weakest-evidence "
+              f"queries; add code-changed-this-round promotions on top):")
+        for q in promos:
+            tag = f"last green r{green[q]}" if q in green else "NEVER green"
+            print(f'    "{q}",  # {tag}')
+        return 0
     art_path = latest_artifact()
     if art_path is None:
         print("no CORRECTNESS_r*.json artifact found")

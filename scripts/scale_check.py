@@ -848,6 +848,72 @@ def phrase() -> None:
     spark.stop()
 
 
+def ivfpq() -> None:
+    """IVF-PQ persisted-index scale check (round-9 verdict item 5):
+    replicate the embeddings N× with fresh ids, BUILD the two-level
+    index with n_lists scaled to keep cell width constant (the
+    deployment posture: lists ∝ corpus, ~sqrt(N) in practice), then
+    probe with a FIXED 50-query set.  Expected shape: build linear in
+    rows (paid once); probe ~flat — each query touches n_probe cells of
+    constant width, the codes table is bucketed BY CELL so the corpus
+    side reads matching buckets with no exchange, and scoring is m int
+    lookups per candidate."""
+    from pyspark import StorageLevel
+
+    from lsh_spark.operators.ann import (
+        build_ivf_pq_index,
+        search_ivf_pq_index,
+    )
+    from lsh_spark.plans import get_spark
+    from lsh_spark.sources.formats import drop_table_and_files
+    from lsh_spark.sources.io import load_table
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 5, 20]
+    spark = get_spark(app_name="lsh_spark-scale-check-ivfpq")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n_base = base.count()
+    queries = base.where(F.col("vec_id") < 50).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    queries.count()
+    for rep in reps:
+        emb = (
+            base.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("vec_id") * rep + F.col("__rep")).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x + (F.col("__rep") % 7).cast("float")
+                    * F.lit(0.001) * (i % 3).cast("float")
+                ).alias("embedding"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        emb.count()
+        name = f"scalecheck_ivfpq_{rep}"
+        t0 = time.perf_counter()
+        build_ivf_pq_index(emb, name, n_lists=8 * rep, cells_iters=2,
+                           m=4, n_codes=8, pq_iters=2, dim=64)
+        t_build = time.perf_counter() - t0
+        t_probe = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_hits = search_ivf_pq_index(spark, name, queries, k=10,
+                                         n_probe=2).count()
+            t_probe = min(t_probe, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        print(
+            f"rep={rep:3d} vecs={n_base * rep:8d}  "
+            f"ivfpq_build={t_build:6.1f}s  "
+            f"ivfpq_probe={t_probe:6.1f}s ({n_hits} hits)", flush=True)
+        for sfx in ("_codes", "_codebooks", "_centroids", "_meta",
+                    "_deletes"):
+            drop_table_and_files(spark, f"{name}{sfx}")
+        emb.unpersist()
+        spark.catalog.clearCache()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--vectors":
         vectors()
@@ -869,5 +935,7 @@ if __name__ == "__main__":
         pq()
     elif len(sys.argv) > 1 and sys.argv[1] == "--phrase":
         phrase()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ivfpq":
+        ivfpq()
     else:
         main()

@@ -194,6 +194,9 @@ _REDUNDANT_TAIL = [
     # into head positions 1-50 next round, demoting an equal number of
     # r10-green unchanged-code queries, preferring STALENESS (the r8
     # block above is next in line) for the remaining demotion slots.
+    "tfidf_cosine_pairs",
+    "edit_distance_near_dup_pairs",
+    "mixture_temperature_plan",
 ]
 
 

@@ -4176,3 +4176,91 @@ FROM q CROSS JOIN b
 
 QUERIES_LATE["curriculum_stages"] = (curriculum_stages,
                                      _curriculum_oracle())
+
+
+# ---------------------------------------------------------------------------
+# sparse TF-IDF cosine similarity join (operators/sparse_sim.py) — the
+# weighted-vector near-dup signal: word-bigram TF-IDF vectors, pairs
+# above a cosine threshold via the inverted-index (df-cut) join, never
+# an all-pairs pass.
+# ---------------------------------------------------------------------------
+
+_TFIDF_COS_THRESHOLD = 0.3  # df cap N/20: the corpus bigram df curve
+_TFIDF_COS_DF_DEN = 20      # has a cliff — N/10 admits 36M pair
+                            # products at sf0.1, N/20 admits 0.5M for
+                            # the same planted-dup recall
+
+
+def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sparse_sim import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=_TFIDF_COS_THRESHOLD, max_df_num=1,
+        max_df_den=_TFIDF_COS_DF_DEN)
+
+
+def _tfidf_cosine_oracle() -> str:
+    from .sparse_sim import tfidf_cosine_oracle_sql
+
+    return tfidf_cosine_oracle_sql(
+        _TFIDF_COS_THRESHOLD, max_df_num=1, max_df_den=_TFIDF_COS_DF_DEN)
+
+
+QUERIES_LATE["tfidf_cosine_pairs"] = (tfidf_cosine_pairs_q,
+                                      _tfidf_cosine_oracle())
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup pairs (operators/similarity_join.py::
+# lsh_edit_distance_pairs) — character-level Levenshtein verification
+# over LSH band candidates; the verify-stage complement to the Jaccard
+# family for template/boilerplate detection.
+# ---------------------------------------------------------------------------
+
+_EDIT_BANDS = (2, 14)       # much tighter than the Jaccard flagship
+_EDIT_THRESHOLD = 0.4       # (6, 6): candidates bound the O(len²)
+                            # verify, and this corpus' tiny vocabulary
+                            # puts RANDOM doc pairs at ~0.35 trigram
+                            # jaccard — loose bands collide en masse
+
+
+def edit_distance_near_dup_pairs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from .similarity_join import lsh_edit_distance_pairs
+
+    return lsh_edit_distance_pairs(
+        load_table(spark, sf_dir, "documents"), "text", id_col="doc_id",
+        ngram_width=3, band_count=_EDIT_BANDS[0],
+        band_size=_EDIT_BANDS[1], seed=123, threshold=_EDIT_THRESHOLD)
+
+
+QUERIES_LATE["edit_distance_near_dup_pairs"] = (
+    edit_distance_near_dup_pairs,
+    _orc.edit_distance_pairs_sql(3, _EDIT_BANDS[0], _EDIT_BANDS[1], 123,
+                                 _EDIT_THRESHOLD))
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture plan (training_ops.mixture_temperature_plan)
+# — p_s ∝ n_s^T re-balancing across sources, the planning complement to
+# mixture_sample_df's execution stage.
+# ---------------------------------------------------------------------------
+
+def mixture_temperature_plan_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from .training_ops import mixture_temperature_plan
+
+    return mixture_temperature_plan(
+        load_table(spark, sf_dir, "documents"),
+        temperature=0.7, budget=100_000)
+
+
+def _mixture_temperature_oracle() -> str:
+    from .training_ops import mixture_temperature_oracle_sql
+
+    return mixture_temperature_oracle_sql(0.7, 100_000)
+
+
+QUERIES_LATE["mixture_temperature_plan"] = (mixture_temperature_plan_q,
+                                            _mixture_temperature_oracle())

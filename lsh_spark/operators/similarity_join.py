@@ -473,6 +473,75 @@ def lsh_self_dedup_pairs(
                          threshold, "jaccard")
 
 
+def lsh_edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    *,
+    id_col: str,
+    ngram_width: int = 3,
+    band_count: int = 2,
+    band_size: int = 14,
+    seed: int = 123,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Edit-distance-verified near-duplicate pairs: LSH band-collision
+    candidates (the same char-shingle minhash blocking as the Jaccard
+    family, typically parameterized TIGHTER — candidate count bounds the
+    O(len_a·len_b) Levenshtein verify), then
+    ``edit_sim = round(1 − lev/greatest(len_a, len_b), 6) > threshold``
+    (strict).  Returns (id_a, id_b, edit_sim), id_a < id_b.
+
+    100 TB shape: the blocking join ships (band_idx, band_hash, id)
+    ints only; texts re-attach BY ID to the deduplicated pair list (the
+    ids-only contract), so the quadratic-per-bucket band join never
+    carries payloads and the expensive verify runs once per unique
+    candidate.  Candidate volume BOUNDS the O(len_a·len_b) DP verify —
+    parameterize the banding tighter than the Jaccard family's.  An
+    exact length-gap prefilter (lev >= |len_a − len_b|, so sim can't
+    reach the threshold when the gap alone exceeds (1−t)·maxlen; 1e-6
+    slack covers the 6dp round-up) drops hopeless pairs BEFORE the DP —
+    output provably unchanged, so the oracle omits it.  Levenshtein
+    itself is JVM whole-stage-codegen (``F.levenshtein``) — no Python
+    in the hot path."""
+    sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set")
+    track(sets.persist(StorageLevel.MEMORY_AND_DISK))
+    blocks = _band_blocks(sets, "__id", "__set", band_count, band_size, seed)
+    a = blocks.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
+    b = blocks.select(F.col("__id").alias("id_b"), "band_idx", "band_hash")
+    pairs = (
+        a.join(b, on=["band_idx", "band_hash"], how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ta = df.select(F.col(id_col).alias("id_a"),
+                   F.col(text_col).alias("__ta"))
+    tb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(text_col).alias("__tb"))
+    joined = pairs.join(ta, on="id_a").join(tb, on="id_b")
+    gl = F.greatest(F.length("__ta"), F.length("__tb"))
+    gap = gl - F.least(F.length("__ta"), F.length("__tb"))
+    joined = joined.where(
+        gap.cast("double")
+        < F.lit(1.0 - float(threshold) + 1e-6) * gl.cast("double"))
+    # gl > 0 whenever a candidate exists (shingling needs ngram_width
+    # chars); the guard keeps ANSI mode safe on degenerate inputs — CASE
+    # twin in the oracle
+    sim = F.when(
+        gl != 0,
+        F.round(
+            F.lit(1.0)
+            - F.levenshtein("__ta", "__tb").cast("double")
+            / gl.cast("double"),
+            6,
+        ),
+    )
+    return (
+        joined.select("id_a", "id_b", sim.alias("edit_sim"))
+        .where(F.col("edit_sim") > F.lit(float(threshold)))
+    )
+
+
 def lsh_dedup_keep_first(
     df: DataFrame,
     text_col: str,

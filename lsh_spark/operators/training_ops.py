@@ -1261,6 +1261,75 @@ def mixture_sample_df(
     return docs.where(bucket < lim)
 
 
+def mixture_temperature_plan(
+    docs: DataFrame,
+    *,
+    temperature: float = 0.7,
+    budget: int = 100_000,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled sampling plan per source — the standard
+    multilingual/multi-source re-balancing step (p_s ∝ n_s^T, T < 1
+    up-weights the tail): returns (source, n_docs, weight, planned_docs)
+    where ``weight = n_s^T / Σ n_s^T`` and ``planned_docs =
+    floor(weight · budget)``.
+
+    Cross-engine determinism: the only order-sensitive op is the Σ —
+    per-source pow() outputs are 6dp-rounded (absorbing libm last-ulp
+    noise) then DECIMAL(28,6)-summed (exact, order-independent); the
+    final division and floor replay one literal op order.  Scale shape:
+    ONE count aggregate over the corpus; everything after is per-source
+    arithmetic on a ~|sources|-row frame with a broadcast 1-row total."""
+    counts = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    p = F.round(
+        F.pow(F.col("n_docs").cast("double"), F.lit(float(temperature))),
+        6).alias("__p")
+    scaled = counts.select("source", "n_docs", p)
+    tot = F.broadcast(scaled.agg(
+        F.sum(F.col("__p").cast("decimal(28,6)")).alias("__tot")))
+    w = F.round(
+        F.col("__p") / F.col("__tot").cast("double"), 6).alias("weight")
+    return (
+        scaled.crossJoin(tot)
+        .select("source", "n_docs", w)
+        .select(
+            "source", "n_docs", "weight",
+            F.floor(F.col("weight") * F.lit(float(budget)))
+            .cast("bigint").alias("planned_docs"),
+        )
+    )
+
+
+def mixture_temperature_oracle_sql(
+    temperature: float = 0.7,
+    budget: int = 100_000,
+    source: str = "documents",
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`mixture_temperature_plan` — same 6dp →
+    DECIMAL(28,6) fold and literal op order."""
+    return f"""
+WITH counts AS (
+  SELECT {source_col} AS source, count(*)::BIGINT AS n_docs
+  FROM {source} GROUP BY 1
+),
+scaled AS (
+  SELECT source, n_docs,
+         round(pow(CAST(n_docs AS DOUBLE), {float(temperature)!r}), 6) AS p
+  FROM counts
+),
+tot AS (
+  SELECT sum(CAST(p AS DECIMAL(28,6))) AS t FROM scaled
+)
+SELECT source, n_docs,
+       round(p / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS weight,
+       CAST(floor(round(p / CAST((SELECT t FROM tot) AS DOUBLE), 6)
+                  * {float(budget)!r}) AS BIGINT) AS planned_docs
+FROM scaled
+"""
+
+
 def split_expr(id_expr, *, val_frac: float = 0.05, test_frac: float = 0.05,
                salt: str = "split-v1", buckets: int = 10_000):
     """train/val/test label of a single id as a pure column expression —

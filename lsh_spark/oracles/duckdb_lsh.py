@@ -359,6 +359,39 @@ def _verified_pairs_ctes(ngram_width: int, band_count: int, band_size: int,
   {pair_verify_ctes(threshold)}"""
 
 
+def edit_distance_pairs_sql(ngram_width: int, band_count: int,
+                            band_size: int, seed: int,
+                            threshold: float) -> str:
+    """Oracle for ``lsh_edit_distance_pairs``: band-collision candidates
+    (same bit-exact shingle/minhash CTEs as the Jaccard family) verified
+    by Levenshtein similarity ``round(1 - lev/greatest(len_a, len_b), 6)
+    > threshold`` (strict) — both engines' levenshtein is the classic
+    character-level DP, integer-exact, and the single division + round
+    replay one literal op order."""
+    return f"""
+WITH {char_shingles_cte(ngram_width)},
+{minhash_bands_ctes(band_count, band_size, seed)},
+  cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.h = b.h AND a.id < b.id
+  ),
+  v AS (
+    SELECT c.id_a, c.id_b,
+           CASE WHEN greatest(length(da.text), length(db.text)) != 0
+                THEN round(1.0
+                     - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                       / CAST(greatest(length(da.text), length(db.text))
+                              AS DOUBLE), 6)
+           END AS edit_sim
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.id_a
+    JOIN documents db ON db.doc_id = c.id_b
+  )
+SELECT id_a, id_b, edit_sim FROM v WHERE edit_sim > {threshold}
+"""
+
+
 def near_dup_pairs_sql(ngram_width: int, band_count: int, band_size: int,
                        seed: int, threshold: float) -> str:
     """Oracle for ``lsh_self_dedup_pairs`` flagship query

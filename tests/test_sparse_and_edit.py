@@ -1,0 +1,196 @@
+"""Unit tests for the round-10 similarity additions: sparse TF-IDF
+cosine pairs (``operators/sparse_sim.py``), Levenshtein-verified LSH
+pairs (``similarity_join.lsh_edit_distance_pairs``), and the
+temperature-scaled mixture plan (``training_ops``) — handcrafted inputs
+with known answers plus the plan shapes the 100 TB contracts rely on."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lsh_spark.operators.similarity_join import lsh_edit_distance_pairs
+from lsh_spark.operators.sparse_sim import tfidf_cosine_pairs
+from lsh_spark.operators.training_ops import mixture_temperature_plan
+
+_DOC_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("text", StringType(), True),
+])
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, _DOC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# tfidf_cosine_pairs
+# ---------------------------------------------------------------------------
+
+def test_tfidf_identical_docs_cosine_one(spark):
+    """Two identical docs share every bigram with equal weights →
+    cosine exactly 1.0; the third, bigram-disjoint doc pairs with
+    neither."""
+    docs = _docs(spark, [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "zeta eta theta iota"),
+    ])
+    rows = tfidf_cosine_pairs(
+        docs, threshold=0.5, max_df_num=9, max_df_den=10).collect()
+    assert [(r.id_a, r.id_b, r.cosine) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_tfidf_hand_computed_cosine(spark):
+    """Three docs, one shared bigram — cosine replayed by hand with the
+    operator's exact fold (6dp rounds + exact decimal sums)."""
+    docs = _docs(spark, [
+        (1, "a b x y"),        # bigrams: 'a b', 'b x', 'x y'
+        (2, "a b p q"),        # bigrams: 'a b', 'b p', 'p q'
+        (3, "m n o"),          # no overlap with 1/2
+    ])
+    n_docs = 3
+    # df: 'a b' -> 2, every other bigram -> 1; max_df 9/10 keeps all
+    w_shared = round(1.0 * math.log(n_docs / 2), 6)
+    w_solo = round(1.0 * math.log(n_docs / 1), 6)
+    from decimal import Decimal
+
+    def dec6(x):
+        return Decimal(f"{round(x, 6):.6f}")
+
+    nrm = math.sqrt(float(
+        dec6(w_shared * w_shared) + dec6(w_solo * w_solo)
+        + dec6(w_solo * w_solo)))
+    dot = float(dec6(w_shared * w_shared))
+    expect = round(dot / (nrm * nrm), 6)
+    rows = tfidf_cosine_pairs(
+        docs, threshold=0.0001, max_df_num=9, max_df_den=10).collect()
+    assert [(r.id_a, r.id_b, r.cosine) for r in rows] == [(1, 2, expect)]
+
+
+def test_tfidf_df_cut_drops_stopword_bigrams(spark):
+    """A bigram present in every doc is pruned by the df cut, removing
+    the only overlap — no pairs survive."""
+    docs = _docs(spark, [
+        (1, "the end alpha beta"),
+        (2, "the end gamma delta"),
+        (3, "the end zeta eta"),
+        (4, "the end theta iota"),
+    ])
+    # 'the end' has df=4 = N -> pruned at any cut below 1.0
+    rows = tfidf_cosine_pairs(
+        docs, threshold=0.0001, max_df_num=3, max_df_den=4).collect()
+    assert rows == []
+
+
+def test_tfidf_plan_no_python_no_text_shuffle(spark):
+    """Exchanges carry ids/terms/weights, never document text; no
+    Python in the plan (JVM explode + aggregates only)."""
+    docs = _docs(spark, [(i, f"w{i} w{i+1} w{i+2} common token") for i in
+                         range(30)])
+    plan = tfidf_cosine_pairs(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "EvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+
+
+# ---------------------------------------------------------------------------
+# lsh_edit_distance_pairs
+# ---------------------------------------------------------------------------
+
+def test_edit_distance_planted_near_dup(spark):
+    """One trailing-char edit on a 60-char doc → lev=1, edit_sim =
+    1 − 1/60; the unrelated doc never pairs.  Loose banding (8×2) makes
+    a band collision certain in practice for 59/60 shared content (the
+    minhash is deterministic at this seed — the assertion is stable)."""
+    base = "the quick brown fox jumps over the lazy dog again and again!"
+    assert len(base) == 60
+    docs = _docs(spark, [
+        (1, base),
+        (2, base[:-1] + "x"),
+        (3, "completely different content with no shared trigrams here"),
+    ])
+    rows = lsh_edit_distance_pairs(
+        docs, "text", id_col="doc_id", ngram_width=3, band_count=8,
+        band_size=2, seed=123, threshold=0.5).collect()
+    assert [(r.id_a, r.id_b, r.edit_sim) for r in rows] == [
+        (1, 2, round(1.0 - 1.0 / 60.0, 6))]
+
+
+def test_edit_distance_threshold_strict(spark):
+    """Pairs AT the threshold are dropped (strict >, the house
+    inequality): sim == 0.5 survives threshold 0.4 but not 0.5."""
+    a = "abcdefghijklmnopqrst"           # 20 chars
+    b = "abcdefghij0123456789"           # lev 10 -> sim 0.5
+    docs = _docs(spark, [(1, a), (2, b)])
+    kw = dict(id_col="doc_id", ngram_width=3, band_count=12, band_size=1,
+              seed=123)
+    got = lsh_edit_distance_pairs(
+        docs, "text", threshold=0.4, **kw).collect()
+    assert [(r.id_a, r.id_b, r.edit_sim) for r in got] == [(1, 2, 0.5)]
+    assert lsh_edit_distance_pairs(
+        docs, "text", threshold=0.5, **kw).collect() == []
+
+
+def test_edit_distance_band_join_ships_ids_only(spark):
+    """The blocking join's exchanges key on (band_idx, band_hash) and
+    carry no text — payloads re-attach by id afterwards."""
+    docs = _docs(spark, [(i, f"document number {i} padded with text")
+                         for i in range(20)])
+    plan = lsh_edit_distance_pairs(
+        docs, "text", id_col="doc_id")._jdf.queryExecution(
+    ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "band" in line:
+            assert "text#" not in line and "__ta" not in line, line
+
+
+# ---------------------------------------------------------------------------
+# mixture_temperature_plan
+# ---------------------------------------------------------------------------
+
+_SRC_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("source", StringType(), True),
+])
+
+
+def test_mixture_temperature_known_values(spark):
+    """n = (8, 1) at T = 1/3 → scaled (2, 1) → weights (2/3, 1/3);
+    planned = floor(weight · budget)."""
+    rows = [(i, "big") for i in range(8)] + [(100, "small")]
+    docs = spark.createDataFrame(rows, _SRC_SCHEMA)
+    got = {r.source: r for r in mixture_temperature_plan(
+        docs, temperature=1.0 / 3.0, budget=90_000).collect()}
+    assert got["big"].n_docs == 8 and got["small"].n_docs == 1
+    assert got["big"].weight == round(2.0 / 3.0, 6)
+    assert got["small"].weight == round(1.0 / 3.0, 6)
+    assert got["big"].planned_docs == math.floor(
+        round(2.0 / 3.0, 6) * 90_000)
+    assert got["small"].planned_docs == math.floor(
+        round(1.0 / 3.0, 6) * 90_000)
+
+
+def test_mixture_temperature_flattens_toward_uniform(spark):
+    """T < 1 up-weights the tail: the small source's weight strictly
+    exceeds its raw share; weights stay sorted by size and sum to ~1."""
+    rows = ([(i, "big") for i in range(90)]
+            + [(1000 + i, "small") for i in range(10)])
+    docs = spark.createDataFrame(rows, _SRC_SCHEMA)
+    got = {r.source: r for r in
+           mixture_temperature_plan(docs, temperature=0.5).collect()}
+    assert got["small"].weight > 0.1          # raw share would be 0.10
+    assert got["big"].weight > got["small"].weight
+    assert abs(got["big"].weight + got["small"].weight - 1.0) < 2e-6

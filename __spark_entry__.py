@@ -197,6 +197,10 @@ _REDUNDANT_TAIL = [
     "tfidf_cosine_pairs",
     "edit_distance_near_dup_pairs",
     "mixture_temperature_plan",
+    "q9_profit_by_nation_year",
+    "q12_late_shipment_priority",
+    "q16_supplier_part_counts",
+    "q21_waiting_suppliers",
 ]
 
 

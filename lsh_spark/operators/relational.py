@@ -1624,3 +1624,188 @@ LIMIT 100
 
 QUERIES_LATE["q18_large_volume_customers"] = (q18_large_volume_customers,
                                               Q18_ORACLE)
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9's SHAPE with the available columns (the testdata has no
+    partsupp, so supply cost is p_retailprice·quantity): per-nation,
+    per-year profit over parts whose name matches the color filter.
+    Shape: the three dimensions (part, supplier, nation) broadcast; the
+    one honest shuffle is lineitem ⨝ orders on orderkey; money stays in
+    exact DECIMAL until the final round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part.where(F.col("p_name").contains("red"))),
+                li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation),
+              supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.expr(
+            "CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * CAST(1 - l_discount AS DECIMAL(18,2))"
+            " - CAST(p_retailprice AS DECIMAL(18,2))"
+            " * CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)")
+            .alias("profit"))
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+       round(sum(l_extendedprice::DECIMAL(18,2)
+                 * (1 - l_discount)::DECIMAL(18,2)
+                 - p_retailprice::DECIMAL(18,2)
+                 * l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+QUERIES_LATE["q9_profit_by_nation_year"] = (q9_profit_by_nation_year,
+                                            Q9_ORACLE)
+
+
+def q12_late_shipment_priority(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q12's SHAPE with the available columns (no shipmode /
+    commit / receipt dates): lineitems shipped more than 90 days after
+    their order date, bucketed by linestatus, split into high-priority
+    (1-URGENT / 2-HIGH) vs lower-priority order counts.  One shuffle
+    join on orderkey; pure integer counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+"""
+
+QUERIES_LATE["q12_late_shipment_priority"] = (q12_late_shipment_priority,
+                                              Q12_ORACLE)
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16's SHAPE with the available columns (no partsupp — the
+    distinct (l_partkey, l_suppkey) pairs of lineitem are the bridge;
+    no complaint text — suppliers with negative acctbal are the
+    excluded set): distinct supplier count per (brand, type, size)
+    excluding one brand.  The exclusion list broadcasts as an
+    anti-join; the bridge dedup and the count-distinct share one
+    shuffle on partkey after the broadcast part join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    bridge = li.select("l_partkey", "l_suppkey").distinct()
+    excluded = supplier.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        bridge.join(F.broadcast(excluded), on="l_suppkey", how="left_anti")
+        .join(F.broadcast(part.where(F.col("p_brand") != "Brand#2")),
+              bridge.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long")
+             .alias("supplier_cnt"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) bridge
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#2'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+QUERIES_LATE["q16_supplier_part_counts"] = (q16_supplier_part_counts,
+                                            Q16_ORACLE)
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's SHAPE with the available columns (late = shipped
+    more than 60 days after the order date): per supplier, the number
+    of multi-supplier orders where THAT supplier was the only late
+    one.  The exists / not-exists nest is expressed as per-order
+    supplier counts (n_suppliers >= 2, n_late == 1) — equivalent and
+    one aggregation pass each over the deduped (orderkey, suppkey)
+    pairs instead of two correlated joins; supplier names broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    n_all = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"))
+    late_pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey").distinct()
+    )
+    n_late = late_pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_late"))
+    return (
+        late_pairs
+        .join(n_all, on="l_orderkey")
+        .join(n_late, on="l_orderkey")
+        .where((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
+        .join(F.broadcast(supplier),
+              late_pairs.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+Q21_ORACLE = """
+WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+n_all AS (
+  SELECT l_orderkey, count(*) AS n_supp FROM pairs GROUP BY 1
+),
+late_pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+),
+n_late AS (
+  SELECT l_orderkey, count(*) AS n_late FROM late_pairs GROUP BY 1
+)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM late_pairs
+JOIN n_all USING (l_orderkey)
+JOIN n_late USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY 1
+"""
+
+QUERIES_LATE["q21_waiting_suppliers"] = (q21_waiting_suppliers, Q21_ORACLE)

@@ -745,3 +745,29 @@ def test_global_topk_avoids_window_funnel(spark):
     assert "TakeOrderedAndProject" in q10, q10
     pmi = _plan(pmi_top_pairs(spark, SF_DIR))
     assert "TakeOrderedAndProject" in pmi, pmi
+
+
+def test_q9_broadcast_dimensions_single_fact_shuffle(spark):
+    """q9 shape: part/supplier/nation broadcast; the only shuffle join
+    is lineitem ⨝ orders, and the part color filter prunes before the
+    join (pushed to the broadcast side's scan)."""
+    from lsh_spark.operators.relational import q9_profit_by_nation_year
+
+    plan = _plan(q9_profit_by_nation_year(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert (plan.count("SortMergeJoin")
+            + plan.count("ShuffledHashJoin")) <= 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_ships_ids_only_through_wide_joins(spark):
+    """q21 shape: the exists/not-exists nest runs as per-order counts —
+    the wide exchanges carry (orderkey, suppkey) ints, never supplier
+    names (names broadcast at the end)."""
+    from lsh_spark.operators.relational import q21_waiting_suppliers
+
+    plan = _plan(q21_waiting_suppliers(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "s_name#" not in line, line

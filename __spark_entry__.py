@@ -201,6 +201,7 @@ _REDUNDANT_TAIL = [
     "q12_late_shipment_priority",
     "q16_supplier_part_counts",
     "q21_waiting_suppliers",
+    "containment_near_dup_pairs",
 ]
 
 

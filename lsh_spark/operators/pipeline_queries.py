@@ -4264,3 +4264,23 @@ def _mixture_temperature_oracle() -> str:
 
 QUERIES_LATE["mixture_temperature_plan"] = (mixture_temperature_plan_q,
                                             _mixture_temperature_oracle())
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment pairs (similarity_join.lsh_containment_pairs)
+# — the doc-in-doc signal (quote/boilerplate detection) that Jaccard
+# misses; banding recall caveat documented on the operator.
+# ---------------------------------------------------------------------------
+
+def containment_near_dup_pairs(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from .similarity_join import lsh_containment_pairs
+
+    return lsh_containment_pairs(
+        load_table(spark, sf_dir, "documents"), "text", id_col="doc_id",
+        ngram_width=3, band_count=6, band_size=6, seed=123, threshold=0.8)
+
+
+QUERIES_LATE["containment_near_dup_pairs"] = (
+    containment_near_dup_pairs,
+    _orc.containment_pairs_sql(3, 6, 6, 123, 0.8))

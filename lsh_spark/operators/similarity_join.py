@@ -77,6 +77,31 @@ def _batch_jaccard(va: list, vb: list) -> "np.ndarray":
     return np.where(union > 0, ni / np.maximum(union, 1), 0.0)
 
 
+def _batch_containment(va: list, vb: list):
+    """Per-row (|A∩B|/|A|, |A∩B|/|B|) for aligned lists of sorted-unique
+    int32 arrays — the same one-merge-per-batch shape as
+    ``_batch_jaccard``; raw IEEE divisions (no rounding here: numpy
+    rounds half-even, the engines round half-up — rounding happens
+    in-plan with ``F.round`` so both engines replay one op order)."""
+    import numpy as np
+
+    from .._core.batch import sorted_intersect_counts
+
+    la = np.fromiter((len(x) for x in va), dtype=np.int64, count=len(va))
+    lb = np.fromiter((len(x) for x in vb), dtype=np.int64, count=len(vb))
+    rows = np.arange(len(va), dtype=np.int64)
+    ka = (np.repeat(rows, la) << 32) | (
+        np.concatenate(va).astype(np.int64) & 0xFFFFFFFF
+        if la.sum() else np.empty(0, dtype=np.int64))
+    kb = (np.repeat(rows, lb) << 32) | (
+        np.concatenate(vb).astype(np.int64) & 0xFFFFFFFF
+        if lb.sum() else np.empty(0, dtype=np.int64))
+    ni = sorted_intersect_counts(ka, kb, len(va))
+    ca = np.where(la > 0, ni / np.maximum(la, 1), 0.0)
+    cb = np.where(lb > 0, ni / np.maximum(lb, 1), 0.0)
+    return ca, cb
+
+
 def _collect_sets_broadcast(sets: DataFrame, id_alias: str, set_alias: str):
     """Flatten the cached (id, sorted-set) table into three numpy arrays —
     (sorted_ids, offsets, flat_values) — and broadcast them to the Python
@@ -471,6 +496,151 @@ def lsh_self_dedup_pairs(
     )
     return _verify_pairs(cand, "id_a", "id_b", "__set_a", "__set_b",
                          threshold, "jaccard")
+
+
+def lsh_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    *,
+    id_col: str,
+    ngram_width: int = 3,
+    band_count: int = 6,
+    band_size: int = 6,
+    seed: int = 123,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs — the doc-in-doc signal
+    Jaccard misses (a short quote fully inside a long document has high
+    containment but low Jaccard): LSH band candidates verified by
+    ``cont_a_in_b = |A∩B|/|A|`` and ``cont_b_in_a = |A∩B|/|B|``, keeping
+    pairs where ``greatest(cont_a_in_b, cont_b_in_a) > threshold``
+    (strict).  Returns (id_a, id_b, cont_a_in_b, cont_b_in_a), 6dp.
+
+    Honest recall caveat, documented for 100 TB use: the minhash bands
+    approximate JACCARD, so a tiny doc inside a huge one (high
+    containment, low Jaccard) can miss the blocking stage — containment
+    recall improves with looser banding, and exhaustive containment
+    needs a dedicated (e.g. prefix-hash) index.  No size-ratio prune
+    exists for containment (min-side containment can be 1.0 at ANY size
+    ratio), so the verify runs on every band candidate — ids only
+    through the blocking join, sets re-attach by id (the contract).
+    Rounding runs in-plan (``F.round`` = half-up = DuckDB round); the
+    kernel emits raw IEEE divisions."""
+    sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set")
+    track(sets.persist(StorageLevel.MEMORY_AND_DISK))
+    blocks = _band_blocks(sets, "__id", "__set", band_count, band_size, seed)
+    a = blocks.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
+    b = blocks.select(F.col("__id").alias("id_b"), "band_idx", "band_hash")
+    pairs = (
+        a.join(b, on=["band_idx", "band_hash"], how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if _integer_ids(sets, "__id") and _should_broadcast(
+            sets, "__set", None):
+        # under the cap: bare id pairs through Arrow, sets gathered by
+        # id inside the kernel from the tracked broadcast (the
+        # pair-verification contract; no size prune exists for
+        # containment, so every candidate is merged)
+        bc = _collect_sets_broadcast(sets, "__id", "__set")
+        raw = _containment_from_broadcast(pairs, bc)
+    else:
+        sets_a = sets.select(F.col("__id").alias("id_a"),
+                             F.col("__set").alias("__set_a"))
+        sets_b = sets.select(F.col("__id").alias("id_b"),
+                             F.col("__set").alias("__set_b"))
+        joined = (pairs.join(sets_a.hint("shuffle_hash"), on="id_a")
+                  .join(sets_b.hint("shuffle_hash"), on="id_b"))
+        raw = _containment_from_attached(joined)
+    return (
+        raw.select(
+            "id_a", "id_b",
+            F.round("__ca", 6).alias("cont_a_in_b"),
+            F.round("__cb", 6).alias("cont_b_in_a"),
+        )
+        .where(F.greatest("cont_a_in_b", "cont_b_in_a")
+               > F.lit(float(threshold)))
+    )
+
+
+def _containment_schema(src):
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    return StructType([
+        src.schema["id_a"], src.schema["id_b"],
+        StructField("__ca", DoubleType(), True),
+        StructField("__cb", DoubleType(), True),
+    ])
+
+
+def _containment_from_attached(joined: DataFrame) -> DataFrame:
+    """(ids, sets) rows → raw (id_a, id_b, __ca, __cb) — the
+    past-the-cap shuffle path."""
+    src = joined.select("id_a", "id_b", "__set_a", "__set_b")
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ca, cb = _batch_containment(
+                list(pdf["__set_a"]), list(pdf["__set_b"]))
+            out = pdf[["id_a", "id_b"]].copy()
+            out["__ca"] = ca
+            out["__cb"] = cb
+            yield out
+
+    return src.mapInPandas(
+        verify, schema=_containment_schema(src.select("id_a", "id_b")))
+
+
+def _containment_from_broadcast(pairs: DataFrame, bc) -> DataFrame:
+    """Bare id pairs → raw containments, sets gathered by id from the
+    flat broadcast (same storage contract and lookup semantics as
+    ``_verify_pairs_from_broadcast``: an id absent from the broadcast
+    drops the pair, mirroring the inner attach-join)."""
+    import numpy as np
+
+    from .._core.batch import sorted_intersect_counts
+
+    src = pairs.select("id_a", "id_b")
+    schema = _containment_schema(src)
+
+    def lookup(ids, wanted):
+        idx = np.searchsorted(ids, wanted)
+        idx = np.minimum(idx, max(len(ids) - 1, 0))
+        found = (ids[idx] == wanted) if len(ids) else np.zeros(
+            len(wanted), dtype=bool)
+        return idx, found
+
+    def verify(batches):
+        ids, off, flat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia, fa = lookup(ids, pdf["id_a"].to_numpy(dtype=np.int64))
+            ib, fb = lookup(ids, pdf["id_b"].to_numpy(dtype=np.int64))
+            ok = fa & fb
+            if not ok.any():
+                continue
+            ia, ib = ia[ok], ib[ok]
+            la = off[ia + 1] - off[ia]
+            lb = off[ib + 1] - off[ib]
+            n = len(ia)
+            rows = np.arange(n, dtype=np.int64)
+            ka = (np.repeat(rows, la) << 32) | (
+                _gather_segments(flat, off, ia, la).astype(np.int64)
+                & 0xFFFFFFFF)
+            kb = (np.repeat(rows, lb) << 32) | (
+                _gather_segments(flat, off, ib, lb).astype(np.int64)
+                & 0xFFFFFFFF)
+            ni = sorted_intersect_counts(ka, kb, n)
+            out = pdf.loc[ok, ["id_a", "id_b"]].copy()
+            out["__ca"] = np.where(la > 0, ni / np.maximum(la, 1), 0.0)
+            out["__cb"] = np.where(lb > 0, ni / np.maximum(lb, 1), 0.0)
+            yield out
+
+    return src.mapInPandas(verify, schema=schema)
 
 
 def lsh_edit_distance_pairs(

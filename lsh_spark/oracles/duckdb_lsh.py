@@ -359,6 +359,46 @@ def _verified_pairs_ctes(ngram_width: int, band_count: int, band_size: int,
   {pair_verify_ctes(threshold)}"""
 
 
+def containment_pairs_sql(ngram_width: int, band_count: int,
+                          band_size: int, seed: int,
+                          threshold: float) -> str:
+    """Oracle for ``lsh_containment_pairs``: band candidates (bit-exact
+    shingle/minhash CTEs) verified by the asymmetric containments
+    ``ni/|A|`` and ``ni/|B|`` (raw integer-ratio IEEE divisions, 6dp
+    half-up round in both engines), keeping strict
+    ``greatest(...) > threshold``."""
+    return f"""
+WITH {char_shingles_cte(ngram_width)},
+{minhash_bands_ctes(band_count, band_size, seed)},
+  cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.h = b.h AND a.id < b.id
+  ),
+  sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+  inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS ni
+    FROM cand c
+    JOIN sh sa ON sa.id = c.id_a
+    JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+    GROUP BY 1, 2
+  ),
+  v AS (
+    SELECT c.id_a, c.id_b,
+           round(coalesce(i.ni, 0)::DOUBLE / za.n::DOUBLE, 6)
+             AS cont_a_in_b,
+           round(coalesce(i.ni, 0)::DOUBLE / zb.n::DOUBLE, 6)
+             AS cont_b_in_a
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes za ON za.id = c.id_a
+    JOIN sizes zb ON zb.id = c.id_b
+  )
+SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM v
+WHERE greatest(cont_a_in_b, cont_b_in_a) > {threshold}
+"""
+
+
 def edit_distance_pairs_sql(ngram_width: int, band_count: int,
                             band_size: int, seed: int,
                             threshold: float) -> str:

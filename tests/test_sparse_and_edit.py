@@ -194,3 +194,51 @@ def test_mixture_temperature_flattens_toward_uniform(spark):
     assert got["small"].weight > 0.1          # raw share would be 0.10
     assert got["big"].weight > got["small"].weight
     assert abs(got["big"].weight + got["small"].weight - 1.0) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# lsh_containment_pairs
+# ---------------------------------------------------------------------------
+
+def test_containment_planted_quote_in_doc(spark):
+    """A short doc fully contained in a long one: cont_a_in_b == 1.0
+    (every trigram of A appears in B) while cont_b_in_a is small —
+    exactly the asymmetric signal; jaccard would be low."""
+    from lsh_spark.operators.similarity_join import lsh_containment_pairs
+
+    quote = "abcdefghijklmnop"
+    docs = _docs(spark, [
+        (1, quote),
+        (2, quote + " and then a very long continuation follows here with"
+            " plenty of additional material making the container large"),
+        (3, "zzz completely unrelated trigram content xxx qqq vvv www"),
+    ])
+    rows = lsh_containment_pairs(
+        docs, "text", id_col="doc_id", ngram_width=3, band_count=16,
+        band_size=1, seed=123, threshold=0.9).collect()
+    got = {(r.id_a, r.id_b): (r.cont_a_in_b, r.cont_b_in_a) for r in rows}
+    assert (1, 2) in got
+    ca, cb = got[(1, 2)]
+    assert ca == 1.0 and cb < 0.2
+    assert all(3 not in k for k in got)
+
+
+def test_containment_matches_manual_ratio(spark):
+    """Hand-checkable overlap: A='abcde' (trigrams abc bcd cde), B has
+    exactly two of them — cont_a_in_b = 2/3, cont_b_in_a = 2/|B|."""
+    from lsh_spark.functions.lsh import shingle_set_col
+    from lsh_spark.operators.similarity_join import lsh_containment_pairs
+
+    a_text, b_text = "abcde", "abcdXabcd"
+    docs = _docs(spark, [(1, a_text), (2, b_text)])
+    sizes = {r.doc_id: r.n for r in docs.select(
+        "doc_id", F.size(shingle_set_col(F.col("text"), 3)).alias("n")
+    ).collect()}
+    rows = lsh_containment_pairs(
+        docs, "text", id_col="doc_id", ngram_width=3, band_count=16,
+        band_size=1, seed=123, threshold=0.1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # shared trigrams: abc, bcd (cde missing from B; B adds dXa, Xab)
+    assert r.cont_a_in_b == round(2 / sizes[1], 6)
+    assert r.cont_b_in_a == round(2 / sizes[2], 6)

@@ -914,6 +914,70 @@ def ivfpq() -> None:
     spark.stop()
 
 
+def round10() -> None:
+    """Round-10 additions under corpus replication (fresh ids, perturbed
+    texts — replicas are near-dups, the adversarial case for pair ops).
+
+    Expected shapes:
+      * tfidf_cosine_pairs — pair volume is Σ_term df², and replication
+        multiplies every df by rep, so work grows ~rep²: the df cap is
+        the scalability control, and the sweep shows the quadratic
+        honestly.
+      * containment / edit-distance pairs — replicas form near-dup
+        clusters of size rep, so candidate pairs grow ~rep² WITHIN
+        clusters (output-bound, like the verified-dedup sweep in
+        main()); small reps only."""
+    from pyspark import StorageLevel
+
+    from lsh_spark.operators.similarity_join import (
+        lsh_containment_pairs,
+        lsh_edit_distance_pairs,
+    )
+    from lsh_spark.operators.sparse_sim import tfidf_cosine_pairs
+    from lsh_spark.plans import get_spark, release_intermediates
+    from lsh_spark.sources.io import load_table
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 2, 5]
+    spark = get_spark(app_name="lsh_spark-scale-check-r10")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n_base = base.count()
+    for rep in reps:
+        docs = (
+            base.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("doc_id") * rep + F.col("__rep")).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail"),
+                         F.col("__rep").cast("string")).alias("text"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        docs.count()
+        t0 = time.perf_counter()
+        n_cos = tfidf_cosine_pairs(docs, threshold=0.3, max_df_num=1,
+                                   max_df_den=20).count()
+        t_cos = time.perf_counter() - t0
+        release_intermediates()
+        t0 = time.perf_counter()
+        n_cont = lsh_containment_pairs(
+            docs, "text", id_col="doc_id", threshold=0.8).count()
+        t_cont = time.perf_counter() - t0
+        release_intermediates()
+        t0 = time.perf_counter()
+        n_edit = lsh_edit_distance_pairs(
+            docs, "text", id_col="doc_id", threshold=0.4).count()
+        t_edit = time.perf_counter() - t0
+        release_intermediates()
+        print(
+            f"rep={rep:3d} docs={n_base * rep:8d}  "
+            f"tfidf_cos={t_cos:6.1f}s ({n_cos})  "
+            f"containment={t_cont:6.1f}s ({n_cont})  "
+            f"edit={t_edit:6.1f}s ({n_edit})", flush=True)
+        docs.unpersist()
+        spark.catalog.clearCache()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--vectors":
         vectors()
@@ -937,5 +1001,7 @@ if __name__ == "__main__":
         phrase()
     elif len(sys.argv) > 1 and sys.argv[1] == "--ivfpq":
         ivfpq()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--round10":
+        round10()
     else:
         main()

@@ -202,6 +202,7 @@ _REDUNDANT_TAIL = [
     "q16_supplier_part_counts",
     "q21_waiting_suppliers",
     "containment_near_dup_pairs",
+    "events_pagerank",
 ]
 
 

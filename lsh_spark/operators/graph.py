@@ -1,0 +1,152 @@
+"""Iterative graph computation on DataFrames: fixed-iteration PageRank
+with a cross-engine-exact arithmetic contract.
+
+The repo's other iterative operator (``operators/cc.py``, min-label
+connected components) converges to a fixed point where float order
+never matters; PageRank's per-iteration SUM of neighbor contributions
+is order-sensitive, so this implementation rides the repo's
+quantize-then-decimal-sum idiom (zipf_fit_stats, tfidf_cosine_pairs):
+each contribution is 6dp-rounded then DECIMAL(28,6)-summed — exact
+decimal addition is order-independent, so Spark's shuffle order and
+DuckDB's scan order produce identical bits, and the oracle can replay
+the whole iteration as unrolled CTEs.
+
+100 TB shape per iteration: ranks is a node-sized frame joined to the
+edge table on src (the edge table partitions once on src and every
+iteration reuses that layout; ranks re-shuffles, being the small side —
+Catalyst broadcasts it under the threshold), contributions aggregate
+map-side on dst.  For long chains the ranks frame localCheckpoints
+every few iterations — the cc.py lesson: nesting one InMemoryRelation
+per round makes the AQE explainString quadratic and eventually OOMs
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(28,6)"
+
+
+def pagerank_undirected(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PageRank over an undirected graph given as DISTINCT directed
+    edge rows covering both orientations (an undirected graph has no
+    dangling nodes, so no leaked-mass correction is needed — the
+    bipartite builder below emits both directions).
+
+    rank₀ = round(1/N, 6); each iteration:
+      contrib(e) = round(rank(src)/deg(src), 6)         — one literal div
+      rank'(v)  = round((1−d)/N + d·Σ_dec contrib, 6)   — Σ in DECIMAL
+    Returns (node, rank) after ``iters`` rounds."""
+    deg = edges.groupBy(F.col(src).alias("__src")).agg(
+        F.count(F.lit(1)).alias("__deg"))
+    n_nodes = F.broadcast(deg.agg(F.count(F.lit(1)).alias("__n")))
+    ranks = (
+        deg.crossJoin(n_nodes)
+        .select(
+            F.col("__src").alias("__node"),
+            F.round(F.lit(1.0) / F.col("__n").cast("double"), 6)
+            .alias("rank"))
+    )
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    d = float(damping)
+    for i in range(int(iters)):
+        contribs = (
+            e.join(ranks.withColumnRenamed("__node", "__src"), on="__src")
+            .join(deg, on="__src")
+            .select(
+                F.col("__dst").alias("__node"),
+                F.round(F.col("rank") / F.col("__deg").cast("double"), 6)
+                .cast(_DEC).alias("__c"))
+            .groupBy("__node")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            contribs.crossJoin(n_nodes)
+            .select(
+                "__node",
+                F.round(
+                    F.lit(1.0 - d) / F.col("__n").cast("double")
+                    + F.lit(d) * F.col("__s").cast("double"),
+                    6,
+                ).alias("rank"))
+        )
+        if checkpoint_every and (i + 1) % int(checkpoint_every) == 0 \
+                and (i + 1) < int(iters):
+            # cut the lineage before it nests (the cc.py contract)
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("__node").alias("node"), "rank")
+
+
+def user_item_edges(events: DataFrame) -> DataFrame:
+    """Bipartite user↔item edges from the events stream: one distinct
+    (user, props.k) pair per co-occurrence, both directions, nodes
+    integer-encoded (users even = user_id·2, items odd = k·2+1) so the
+    iteration shuffles longs, never strings."""
+    base = (
+        events.select(
+            (F.col("user_id") * 2).alias("u"),
+            (F.from_json("props", "k BIGINT")["k"] * 2 + 1).alias("i"))
+        .where(F.col("i").isNotNull())
+        .distinct()
+    )
+    return (
+        base.select(F.col("u").alias("src"), F.col("i").alias("dst"))
+        .unionAll(base.select(F.col("i").alias("src"),
+                              F.col("u").alias("dst")))
+    )
+
+
+def pagerank_oracle_sql(iters: int = 3, damping: float = 0.85,
+                        source: str = "events") -> str:
+    """DuckDB twin: the same edge encoding and the same per-iteration
+    quantize → DECIMAL-sum → literal recombination, unrolled."""
+    d = float(damping)
+    ctes = [f"""e0 AS (
+  SELECT DISTINCT user_id * 2 AS u,
+         json_extract(props, '$.k')::BIGINT * 2 + 1 AS i
+  FROM {source}
+  WHERE json_extract(props, '$.k') IS NOT NULL
+)""", """edges AS (
+  SELECT u AS src, i AS dst FROM e0
+  UNION ALL
+  SELECT i AS src, u AS dst FROM e0
+)""", """deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1)""",
+            """n AS (SELECT count(*) AS n_nodes FROM deg)""",
+            """r0 AS (
+  SELECT src AS node,
+         round(CAST(1.0 AS DOUBLE)
+               / CAST((SELECT n_nodes FROM n) AS DOUBLE), 6) AS rank
+  FROM deg
+)"""]
+    for k in range(1, int(iters) + 1):
+        ctes.append(f"""c{k} AS (
+  SELECT e.dst AS node,
+         sum(CAST(round(r.rank / CAST(deg.d AS DOUBLE), 6)
+                  AS DECIMAL(28,6))) AS s
+  FROM edges e
+  JOIN r{k - 1} r ON r.node = e.src
+  JOIN deg ON deg.src = e.src
+  GROUP BY 1
+)""")
+        ctes.append(f"""r{k} AS (
+  SELECT node,
+         round(CAST({1.0 - d!r} AS DOUBLE)
+               / CAST((SELECT n_nodes FROM n) AS DOUBLE)
+               + CAST({d!r} AS DOUBLE) * CAST(s AS DOUBLE), 6) AS rank
+  FROM c{k}
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END AS kind,
+       node // 2 AS id, rank
+FROM r{int(iters)}
+""")

@@ -4284,3 +4284,35 @@ def containment_near_dup_pairs(spark: SparkSession,
 QUERIES_LATE["containment_near_dup_pairs"] = (
     containment_near_dup_pairs,
     _orc.containment_pairs_sql(3, 6, 6, 123, 0.8))
+
+
+# ---------------------------------------------------------------------------
+# fixed-iteration PageRank over the events user-item graph
+# (operators/graph.py) — the iterative-algorithm class with an exact
+# unrolled-CTE oracle: quantized contributions DECIMAL-summed make the
+# per-iteration float arithmetic order-independent in both engines.
+# ---------------------------------------------------------------------------
+
+_PAGERANK_ITERS = 3
+
+
+def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import pagerank_undirected, user_item_edges
+
+    ev = load_table(spark, sf_dir, "events")
+    pr = pagerank_undirected(user_item_edges(ev), iters=_PAGERANK_ITERS)
+    return pr.select(
+        F.when(F.col("node") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("item")).alias("kind"),
+        F.expr("node DIV 2").alias("id"),
+        "rank",
+    )
+
+
+def _pagerank_oracle() -> str:
+    from .graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_PAGERANK_ITERS)
+
+
+QUERIES_LATE["events_pagerank"] = (events_pagerank, _pagerank_oracle())

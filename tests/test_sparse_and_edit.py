@@ -242,3 +242,62 @@ def test_containment_matches_manual_ratio(spark):
     # shared trigrams: abc, bcd (cde missing from B; B adds dXa, Xab)
     assert r.cont_a_in_b == round(2 / sizes[1], 6)
     assert r.cont_b_in_a == round(2 / sizes[2], 6)
+
+
+# ---------------------------------------------------------------------------
+# pagerank_undirected (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+_EDGE_SCHEMA = StructType([
+    StructField("src", LongType(), False),
+    StructField("dst", LongType(), False),
+])
+
+
+def _edges(spark, pairs):
+    both = list(pairs) + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(both, _EDGE_SCHEMA)
+
+
+def test_pagerank_symmetric_pair_stays_uniform(spark):
+    """A 2-node path is symmetric: rank stays exactly 1/2 every
+    iteration (0.075 + 0.85·0.5 = 0.5, closed under 6dp rounding)."""
+    from lsh_spark.operators.graph import pagerank_undirected
+
+    got = {r.node: r.rank for r in pagerank_undirected(
+        _edges(spark, [(1, 2)]), iters=3).collect()}
+    assert got == {1: 0.5, 2: 0.5}
+
+
+def test_pagerank_star_hand_computed(spark):
+    """Center + 3 leaves, one iteration — replay the exact quantized
+    fold by hand (round 6dp, decimal sum, literal recombination)."""
+    from decimal import Decimal
+
+    from lsh_spark.operators.graph import pagerank_undirected
+
+    edges = _edges(spark, [(0, 1), (0, 2), (0, 3)])
+    got = {r.node: r.rank for r in
+           pagerank_undirected(edges, iters=1).collect()}
+    r0 = round(1.0 / 4.0, 6)
+    c_center = float(sum(Decimal(f"{round(r0 / 1.0, 6):.6f}")
+                         for _ in range(3)))
+    c_leaf = float(Decimal(f"{round(r0 / 3.0, 6):.6f}"))
+    expect_center = round(0.15000000000000002 / 4.0 + 0.85 * c_center, 6)
+    expect_leaf = round(0.15000000000000002 / 4.0 + 0.85 * c_leaf, 6)
+    assert got[0] == expect_center
+    assert got[1] == got[2] == got[3] == expect_leaf
+    # total mass conserved up to 6dp quantization drift
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_checkpoint_invariant(spark):
+    """localCheckpoint cadence changes lineage, never values."""
+    from lsh_spark.operators.graph import pagerank_undirected
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)])
+    a = {r.node: r.rank for r in pagerank_undirected(
+        edges, iters=6, checkpoint_every=2).collect()}
+    b = {r.node: r.rank for r in pagerank_undirected(
+        edges, iters=6, checkpoint_every=0).collect()}
+    assert a == b

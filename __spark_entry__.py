@@ -203,6 +203,7 @@ _REDUNDANT_TAIL = [
     "q21_waiting_suppliers",
     "containment_near_dup_pairs",
     "events_pagerank",
+    "item_cooccurrence",
 ]
 
 

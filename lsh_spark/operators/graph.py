@@ -150,3 +150,82 @@ SELECT CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END AS kind,
        node // 2 AS id, rank
 FROM r{int(iters)}
 """)
+
+
+def item_cooccurrence_pairs(
+    events: DataFrame,
+    *,
+    min_support_num: int = 1,
+    min_support_den: int = 4,
+    max_items_per_user: int = 1000,
+) -> DataFrame:
+    """Market-basket co-occurrence: item pairs whose shared-user count
+    reaches ``min_support_num/min_support_den`` of the user population
+    (integer-exact compare — a relative threshold stays meaningful as
+    the corpus grows).  Returns (item_a, item_b, n_users), item_a <
+    item_b.
+
+    100 TB shape: the self-join keys on user_id, so each user
+    contributes |items(u)|² candidate rows — the classic co-visitation
+    skew, controlled by dropping users above ``max_items_per_user``
+    (the standard mitigation: a user touching everything contributes
+    quadratic volume and no signal).  The shuffle carries (user, item)
+    longs; counts aggregate map-side on the item pair."""
+    ui = (
+        events.select(
+            "user_id",
+            F.from_json("props", "k BIGINT")["k"].alias("item"))
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    heavy = (ui.groupBy("user_id").agg(F.count(F.lit(1)).alias("__n"))
+             .where(F.col("__n") > int(max_items_per_user))
+             .select("user_id"))
+    ui = ui.join(F.broadcast(heavy), on="user_id", how="left_anti")
+    n_users = F.broadcast(ui.agg(
+        F.countDistinct("user_id").alias("__nu")))
+    a = ui.select("user_id", F.col("item").alias("item_a"))
+    b = ui.select("user_id", F.col("item").alias("item_b"))
+    return (
+        a.join(b, on="user_id")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .crossJoin(n_users)
+        .where(F.col("n_users") * F.lit(int(min_support_den))
+               >= F.col("__nu") * F.lit(int(min_support_num)))
+        .select("item_a", "item_b", "n_users")
+    )
+
+
+def item_cooccurrence_oracle_sql(
+    min_support_num: int = 1,
+    min_support_den: int = 4,
+    max_items_per_user: int = 1000,
+    source: str = "events",
+) -> str:
+    """DuckDB twin of :func:`item_cooccurrence_pairs` — same dedup,
+    same heavy-user cap, same integer-exact relative threshold."""
+    return f"""
+WITH ui0 AS (
+  SELECT DISTINCT user_id, json_extract(props, '$.k')::BIGINT AS item
+  FROM {source}
+  WHERE json_extract(props, '$.k') IS NOT NULL
+),
+heavy AS (
+  SELECT user_id FROM ui0 GROUP BY 1
+  HAVING count(*) > {int(max_items_per_user)}
+),
+ui AS (
+  SELECT * FROM ui0 WHERE user_id NOT IN (SELECT user_id FROM heavy)
+),
+nu AS (SELECT count(DISTINCT user_id) AS n FROM ui),
+p AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_users
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, n_users FROM p
+WHERE n_users * {int(min_support_den)}
+      >= (SELECT n FROM nu) * {int(min_support_num)}
+"""

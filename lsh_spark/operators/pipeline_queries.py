@@ -4316,3 +4316,26 @@ def _pagerank_oracle() -> str:
 
 
 QUERIES_LATE["events_pagerank"] = (events_pagerank, _pagerank_oracle())
+
+
+# ---------------------------------------------------------------------------
+# item co-occurrence (operators/graph.py) — market-basket pairs over
+# the events user-item graph with the heavy-user skew cap.
+# ---------------------------------------------------------------------------
+
+def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import item_cooccurrence_pairs
+
+    return item_cooccurrence_pairs(
+        load_table(spark, sf_dir, "events"),
+        min_support_num=1, min_support_den=4, max_items_per_user=1000)
+
+
+def _item_cooccurrence_oracle() -> str:
+    from .graph import item_cooccurrence_oracle_sql
+
+    return item_cooccurrence_oracle_sql(1, 4, 1000)
+
+
+QUERIES_LATE["item_cooccurrence"] = (item_cooccurrence,
+                                     _item_cooccurrence_oracle())

@@ -301,3 +301,50 @@ def test_pagerank_checkpoint_invariant(spark):
     b = {r.node: r.rank for r in pagerank_undirected(
         edges, iters=6, checkpoint_every=0).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# item_cooccurrence_pairs (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+_EVENT_SCHEMA = StructType([
+    StructField("user_id", LongType(), False),
+    StructField("props", StringType(), True),
+])
+
+
+def _events(spark, pairs):
+    return spark.createDataFrame(
+        [(u, '{"k": %d}' % k) for u, k in pairs], _EVENT_SCHEMA)
+
+
+def test_cooccurrence_planted_baskets(spark):
+    """3 users; items (1,2) shared by all three, (1,3) by one —
+    at >= 2/3 support only the (1,2) pair survives, with the exact
+    user count; repeated events of the same (user, item) dedup."""
+    from lsh_spark.operators.graph import item_cooccurrence_pairs
+
+    ev = _events(spark, [
+        (10, 1), (10, 2), (10, 1),          # dup event collapses
+        (20, 1), (20, 2),
+        (30, 1), (30, 2), (30, 3),
+    ])
+    rows = item_cooccurrence_pairs(
+        ev, min_support_num=2, min_support_den=3).collect()
+    assert [(r.item_a, r.item_b, r.n_users) for r in rows] == [(1, 2, 3)]
+
+
+def test_cooccurrence_heavy_user_cap(spark):
+    """A user touching every item is dropped by the cap — their
+    quadratic contribution (and their vote) disappears, including from
+    the support denominator."""
+    from lsh_spark.operators.graph import item_cooccurrence_pairs
+
+    ev = _events(spark,
+                 [(1, k) for k in range(10)]       # heavy: 10 items
+                 + [(2, 1), (2, 2), (3, 1), (3, 2)])
+    got = item_cooccurrence_pairs(
+        ev, min_support_num=1, min_support_den=1,
+        max_items_per_user=5).collect()
+    # survivors: users 2 and 3 only -> (1,2) with support 2 of 2
+    assert [(r.item_a, r.item_b, r.n_users) for r in got] == [(1, 2, 2)]

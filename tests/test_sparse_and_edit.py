@@ -348,3 +348,60 @@ def test_cooccurrence_heavy_user_cap(spark):
         max_items_per_user=5).collect()
     # survivors: users 2 and 3 only -> (1,2) with support 2 of 2
     assert [(r.item_a, r.item_b, r.n_users) for r in got] == [(1, 2, 2)]
+
+
+# ---------------------------------------------------------------------------
+# randomized mirrors (seeded, deterministic)
+# ---------------------------------------------------------------------------
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_spark_levenshtein_matches_python_dp(spark):
+    """200 seeded random string pairs: Spark's levenshtein (the edit
+    operator's verify) equals the classic DP — pinning the engine
+    semantics the oracle's DuckDB levenshtein must also share (the
+    entry-oracle replica pins THAT side)."""
+    import random
+
+    rng = random.Random(1234)
+    alpha = "abcdefg "
+    pairs = [("".join(rng.choice(alpha) for _ in range(rng.randint(0, 24))),
+              "".join(rng.choice(alpha) for _ in range(rng.randint(0, 24))))
+             for _ in range(200)]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = [r.d for r in
+           df.select(F.levenshtein("a", "b").alias("d")).collect()]
+    assert got == [_py_lev(a, b) for a, b in pairs]
+
+
+def test_batch_containment_matches_python_sets():
+    """300 seeded random sorted-unique int32 array pairs: the row-tagged
+    merge kernel equals plain Python set arithmetic."""
+    import random
+
+    import numpy as np
+
+    from lsh_spark.operators.similarity_join import _batch_containment
+
+    rng = random.Random(99)
+    va, vb, expect = [], [], []
+    for _ in range(300):
+        sa = sorted(rng.sample(range(-50, 200), rng.randint(0, 40)))
+        sb = sorted(rng.sample(range(-50, 200), rng.randint(0, 40)))
+        va.append(np.array(sa, dtype=np.int32))
+        vb.append(np.array(sb, dtype=np.int32))
+        ni = len(set(sa) & set(sb))
+        expect.append((ni / len(sa) if sa else 0.0,
+                       ni / len(sb) if sb else 0.0))
+    ca, cb = _batch_containment(va, vb)
+    assert list(ca) == [e[0] for e in expect]
+    assert list(cb) == [e[1] for e in expect]

@@ -204,6 +204,7 @@ _REDUNDANT_TAIL = [
     "containment_near_dup_pairs",
     "events_pagerank",
     "item_cooccurrence",
+    "phrase_search_indexed_docs",
 ]
 
 

@@ -4339,3 +4339,25 @@ def _item_cooccurrence_oracle() -> str:
 
 QUERIES_LATE["item_cooccurrence"] = (item_cooccurrence,
                                      _item_cooccurrence_oracle())
+
+
+# ---------------------------------------------------------------------------
+# indexed phrase search — the standing-deployment phrase form over the
+# positional text index (same oracle as phrase_search_docs verbatim:
+# the indexed probe equals the on-the-fly operator by construction).
+# ---------------------------------------------------------------------------
+
+def phrase_search_indexed_docs(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from .retrieval import ensure_text_index, phrase_search_indexed
+
+    index = ensure_text_index(spark, sf_dir)
+    phrases = F.array(*[F.lit(p) for _qid, p in _PHRASES])
+    queries = spark.range(len(_PHRASES)).select(
+        F.col("id").alias("query_id"),
+        F.element_at(phrases, (F.col("id") + 1).cast("int")).alias("phrase"))
+    return phrase_search_indexed(spark, index, queries)
+
+
+QUERIES_LATE["phrase_search_indexed_docs"] = (phrase_search_indexed_docs,
+                                              _phrase_oracle())

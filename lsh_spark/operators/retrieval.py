@@ -252,6 +252,14 @@ def phrase_search(
     pos_post = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(_words(F.col(text_col))).alias("__pos", "__term"))
+    ph, plen = _phrase_frames(queries, query_id_col, phrase_col)
+    return _phrase_match(pos_post, ph, plen)
+
+
+def _phrase_frames(queries: DataFrame, query_id_col: str,
+                   phrase_col: str):
+    """(query_id, offset, term) and (query_id, phrase_len) frames —
+    shared by the on-the-fly and indexed phrase forms."""
     toks = F.col("__toks")
     qtok = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -259,6 +267,13 @@ def phrase_search(
     ph = qtok.select(
         "query_id", F.posexplode(toks).alias("__off", "__term"))
     plen = qtok.select("query_id", F.size(toks).alias("__plen"))
+    return ph, plen
+
+
+def _phrase_match(pos_post: DataFrame, ph: DataFrame,
+                  plen: DataFrame) -> DataFrame:
+    """Anchor voting over a positional-postings frame (doc_id, __pos,
+    __term) — the shared core of both phrase forms."""
     anchors = (
         pos_post.join(F.broadcast(ph), "__term")
         .select("query_id", "doc_id",
@@ -274,6 +289,33 @@ def phrase_search(
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"),
              F.min("__anchor").cast("long").alias("first_pos"))
     )
+
+
+def phrase_search_indexed(
+    spark,
+    table_name: str,
+    queries: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Exact phrase match against a POSITIONAL ``build_text_index``
+    (``positional=True``): identical semantics (and oracle) to
+    ``phrase_search`` — the persisted (doc_id, __term, __pos) table
+    replaces the per-batch corpus tokenize/posexplode, tombstones
+    anti-join, and only postings matching the phrase vocabulary ever
+    leave the scan (the broadcast term join prunes first)."""
+    m = _meta(spark, table_name)
+    if not _is_positional(m):
+        raise ValueError(
+            f"text index {table_name!r} was built without "
+            "positional=True — phrase probes need the positions table; "
+            "rebuild with build_text_index(..., positional=True)")
+    ph, plen = _phrase_frames(queries, query_id_col, phrase_col)
+    pos_post = _live_side(
+        spark, table_name,
+        spark.table(_phys(table_name, "positions", m)))
+    return _phrase_match(pos_post, ph, plen)
 
 
 def phrase_search_oracle_sql(queries_values: str, *,
@@ -339,6 +381,11 @@ def _phys(table_name: str, suffix: str, m) -> str:
     return versioned_name(f"{table_name}_{suffix}", meta_version(m))
 
 
+def _is_positional(m) -> bool:
+    """Meta rows written before positional support read as False."""
+    return "positional" in m.__fields__ and bool(m.positional)
+
+
 def build_text_index(
     corpus: DataFrame,
     table_name: str,
@@ -346,6 +393,7 @@ def build_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 32,
+    positional: bool = False,
 ) -> None:
     """Persist a corpus's BM25 inverted index for repeated probing:
 
@@ -359,7 +407,12 @@ def build_text_index(
       driver job;
     * ``<name>_meta`` — parameters + bucket spec + generation pointer
       (the append-only versioning contract shared with the LSH/IVF
-      indexes).
+      indexes);
+    * with ``positional=True``, ``<name>_positions`` (doc_id, __term,
+      __pos) bucketed by term — one row per token OCCURRENCE (heavier
+      than the tf postings by the in-doc repeat factor), enabling
+      exact phrase probes (``phrase_search_indexed``) without
+      re-tokenizing the corpus per query batch.
 
     Tombstones (``delete_from_text_index``) are merge-on-read: probes
     anti-join ``<name>_deletes`` on doc_id and correct N/total/df
@@ -373,7 +426,7 @@ def build_text_index(
     )
 
     spark = corpus.sparkSession
-    for suffix in ("postings", "doclen", "stats"):
+    for suffix in ("postings", "doclen", "stats", "positions"):
         drop_versioned_siblings(spark, f"{table_name}_{suffix}", 0)
     toks = (
         corpus.select(F.col(id_col).alias("doc_id"),
@@ -389,6 +442,15 @@ def build_text_index(
                          sort_by=["__term"])
     write_bucketed_table(dl, f"{table_name}_doclen",
                          bucket_by=["doc_id"], num_buckets=num_buckets)
+    if positional:
+        positions = corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(_words(F.col(text_col)))
+            .alias("__pos", "__term"))
+        write_bucketed_table(positions, f"{table_name}_positions",
+                             bucket_by=["__term"],
+                             num_buckets=num_buckets,
+                             sort_by=["__term"])
     save_table(
         dl.agg(F.count(F.lit(1)).alias("__n_docs"),
                F.coalesce(F.sum("__dl"), F.lit(0)).alias("__total")),
@@ -397,6 +459,7 @@ def build_text_index(
         F.lit(text_col).alias("text_col"),
         F.lit(id_col).alias("id_col"),
         F.lit(num_buckets).cast("int").alias("num_buckets"),
+        F.lit(bool(positional)).alias("positional"),
         F.lit(0).cast("int").alias("version"),
     )
     save_table(meta, f"{table_name}_meta", single_file=True)
@@ -449,6 +512,15 @@ def extend_text_index(new_docs: DataFrame, table_name: str) -> None:
     write_bucketed_table(dl, _phys(table_name, "doclen", m),
                          bucket_by=["doc_id"],
                          num_buckets=int(m.num_buckets), mode="append")
+    if _is_positional(m):
+        positions = new_docs.select(
+            F.col(m.id_col).alias("doc_id"),
+            F.posexplode(_words(F.col(m.text_col)))
+            .alias("__pos", "__term"))
+        write_bucketed_table(positions, _phys(table_name, "positions", m),
+                             bucket_by=["__term"],
+                             num_buckets=int(m.num_buckets),
+                             sort_by=["__term"], mode="append")
     save_table(
         dl.agg(F.count(F.lit(1)).alias("__n_docs"),
                F.coalesce(F.sum("__dl"), F.lit(0)).alias("__total")),
@@ -588,6 +660,11 @@ def attach_text_index(spark, table_name: str,
                           location=loc(_phys(table_name, "doclen", m)))
     attach_table(spark, _phys(table_name, "stats", m),
                  loc(_phys(table_name, "stats", m)))
+    if _is_positional(m):
+        attach_bucketed_table(
+            spark, _phys(table_name, "positions", m),
+            bucket_by=["__term"], num_buckets=int(m.num_buckets),
+            location=loc(_phys(table_name, "positions", m)))
     dels = loc(f"{table_name}_deletes")
     if os.path.isdir(dels):
         attach_table(spark, f"{table_name}_deletes", dels)
@@ -607,14 +684,16 @@ def ensure_text_index(spark, sf_dir: str) -> str:
     _ensure_session_confs(spark)
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     index = f"textidx_{tag}"
-    want = dict(text_col="text", id_col="doc_id")
+    want = dict(text_col="text", id_col="doc_id", positional=True)
     have = None
     if spark.catalog.tableExists(f"{index}_meta"):
         m = _meta(spark, index)
-        have = dict(text_col=m.text_col, id_col=m.id_col)
+        have = dict(text_col=m.text_col, id_col=m.id_col,
+                    positional=_is_positional(m))
     if have != want:
         t0 = time.perf_counter()
-        build_text_index(load_table(spark, sf_dir, "documents"), index)
+        build_text_index(load_table(spark, sf_dir, "documents"), index,
+                         positional=True)
         print(f"# ensure_text_index: index build took "
               f"{time.perf_counter() - t0:.2f}s (reused by later runs "
               f"in this session)", file=sys.stderr)
@@ -675,7 +754,9 @@ def compact_text_index(spark, table_name: str, *,
     m = _meta(spark, table_name)
     cur = meta_version(m)
     nxt = cur + 1
-    for suffix in ("postings", "doclen", "stats"):
+    suffixes = ("postings", "doclen", "stats") + (
+        ("positions",) if _is_positional(m) else ())
+    for suffix in suffixes:
         phys = versioned_name(f"{table_name}_{suffix}", cur)
         if not generation_in_warehouse(spark, phys):
             raise ValueError(
@@ -688,8 +769,10 @@ def compact_text_index(spark, table_name: str, *,
     if spark.catalog.tableExists(f"{table_name}_deletes"):
         deletes = spark.table(f"{table_name}_deletes").select(
             F.col("__rid").alias("doc_id"))
-    for suffix, bucket_by in (("postings", ["__term"]),
-                              ("doclen", ["doc_id"])):
+    folds = [("postings", ["__term"]), ("doclen", ["doc_id"])]
+    if _is_positional(m):
+        folds.append(("positions", ["__term"]))
+    for suffix, bucket_by in folds:
         base = f"{table_name}_{suffix}"
         drop_versioned_siblings(spark, base, cur)
         src = spark.table(versioned_name(base, cur))
@@ -717,7 +800,7 @@ def compact_text_index(spark, table_name: str, *,
     save_table(flipped, f"{table_name}_meta", mode="append",
                single_file=True)
     if not keep_previous:
-        for suffix in ("postings", "doclen", "stats"):
+        for suffix in suffixes:
             drop_table_and_files(
                 spark, versioned_name(f"{table_name}_{suffix}", cur))
         if deletes is not None:

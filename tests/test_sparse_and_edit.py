@@ -405,3 +405,93 @@ def test_batch_containment_matches_python_sets():
     ca, cb = _batch_containment(va, vb)
     assert list(ca) == [e[0] for e in expect]
     assert list(cb) == [e[1] for e in expect]
+
+
+# ---------------------------------------------------------------------------
+# positional text index + phrase_search_indexed lifecycle
+# ---------------------------------------------------------------------------
+
+def _phrase_queries(spark, phrases):
+    arr = F.array(*[F.lit(p) for p in phrases])
+    return spark.range(len(phrases)).select(
+        F.col("id").alias("query_id"),
+        F.element_at(arr, (F.col("id") + 1).cast("int")).alias("phrase"))
+
+
+def test_phrase_indexed_equals_on_the_fly_through_lifecycle(spark):
+    """build(positional) → probe parity vs phrase_search; extend adds a
+    matching doc; delete tombstones one; compact folds and keeps
+    results — every transition re-checked against the on-the-fly
+    operator over the equivalent live corpus."""
+    from lsh_spark.operators.retrieval import (
+        build_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        extend_text_index,
+        phrase_search,
+        phrase_search_indexed,
+    )
+    from lsh_spark.sources.formats import drop_table_and_files
+
+    name = "t_phraseidx"
+    base = _docs(spark, [
+        (1, "alpha beta gamma alpha beta"),
+        (2, "gamma delta epsilon"),
+        (3, "alpha beta"),
+    ])
+    extra = _docs(spark, [(4, "zeta alpha beta eta")])
+    q = _phrase_queries(spark, ["alpha beta", "gamma delta"])
+
+    def canon(df):
+        return sorted((r.query_id, r.doc_id, r.n_occurrences, r.first_pos)
+                      for r in df.collect())
+
+    try:
+        build_text_index(base, name, num_buckets=4, positional=True)
+        assert canon(phrase_search_indexed(spark, name, q)) == canon(
+            phrase_search(base, q))
+        extend_text_index(extra, name)
+        live = base.unionByName(extra)
+        assert canon(phrase_search_indexed(spark, name, q)) == canon(
+            phrase_search(live, q))
+        # re-append of an already-indexed id is skipped (no double votes)
+        extend_text_index(extra, name)
+        assert canon(phrase_search_indexed(spark, name, q)) == canon(
+            phrase_search(live, q))
+        delete_from_text_index(
+            spark.range(1).select(F.lit(1).alias("doc_id")), name)
+        live2 = live.where(F.col("doc_id") != 1)
+        assert canon(phrase_search_indexed(spark, name, q)) == canon(
+            phrase_search(live2, q))
+        compact_text_index(spark, name)
+        assert canon(phrase_search_indexed(spark, name, q)) == canon(
+            phrase_search(live2, q))
+        # tombstones folded out: the deletes table is gone
+        assert not spark.catalog.tableExists(f"{name}_deletes")
+    finally:
+        for sfx in ("_postings", "_doclen", "_stats", "_positions",
+                    "_meta", "_deletes"):
+            for v in ("", "_v1"):
+                drop_table_and_files(spark, f"{name}{sfx}{v}")
+
+
+def test_phrase_indexed_requires_positional_build(spark):
+    """A non-positional index refuses phrase probes loudly."""
+    import pytest
+
+    from lsh_spark.operators.retrieval import (
+        build_text_index,
+        phrase_search_indexed,
+    )
+    from lsh_spark.sources.formats import drop_table_and_files
+
+    name = "t_phraseidx_nopos"
+    try:
+        build_text_index(
+            _docs(spark, [(1, "alpha beta")]), name, num_buckets=2)
+        with pytest.raises(ValueError, match="positional"):
+            phrase_search_indexed(
+                spark, name, _phrase_queries(spark, ["alpha beta"]))
+    finally:
+        for sfx in ("_postings", "_doclen", "_stats", "_meta"):
+            drop_table_and_files(spark, f"{name}{sfx}")

@@ -205,6 +205,7 @@ _REDUNDANT_TAIL = [
     "events_pagerank",
     "item_cooccurrence",
     "phrase_search_indexed_docs",
+    "phrase_search_streaming",
 ]
 
 

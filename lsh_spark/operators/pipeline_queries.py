@@ -4361,3 +4361,15 @@ def phrase_search_indexed_docs(spark: SparkSession,
 
 QUERIES_LATE["phrase_search_indexed_docs"] = (phrase_search_indexed_docs,
                                               _phrase_oracle())
+
+
+def _phrase_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # late-registered here (the QUERIES_LATE contract — see
+    # _pq_search_streaming): earlier registry positions stay stable
+    from ..streaming.documents import phrase_search_streaming
+
+    return phrase_search_streaming(spark, sf_dir)
+
+
+QUERIES_LATE["phrase_search_streaming"] = (_phrase_search_streaming,
+                                           _phrase_oracle())

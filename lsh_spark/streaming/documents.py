@@ -408,3 +408,69 @@ def bm25_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "query_id long, doc_id long, score double, rank int")
     return spark.read.parquet(out_dir).select(
         "query_id", "doc_id", "score", "rank")
+
+
+def phrase_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: streaming exact-phrase retrieval — the gate's
+    three phrases arrive as a file-source stream (ids 0-2 drawn from the
+    documents parquet, mapped to the literal phrase list in-plan) and
+    probe the PERSISTED positional text index inside ``foreachBatch``
+    (``retrieval.phrase_search_indexed``): each micro-batch broadcasts
+    its own phrase terms while the corpus-side positions read from the
+    bucketed table.  Batch/stream parity is by construction — the same
+    operator the batch gate pins — so the oracle is the batch phrase
+    replay."""
+    import shutil
+
+    from ..operators.pipeline_queries import _PHRASES
+    from ..operators.retrieval import (
+        ensure_text_index,
+        phrase_search_indexed,
+    )
+    from ..sources.io import load_table
+
+    index = ensure_text_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    phrases = F.array(*[F.lit(p) for _qid, p in _PHRASES])
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+        .where(F.col("doc_id") < len(_PHRASES))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.element_at(phrases, (F.col("doc_id") + 1).cast("int"))
+            .alias("phrase"))
+    )
+    out_dir = f"/tmp/lsh_spark_stream_phrase_{tag}"
+    ckpt = f"/tmp/lsh_spark_ckpt_stream_phrase_{tag}"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = phrase_search_indexed(spark, index, batch_df)
+        _write_batch_idempotent(res, out_dir, batch_id)
+
+    from .events import scoped_state_partitions
+
+    with scoped_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    if not os.path.isdir(out_dir) or not any(
+            f.startswith("batch_id=") for f in os.listdir(out_dir)):
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, n_occurrences long, "
+                "first_pos long")
+    return spark.read.parquet(out_dir).select(
+        "query_id", "doc_id", "n_occurrences", "first_pos")

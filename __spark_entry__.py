@@ -92,6 +92,10 @@ _REDUNDANT_TAIL = [
     # pytest-pinned; demoted to fund the meta-read promotions):
     "min_cost_supplier",
     "large_quantity_orders",
+    # + top_terms_per_lang (r7-last, 6 green rows) demoted to fund
+    # the bigram_logprob_scores promotion (its bigram transform
+    # gained the sequence(1,0) CASE guard this round)
+    "top_terms_per_lang",
     # last driver row r8 (code unchanged this round):
     "weighted_minhash_signatures",
     "weighted_near_dup_pairs",
@@ -179,7 +183,6 @@ _REDUNDANT_TAIL = [
     "bm25_index_search",
     "bm25_index_stats",
     "bm25_search_streaming",
-    "bigram_logprob_scores",
     "hybrid_search_rrf",
     "hybrid_search_indexed",
     "vocab_stats",
@@ -206,6 +209,8 @@ _REDUNDANT_TAIL = [
     "item_cooccurrence",
     "phrase_search_indexed_docs",
     "phrase_search_streaming",
+    "epoch_shuffle",
+    "bpe_pair_top_counts",
 ]
 
 

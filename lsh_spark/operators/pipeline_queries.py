@@ -3095,10 +3095,15 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _words(F.col("text")).alias("__t"))
     grams = toks.select(
         "doc_id",
+        # CASE guard: Spark's sequence(1, 0) is the DESCENDING [1, 0],
+        # so an unguarded transform would index past a 1-token array
+        # (ANSI INVALID_ARRAY_INDEX) — same contract as
+        # sparse_sim._bigram_terms
         F.explode(F.expr(
-            "transform(sequence(1, greatest(size(__t) - 1, 0)), "
+            "CASE WHEN size(__t) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(__t) - 1), "
             "i -> struct(element_at(__t, i) AS w1, "
-            "element_at(__t, i + 1) AS w2))")).alias("__g"),
+            "element_at(__t, i + 1) AS w2)) END")).alias("__g"),
     ).select("doc_id", F.col("__g.w1").alias("__w1"),
              F.col("__g.w2").alias("__w2"))
     dc = grams.groupBy("doc_id", "__w1", "__w2").agg(
@@ -4373,3 +4378,41 @@ def _phrase_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_LATE["phrase_search_streaming"] = (_phrase_search_streaming,
                                            _phrase_oracle())
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle plan + BPE pair counts (training_ops) — deterministic
+# per-epoch data ordering and the first tokenizer-training merge step.
+# ---------------------------------------------------------------------------
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_ops import epoch_shuffle_plan
+
+    return epoch_shuffle_plan(load_table(spark, sf_dir, "documents"),
+                              epochs=3, n_shards=8)
+
+
+def _epoch_shuffle_oracle() -> str:
+    from .training_ops import epoch_shuffle_oracle_sql
+
+    return epoch_shuffle_oracle_sql(3, 8)
+
+
+QUERIES_LATE["epoch_shuffle"] = (epoch_shuffle, _epoch_shuffle_oracle())
+
+
+def bpe_pair_top_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_ops import bpe_pair_counts
+
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"),
+                           top_n=20)
+
+
+def _bpe_pair_oracle() -> str:
+    from .training_ops import bpe_pair_counts_oracle_sql
+
+    return bpe_pair_counts_oracle_sql(20)
+
+
+QUERIES_LATE["bpe_pair_top_counts"] = (bpe_pair_top_counts,
+                                       _bpe_pair_oracle())

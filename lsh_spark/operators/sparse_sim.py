@@ -41,11 +41,15 @@ _DEC = "decimal(28,6)"
 
 def _bigram_terms(tokens: Column) -> Column:
     """Word-bigram term strings ('w1 w2') from a token array; under 2
-    tokens yields the empty list (greatest() guards Spark's descending
-    sequence(1, 0))."""
+    tokens yields the empty list.  The CASE guard is load-bearing:
+    Spark's ``sequence(1, 0)`` is the DESCENDING ``[1, 0]`` (not
+    empty), so an unguarded transform indexes past a 1-token array and
+    raises INVALID_ARRAY_INDEX under ANSI mode."""
     return F.expr(
-        "transform(sequence(1, greatest(size(__t) - 1, 0)), "
-        "i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
+        "CASE WHEN size(__t) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(__t) - 1), "
+        "i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1))) "
+        "END"
     )
 
 

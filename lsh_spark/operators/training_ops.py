@@ -1343,3 +1343,129 @@ def split_expr(id_expr, *, val_frac: float = 0.05, test_frac: float = 0.05,
         .when(bucket < val_lim, F.lit("val"))
         .otherwise(F.lit("train"))
     )
+
+
+def epoch_shuffle_plan(
+    docs: DataFrame,
+    *,
+    epochs: int = 3,
+    n_shards: int = 8,
+    salt: str = "shuffle-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch training order: every (doc, epoch) gets
+    a shard and a position from the md5 machinery of
+    ``dataset_splits_df`` — reproducible across engines and partition
+    layouts, different order every epoch, no RNG state to ship.
+    Returns (doc_id, epoch, shard, pos).
+
+    100 TB shape: ONE plan for all epochs (the epoch index is an
+    exploded literal array — no per-epoch scans or unions); ordering is
+    per-(epoch, shard) windows, never a global sort — shards are the
+    parallel read units, exactly how a trainer consumes them."""
+    from pyspark.sql.window import Window
+
+    e = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(*[F.lit(i) for i in range(int(epochs))]))
+        .alias("epoch"))
+    key = F.md5(F.concat(F.col("doc_id").cast("string"),
+                         F.lit(f":{salt}-e"),
+                         F.col("epoch").cast("string")))
+    keyed = e.select(
+        "doc_id", "epoch", key.alias("__key"),
+        (F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
+         % F.lit(int(n_shards))).alias("shard"))
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        F.col("__key").asc(), F.col("doc_id").asc())
+    return keyed.select(
+        "doc_id", "epoch", "shard",
+        F.row_number().over(w).cast("long").alias("pos"))
+
+
+def epoch_shuffle_oracle_sql(
+    epochs: int = 3,
+    n_shards: int = 8,
+    salt: str = "shuffle-v1",
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`epoch_shuffle_plan` — same md5 keys, same
+    hex-prefix shard arithmetic, same per-shard ordering."""
+    return f"""
+WITH e AS (
+  SELECT doc_id, unnest(generate_series(0, {int(epochs) - 1})) AS ep
+  FROM {source}
+),
+k AS (
+  SELECT doc_id, ep,
+         md5(doc_id::VARCHAR || ':{salt}-e' || ep::VARCHAR) AS key
+  FROM e
+),
+s AS (
+  SELECT doc_id, ep, key,
+         CAST(('0x' || substr(key, 1, 8))::BIGINT % {int(n_shards)}
+              AS BIGINT) AS shard
+  FROM k
+)
+SELECT doc_id, ep::INT AS epoch, shard,
+       CAST(row_number() OVER (PARTITION BY ep, shard
+                               ORDER BY key ASC, doc_id ASC) AS BIGINT)
+         AS pos
+FROM s
+"""
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    *,
+    top_n: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The first BPE-training step: corpus-wide adjacent-character pair
+    frequencies within words (pairs weighted by word occurrence count),
+    top-N by total.  Returns (pair, n_total) — ties break on the pair
+    string, all-integer arithmetic.
+
+    100 TB shape: ONE token explode feeds the word-frequency aggregate;
+    pairs explode from the DISTINCT-word table (vocabulary-sized, not
+    corpus-sized), and the global top-N plans as TakeOrdered, never a
+    full-vocab window."""
+    words = docs.select(
+        F.explode(_words(F.col(text_col))).alias("__w"))
+    wc = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__n"))
+    # length >= 2 filter (matches the oracle's empty generate_series):
+    # Spark's sequence(1, 0) is the DESCENDING [1, 0], which would
+    # fabricate a bogus single-char "pair" for 1-char words
+    pairs = wc.where(F.length("__w") >= 2).select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(__w) - 1), "
+            "i -> substring(__w, i, 2))")).alias("pair"),
+        "__n")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("__n").cast("long").alias("n_total"))
+        .orderBy(F.col("n_total").desc(), F.col("pair").asc())
+        .limit(int(top_n))
+    )
+
+
+def bpe_pair_counts_oracle_sql(top_n: int = 20,
+                               source: str = "documents") -> str:
+    """DuckDB twin of :func:`bpe_pair_counts`."""
+    return f"""
+WITH wds AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                            t -> t != '')) AS w
+  FROM {source}
+),
+wc AS (SELECT w, count(*) AS n FROM wds GROUP BY 1),
+p AS (
+  SELECT substring(w, i, 2) AS pair, n
+  FROM (SELECT w, n, unnest(generate_series(1, length(w) - 1)) AS i
+        FROM wc)
+)
+SELECT pair, sum(n)::BIGINT AS n_total
+FROM p GROUP BY 1
+ORDER BY n_total DESC, pair ASC
+LIMIT {int(top_n)}
+"""

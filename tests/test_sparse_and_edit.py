@@ -495,3 +495,20 @@ def test_phrase_indexed_requires_positional_build(spark):
     finally:
         for sfx in ("_postings", "_doclen", "_stats", "_meta"):
             drop_table_and_files(spark, f"{name}{sfx}")
+
+
+def test_single_token_docs_do_not_crash_bigram_ops(spark):
+    """Spark's sequence(1, 0) is the DESCENDING [1, 0] — unguarded
+    bigram transforms index past 1-token arrays (ANSI
+    INVALID_ARRAY_INDEX) or fabricate 1-char 'pairs'.  All three bigram
+    consumers must tolerate 1-token / 1-char inputs."""
+    from lsh_spark.operators.training_ops import bpe_pair_counts
+
+    docs = _docs(spark, [(1, "solo"), (2, "a"), (3, "ab cd ab"), (4, "")])
+    assert tfidf_cosine_pairs(docs, threshold=0.0,
+                              max_df_num=9, max_df_den=10).collect() == []
+    got = {r.pair: r.n_total for r in
+           bpe_pair_counts(docs, top_n=10).collect()}
+    # 'a' (1 char) contributes nothing; 'solo' -> so ol lo; 'ab'x2, 'cd'
+    assert got == {"ab": 2, "cd": 1, "so": 1, "ol": 1, "lo": 1}
+    from lsh_spark.operators.pipeline_queries import _BIGRAM_K  # noqa: F401

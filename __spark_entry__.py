@@ -211,6 +211,8 @@ _REDUNDANT_TAIL = [
     "phrase_search_streaming",
     "epoch_shuffle",
     "bpe_pair_top_counts",
+    "dedup_against_corpus",
+    "source_capped_docs",
 ]
 
 

@@ -4416,3 +4416,58 @@ def _bpe_pair_oracle() -> str:
 
 QUERIES_LATE["bpe_pair_top_counts"] = (bpe_pair_top_counts,
                                        _bpe_pair_oracle())
+
+
+# ---------------------------------------------------------------------------
+# incremental-crawl dedup against the persisted AB corpus index +
+# per-source capping — two standing production flows.
+# ---------------------------------------------------------------------------
+
+def dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odd-id documents (the 'new crawl') deduped against the persisted
+    even-id corpus index at the README join's banding plan."""
+    from ..streaming.documents import ensure_ab_index
+    from .similarity_join import dedup_new_against_index
+
+    index = ensure_ab_index(spark, sf_dir)
+    new = (load_table(spark, sf_dir, "documents")
+           .where(F.col("doc_id") % 2 == 1))
+    kept = dedup_new_against_index(
+        spark, index, new, "text", id_col="doc_id", threshold=0.7)
+    return kept.select("doc_id", "lang", "source")
+
+
+def _dedup_against_corpus_oracle() -> str:
+    from ..operators.lsh_queries import _JOIN_AB_PLAN
+    from ..oracles.duckdb_lsh import _verified_pairs_ctes
+
+    return f"""
+WITH {_verified_pairs_ctes(3, _JOIN_AB_PLAN.band_count,
+                           _JOIN_AB_PLAN.band_size, 123, 0.7)},
+matched AS (
+  SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS pid
+  FROM ver WHERE (id_a % 2) != (id_b % 2)
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT pid FROM matched)
+"""
+
+
+QUERIES_LATE["dedup_against_corpus"] = (dedup_against_corpus,
+                                        _dedup_against_corpus_oracle())
+
+
+def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_ops import cap_per_source
+
+    return cap_per_source(load_table(spark, sf_dir, "documents"), cap=20)
+
+
+def _cap_per_source_oracle() -> str:
+    from .training_ops import cap_per_source_oracle_sql
+
+    return cap_per_source_oracle_sql(20)
+
+
+QUERIES_LATE["source_capped_docs"] = (source_capped_docs,
+                                      _cap_per_source_oracle())

@@ -1251,3 +1251,32 @@ def extend_lsh_corpus_index(
     write_bucketed_table(sets, _phys(table_name, "sets", m),
                          bucket_by=["__rid"],
                          num_buckets=m.num_buckets, mode="append")
+
+
+def dedup_new_against_index(
+    spark,
+    table_name: str,
+    new_docs: DataFrame,
+    text_col: str,
+    *,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """The incremental-crawl dedup flow: drop every NEW document that is
+    a verified near-duplicate of ANYTHING in a persisted
+    ``build_lsh_corpus_index`` corpus — the reference corpus is never
+    re-shingled, re-banded, or re-shuffled (the
+    ``lsh_similarity_join_indexed`` probe contract: new-batch bands
+    probe the bucketed index tables, tombstones excluded), and the
+    surviving batch keeps its full original columns via one anti-join
+    on id.  At 100 TB this is how a refresh lands: probe cost scales
+    with the BATCH, not the corpus."""
+    matches = lsh_similarity_join_indexed(
+        spark, table_name, new_docs, text_col, probe_id=id_col,
+        threshold=threshold, keep_similarity=False)
+    # the probe join disambiguates a probe id that collides with the
+    # index's id_col as <id>_left (its output-naming contract)
+    probe_out = id_col if id_col in matches.columns else f"{id_col}_left"
+    return new_docs.join(
+        matches.select(F.col(probe_out).alias(id_col)).distinct(),
+        on=id_col, how="left_anti")

@@ -1469,3 +1469,53 @@ FROM p GROUP BY 1
 ORDER BY n_total DESC, pair ASC
 LIMIT {int(top_n)}
 """
+
+
+def cap_per_source(
+    docs: DataFrame,
+    *,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """C4-style per-source document cap: keep at most ``cap`` docs per
+    source, chosen by deterministic md5 order (reproducible across
+    engines and partition layouts; no RNG state).  Returns the
+    surviving (doc_id, source) rows.
+
+    100 TB shape: one window per source partition — the natural
+    parallel unit — ordered by the hash key; no global sort, and the
+    cap bounds every partition's output.  A source so large its window
+    spills is exactly the source being capped."""
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"),
+                         F.lit(":" + salt)))
+    w = Window.partitionBy(source_col).orderBy(
+        key.asc(), F.col(id_col).asc())
+    return (
+        docs.select(F.col(id_col), F.col(source_col),
+                    F.row_number().over(w).alias("__rk"))
+        .where(F.col("__rk") <= int(cap))
+        .select(id_col, source_col)
+    )
+
+
+def cap_per_source_oracle_sql(
+    cap: int,
+    salt: str = "cap-v1",
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`cap_per_source`."""
+    return f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id::VARCHAR || ':{salt}') ASC, doc_id ASC)
+           AS rk
+  FROM {source}
+)
+SELECT doc_id, source FROM r WHERE rk <= {int(cap)}
+"""

@@ -512,3 +512,57 @@ def test_single_token_docs_do_not_crash_bigram_ops(spark):
     # 'a' (1 char) contributes nothing; 'solo' -> so ol lo; 'ab'x2, 'cd'
     assert got == {"ab": 2, "cd": 1, "so": 1, "ol": 1, "lo": 1}
     from lsh_spark.operators.pipeline_queries import _BIGRAM_K  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# dedup_new_against_index + cap_per_source
+# ---------------------------------------------------------------------------
+
+def test_dedup_new_against_index_drops_planted_dup(spark):
+    """A new batch probes a persisted corpus index: the near-dup of an
+    indexed doc is dropped, the novel doc survives with its full row."""
+    from lsh_spark.operators.similarity_join import (
+        build_lsh_corpus_index,
+        dedup_new_against_index,
+    )
+    from lsh_spark.sources.formats import drop_table_and_files
+
+    name = "t_dedupidx"
+    corpus = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "an entirely different reference document about spark"),
+    ])
+    new = _docs(spark, [
+        (11, "the quick brown fox jumps over the lazy dog tonight!"),
+        (12, "novel content that matches nothing in the corpus at all"),
+    ])
+    try:
+        build_lsh_corpus_index(corpus, name, text_col="text",
+                               id_col="doc_id", ngram_width=3,
+                               band_count=8, band_size=2, seed=123)
+        kept = dedup_new_against_index(
+            spark, name, new, "text", id_col="doc_id",
+            threshold=0.5).collect()
+        assert [r.doc_id for r in kept] == [12]
+        assert kept[0].text.startswith("novel content")
+    finally:
+        for sfx in ("_bands", "_sets", "_meta", "_deletes"):
+            drop_table_and_files(spark, f"{name}{sfx}")
+
+
+def test_cap_per_source_deterministic_and_bounded(spark):
+    """Cap binds per source, survivors are the md5-order prefix, and
+    the selection is layout-independent (repartition invariance)."""
+    from lsh_spark.operators.training_ops import cap_per_source
+
+    rows = ([(i, "big") for i in range(30)]
+            + [(100 + i, "small") for i in range(3)])
+    docs = spark.createDataFrame(rows, _SRC_SCHEMA)
+    got = cap_per_source(docs, cap=5).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src["big"]) == 5 and len(by_src["small"]) == 3
+    again = cap_per_source(docs.repartition(7), cap=5).collect()
+    assert {(r.doc_id, r.source) for r in again} == {
+        (r.doc_id, r.source) for r in got}

@@ -213,6 +213,7 @@ _REDUNDANT_TAIL = [
     "bpe_pair_top_counts",
     "dedup_against_corpus",
     "source_capped_docs",
+    "mixture_repeat_counts",
 ]
 
 

@@ -4471,3 +4471,60 @@ def _cap_per_source_oracle() -> str:
 
 QUERIES_LATE["source_capped_docs"] = (source_capped_docs,
                                       _cap_per_source_oracle())
+
+
+# ---------------------------------------------------------------------------
+# deterministic up-sampling plan (training_ops.mixture_repeat_df) — the
+# weights-above-1 companion to mixture_sample_counts; gate weights span
+# 0, fractional, exactly-1, and >1 regimes.
+# ---------------------------------------------------------------------------
+
+_REPEAT_WEIGHTS = {f"src{i}": (i % 8) * 0.5 for i in range(20)}
+
+
+def mixture_repeat_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_ops import mixture_repeat_df
+
+    rep = mixture_repeat_df(load_table(spark, sf_dir, "documents"),
+                            _REPEAT_WEIGHTS)
+    return rep.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_copies").cast("long").alias("total_copies"),
+        F.max("n_copies").cast("long").alias("max_copies"),
+        F.sum(F.when(F.col("n_copies") == 0, 1).otherwise(0))
+        .cast("long").alias("n_dropped"),
+    )
+
+
+def _mixture_repeat_oracle() -> str:
+    cases_base = " ".join(
+        f"WHEN '{s}' THEN {int(w)}"
+        for s, w in sorted(_REPEAT_WEIGHTS.items()))
+    cases_lim = " ".join(
+        f"WHEN '{s}' THEN {int(round((w - int(w)) * 10_000))}"
+        for s, w in sorted(_REPEAT_WEIGHTS.items()))
+    return f"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR || ':mix-v1'), 1, 8)
+              )::BIGINT % 10000 AS BIGINT) AS bucket,
+         CASE source {cases_base} ELSE 0 END AS base,
+         CASE source {cases_lim} ELSE 0 END AS lim
+  FROM documents
+),
+c AS (
+  SELECT source,
+         (base + CASE WHEN bucket < lim THEN 1 ELSE 0 END)::BIGINT
+           AS n_copies
+  FROM b
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_copies)::BIGINT AS total_copies,
+       max(n_copies)::BIGINT AS max_copies,
+       sum(CASE WHEN n_copies = 0 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+FROM c GROUP BY source
+"""
+
+
+QUERIES_LATE["mixture_repeat_counts"] = (mixture_repeat_counts,
+                                         _mixture_repeat_oracle())

@@ -1519,3 +1519,36 @@ WITH r AS (
 )
 SELECT doc_id, source FROM r WHERE rk <= {int(cap)}
 """
+
+
+def mixture_repeat_df(
+    docs: DataFrame,
+    weights: "dict[str, float]",
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix-v1",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic UP-sampling companion to ``mixture_sample_df``:
+    per-row copy counts for weights above 1 — ``n_copies = floor(w) +
+    (bucket < frac(w)·buckets)`` with the same md5-bucket machinery, so
+    w=2.5 gives every row 2 copies and a deterministic half a third.
+    The w <= 1 case degenerates to the sampler (copies 0/1, identical
+    keep set for identical salt).  Returns (id, source, n_copies) with
+    copies 0 rows retained — the caller materializes repeats (e.g.
+    ``explode(sequence(1, n_copies))``) only at the final write, so the
+    plan carries ONE row per document until then."""
+    bucket = split_bucket_expr(F.col(id_col), salt=salt, buckets=buckets)
+    base = F.lit(0)
+    lim = F.lit(0)
+    for src, wt in sorted(weights.items()):
+        whole = int(wt)
+        frac_lim = int(round((wt - whole) * buckets))
+        base = F.when(F.col(source_col) == src, F.lit(whole)).otherwise(base)
+        lim = F.when(F.col(source_col) == src,
+                     F.lit(frac_lim)).otherwise(lim)
+    return docs.select(
+        F.col(id_col), F.col(source_col),
+        (base + F.when(bucket < lim, 1).otherwise(0)).cast("long")
+        .alias("n_copies"))

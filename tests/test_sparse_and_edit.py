@@ -566,3 +566,30 @@ def test_cap_per_source_deterministic_and_bounded(spark):
     again = cap_per_source(docs.repartition(7), cap=5).collect()
     assert {(r.doc_id, r.source) for r in again} == {
         (r.doc_id, r.source) for r in got}
+
+
+def test_mixture_repeat_regimes_and_sampler_parity(spark):
+    """Copy counts respect each weight regime (0 / fractional / 1 / >1),
+    and the w<=1 keep set equals mixture_sample_df's for the same salt."""
+    from lsh_spark.operators.training_ops import (
+        mixture_repeat_df,
+        mixture_sample_df,
+    )
+
+    rows = [(i, f"src{i % 4}") for i in range(400)]
+    docs = spark.createDataFrame(rows, _SRC_SCHEMA)
+    weights = {"src0": 0.0, "src1": 0.4, "src2": 1.0, "src3": 2.5}
+    rep = mixture_repeat_df(docs, weights).collect()
+    by_src = {}
+    for r in rep:
+        by_src.setdefault(r.source, []).append(r.n_copies)
+    assert set(by_src["src0"]) == {0}
+    assert set(by_src["src1"]) <= {0, 1} and 1 in by_src["src1"]
+    assert set(by_src["src2"]) == {1}
+    assert set(by_src["src3"]) == {2, 3} and 3 in by_src["src3"]
+    kept_sampler = {r.doc_id for r in
+                    mixture_sample_df(docs, weights).collect()}
+    kept_repeat = {r.doc_id for r in rep if r.n_copies >= 1
+                   and r.source in ("src0", "src1")}
+    sampler_le1 = {d for d in kept_sampler if d % 4 in (0, 1)}
+    assert kept_repeat == sampler_le1

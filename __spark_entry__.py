@@ -214,6 +214,7 @@ _REDUNDANT_TAIL = [
     "dedup_against_corpus",
     "source_capped_docs",
     "mixture_repeat_counts",
+    "boolean_search_docs",
 ]
 
 

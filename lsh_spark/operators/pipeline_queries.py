@@ -4528,3 +4528,42 @@ FROM c GROUP BY source
 
 QUERIES_LATE["mixture_repeat_counts"] = (mixture_repeat_counts,
                                          _mixture_repeat_oracle())
+
+
+# ---------------------------------------------------------------------------
+# boolean retrieval (retrieval.boolean_search_indexed) — conjunctive
+# MUST / MUST-NOT queries over the persisted postings; the oracle
+# re-derives matches from the raw corpus, pinning index content too.
+# ---------------------------------------------------------------------------
+
+_BOOL_QUERIES = [
+    (0, "sort merge", "error"),
+    (1, "table scan", "window group"),
+    (2, "hash join spark", ""),
+]
+
+
+def boolean_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .retrieval import boolean_search_indexed, ensure_text_index
+
+    index = ensure_text_index(spark, sf_dir)
+    musts = F.array(*[F.lit(m) for _q, m, _n in _BOOL_QUERIES])
+    nots = F.array(*[F.lit(n) for _q, _m, n in _BOOL_QUERIES])
+    queries = spark.range(len(_BOOL_QUERIES)).select(
+        F.col("id").alias("query_id"),
+        F.element_at(musts, (F.col("id") + 1).cast("int"))
+        .alias("must_terms"),
+        F.element_at(nots, (F.col("id") + 1).cast("int"))
+        .alias("not_terms"))
+    return boolean_search_indexed(spark, index, queries)
+
+
+def _boolean_oracle() -> str:
+    from .retrieval import boolean_search_oracle_sql
+
+    vals = ", ".join(f"({q}, '{m}', '{n}')" for q, m, n in _BOOL_QUERIES)
+    return boolean_search_oracle_sql(vals)
+
+
+QUERIES_LATE["boolean_search_docs"] = (boolean_search_docs,
+                                       _boolean_oracle())

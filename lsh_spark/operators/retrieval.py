@@ -905,3 +905,91 @@ def hybrid_search_indexed(
         "query_id", F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("__rv"))
     return _rrf_fuse(lex, vec, k=k, rrf_c=rrf_c)
+
+
+def boolean_search_indexed(
+    spark,
+    table_name: str,
+    queries: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    must_col: str = "must_terms",
+    not_col: str = "not_terms",
+) -> DataFrame:
+    """Boolean retrieval over a ``build_text_index`` corpus: documents
+    containing ALL whitespace-separated ``must_terms`` and NONE of the
+    ``not_terms``.  Returns (query_id, doc_id), the classic
+    inverted-index conjunctive query.
+
+    100 TB shape: both term lists broadcast; the postings table is read
+    twice with the broadcast term joins pruning first (only postings
+    matching some query term ever leave the scans), the conjunction is
+    one count-distinct-terms aggregate against the broadcast
+    must-count, and the exclusion is an anti-join on (query, doc) —
+    tombstoned docs excluded like every index probe."""
+    m = _meta(spark, table_name)
+    qt = queries.select(F.col(query_id_col).alias("query_id"),
+                        _words(F.col(must_col)).alias("__m"),
+                        _words(F.col(not_col)).alias("__x"))
+    must = qt.select("query_id", F.explode("__m").alias("__term")).distinct()
+    nmust = must.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__n_must"))
+    banned = qt.select("query_id", F.explode("__x").alias("__term")).distinct()
+    post = _live_side(
+        spark, table_name,
+        spark.table(_phys(table_name, "postings", m))
+        .select("doc_id", "__term"))
+    hits = (
+        post.join(F.broadcast(must), "__term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("__term").alias("__n_hit"))
+        .join(F.broadcast(nmust), "query_id")
+        .where(F.col("__n_hit") == F.col("__n_must"))
+        .select("query_id", "doc_id")
+    )
+    excluded = (
+        post.join(F.broadcast(banned), "__term")
+        .select("query_id", "doc_id").distinct()
+    )
+    return hits.join(excluded, on=["query_id", "doc_id"], how="left_anti")
+
+
+def boolean_search_oracle_sql(queries_values: str, *,
+                              source: str = "documents") -> str:
+    """DuckDB replay of ``boolean_search_indexed`` from the raw corpus
+    (independent of the persisted postings — pins index content too)."""
+    ws = r"'[ \t\n\x0b\f\r]+'"
+    return rf"""
+WITH q AS (SELECT * FROM (VALUES {queries_values})
+           q(query_id, must_terms, not_terms)),
+must AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(must_terms, {ws}),
+                            t -> t != '')) AS term
+  FROM q
+),
+nmust AS (SELECT query_id, count(*) AS n FROM must GROUP BY 1),
+banned AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(not_terms, {ws}),
+                            t -> t != '')) AS term
+  FROM q
+),
+post AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(text, {ws}),
+                            t -> t != '')) AS term
+  FROM {source}
+),
+hits AS (
+  SELECT m.query_id, p.doc_id
+  FROM post p JOIN must m USING (term)
+  GROUP BY 1, 2
+  HAVING count(DISTINCT term) = (SELECT n FROM nmust
+                                 WHERE nmust.query_id = m.query_id)
+)
+SELECT h.query_id, h.doc_id FROM hits h
+WHERE NOT EXISTS (
+  SELECT 1 FROM post p JOIN banned b USING (term)
+  WHERE b.query_id = h.query_id AND p.doc_id = h.doc_id)
+"""

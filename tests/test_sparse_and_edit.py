@@ -593,3 +593,34 @@ def test_mixture_repeat_regimes_and_sampler_parity(spark):
                    and r.source in ("src0", "src1")}
     sampler_le1 = {d for d in kept_sampler if d % 4 in (0, 1)}
     assert kept_repeat == sampler_le1
+
+
+def test_boolean_search_must_and_must_not(spark):
+    """Conjunction requires ALL must-terms; exclusion removes docs with
+    ANY banned term; empty not-terms excludes nothing."""
+    from lsh_spark.operators.retrieval import (
+        boolean_search_indexed,
+        build_text_index,
+    )
+    from lsh_spark.sources.formats import drop_table_and_files
+
+    name = "t_boolidx"
+    docs = _docs(spark, [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta banned"),
+        (3, "alpha gamma"),
+        (4, "beta alpha delta"),
+    ])
+    q = spark.createDataFrame(
+        [(0, "alpha beta", "banned"), (1, "alpha", "")],
+        "query_id long, must_terms string, not_terms string")
+    try:
+        build_text_index(docs, name, num_buckets=2)
+        got = sorted((r.query_id, r.doc_id) for r in
+                     boolean_search_indexed(spark, name, q).collect())
+        # q0: docs with alpha AND beta, minus 'banned' doc 2 -> 1, 4
+        # q1: every doc has alpha, nothing banned -> all four
+        assert got == [(0, 1), (0, 4), (1, 1), (1, 2), (1, 3), (1, 4)]
+    finally:
+        for sfx in ("_postings", "_doclen", "_stats", "_meta"):
+            drop_table_and_files(spark, f"{name}{sfx}")

@@ -66,155 +66,145 @@ from pyspark.sql import DataFrame, SparkSession
 # artifact-vs-registry diff machine-checkable and exits non-zero on a
 # query with neither driver-row nor replica evidence.
 _REDUNDANT_TAIL = [
-    # Round-10 HEAD ROTATION (executing the round-9 verdict items 1+3):
-    # the head (positions 1-50 = registry minus this tail) now holds
-    #   * the 12 never-driver-checked round-9 additions (q13/q17/q18,
-    #     phrase_search_docs, zipf_fit_stats, the PQ/IVF-PQ family,
-    #     curriculum_stages) — replica-green at sf0.001+sf0.01, driver
-    #     rows are the gate that counts;
-    #   * mixture_sample_counts + corpus_snapshot_diff — the two r9
-    #     hash-reds, fixed this round (sum(doc_id)::BIGINT in their
-    #     oracles; values were already identical) and kept in head to
-    #     earn green rows;
-    #   * ann_ivf_search_streaming + ann_ivf_sq8_search — their
-    #     ensure_* index helpers' meta read changed this round
-    #     (formats.index_meta max(version) instead of .first(), the
-    #     round-9 ADVICE item) so they get driver re-checks alongside
-    #     the head PQ/IVF-PQ index queries touched by the same change;
-    #   * the 25 queries whose last driver row is r6 and 9 of the 11
-    #     whose last row is r7 — the staleness criterion.
-    # Demotions below are grouped by accumulated evidence, weakest
-    # first: the 2 r7-last relational singles traded for the two
-    # meta-read promotions, then the 46 r8-last queries, then the 48
-    # r9-green queries (freshest rows, code unchanged this round).
-    #
-    # last driver row r7 (6 green rows each, single-aggregate plans
-    # pytest-pinned; demoted to fund the meta-read promotions):
-    "min_cost_supplier",
-    "large_quantity_orders",
-    # + top_terms_per_lang (r7-last, 6 green rows) demoted to fund
-    # the bigram_logprob_scores promotion (its bigram transform
-    # gained the sequence(1,0) CASE guard this round)
-    "top_terms_per_lang",
-    # last driver row r8 (code unchanged this round):
-    "weighted_minhash_signatures",
-    "weighted_near_dup_pairs",
-    "weighted_word_near_dup_pairs",
-    "dedup_clusters_minhash",
-    "dup_ngram_stats",
-    "remove_duplicated_spans",
-    "pack_sequences",
-    "events_type_pivot",
-    "lineitem_cube",
-    "events_weekly_cohorts",
-    "customer_order_counts",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "supplier_revenue_salted",
-    "order_value_quantiles",
-    "q15_top_supplier",
-    "media_container_features",
-    "image_dhash_signatures",
-    "image_dhash_near_dup_pairs",
-    "image_dhash_clusters",
-    "pii_scrub_stats",
-    "line_dedup_docs",
-    "audio_signal_features",
-    "unigram_logprob_scores",
-    "cms_heavy_hitters",
-    "fingerprint_overlap_pairs",
-    "dedup_keep_longest_minhash",
-    "media_tiff_pixel_stats",
-    "image_resize_stats",
-    "video_frame_sample_stats",
-    "near_dup_index_stats",
-    "ann_ivf_index_stats",
-    "pipeline_clean_v2",
-    "ngram_novelty_scores",
-    "pii_scrub_streaming",
-    "mp3_stream_features",
-    "mp4_container_features",
-    "ann_sq8_topk",
-    "lang_id_predictions",
-    "chunk_documents",
-    "media_features_streaming",
-    "prepare_training_corpus",
-    "domain_blocklist_stats",
-    "blocked_docs_filter",
-    "dataset_splits",
-    "split_leakage_stats",
-    # last driver row r9 (freshest evidence, code unchanged):
-    "top_orders_per_customer",
-    "events_hourly",
-    "customers_without_orders",
-    "part_brand_stats",
-    "high_value_order_customers",
-    "event_type_distribution",
-    "jaccard_near_dup_pairs",
-    "minhash_signatures",
-    "minhash32_signatures",
-    "minhash_near_dup_pairs",
-    "euclidean_signatures",
-    "euclidean32_signatures",
-    "minhash_shingle_signatures",
-    "minhash32_shingle_signatures",
-    "dedup_exact",
-    "text_stats",
-    "text_quality",
-    "dedup_normalized",
-    "embedding_dup_pairs",
-    "simhash_near_dup_pairs",
-    "doc_fingerprints",
-    "distinct_ngram_counts",
-    "kmv_doc_stats",
-    "tfidf_top_terms",
-    "clean_corpus",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q19_bracket_revenue",
-    "q22_sales_opportunity",
-    "semantic_dedup",
-    "documents_upsert",
-    "corpus_summary_report",
-    "corpus_summary_streaming",
-    "bm25_search",
-    "duplicate_substring_spans",
-    "bm25_index_search",
-    "bm25_index_stats",
-    "bm25_search_streaming",
-    "hybrid_search_rrf",
-    "hybrid_search_indexed",
-    "vocab_stats",
-    "pmi_top_pairs",
-    "near_dup_threshold_histogram",
-    "source_quality_report",
-    "embedding_stats",
-    "ann_recall_report",
-    # ROUND-11 ROTATION DUTY: any NEW round-10 queries appended below
-    # this line have never been driver-checked — promote them (and any
-    # stragglers flagged by check_artifact_coverage.py --emit-promotions)
+    # Round-11 HEAD ROTATION (executing the round-10 verdict item 1 and
+    # the mechanical list from `scripts/check_artifact_coverage.py
+    # --emit-promotions`): the head (positions 1-50 = registry minus
+    # this tail) is now exactly the 50 WEAKEST-evidence queries —
+    #   * the 18 never-driver-checked round-10 additions
+    #     (tfidf_cosine_pairs .. boolean_search_docs), replica-green at
+    #     sf0.001+sf0.01; driver rows are the gate that counts.  Five of
+    #     them also carry round-11 code/oracle changes and need the
+    #     driver re-check anyway: source_capped_docs (two-phase bounded
+    #     window), edit_distance_near_dup_pairs (capped-DP levenshtein),
+    #     tfidf_cosine_pairs + bpe_pair_top_counts (oracle ws-class
+    #     fix), item_cooccurrence (oracle NOT EXISTS fix);
+    #   * the 3 queries whose last green row is r7 and the 29 whose
+    #     last green row is r8 — the staleness criterion (the r8 block
+    #     was "next in line" per the round-10 duty note).
+    # With this head, driver-row union r1-r11 reaches 164/164 for the
+    # first time.  Demotions below are ordered strongest-evidence-first
+    # groupwise: the 50 r10-green queries (code unchanged this round),
+    # then the r9-green block carried over from the previous tail.
+    "q1_pricing_summary",  # last green r10, 6 green rows
+    "q3_shipping_priority",  # last green r10, 6 green rows
+    "q5_region_revenue",  # last green r10, 6 green rows
+    "events_sessionize",  # last green r10, 6 green rows
+    "events_props_stats",  # last green r10, 5 green rows
+    "q4_order_priority",  # last green r10, 7 green rows
+    "supplier_nation_rollup",  # last green r10, 7 green rows
+    "asof_purchase_last_click",  # last green r10, 7 green rows
+    "errors_with_nearby_clicks",  # last green r10, 7 green rows
+    "minhash_near_dup_pairs_rotated",  # last green r10, 6 green rows
+    "similarity_join_ab",  # last green r10, 6 green rows
+    "word_bigram_near_dup_pairs",  # last green r10, 5 green rows
+    "ann_topk",  # last green r10, 6 green rows
+    "ann_lsh_topk",  # last green r10, 6 green rows
+    "ann_ivf_topk",  # last green r10, 6 green rows
+    "ann_ivf_flat_topk",  # last green r10, 6 green rows
+    "embedding_near_dup_lsh_pairs",  # last green r10, 6 green rows
+    "dedup_keep_first_minhash",  # last green r10, 6 green rows
+    "media_features",  # last green r10, 5 green rows
+    "media_raw_features",  # last green r10, 6 green rows
+    "repetition_stats",  # last green r10, 5 green rows
+    "contamination_overlap",  # last green r10, 4 green rows
+    "stratified_sample",  # last green r10, 4 green rows
+    "shard_assignment",  # last green r10, 4 green rows
+    "events_hourly_streaming",  # last green r10, 5 green rows
+    "events_sessions_streaming",  # last green r10, 5 green rows
+    "events_dedup_streaming",  # last green r10, 6 green rows
+    "events_user_totals_streaming",  # last green r10, 4 green rows
+    "events_error_click_pairs_streaming",  # last green r10, 4 green rows
+    "events_hourly_append_streaming",  # last green r10, 4 green rows
+    "similarity_join_ab_streaming",  # last green r10, 4 green rows
+    "near_dup_index_probe_streaming",  # last green r10, 4 green rows
+    "ann_ivf_search_streaming",  # last green r10, 4 green rows
+    "events_funnel",  # last green r10, 4 green rows
+    "q13_customer_distribution",  # last green r10, 1 green rows
+    "q17_small_quantity_revenue",  # last green r10, 1 green rows
+    "q18_large_volume_customers",  # last green r10, 1 green rows
+    "ann_ivf_sq8_search",  # last green r10, 2 green rows
+    "mixture_sample_counts",  # last green r10, 1 green rows
+    "bigram_logprob_scores",  # last green r10, 2 green rows
+    "phrase_search_docs",  # last green r10, 1 green rows
+    "corpus_snapshot_diff",  # last green r10, 1 green rows
+    "zipf_fit_stats",  # last green r10, 1 green rows
+    "ann_pq_topk",  # last green r10, 1 green rows
+    "ann_pq_index_search",  # last green r10, 1 green rows
+    "ann_pq_index_stats",  # last green r10, 1 green rows
+    "ann_pq_search_streaming",  # last green r10, 1 green rows
+    "ann_ivf_pq_topk",  # last green r10, 1 green rows
+    "ann_ivf_pq_index_search",  # last green r10, 1 green rows
+    "curriculum_stages",  # last green r10, 1 green rows
+    "video_frame_sample_stats",  # last green r8, 2 green rows
+    "near_dup_index_stats",  # last green r8, 2 green rows
+    "ann_ivf_index_stats",  # last green r8, 2 green rows
+    "pipeline_clean_v2",  # last green r8, 2 green rows
+    "ngram_novelty_scores",  # last green r8, 2 green rows
+    "pii_scrub_streaming",  # last green r8, 2 green rows
+    "mp3_stream_features",  # last green r8, 1 green rows
+    "mp4_container_features",  # last green r8, 1 green rows
+    "ann_sq8_topk",  # last green r8, 1 green rows
+    "lang_id_predictions",  # last green r8, 1 green rows
+    "chunk_documents",  # last green r8, 1 green rows
+    "media_features_streaming",  # last green r8, 1 green rows
+    "prepare_training_corpus",  # last green r8, 1 green rows
+    "domain_blocklist_stats",  # last green r8, 1 green rows
+    "blocked_docs_filter",  # last green r8, 1 green rows
+    "dataset_splits",  # last green r8, 1 green rows
+    "split_leakage_stats",  # last green r8, 1 green rows
+    "top_orders_per_customer",  # last green r9, 5 green rows
+    "events_hourly",  # last green r9, 5 green rows
+    "customers_without_orders",  # last green r9, 5 green rows
+    "part_brand_stats",  # last green r9, 5 green rows
+    "high_value_order_customers",  # last green r9, 5 green rows
+    "event_type_distribution",  # last green r9, 5 green rows
+    "jaccard_near_dup_pairs",  # last green r9, 6 green rows
+    "minhash_signatures",  # last green r9, 5 green rows
+    "minhash32_signatures",  # last green r9, 4 green rows
+    "minhash_near_dup_pairs",  # last green r9, 6 green rows
+    "euclidean_signatures",  # last green r9, 4 green rows
+    "euclidean32_signatures",  # last green r9, 4 green rows
+    "minhash_shingle_signatures",  # last green r9, 5 green rows
+    "minhash32_shingle_signatures",  # last green r9, 4 green rows
+    "dedup_exact",  # last green r9, 5 green rows
+    "text_stats",  # last green r9, 5 green rows
+    "text_quality",  # last green r9, 7 green rows
+    "dedup_normalized",  # last green r9, 5 green rows
+    "embedding_dup_pairs",  # last green r9, 6 green rows
+    "simhash_near_dup_pairs",  # last green r9, 5 green rows
+    "doc_fingerprints",  # last green r9, 4 green rows
+    "distinct_ngram_counts",  # last green r9, 4 green rows
+    "kmv_doc_stats",  # last green r9, 4 green rows
+    "tfidf_top_terms",  # last green r9, 6 green rows
+    "clean_corpus",  # last green r9, 5 green rows
+    "q7_volume_shipping",  # last green r9, 1 green rows
+    "q8_market_share",  # last green r9, 1 green rows
+    "q10_returned_items",  # last green r9, 1 green rows
+    "q19_bracket_revenue",  # last green r9, 1 green rows
+    "q22_sales_opportunity",  # last green r9, 1 green rows
+    "semantic_dedup",  # last green r9, 3 green rows
+    "documents_upsert",  # last green r9, 3 green rows
+    "corpus_summary_report",  # last green r9, 3 green rows
+    "corpus_summary_streaming",  # last green r9, 3 green rows
+    "bm25_search",  # last green r9, 1 green rows
+    "duplicate_substring_spans",  # last green r9, 1 green rows
+    "bm25_index_search",  # last green r9, 1 green rows
+    "bm25_index_stats",  # last green r9, 1 green rows
+    "bm25_search_streaming",  # last green r9, 1 green rows
+    "hybrid_search_rrf",  # last green r9, 1 green rows
+    "hybrid_search_indexed",  # last green r9, 1 green rows
+    "vocab_stats",  # last green r9, 1 green rows
+    "pmi_top_pairs",  # last green r9, 1 green rows
+    "near_dup_threshold_histogram",  # last green r9, 1 green rows
+    "source_quality_report",  # last green r9, 1 green rows
+    "embedding_stats",  # last green r9, 1 green rows
+    "ann_recall_report",  # last green r9, 1 green rows
+    # ROUND-12 ROTATION DUTY: any NEW round-11 queries appended below
+    # this line have never been driver-checked — promote them (plus any
+    # stragglers from check_artifact_coverage.py --emit-promotions)
     # into head positions 1-50 next round, demoting an equal number of
-    # r10-green unchanged-code queries, preferring STALENESS (the r8
-    # block above is next in line) for the remaining demotion slots.
-    "tfidf_cosine_pairs",
-    "edit_distance_near_dup_pairs",
-    "mixture_temperature_plan",
-    "q9_profit_by_nation_year",
-    "q12_late_shipment_priority",
-    "q16_supplier_part_counts",
-    "q21_waiting_suppliers",
-    "containment_near_dup_pairs",
-    "events_pagerank",
-    "item_cooccurrence",
-    "phrase_search_indexed_docs",
-    "phrase_search_streaming",
-    "epoch_shuffle",
-    "bpe_pair_top_counts",
-    "dedup_against_corpus",
-    "source_capped_docs",
-    "mixture_repeat_counts",
-    "boolean_search_docs",
+    # r11-green unchanged-code queries, preferring STALENESS (the
+    # r9-green block above is next in line) for the remaining slots.
 ]
 
 

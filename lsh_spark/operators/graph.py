@@ -217,7 +217,11 @@ heavy AS (
   HAVING count(*) > {int(max_items_per_user)}
 ),
 ui AS (
-  SELECT * FROM ui0 WHERE user_id NOT IN (SELECT user_id FROM heavy)
+  -- NOT EXISTS, not NOT IN: a NULL user_id in heavy would empty a
+  -- NOT IN result wholesale, while Spark's left_anti keeps all
+  -- non-matching rows (round-10 ADVICE item)
+  SELECT ui0.* FROM ui0
+  WHERE NOT EXISTS (SELECT 1 FROM heavy h WHERE h.user_id = ui0.user_id)
 ),
 nu AS (SELECT count(DISTINCT user_id) AS n FROM ui),
 p AS (

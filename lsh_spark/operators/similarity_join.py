@@ -672,7 +672,15 @@ def lsh_edit_distance_pairs(
     slack covers the 6dp round-up) drops hopeless pairs BEFORE the DP —
     output provably unchanged, so the oracle omits it.  Levenshtein
     itself is JVM whole-stage-codegen (``F.levenshtein``) — no Python
-    in the hot path."""
+    in the hot path.  The DP is CAPPED per row (round-10 verdict item
+    3): Spark >=3.5's three-arg ``levenshtein(a, b, bound)`` runs in
+    O(len·bound) instead of O(len_a·len_b) and returns −1 past the
+    bound; the output filter ``edit_sim > t`` implies
+    lev < (1−t+5e-7)·maxlen (the 5e-7 covers the 6dp half-up round),
+    so ``bound = floor((1−t+1e-6)·maxlen)`` over-admits and a −1
+    (sim → NULL → filtered) is provably below-threshold — output
+    bit-identical, oracle unchanged (it already omits the prefilter by
+    the same argument)."""
     sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set")
     track(sets.persist(StorageLevel.MEMORY_AND_DISK))
     blocks = _band_blocks(sets, "__id", "__set", band_count, band_size, seed)
@@ -696,13 +704,18 @@ def lsh_edit_distance_pairs(
         < F.lit(1.0 - float(threshold) + 1e-6) * gl.cast("double"))
     # gl > 0 whenever a candidate exists (shingling needs ngram_width
     # chars); the guard keeps ANSI mode safe on degenerate inputs — CASE
-    # twin in the oracle
+    # twin in the oracle.  __bound >= gap >= 0 on every prefilter
+    # survivor, so the capped DP's threshold arg is always valid.
+    joined = joined.withColumn(
+        "__bound",
+        F.floor(F.lit(1.0 - float(threshold) + 1e-6)
+                * gl.cast("double")).cast("int"))
+    lev = F.call_function(
+        "levenshtein", F.col("__ta"), F.col("__tb"), F.col("__bound"))
     sim = F.when(
-        gl != 0,
+        (gl != 0) & (lev >= 0),
         F.round(
-            F.lit(1.0)
-            - F.levenshtein("__ta", "__tb").cast("double")
-            / gl.cast("double"),
+            F.lit(1.0) - lev.cast("double") / gl.cast("double"),
             6,
         ),
     )

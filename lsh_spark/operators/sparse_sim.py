@@ -143,7 +143,8 @@ def tfidf_cosine_oracle_sql(
     return f"""
 WITH toks AS (
   SELECT {id_col} AS id,
-         list_filter(string_split_regex(lower({text_col}), '\\s+'),
+         list_filter(string_split_regex(lower({text_col}),
+                                        '[ \t\n\x0b\f\r]+'),
                      t -> t != '') AS w
   FROM {source}
 ),

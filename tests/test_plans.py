@@ -771,3 +771,20 @@ def test_q21_ships_ids_only_through_wide_joins(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "s_name#" not in line, line
+
+
+def test_cap_per_source_window_input_is_bounded(spark):
+    """cap_per_source (two-phase, round-10 verdict item 2): the exact
+    row_number window must consume the bucket-cutoff-FILTERED frame,
+    never the raw corpus — the plan carries the (__bkt <= __cut) filter
+    fed by a broadcast of the |sources|-row cutoff frame, plus the
+    histogram's cumulative window.  A revert to the single unbounded
+    window loses all three markers."""
+    from lsh_spark.operators.training_ops import cap_per_source
+    from lsh_spark.sources.io import load_table
+
+    plan = _plan(cap_per_source(load_table(spark, SF_DIR, "documents"),
+                                cap=20))
+    assert "__cut" in plan and "__bkt" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Window") >= 2, plan

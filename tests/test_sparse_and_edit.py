@@ -568,6 +568,36 @@ def test_cap_per_source_deterministic_and_bounded(spark):
         (r.doc_id, r.source) for r in got}
 
 
+def test_cap_per_source_matches_unbounded_window(spark):
+    """The two-phase bucket-cutoff form keeps a keep set bit-identical
+    to the naive full-window reference — including a source below the
+    cap (NULL cutoff, admit-all path) and a dominant source where the
+    cutoff bucket binds."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from lsh_spark.operators.training_ops import cap_per_source
+
+    rows = ([(i, "dominant") for i in range(500)]
+            + [(10_000 + i, "mid") for i in range(40)]
+            + [(20_000 + i, "tiny") for i in range(4)])
+    docs = spark.createDataFrame(rows, _SRC_SCHEMA)
+    got = {(r.doc_id, r.source)
+           for r in cap_per_source(docs, cap=25).collect()}
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cap-v1")))
+    w = Window.partitionBy("source").orderBy(key.asc(),
+                                             F.col("doc_id").asc())
+    ref = {(r.doc_id, r.source) for r in (
+        docs.select("doc_id", "source",
+                    F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 25).collect())}
+    assert got == ref
+    counts = {}
+    for _id, src in got:
+        counts[src] = counts.get(src, 0) + 1
+    assert counts == {"dominant": 25, "mid": 25, "tiny": 4}
+
+
 def test_mixture_repeat_regimes_and_sampler_parity(spark):
     """Copy counts respect each weight regime (0 / fractional / 1 / >1),
     and the w<=1 keep set equals mixture_sample_df's for the same salt."""

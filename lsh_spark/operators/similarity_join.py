@@ -142,6 +142,21 @@ def _gather_segments(flat, offsets, idx, lens):
     return flat[np.repeat(offsets[idx], lens) + within]
 
 
+def _fanout_pairs(pairs: DataFrame) -> DataFrame:
+    """Round-robin the bare-id candidate-pair frame back out to cluster
+    parallelism before a CPU-heavy verify: the deduped pair frame is a
+    few MB of longs, so AQE coalesces its upstream ENSURE_REQUIREMENTS
+    exchange to ONE partition (coalescing is byte-based and blind to
+    per-row CPU), and the verify kernel — or a Levenshtein join
+    condition — then runs single-task (measured 272 s -> 18 s on the
+    edit-distance 5x-replication point).  Must stay ROUND-ROBIN
+    ``repartition(N)``: a hash repartition on the pair ids is elided as
+    redundant with the dedup's own hashpartitioning, while an explicit
+    REPARTITION_BY_NUM survives and is exempt from AQE coalescing."""
+    target = pairs.sparkSession.sparkContext.defaultParallelism
+    return pairs.repartition(target)
+
+
 def _verify_pairs_from_broadcast(pairs: DataFrame, id_a: str, id_b: str,
                                  bc_a, bc_b, threshold: float,
                                  out_sim: str) -> DataFrame:
@@ -158,7 +173,7 @@ def _verify_pairs_from_broadcast(pairs: DataFrame, id_a: str, id_b: str,
 
     from .._core.batch import sorted_intersect_counts
 
-    src = pairs.select(id_a, id_b)
+    src = _fanout_pairs(pairs.select(id_a, id_b))
     schema = StructType([
         src.schema[id_a], src.schema[id_b],
         StructField(out_sim, DoubleType(), True),
@@ -603,7 +618,7 @@ def _containment_from_broadcast(pairs: DataFrame, bc) -> DataFrame:
 
     from .._core.batch import sorted_intersect_counts
 
-    src = pairs.select("id_a", "id_b")
+    src = _fanout_pairs(pairs.select("id_a", "id_b"))
     schema = _containment_schema(src)
 
     def lookup(ids, wanted):
@@ -678,9 +693,12 @@ def lsh_edit_distance_pairs(
     bound; the output filter ``edit_sim > t`` implies
     lev < (1−t+5e-7)·maxlen (the 5e-7 covers the 6dp half-up round),
     so ``bound = floor((1−t+1e-6)·maxlen)`` over-admits and a −1
-    (sim → NULL → filtered) is provably below-threshold — output
+    (nullif → NULL sim → filtered) is provably below-threshold — output
     bit-identical, oracle unchanged (it already omits the prefilter by
-    the same argument)."""
+    the same argument).  The deduped bare-id pair frame explicitly
+    re-fans to cluster parallelism before the text joins: AQE coalesces
+    the few-MB pair exchange to one partition, which would otherwise
+    serialize the whole DP stage into a single task."""
     sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set")
     track(sets.persist(StorageLevel.MEMORY_AND_DISK))
     blocks = _band_blocks(sets, "__id", "__set", band_count, band_size, seed)
@@ -692,6 +710,10 @@ def lsh_edit_distance_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # fan the bare-id pairs back out before the CPU-heavy DP stage (the
+    # broadcast text joins inherit the pair frame's layout — see
+    # _fanout_pairs for the AQE-coalescing failure mode this prevents)
+    pairs = _fanout_pairs(pairs)
     ta = df.select(F.col(id_col).alias("id_a"),
                    F.col(text_col).alias("__ta"))
     tb = df.select(F.col(id_col).alias("id_b"),
@@ -710,10 +732,16 @@ def lsh_edit_distance_pairs(
         "__bound",
         F.floor(F.lit(1.0 - float(threshold) + 1e-6)
                 * gl.cast("double")).cast("int"))
-    lev = F.call_function(
-        "levenshtein", F.col("__ta"), F.col("__tb"), F.col("__bound"))
+    # nullif keeps the DP referenced ONCE in the expression tree (the
+    # filter gets pushed into the broadcast join's condition, where a
+    # guard + value double-reference would run the DP twice per pair):
+    # -1 (past bound) -> NULL -> NULL sim -> filtered.
+    lev = F.nullif(
+        F.call_function(
+            "levenshtein", F.col("__ta"), F.col("__tb"), F.col("__bound")),
+        F.lit(-1))
     sim = F.when(
-        (gl != 0) & (lev >= 0),
+        gl != 0,
         F.round(
             F.lit(1.0) - lev.cast("double") / gl.cast("double"),
             6,

@@ -978,6 +978,121 @@ def round10() -> None:
     spark.stop()
 
 
+def edit_only() -> None:
+    """Round-11 re-measurement of the edit-distance 5× adversarial
+    point after the capped-DP change (3-arg levenshtein bound): the
+    round-10 sweep measured 212 s at rep=5 with the uncapped
+    O(len_a·len_b) DP; the bound caps each verify at O(len·(1−t)·len).
+    Same replication recipe as --round10 (near-dup replica cliques)."""
+    from pyspark import StorageLevel
+
+    from lsh_spark.operators.similarity_join import lsh_edit_distance_pairs
+    from lsh_spark.plans import get_spark, release_intermediates
+    from lsh_spark.sources.io import load_table
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 2, 5]
+    spark = get_spark(app_name="lsh_spark-scale-check-edit")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n_base = base.count()
+    for rep in reps:
+        docs = (
+            base.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("doc_id") * rep + F.col("__rep")).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail"),
+                         F.col("__rep").cast("string")).alias("text"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        docs.count()
+        t0 = time.perf_counter()
+        n_edit = lsh_edit_distance_pairs(
+            docs, "text", id_col="doc_id", threshold=0.4).count()
+        t_edit = time.perf_counter() - t0
+        release_intermediates()
+        print(f"rep={rep:3d} docs={n_base * rep:8d}  "
+              f"edit={t_edit:6.1f}s ({n_edit})", flush=True)
+        docs.unpersist()
+        spark.catalog.clearCache()
+    spark.stop()
+
+
+def graph() -> None:
+    """Round-11 graph-family sweep (round-10 verdict item 6).
+
+    * events_pagerank — replicate the graph as DISJOINT copies (fresh
+      users AND fresh items per replica): edges grow ×rep, so each
+      iteration's join+aggregate should be ~linear in rep.
+    * item_cooccurrence — the adversarial co-visitation case: SAME
+      users, fresh items per replica, so every user's item set grows
+      ×rep and the self-join's per-user candidate volume grows ~rep².
+      Measured twice: with the operator default cap (1000 — never
+      binds at these sizes: the HONEST quadratic) and with a cap that
+      binds at the upper reps (heavy users dropped wholesale — the
+      flattening the cap is designed to provide)."""
+    from pyspark import StorageLevel
+
+    from lsh_spark.operators.graph import (
+        item_cooccurrence_pairs,
+        pagerank_undirected,
+        user_item_edges,
+    )
+    from lsh_spark.plans import get_spark, release_intermediates
+    from lsh_spark.sources.io import load_table
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 5, 20]
+    spark = get_spark(app_name="lsh_spark-scale-check-graph")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "events")
+    k0 = F.from_json("props", "k BIGINT")["k"]
+    binding_cap = 40
+    for rep in reps:
+        repd = base.crossJoin(
+            spark.range(rep).select(F.col("id").alias("__rep")))
+        # disjoint copies: fresh users + fresh items
+        ev_disjoint = repd.select(
+            (F.col("user_id") * rep + F.col("__rep")).alias("user_id"),
+            F.to_json(F.struct(
+                (k0 * rep + F.col("__rep")).alias("k"))).alias("props"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # adversarial co-visitation: same users, fresh items
+        ev_heavy = repd.select(
+            F.col("user_id"),
+            F.to_json(F.struct(
+                (k0 * rep + F.col("__rep")).alias("k"))).alias("props"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_dis = ev_disjoint.count()
+        ev_heavy.count()
+        t0 = time.perf_counter()
+        edges = user_item_edges(ev_disjoint)
+        pr = pagerank_undirected(edges, iters=3)
+        n_nodes = pr.count()
+        t_pr = time.perf_counter() - t0
+        release_intermediates()
+        t0 = time.perf_counter()
+        n_co = item_cooccurrence_pairs(
+            ev_heavy, min_support_num=1, min_support_den=4).count()
+        t_co = time.perf_counter() - t0
+        release_intermediates()
+        t0 = time.perf_counter()
+        n_cap = item_cooccurrence_pairs(
+            ev_heavy, min_support_num=1, min_support_den=4,
+            max_items_per_user=binding_cap).count()
+        t_cap = time.perf_counter() - t0
+        release_intermediates()
+        print(
+            f"rep={rep:3d} events={n_dis:9d}  "
+            f"pagerank={t_pr:6.1f}s ({n_nodes} nodes)  "
+            f"cooc[cap=1000]={t_co:6.1f}s ({n_co})  "
+            f"cooc[cap={binding_cap}]={t_cap:6.1f}s ({n_cap})",
+            flush=True)
+        ev_disjoint.unpersist()
+        ev_heavy.unpersist()
+        spark.catalog.clearCache()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--vectors":
         vectors()
@@ -1003,5 +1118,9 @@ if __name__ == "__main__":
         ivfpq()
     elif len(sys.argv) > 1 and sys.argv[1] == "--round10":
         round10()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--edit":
+        edit_only()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--graph":
+        graph()
     else:
         main()

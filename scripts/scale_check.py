@@ -1041,12 +1041,14 @@ def graph() -> None:
     from lsh_spark.plans import get_spark, release_intermediates
     from lsh_spark.sources.io import load_table
 
-    reps = [int(a) for a in sys.argv[2:]] or [1, 5, 20]
+    reps = [int(a) for a in sys.argv[2:]] or [1, 3, 6]
     spark = get_spark(app_name="lsh_spark-scale-check-graph")
     spark.sparkContext.setLogLevel("ERROR")
     base = load_table(spark, "/root/testdata/sf0.1", "events")
     k0 = F.from_json("props", "k BIGINT")["k"]
-    binding_cap = 40
+    # sf0.1 has ~48.7 distinct items/user (max 67): 150 never binds at
+    # rep=1, binds from rep>=4 (the flattening the sweep demonstrates)
+    binding_cap = 150
     for rep in reps:
         repd = base.crossJoin(
             spark.range(rep).select(F.col("id").alias("__rep")))

@@ -205,6 +205,10 @@ _REDUNDANT_TAIL = [
     # into head positions 1-50 next round, demoting an equal number of
     # r11-green unchanged-code queries, preferring STALENESS (the
     # r9-green block above is next in line) for the remaining slots.
+    "q11_important_parts",
+    "q20_excess_shippers",
+    "cross_source_near_dup_matrix",
+    "bpe_train_merge_table",
 ]
 
 

@@ -4567,3 +4567,125 @@ def _boolean_oracle() -> str:
 
 QUERIES_LATE["boolean_search_docs"] = (boolean_search_docs,
                                        _boolean_oracle())
+
+
+# ---------------------------------------------------------------------------
+# cross-source near-dup matrix (round 11)
+# ---------------------------------------------------------------------------
+
+def cross_source_near_dup_matrix(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-(source, source) verified near-duplicate contamination
+    matrix — the corpus-curation view of the pair miner: how much of
+    each source pair's cross product is near-duplicated (within-source
+    cells use the unordered-pair denominator n·(n−1)/2).  The standing
+    use at 100 TB: quantify cross-crawl duplication BEFORE choosing
+    mixture weights, since up-weighting a source that is largely a
+    near-dup of another double-counts its tokens.
+
+    Scale shape: rides the audited banded-minhash pair miner (ids-only
+    blocking, size-gated broadcast verify — the flagship's exact
+    banding, so the pair set is the flagship's); sources attach BY ID
+    to the verified pairs and the matrix aggregates a pairs-sized
+    frame; denominators come from a |sources|-row broadcast.  The
+    dup_rate divides the two exact BIGINTs in DOUBLE with one literal
+    op order, 6dp round (the repo float contract)."""
+    from .lsh_queries import _PAIRS_PLAN
+    from .similarity_join import lsh_self_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_self_dedup_pairs(
+        docs, "text", id_col="doc_id",
+        ngram_width=3, band_count=_PAIRS_PLAN.band_count,
+        band_size=_PAIRS_PLAN.band_size, seed=123, threshold=0.6)
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.col("source").alias("__sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"),
+                    F.col("source").alias("__sb"))
+    m = (
+        pairs.join(a, on="id_a").join(b, on="id_b")
+        .select(F.least("__sa", "__sb").alias("source_a"),
+                F.greatest("__sa", "__sb").alias("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    counts = load_table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"))
+    ca = counts.select(F.col("source").alias("source_a"),
+                       F.col("__n").alias("__na"))
+    cb = counts.select(F.col("source").alias("source_b"),
+                       F.col("__n").alias("__nb"))
+    return (
+        m.join(F.broadcast(ca), on="source_a")
+        .join(F.broadcast(cb), on="source_b")
+        .select(
+            "source_a", "source_b", "n_pairs",
+            F.expr("CASE WHEN source_a = source_b"
+                   " THEN __na * (__na - 1) DIV 2"
+                   " ELSE __na * __nb END").cast("long")
+            .alias("n_possible"),
+        )
+        .select(
+            "source_a", "source_b", "n_pairs", "n_possible",
+            F.round(F.col("n_pairs").cast("double")
+                    / F.col("n_possible").cast("double"), 6)
+            .alias("dup_rate"),
+        )
+    )
+
+
+def _cross_source_matrix_oracle() -> str:
+    from ..oracles.duckdb_lsh import _verified_pairs_ctes
+    from .lsh_queries import _PAIRS_PLAN
+
+    return f"""
+WITH {_verified_pairs_ctes(3, _PAIRS_PLAN.band_count,
+                           _PAIRS_PLAN.band_size, 123, 0.6)},
+lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM ver
+  JOIN documents da ON ver.id_a = da.doc_id
+  JOIN documents db ON ver.id_b = db.doc_id
+),
+m AS (
+  SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+  FROM lab GROUP BY 1, 2
+),
+c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1)
+SELECT m.source_a, m.source_b, m.n_pairs,
+       (CASE WHEN m.source_a = m.source_b
+             THEN ca.n * (ca.n - 1) // 2
+             ELSE ca.n * cb.n END)::BIGINT AS n_possible,
+       round(m.n_pairs::DOUBLE
+             / (CASE WHEN m.source_a = m.source_b
+                     THEN ca.n * (ca.n - 1) // 2
+                     ELSE ca.n * cb.n END)::DOUBLE, 6) AS dup_rate
+FROM m
+JOIN c ca ON ca.source = m.source_a
+JOIN c cb ON cb.source = m.source_b
+"""
+
+
+QUERIES_LATE["cross_source_near_dup_matrix"] = (
+    cross_source_near_dup_matrix, _cross_source_matrix_oracle())
+
+
+def bpe_train_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the first 4 BPE training merges over the documents corpus
+    (see :func:`lsh_spark.operators.training_ops.bpe_train_merges`)."""
+    from ..sources.io import fanout_scan
+    from .training_ops import bpe_train_merges
+
+    return bpe_train_merges(
+        fanout_scan(load_table(spark, sf_dir, "documents")), steps=4)
+
+
+def _bpe_merges_oracle() -> str:
+    from .training_ops import bpe_train_merges_oracle_sql
+
+    return bpe_train_merges_oracle_sql(4)
+
+
+QUERIES_LATE["bpe_train_merge_table"] = (bpe_train_merge_table,
+                                         _bpe_merges_oracle())

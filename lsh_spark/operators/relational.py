@@ -1809,3 +1809,137 @@ GROUP BY 1
 """
 
 QUERIES_LATE["q21_waiting_suppliers"] = (q21_waiting_suppliers, Q21_ORACLE)
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's SHAPE with the available columns (this lake has no
+    partsupp, so "inventory value" is the shipped value
+    Σ quantity·extendedprice): parts whose value, over suppliers of one
+    nation, exceeds 1.2× the mean per-part value — the classic
+    HAVING-against-a-scalar-subquery, decorrelated Spark-first.
+
+    100 TB plan: nation→supplier is a broadcast dim filter on the fact
+    scan; ONE shuffle builds the per-part exact-DECIMAL sums; the
+    global total and part count come from a second aggregate over the
+    (parts-sized) per-part frame and broadcast back as a 1-row
+    crossJoin — no correlated rescan, no second fact pass.  The
+    threshold compare runs in DOUBLE of the exact DECIMAL sums with ONE
+    literal op order (total·1.2/n_parts) replayed by the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nat_supp = (
+        supp.join(F.broadcast(nation.where(F.col("n_name") == "NATION_7")),
+                  supp.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey"))
+    per_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.expr("SUM(CAST(l_quantity AS DECIMAL(18,2))"
+                    " * CAST(l_extendedprice AS DECIMAL(18,2)))")
+             .alias("__val")))
+    totals = F.broadcast(per_part.agg(
+        F.expr("CAST(SUM(__val) AS DOUBLE)").alias("__total"),
+        F.count(F.lit(1)).alias("__np")))
+    return (
+        per_part.crossJoin(totals)
+        .where(F.expr("CAST(__val AS DOUBLE)"
+                      " > CAST(__total AS DOUBLE) * 1.2 / __np"))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                F.expr("CAST(round(__val, 2) AS DOUBLE)")
+                .alias("part_value"))
+        .orderBy(F.col("part_value").desc(), F.col("p_partkey").asc())
+    )
+
+
+Q11_ORACLE = """
+WITH nat_supp AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+per_part AS (
+  SELECT l_partkey,
+         sum(l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2))
+           AS val
+  FROM lineitem JOIN nat_supp ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+),
+t AS (SELECT sum(val)::DOUBLE AS total, count(*) AS np FROM per_part)
+SELECT l_partkey AS p_partkey, round(val, 2)::DOUBLE AS part_value
+FROM per_part, t
+WHERE val::DOUBLE > total::DOUBLE * 1.2 / np
+ORDER BY part_value DESC, p_partkey ASC
+"""
+
+QUERIES_LATE["q11_important_parts"] = (q11_important_parts, Q11_ORACLE)
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's SHAPE with the available columns (no partsupp
+    availqty, so "excess" is temporal concentration: a supplier shipped
+    MORE of a part in 1996 than in all other years combined): suppliers
+    with at least one such small-part concentration, with the count of
+    qualifying parts.  Q20's nested IN/EXISTS chain, decorrelated into
+    one conditional aggregate.
+
+    100 TB plan: the p_name prefix filter broadcasts onto the fact
+    scan; ONE shuffle builds per-(supplier, part) exact-DECIMAL
+    quantity sums with the 1996 share as a map-side conditional sum
+    (no second fact pass, no correlated subquery); the qualifying-part
+    count aggregates the (supplier, part)-sized frame and the supplier
+    names broadcast onto the tiny result.  The excess compare is
+    integer-exact in DECIMAL (2·qty_1996 > qty_total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    small = part.where(F.col("p_name").startswith("small")) \
+        .select("p_partkey")
+    sp = (
+        li.join(F.broadcast(small), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.expr("SUM(CAST(l_quantity AS DECIMAL(18,2)))")
+            .alias("__qty_all"),
+            F.expr("SUM(CASE WHEN l_shipdate >= TIMESTAMP'1996-01-01'"
+                   " AND l_shipdate < TIMESTAMP'1997-01-01'"
+                   " THEN CAST(l_quantity AS DECIMAL(18,2))"
+                   " ELSE CAST(0 AS DECIMAL(18,2)) END)")
+            .alias("__qty_1996")))
+    excess = (
+        sp.where(F.expr("__qty_1996 * 2 > __qty_all"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_excess_parts")))
+    return (
+        excess.join(F.broadcast(supp),
+                    excess.l_suppkey == supp.s_suppkey)
+        .select(F.col("s_suppkey"), F.col("s_name"), "n_excess_parts")
+        .orderBy(F.col("n_excess_parts").desc(), F.col("s_suppkey").asc())
+    )
+
+
+Q20_ORACLE = """
+WITH small AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+),
+sp AS (
+  SELECT l_suppkey, l_partkey,
+         sum(l_quantity::DECIMAL(18,2)) AS qty_all,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-01-01'
+                  THEN l_quantity::DECIMAL(18,2)
+                  ELSE 0::DECIMAL(18,2) END) AS qty_1996
+  FROM lineitem JOIN small ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+excess AS (
+  SELECT l_suppkey, count(*)::BIGINT AS n_excess_parts
+  FROM sp WHERE qty_1996 * 2 > qty_all
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, n_excess_parts
+FROM excess JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY n_excess_parts DESC, s_suppkey ASC
+"""
+
+QUERIES_LATE["q20_excess_shippers"] = (q20_excess_shippers, Q20_ORACLE)

@@ -1590,3 +1590,182 @@ def mixture_repeat_df(
         F.col(id_col), F.col(source_col),
         (base + F.when(bucket < lim, 1).otherwise(0)).cast("long")
         .alias("n_copies"))
+
+
+# ---------------------------------------------------------------------------
+# BPE training merges (round 11) — the iterative tokenizer-training loop
+# ---------------------------------------------------------------------------
+
+def bpe_train_merges(
+    docs: DataFrame,
+    *,
+    steps: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """The actual BPE training loop, ``steps`` merges deep: start from
+    the character-tokenized distinct-word vocabulary (weighted by word
+    frequency), and per step (1) count adjacent token pairs, (2) take
+    the top pair (ties: count desc, left asc, right asc), (3) GREEDILY
+    merge its non-overlapping occurrences left-to-right in every word.
+    Returns (step, pair_a, pair_b, n_total) — the merge table a BPE
+    tokenizer ships.
+
+    The greedy merge is CLOSED-FORM in window functions (no fold, no
+    UDF): for pair (a, b) with a != b occurrences never overlap, so
+    every (tok=a, next=b) position merges; for a == b overlaps happen
+    inside runs of consecutive ``a`` tokens, where greedy left-to-right
+    takes the even OFFSETS within each run (gaps-and-islands:
+    island = pos − running-count-of-a, offset = row_number within
+    island).  Both engines replay the identical window algebra — the
+    oracle unrolls the same CTEs per step.
+
+    100 TB shape: every pass is vocabulary-sized, not corpus-sized —
+    the ONE corpus-wide job is the word-frequency aggregate; the token
+    table is |vocab|·avg_len rows, each step re-uses its (word)
+    partitioning for lead/lag/row_number and the top-1 plans as
+    TakeOrdered(1).  Lineage stays shallow (a few windows per step);
+    steps are unrolled into one plan, so the whole merge table is one
+    job."""
+    words = docs.select(F.explode(_words(F.col(text_col))).alias("__w"))
+    wc = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__n"))
+    toks = (
+        wc.select(
+            "__w", "__n",
+            F.explode(F.expr("sequence(1, length(__w))")).alias("__pos"))
+        .select("__w", "__n", "__pos",
+                F.expr("substring(__w, __pos, 1)").alias("__tok"))
+    )
+    wnd = Window.partitionBy("__w").orderBy("__pos")
+    runw = wnd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    outs = []
+    for k in range(1, int(steps) + 1):
+        t = toks.withColumn("__next", F.lead("__tok").over(wnd))
+        top = (
+            t.where(F.col("__next").isNotNull())
+            .groupBy("__tok", "__next")
+            .agg(F.sum("__n").cast("long").alias("__nt"))
+            .orderBy(F.col("__nt").desc(), F.col("__tok").asc(),
+                     F.col("__next").asc())
+            .limit(1)
+            .select(F.col("__tok").alias("__a"),
+                    F.col("__next").alias("__b"), "__nt")
+        )
+        outs.append(top.select(
+            F.lit(k).alias("step"),
+            F.col("__a").alias("pair_a"),
+            F.col("__b").alias("pair_b"),
+            F.col("__nt").alias("n_total")))
+        t2 = (
+            t.crossJoin(F.broadcast(top))
+            .withColumn(
+                "__rn",
+                F.sum(F.when(F.col("__tok") == F.col("__a"), 1)
+                      .otherwise(0)).over(runw))
+            .withColumn(
+                "__isl",
+                F.when(F.col("__tok") == F.col("__a"),
+                       F.col("__pos") - F.col("__rn")))
+        )
+        t2 = t2.withColumn(
+            "__off",
+            F.row_number().over(
+                Window.partitionBy("__w", "__isl").orderBy("__pos")) - 1)
+        # coalesce: a NULL __next (last token) makes the equality NULL,
+        # and a NULL __m would poison ~__absorbed into dropping rows
+        t2 = t2.withColumn(
+            "__m",
+            F.coalesce(
+                F.when(
+                    F.col("__a") != F.col("__b"),
+                    (F.col("__tok") == F.col("__a"))
+                    & (F.col("__next") == F.col("__b")),
+                ).otherwise(
+                    (F.col("__tok") == F.col("__a"))
+                    & (F.col("__next") == F.col("__a"))
+                    & (F.col("__off") % 2 == 0)),
+                F.lit(False)))
+        t2 = t2.withColumn(
+            "__absorbed",
+            F.coalesce(F.lag("__m").over(wnd), F.lit(False)))
+        toks = (
+            t2.where(~F.col("__absorbed"))
+            .select(
+                "__w", "__n",
+                F.row_number().over(wnd).alias("__pos"),
+                F.when(F.col("__m"), F.concat("__tok", "__next"))
+                .otherwise(F.col("__tok")).alias("__tok"))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def bpe_train_merges_oracle_sql(steps: int = 3,
+                                source: str = "documents") -> str:
+    """DuckDB twin of :func:`bpe_train_merges`: the same unrolled
+    per-step window algebra (lead → weighted top-1 → gaps-and-islands
+    greedy merge → renumber)."""
+    ctes = [f"""wc AS (
+  SELECT w, count(*) AS n FROM (
+    SELECT unnest(list_filter(string_split_regex(text,
+                                                 '[ \t\n\x0b\f\r]+'),
+                              t -> t != '')) AS w
+    FROM {source})
+  GROUP BY 1
+)""", """t0 AS (
+  SELECT w, n, i AS pos, substring(w, i, 1) AS tok
+  FROM (SELECT w, n, unnest(generate_series(1, length(w))) AS i FROM wc)
+)"""]
+    for k in range(1, int(steps) + 1):
+        p = k - 1
+        ctes.append(f"""l{k} AS (
+  SELECT w, n, pos, tok,
+         lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
+  FROM t{p}
+)""")
+        ctes.append(f"""top{k} AS (
+  SELECT tok AS a, nxt AS b, sum(n)::BIGINT AS nt
+  FROM l{k} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2
+  ORDER BY nt DESC, a ASC, b ASC
+  LIMIT 1
+)""")
+        ctes.append(f"""r{k} AS (
+  SELECT l.*, top{k}.a, top{k}.b,
+         sum(CASE WHEN l.tok = top{k}.a THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l.w ORDER BY l.pos
+                 ROWS UNBOUNDED PRECEDING) AS rn
+  FROM l{k} l CROSS JOIN top{k}
+)""")
+        ctes.append(f"""i{k} AS (
+  SELECT *, CASE WHEN tok = a THEN pos - rn END AS isl FROM r{k}
+)""")
+        ctes.append(f"""o{k} AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY w, isl ORDER BY pos) - 1 AS off
+  FROM i{k}
+)""")
+        ctes.append(f"""m{k} AS (
+  SELECT *,
+         CASE WHEN a != b THEN (tok = a AND nxt IS NOT DISTINCT FROM b)
+              ELSE (tok = a AND nxt IS NOT DISTINCT FROM a
+                    AND off % 2 = 0) END AS m
+  FROM o{k}
+)""")
+        ctes.append(f"""x{k} AS (
+  SELECT *,
+         coalesce(lag(m) OVER (PARTITION BY w ORDER BY pos), false)
+           AS absorbed
+  FROM m{k}
+)""")
+        ctes.append(f"""t{k} AS (
+  SELECT w, n,
+         row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+         CASE WHEN m THEN tok || nxt ELSE tok END AS tok
+  FROM x{k} WHERE NOT absorbed
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, a AS pair_a, b AS pair_b, nt AS n_total "
+        f"FROM top{k}" for k in range(1, int(steps) + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel

@@ -682,3 +682,47 @@ def test_mixture_sample_monotone_in_weight(spark):
         assert prev <= kept, f"weight {w} dropped previously-kept docs"
         prev = kept
     assert len(prev) == 500
+
+
+def test_bpe_train_merges_matches_reference_bpe(spark):
+    """The window-algebra greedy merge equals a classic Python BPE
+    trainer (greedy left-to-right non-overlapping merges, ties count
+    desc then pair asc) — including the a == b run-parity case."""
+    from lsh_spark.operators.training_ops import bpe_train_merges
+
+    texts = ["aaab aa ab banana", "banana aaab aaaa", "ab ab aa aaab"]
+
+    def ref_merges(texts, steps):
+        from collections import Counter
+        wc = Counter(w for t in texts for w in t.split())
+        vocab = {w: list(w) for w in wc}
+        merges = []
+        for _ in range(steps):
+            pc = Counter()
+            for w, toks in vocab.items():
+                for i in range(len(toks) - 1):
+                    pc[(toks[i], toks[i + 1])] += wc[w]
+            if not pc:
+                break
+            (a, b), nt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((a, b, nt))
+            for w, toks in vocab.items():
+                out, i = [], 0
+                while i < len(toks):
+                    if (i + 1 < len(toks) and toks[i] == a
+                            and toks[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    got = sorted((r.step, r.pair_a, r.pair_b, r.n_total)
+                 for r in bpe_train_merges(docs, steps=4).collect())
+    want = [(k + 1, a, b, nt)
+            for k, (a, b, nt) in enumerate(ref_merges(texts, 4))]
+    assert got == sorted(want)

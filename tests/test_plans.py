@@ -788,3 +788,44 @@ def test_cap_per_source_window_input_is_bounded(spark):
     assert "__cut" in plan and "__bkt" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Window") >= 2, plan
+
+
+def test_q11_q20_broadcast_dims_no_sort_merge(spark):
+    """q11/q20 shapes: dimensions broadcast, the only shuffles are the
+    fact-side aggregates — no sort-merge join anywhere."""
+    from lsh_spark.operators.relational import (
+        q11_important_parts,
+        q20_excess_shippers,
+    )
+
+    for fn in (q11_important_parts, q20_excess_shippers):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+
+def test_cross_source_matrix_ships_no_text(spark):
+    """The contamination matrix rides the ids-only pair contract: no
+    exchange carries the text column (sources attach by id to verified
+    pairs; denominators broadcast)."""
+    from lsh_spark.operators.pipeline_queries import (
+        cross_source_near_dup_matrix,
+    )
+
+    plan = _plan(cross_source_near_dup_matrix(spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
+
+
+def test_bpe_train_merges_stays_jvm_side(spark):
+    """The BPE merge loop is pure window algebra: no Python evaluation
+    anywhere in the plan, and the top-1 per step plans as TakeOrdered,
+    never a full-vocab sort."""
+    from lsh_spark.operators.training_ops import bpe_train_merges
+    from lsh_spark.sources.io import load_table
+
+    plan = _plan(bpe_train_merges(
+        load_table(spark, SF_DIR, "documents"), steps=2))
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -209,6 +209,7 @@ _REDUNDANT_TAIL = [
     "q20_excess_shippers",
     "cross_source_near_dup_matrix",
     "bpe_train_merge_table",
+    "events_user_item_components",
 ]
 
 

@@ -233,3 +233,83 @@ SELECT item_a, item_b, n_users FROM p
 WHERE n_users * {int(min_support_den)}
       >= (SELECT n FROM nu) * {int(min_support_num)}
 """
+
+
+def user_item_components(events: DataFrame, *,
+                         max_iter: int = 12) -> DataFrame:
+    """Connected components of the user↔item interaction graph — the
+    community/account-linking primitive (shared items connect users;
+    shared users connect items).  Rides the SAME min-label CC core as
+    the dedup cluster operators (``operators/cc.py``): each distinct
+    (user, item) edge becomes a 2-member bucket keyed by the packed
+    edge id, nodes integer-encoded (users even, items odd — the
+    ``user_item_edges`` contract), and the component label is the min
+    encoded node id.  Returns (kind, id, component,
+    is_representative).
+
+    100 TB shape: inherited from the CC core — singleton-bucket prune,
+    per-round label joins keyed on the long node id, localCheckpoint
+    per fixed-point probe (the lineage contract); bipartite interaction
+    graphs have small diameter, so the min-label iteration converges in
+    a handful of rounds."""
+    from .cc import min_label_components
+
+    base = (
+        events.select(
+            (F.col("user_id") * 2).alias("__u"),
+            (F.from_json("props", "k BIGINT")["k"] * 2 + 1).alias("__i"))
+        .where(F.col("__i").isNotNull())
+        .distinct()
+    )
+    edge_id = (F.shiftleft(F.col("__u"), 32)
+               .bitwiseOR(F.col("__i"))).alias("band_hash")
+    blocks = (
+        base.select(F.col("__u").alias("__id"),
+                    F.lit(0).cast("int").alias("band_idx"), edge_id)
+        .unionAll(
+            base.select(F.col("__i").alias("__id"),
+                        F.lit(0).cast("int").alias("band_idx"), edge_id))
+    )
+    labels = min_label_components(blocks, max_iter=max_iter)
+    return labels.select(
+        F.when(F.col("__id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("item")).alias("kind"),
+        F.expr("__id DIV 2").alias("id"),
+        F.col("__label").alias("component"),
+        (F.col("__id") == F.col("__label")).alias("is_representative"),
+    )
+
+
+def user_item_components_oracle_sql(source: str = "events") -> str:
+    """DuckDB twin: true connected components via a recursive
+    reachability CTE over the same encoded bipartite edges; component
+    label = min reachable encoded node (the min-label fixed point)."""
+    return f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT user_id * 2 AS u,
+         json_extract(props, '$.k')::BIGINT * 2 + 1 AS i
+  FROM {source}
+  WHERE json_extract(props, '$.k') IS NOT NULL
+),
+nodes AS (
+  SELECT DISTINCT u AS nd FROM e0
+  UNION
+  SELECT DISTINCT i AS nd FROM e0
+),
+edges AS (
+  SELECT u AS src, i AS dst FROM e0
+  UNION ALL
+  SELECT i AS src, u AS dst FROM e0
+),
+reach(nd, r) AS (
+  SELECT nd, nd FROM nodes
+  UNION
+  SELECT e.src, w.r FROM edges e JOIN reach w ON w.nd = e.dst
+)
+SELECT CASE WHEN nd % 2 = 0 THEN 'user' ELSE 'item' END AS kind,
+       nd // 2 AS id,
+       min(r) AS component,
+       (nd = min(r)) AS is_representative
+FROM reach
+GROUP BY nd
+"""

@@ -4689,3 +4689,23 @@ def _bpe_merges_oracle() -> str:
 
 QUERIES_LATE["bpe_train_merge_table"] = (bpe_train_merge_table,
                                          _bpe_merges_oracle())
+
+
+def events_user_item_components(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Gate: connected components of the user↔item graph (the
+    community/account-linking view of the events stream), via the
+    shared min-label CC core."""
+    from .graph import user_item_components
+
+    return user_item_components(load_table(spark, sf_dir, "events"))
+
+
+def _user_item_components_oracle() -> str:
+    from .graph import user_item_components_oracle_sql
+
+    return user_item_components_oracle_sql()
+
+
+QUERIES_LATE["events_user_item_components"] = (
+    events_user_item_components, _user_item_components_oracle())

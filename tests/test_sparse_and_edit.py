@@ -654,3 +654,26 @@ def test_boolean_search_must_and_must_not(spark):
     finally:
         for sfx in ("_postings", "_doclen", "_stats", "_meta"):
             drop_table_and_files(spark, f"{name}{sfx}")
+
+
+def test_user_item_components_two_communities(spark):
+    """Two disjoint user↔item communities resolve to separate
+    components labeled by their min encoded node; bridging them with
+    one shared item merges the labels."""
+    from lsh_spark.operators.graph import user_item_components
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(u, f'{{"k": {k}}}') for u, k in rows],
+            "user_id long, props string")
+
+    # community A: users 1,2 share item 10; B: users 5,6 share item 20
+    got = {(r.kind, r.id): r.component for r in user_item_components(
+        ev([(1, 10), (2, 10), (5, 20), (6, 20)])).collect()}
+    # min encoded node of A is user 1 (enc 2); of B user 5 (enc 10)
+    assert got == {("user", 1): 2, ("user", 2): 2, ("item", 10): 2,
+                   ("user", 5): 10, ("user", 6): 10, ("item", 20): 10}
+    # bridge: user 6 also touches item 10 -> one component labeled 2
+    merged = {(r.kind, r.id): r.component for r in user_item_components(
+        ev([(1, 10), (2, 10), (5, 20), (6, 20), (6, 10)])).collect()}
+    assert set(merged.values()) == {2}

@@ -210,6 +210,7 @@ _REDUNDANT_TAIL = [
     "cross_source_near_dup_matrix",
     "bpe_train_merge_table",
     "events_user_item_components",
+    "boolean_search_streaming",
 ]
 
 

@@ -4709,3 +4709,13 @@ def _user_item_components_oracle() -> str:
 
 QUERIES_LATE["events_user_item_components"] = (
     events_user_item_components, _user_item_components_oracle())
+
+
+def _boolean_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents import boolean_search_streaming
+
+    return boolean_search_streaming(spark, sf_dir)
+
+
+QUERIES_LATE["boolean_search_streaming"] = (_boolean_search_streaming,
+                                            _boolean_oracle())

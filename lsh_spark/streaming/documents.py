@@ -474,3 +474,67 @@ def phrase_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "first_pos long")
     return spark.read.parquet(out_dir).select(
         "query_id", "doc_id", "n_occurrences", "first_pos")
+
+
+def boolean_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: streaming boolean (MUST / MUST-NOT) retrieval
+    — the gate's three boolean queries arrive as a file-source stream
+    (ids 0-2 drawn from the documents parquet, mapped to the literal
+    term lists in-plan) and probe the PERSISTED text index inside
+    ``foreachBatch`` (``retrieval.boolean_search_indexed``): each
+    micro-batch broadcasts its own term lists while the postings read
+    from the bucketed table.  Batch/stream parity is by construction —
+    the same operator the batch gate pins — so the oracle is the batch
+    boolean replay (corpus-derived, independently pinning the persisted
+    postings)."""
+    import shutil
+
+    from ..operators.pipeline_queries import _BOOL_QUERIES
+    from ..operators.retrieval import boolean_search_indexed, ensure_text_index
+    from ..sources.io import load_table
+
+    index = ensure_text_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    musts = F.array(*[F.lit(m) for _q, m, _n in _BOOL_QUERIES])
+    nots = F.array(*[F.lit(n) for _q, _m, n in _BOOL_QUERIES])
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+        .where(F.col("doc_id") < len(_BOOL_QUERIES))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.element_at(musts, (F.col("doc_id") + 1).cast("int"))
+            .alias("must_terms"),
+            F.element_at(nots, (F.col("doc_id") + 1).cast("int"))
+            .alias("not_terms"))
+    )
+    out_dir = f"/tmp/lsh_spark_stream_bool_{tag}"
+    ckpt = f"/tmp/lsh_spark_ckpt_stream_bool_{tag}"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = boolean_search_indexed(spark, index, batch_df)
+        _write_batch_idempotent(res, out_dir, batch_id)
+
+    from .events import scoped_state_partitions
+
+    with scoped_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    if not os.path.isdir(out_dir) or not any(
+            f.startswith("batch_id=") for f in os.listdir(out_dir)):
+        return spark.createDataFrame([], "query_id long, doc_id long")
+    return spark.read.parquet(out_dir).select("query_id", "doc_id")

@@ -211,6 +211,7 @@ _REDUNDANT_TAIL = [
     "bpe_train_merge_table",
     "events_user_item_components",
     "boolean_search_streaming",
+    "leakfree_dataset_splits",
 ]
 
 

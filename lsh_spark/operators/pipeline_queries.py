@@ -4719,3 +4719,49 @@ def _boolean_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_LATE["boolean_search_streaming"] = (_boolean_search_streaming,
                                             _boolean_oracle())
+
+
+def leakfree_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-FREE train/val/test assignment: hash the near-dup
+    COMPONENT label instead of the document id, so every member of a
+    near-duplicate cluster lands in the same split — the step that
+    makes `split_leakage_stats` read zero.  Composition of the two
+    audited pieces: the pair-free CC cluster operator (gate banding)
+    labels components, and the splits md5-bucket machinery projects the
+    split onto the cluster label in-plan (no joins beyond the cluster
+    iteration's own).
+
+    100 TB shape: inherits the CC core's contract (singleton-bucket
+    prune, long-keyed label joins, checkpointed lineage); the split
+    itself is a zero-shuffle per-row map over the (doc, cluster)
+    frame."""
+    from .similarity_join import lsh_dedup_clusters
+    from .training_ops import split_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = lsh_dedup_clusters(docs, "text", id_col="doc_id",
+                                  band_count=6, band_size=6, seed=123)
+    return clusters.select(
+        "doc_id", "cluster_id",
+        split_expr(F.col("cluster_id")).alias("split"))
+
+
+def _leakfree_splits_oracle() -> str:
+    # the CC oracle (true components via recursive reachability) as a
+    # subquery, with the dataset_splits md5-bucket CASE replayed on the
+    # cluster label — both pieces verbatim from their own gate oracles
+    return f"""
+SELECT doc_id, cluster_id,
+       CASE WHEN CAST(('0x' || substr(md5(cluster_id::VARCHAR
+                                          || ':split-v1'), 1, 8)
+                      )::BIGINT % 10000 AS BIGINT) < 500 THEN 'test'
+            WHEN CAST(('0x' || substr(md5(cluster_id::VARCHAR
+                                          || ':split-v1'), 1, 8)
+                      )::BIGINT % 10000 AS BIGINT) < 1000 THEN 'val'
+            ELSE 'train' END AS split
+FROM ({_orc.dedup_clusters_sql(3, 6, 6, 123)}) c
+"""
+
+
+QUERIES_LATE["leakfree_dataset_splits"] = (leakfree_dataset_splits,
+                                           _leakfree_splits_oracle())

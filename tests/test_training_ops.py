@@ -726,3 +726,34 @@ def test_bpe_train_merges_matches_reference_bpe(spark):
     want = [(k + 1, a, b, nt)
             for k, (a, b, nt) in enumerate(ref_merges(texts, 4))]
     assert got == sorted(want)
+
+
+def test_leakfree_splits_keep_near_dups_together(spark):
+    """Hashing the component label puts every member of a near-dup
+    cluster in the same split — no pair can straddle the train/test
+    boundary (the leakage dataset_splits allows by hashing doc ids)."""
+    from lsh_spark.operators.similarity_join import lsh_dedup_clusters
+    from lsh_spark.operators.training_ops import split_expr
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+    docs = spark.createDataFrame(
+        [(i, base + ("" if i % 2 == 0 else "!")) for i in range(10)]
+        + [(100 + i, f"completely unrelated document number {i} "
+                     f"with its own words") for i in range(3)],
+        "doc_id long, text string")
+    out = (
+        lsh_dedup_clusters(docs, "text", id_col="doc_id",
+                           band_count=8, band_size=2, seed=123)
+        .select("doc_id", "cluster_id",
+                split_expr(F.col("cluster_id")).alias("split"))
+        .collect())
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # every cluster maps to exactly one split; the 10 planted dups share
+    # one cluster and therefore one split
+    assert all(len(s) == 1 for s in by_cluster.values())
+    big = [c for c, _ in by_cluster.items()
+           if sum(1 for r in out if r.cluster_id == c) >= 10]
+    assert big, by_cluster

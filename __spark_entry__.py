@@ -212,6 +212,9 @@ _REDUNDANT_TAIL = [
     "events_user_item_components",
     "boolean_search_streaming",
     "leakfree_dataset_splits",
+    "token_budget_docs",
+    "hll_vocab_report",
+    "cdc_chunk_dedup_stats",
 ]
 
 

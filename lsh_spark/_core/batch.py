@@ -443,3 +443,68 @@ def _rowtag_unique(
     counts = np.bincount((uniq >> np.uint64(32)).astype(np.int64),
                          minlength=n)
     return uniq, counts
+
+
+def cdc_spans_batch(
+    texts,
+    *,
+    window: int = 8,
+    base: int = 1099511628211,
+    divisor: int = 64,
+) -> tuple[list, list]:
+    """Content-defined chunk spans per text: windowed Rabin-Karp
+    boundaries (LBFS-style; Muthitacharoen et al., SOSP'01).  Position
+    ``p`` (1-based) ends a chunk iff the polynomial hash of the last
+    ``window`` code points, ``sum_k code(c_{p-k}) * base^k  (mod 2^64)``,
+    is divisible by ``divisor``; the final position always ends the tail
+    chunk.  Deliberately NO min/max chunk clamps: those need sequential
+    suppression state, while the bare windowed rule keeps every boundary
+    a pure function of ``window`` characters — position-local, hence
+    embarrassingly parallel AND shift-invariant (an insertion only
+    perturbs chunking within ``window`` chars; the DuckDB oracle replays
+    the identical HUGEINT arithmetic per position).
+
+    Returns (starts, lens): per text, parallel lists of 1-based chunk
+    start offsets and chunk lengths (empty for None/empty text).
+    Code points come from UTF-32 (true Unicode code points, matching
+    SQL ``ord``/codepoint semantics, not UTF-16 units or bytes).
+    uint64 multiply-add wraps mod 2^64 exactly in numpy — integer
+    modular arithmetic is order-independent, so the vectorized window
+    dot product is bit-stable (no IEEE fold concerns here)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w = int(window)
+    powers = np.empty(w, dtype=np.uint64)
+    acc = 1
+    for k in range(w):
+        # powers[j] multiplies window char j = oldest-first, i.e. the
+        # char at p - (w-1-j); exponent w-1-j
+        powers[w - 1 - k] = acc
+        acc = (acc * int(base)) % (1 << 64)
+    starts_out: list = []
+    lens_out: list = []
+    for t in texts:
+        if not t:
+            starts_out.append([])
+            lens_out.append([])
+            continue
+        codes = np.frombuffer(t.encode("utf-32-le"), dtype="<u4")
+        n = len(codes)
+        cuts: list[int] = []
+        if n >= w:
+            hashes = sliding_window_view(
+                codes.astype(np.uint64), w) @ powers
+            # window starting at 0-based s covers chars for position
+            # p = s + w (1-based); interior boundaries exclude p == n
+            ps = np.nonzero(hashes % np.uint64(divisor) == 0)[0] + w
+            cuts = [int(p) for p in ps if p < n]
+        prev = 0
+        starts: list[int] = []
+        lens: list[int] = []
+        for bnd in cuts + [n]:
+            starts.append(prev + 1)
+            lens.append(bnd - prev)
+            prev = bnd
+        starts_out.append(starts)
+        lens_out.append(lens)
+    return starts_out, lens_out

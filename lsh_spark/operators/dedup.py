@@ -622,3 +622,162 @@ def embedding_allpairs_cosine(
         .where(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (round 11) — sub-document dedup: the sixth
+# strategy, localizing WHERE two documents share content instead of
+# scoring whole-document similarity
+# ---------------------------------------------------------------------------
+
+_CDC_WINDOW, _CDC_BASE, _CDC_DIVISOR = 8, 1099511628211, 64
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = _CDC_WINDOW,
+    base: int = _CDC_BASE,
+    divisor: int = _CDC_DIVISOR,
+) -> DataFrame:
+    """Content-defined chunking + chunk-level cross-document dedup
+    stats (LBFS-style windowed Rabin-Karp; see
+    ``_core/batch.py::cdc_spans_batch`` for the boundary contract).
+    Per document: chunk count, distinct chunk count, and how many of
+    its distinct chunks also occur in ANOTHER document — the signal a
+    storage- or licensing-dedup pass acts on, and a near-dup LOCALIZER
+    (which 64-char stretch is copied, not just "these docs are 0.8
+    similar").
+
+    100 TB shape: boundary detection is position-local (a pure function
+    of ``window`` code points — deliberately no min/max chunk clamps,
+    which would need sequential suppression state), so the chunker is a
+    zero-shuffle ``mapInPandas`` scan; chunk text never leaves its row
+    (spans explode against the carried text, substring + md5 in JVM
+    codegen); everything downstream is digest-keyed aggregates —
+    32-hex digests only, never chunk payloads, through the shuffles.
+    Cross-doc sharing is one (digest → doc-count) aggregate joined back
+    by digest: the classic storage-dedup plan, no windows, no pairs."""
+    from pyspark.sql.types import (ArrayType, IntegerType, StructField,
+                                   StructType)
+
+    src = docs.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("__text"))
+    schema = StructType([
+        src.schema["doc_id"],
+        StructField("__text", src.schema["__text"].dataType),
+        StructField("__starts", ArrayType(IntegerType())),
+        StructField("__lens", ArrayType(IntegerType())),
+    ])
+
+    def spans(batches):
+        from .._core.batch import cdc_spans_batch
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            starts, lens = cdc_spans_batch(
+                list(pdf["__text"]), window=window, base=base,
+                divisor=divisor)
+            out = pdf[["doc_id", "__text"]].copy()
+            out["__starts"] = starts
+            out["__lens"] = lens
+            yield out
+
+    spanned = src.mapInPandas(spans, schema=schema)
+    chunks = (
+        spanned.select(
+            "doc_id",
+            F.explode(F.arrays_zip("__starts", "__lens")).alias("__sp"),
+            F.col("__text"))
+        .select(
+            "doc_id",
+            F.md5(F.expr(
+                "substring(__text, __sp.__starts, __sp.__lens)"))
+            .alias("__ch"))
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("__ch").alias("n_unique_chunks"),
+    )
+    cd = chunks.select("doc_id", "__ch").distinct()
+    owners = cd.groupBy("__ch").agg(F.count(F.lit(1)).alias("__nd"))
+    shared = (
+        cd.join(owners.where(F.col("__nd") >= 2), on="__ch")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n_shared"))
+    )
+    return (
+        per_doc.join(shared, on="doc_id", how="left")
+        .select(
+            "doc_id", "n_chunks", "n_unique_chunks",
+            F.coalesce(F.col("__n_shared"), F.lit(0)).cast("bigint")
+            .alias("n_shared_chunks"),
+        )
+    )
+
+
+def cdc_chunk_stats_oracle_sql(
+    *,
+    window: int = _CDC_WINDOW,
+    base: int = _CDC_BASE,
+    divisor: int = _CDC_DIVISOR,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`cdc_chunk_stats` — replays the windowed
+    Rabin-Karp boundary rule per character position in HUGEINT (each
+    ``code * base^k`` term < 2^85, the ``window``-term sum < 2^88, both
+    inside HUGEINT; the mod-2^64 wrap is explicit)."""
+    w = int(window)
+    pow_lits = []
+    acc = 1
+    for k in range(w):
+        pow_lits.append(acc)
+        acc = (acc * int(base)) % (1 << 64)
+    terms = " + ".join(
+        f"ord(substr(text, p - {k}, 1))::HUGEINT * {pow_lits[k]}::HUGEINT"
+        for k in range(w))
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text, length(text) AS n,
+         unnest(generate_series({w}, length(text))) AS p
+  FROM {source} WHERE length(text) >= {w}
+),
+ib AS (
+  SELECT doc_id, text, n, p FROM pos
+  WHERE (({terms}) % 18446744073709551616) % {int(divisor)} = 0
+    AND p < n
+),
+bnd AS (
+  SELECT doc_id, text, p FROM ib
+  UNION ALL
+  SELECT doc_id, text, length(text) AS p FROM {source}
+  WHERE length(text) > 0
+),
+ch AS (
+  SELECT doc_id,
+         md5(substr(text, coalesce(lag(p) OVER w, 0) + 1,
+                    p - coalesce(lag(p) OVER w, 0))) AS ch
+  FROM bnd WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         count(DISTINCT ch)::BIGINT AS n_unique_chunks
+  FROM ch GROUP BY doc_id
+),
+cd AS (SELECT DISTINCT doc_id, ch FROM ch),
+owners AS (
+  SELECT ch, count(*)::BIGINT AS nd FROM cd GROUP BY ch
+),
+shared AS (
+  SELECT cd.doc_id, count(*)::BIGINT AS n_shared
+  FROM cd JOIN owners USING (ch)
+  WHERE owners.nd >= 2
+  GROUP BY cd.doc_id
+)
+SELECT p.doc_id, p.n_chunks, p.n_unique_chunks,
+       coalesce(s.n_shared, 0)::BIGINT AS n_shared_chunks
+FROM per_doc p LEFT JOIN shared s USING (doc_id)
+"""

@@ -4765,3 +4765,184 @@ FROM ({_orc.dedup_clusters_sql(3, 6, 6, 123)}) c
 
 QUERIES_LATE["leakfree_dataset_splits"] = (leakfree_dataset_splits,
                                            _leakfree_splits_oracle())
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct estimation (round 11) — the third sketch-family
+# member: KMV does distinct-per-doc, CMS does frequency, HLL does the
+# bounded-memory per-GROUP distinct a 100 TB vocab census needs.
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8                      # 2^8 = 256 registers per group
+_HLL_M = 1 << _HLL_P
+# raw-estimate scale alpha_m * m^2 * 2^57, rendered via Python repr so
+# both engines parse the identical double (the only float op in the
+# whole query is ONE division by the integer-exact register sum)
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_SCALE = _HLL_ALPHA * float(_HLL_M * _HLL_M) * float(1 << 57)
+
+
+def hll_vocab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog distinct-bigram estimate next to the exact
+    count: md5-derived 64-bit hash splits into an 8-bit register index
+    and a 56-bit tail whose leading-zero count (+1) is the register
+    update; registers are ``max`` aggregates, so the sketch is fully
+    mergeable and order-independent — the property that lets 1000
+    executors build per-partition registers and combine them without a
+    second scan (map-side partial max does exactly that here).
+
+    Exactness contract: everything up to the final division is INTEGER
+    (rho via ``57 - length(bin(v))``; the harmonic denominator
+    sum(2^-rho) is carried as the exact integer S = sum(2^(57-rho)) in
+    DECIMAL/HUGEINT, absent registers contributing 2^57 each); the raw
+    HLL estimate alpha*m^2/sum(2^-rho) = SCALE/S is then ONE double
+    division of exactly-representable operands, bit-identical across
+    engines, rounded 6dp in-plan.  Bias correction (linear counting /
+    large-range) is a caller-side concern — it needs ``ln``, which is
+    not bit-stable cross-engine.
+
+    Returns (source, n_registers, sum_rho, exact_distinct,
+    est_distinct); ``exact_distinct`` is gate-side evidence (the thing
+    HLL avoids computing at 100 TB), derived in the SAME aggregate via
+    per-register count-distinct summed across the register partition."""
+    from .training_ops import _words
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(w) - 2),
+                    lambda i: F.concat_ws(" ", F.get(w, i),
+                                          F.get(w, i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        docs.select("source", F.explode(bigrams).alias("__g"))
+        .select("source", "__g", F.md5("__g").alias("__hx"))
+    )
+    reg = bg.select(
+        "source", "__g",
+        F.conv(F.substring("__hx", 1, 2), 16, 10).cast("int")
+        .alias("__idx"),
+        F.conv(F.substring("__hx", 3, 14), 16, 10).cast("bigint")
+        .alias("__v"),
+    ).select(
+        "source", "__g", "__idx",
+        F.when(F.col("__v") == 0, F.lit(57))
+        .otherwise(F.lit(57) - F.length(F.bin(F.col("__v"))))
+        .cast("int").alias("__rho"),
+    )
+    regs = reg.groupBy("source", "__idx").agg(
+        F.max("__rho").alias("__m"),
+        F.countDistinct("__g").alias("__nd"),
+    )
+    per = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum("__m").cast("bigint").alias("sum_rho"),
+        F.sum("__nd").cast("bigint").alias("exact_distinct"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 57 - __m)")
+              .cast("decimal(30,0)")).alias("__s_present"),
+    )
+    s_total = (
+        F.col("__s_present")
+        + (F.lit(_HLL_M) - F.col("n_registers"))
+        * F.lit(1 << 57).cast("decimal(30,0)")
+    )
+    return per.select(
+        "source", "n_registers", "sum_rho", "exact_distinct",
+        F.round(F.lit(_HLL_SCALE) / s_total.cast("double"), 6)
+        .alias("est_distinct"),
+    )
+
+
+HLL_VOCAB_ORACLE = rf"""
+WITH tok AS (
+  SELECT source,
+         list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                     t -> t != '') AS ts
+  FROM documents
+),
+bg AS (
+  SELECT source, ts[i] || ' ' || ts[i + 1] AS g
+  FROM (SELECT source, ts,
+               unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+        FROM tok)
+),
+h AS (
+  SELECT source, g, md5(g) AS hx FROM bg
+),
+r AS (
+  SELECT source, g,
+         ('0x' || substr(hx, 1, 2))::INT AS idx,
+         ('0x' || substr(hx, 3, 14))::UBIGINT AS v
+  FROM h
+),
+rho AS (
+  SELECT source, g, idx,
+         CASE WHEN v = 0 THEN 57
+              ELSE 57 - length(bin(v)) END AS rho
+  FROM r
+),
+reg AS (
+  SELECT source, idx, max(rho) AS m, count(DISTINCT g) AS nd
+  FROM rho GROUP BY source, idx
+),
+agg AS (
+  SELECT source,
+         count(*)::BIGINT AS n_registers,
+         sum(m)::BIGINT AS sum_rho,
+         sum(nd)::BIGINT AS exact_distinct,
+         sum((1::HUGEINT << (57 - m))) AS s_present
+  FROM reg GROUP BY source
+)
+SELECT source, n_registers, sum_rho, exact_distinct,
+       round({_HLL_SCALE!r} / CAST(
+         s_present + ({_HLL_M} - n_registers) * (1::HUGEINT << 57)
+         AS DOUBLE), 6) AS est_distinct
+FROM agg
+"""
+
+
+QUERIES_LATE["hll_vocab_report"] = (hll_vocab_report, HLL_VOCAB_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# per-source token-budget selection gate (training_ops.token_budget_per_source)
+# — budget 600 keeps roughly half of each sf0.01 source (25 docs x ~50
+# tokens), so the gate exercises both the kept and the cut regimes.
+# ---------------------------------------------------------------------------
+
+def token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_ops import token_budget_per_source
+
+    return token_budget_per_source(
+        load_table(spark, sf_dir, "documents"), budget=600)
+
+
+def _token_budget_oracle() -> str:
+    from .training_ops import token_budget_oracle_sql
+
+    return token_budget_oracle_sql(600)
+
+
+QUERIES_LATE["token_budget_docs"] = (token_budget_docs,
+                                     _token_budget_oracle())
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunk dedup gate (dedup.cdc_chunk_stats)
+# ---------------------------------------------------------------------------
+
+def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _cdc_oracle() -> str:
+    from .dedup import cdc_chunk_stats_oracle_sql
+
+    return cdc_chunk_stats_oracle_sql()
+
+
+QUERIES_LATE["cdc_chunk_dedup_stats"] = (cdc_chunk_dedup_stats,
+                                         _cdc_oracle())

@@ -1769,3 +1769,103 @@ def bpe_train_merges_oracle_sql(steps: int = 3,
         f"SELECT {k} AS step, a AS pair_a, b AS pair_b, nt AS n_total "
         f"FROM top{k}" for k in range(1, int(steps) + 1))
     return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+# ---------------------------------------------------------------------------
+# per-source token-budget selection (round 11) — "sample N tokens per
+# source", the budget-denominated companion of cap_per_source
+# ---------------------------------------------------------------------------
+
+def token_budget_per_source(
+    docs: DataFrame,
+    *,
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "budget-v1",
+) -> DataFrame:
+    """Greedy per-source token-budget fill: walk each source's documents
+    in deterministic md5 order and keep a document iff the tokens of the
+    documents BEFORE it total under ``budget`` (so the crossing document
+    is kept and a source may finish slightly over budget — the standard
+    greedy-prefix contract a data-mixture spec like "1B tokens of
+    source X" wants; no RNG state, reproducible across engines and
+    partition layouts).  Tokens are repo-contract whitespace words.
+    Returns (doc_id, source, n_tokens) for the kept rows.
+
+    100 TB shape (same two-phase bound as :func:`cap_per_source`): a
+    naive per-source cumulative-sum window sorts EVERY row of a source
+    in one task.  Phase 1 histograms TOKEN COUNTS on the first 4 hex
+    chars of the md5 order key (the bucket is a string prefix of the
+    key, so bucket order prefixes row order) and takes, per source, the
+    smallest bucket whose cumulative token sum reaches ``budget``;
+    every kept row provably lies in a bucket <= that cutoff (a row in a
+    later bucket has exclusive prefix >= the cutoff bucket's cumulative
+    sum >= budget), so phase 2 runs the exact exclusive-prefix window
+    only over the admitted rows — per-source window input is
+    O(budget / avg_tokens) + O(n_source / 65 536), not n_source.  The
+    keep set is bit-identical to the single-window form (the oracle
+    replays the full window; the gate hash pins it)."""
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"),
+                         F.lit(":" + salt)))
+    rows = docs.select(
+        F.col(id_col), F.col(source_col),
+        F.size(_words(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        key.alias("__key"),
+        F.substring(key, 1, 4).alias("__bkt"))
+    hist = rows.groupBy(source_col, "__bkt").agg(
+        F.sum("n_tokens").alias("__t"))
+    wcum = (Window.partitionBy(source_col).orderBy(F.col("__bkt").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cut = (
+        hist.select(F.col(source_col), F.col("__bkt"),
+                    F.sum("__t").over(wcum).alias("__cum"))
+        .where(F.col("__cum") >= int(budget))
+        .groupBy(source_col)
+        .agg(F.min("__bkt").alias("__cut"))
+    )
+    admitted = rows.join(F.broadcast(cut), on=source_col, how="left").where(
+        F.col("__cut").isNull() | (F.col("__bkt") <= F.col("__cut")))
+    w = (Window.partitionBy(source_col)
+         .orderBy(F.col("__key").asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        admitted.select(
+            F.col(id_col), F.col(source_col), F.col("n_tokens"),
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            .alias("__pre"))
+        .where(F.col("__pre") < int(budget))
+        .select(id_col, source_col, "n_tokens")
+    )
+
+
+def token_budget_oracle_sql(
+    budget: int,
+    salt: str = "budget-v1",
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`token_budget_per_source` — replays the
+    naive single-window form (provably the same keep set; the two-phase
+    bucket cutoff is output-neutral by the prefix argument in the
+    operator docstring, so the oracle omits it — don't "sync" it in)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         COALESCE(len(list_filter(
+           string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
+           x -> x <> '')), 0)::BIGINT AS n_tokens,
+         md5(doc_id::VARCHAR || ':{salt}') AS key
+  FROM {source}
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY key ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM t
+)
+SELECT doc_id, source, n_tokens FROM c WHERE pre < {int(budget)}
+"""

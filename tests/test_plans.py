@@ -829,3 +829,45 @@ def test_bpe_train_merges_stays_jvm_side(spark):
         load_table(spark, SF_DIR, "documents"), steps=2))
     assert "EvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_token_budget_window_input_is_bounded(spark):
+    """token_budget_per_source (round 11): same two-phase contract as
+    cap_per_source — the exact exclusive-prefix window consumes the
+    bucket-cutoff-filtered frame (broadcast cutoff join + __bkt/__cut
+    filter), never the raw corpus, plus the histogram's own cumulative
+    window."""
+    from lsh_spark.operators.training_ops import token_budget_per_source
+    from lsh_spark.sources.io import load_table
+
+    plan = _plan(token_budget_per_source(
+        load_table(spark, SF_DIR, "documents"), budget=600))
+    assert "__cut" in plan and "__bkt" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Window") >= 2, plan
+
+
+def test_cdc_chunk_stats_no_window_no_cartesian(spark):
+    """cdc_chunk_stats: boundary detection is position-local, so the
+    plan must carry NO Window operator (the chunker is a mapInPandas
+    scan; chunk extraction happens against the carried text in the same
+    row) and no cartesian product — sharing is digest-keyed joins."""
+    from lsh_spark.operators.dedup import cdc_chunk_stats
+    from lsh_spark.sources.io import load_table
+
+    plan = _plan(cdc_chunk_stats(load_table(spark, SF_DIR, "documents")))
+    assert "MapInPandas" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
+def test_hll_vocab_report_is_pure_aggregate_chain(spark):
+    """hll_vocab_report: registers are max-mergeable, so the whole
+    query is one explode + two hash aggregates — no joins, no windows,
+    no Python (the hash/rho arithmetic is JVM expressions)."""
+    from lsh_spark.operators.pipeline_queries import hll_vocab_report
+
+    plan = _plan(hll_vocab_report(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan, plan

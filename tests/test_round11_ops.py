@@ -1,0 +1,201 @@
+"""Round-11 operator units: per-source token-budget selection
+(two-phase bounded window), HyperLogLog distinct estimation
+(integer-exact registers), and content-defined chunking (windowed
+Rabin-Karp spans + chunk-level cross-doc dedup)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType)
+
+_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("source", StringType(), True),
+    StructField("text", StringType(), True),
+])
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# token_budget_per_source
+# ---------------------------------------------------------------------------
+
+def _naive_budget(df, budget):
+    """The single-window reference form the two-phase plan must match
+    bit-for-bit (same construction as the DuckDB oracle)."""
+    from lsh_spark.operators.training_ops import _words
+
+    key = F.md5(F.concat(F.col("doc_id").cast("string"),
+                         F.lit(":budget-v1")))
+    w = (Window.partitionBy("source")
+         .orderBy(F.col("__key").asc(), F.col("doc_id").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        df.select("doc_id", "source",
+                  F.size(_words(F.col("text"))).cast("bigint")
+                  .alias("n_tokens"),
+                  key.alias("__key"))
+        .select("doc_id", "source", "n_tokens",
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                .alias("__pre"))
+        .where(F.col("__pre") < budget)
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
+def test_token_budget_matches_naive_window(spark):
+    from lsh_spark.operators.training_ops import token_budget_per_source
+
+    rows = [(i, f"s{i % 3}", "tok " * (1 + (i * 7) % 13)) for i in range(120)]
+    # plant a zero-token doc and a NULL text per source
+    rows += [(200, "s0", ""), (201, "s1", None), (202, "s2", "   ")]
+    df = _docs(spark, rows)
+    got = sorted(token_budget_per_source(df, budget=30).collect())
+    want = sorted(_naive_budget(df, 30).collect())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_token_budget_greedy_prefix_contract(spark):
+    """Docs of 10 tokens each, budget 25: keeps exactly the first three
+    in md5 order (pre = 0, 10, 20 < 25), so a source may finish over
+    budget by less than one document."""
+    from lsh_spark.operators.training_ops import token_budget_per_source
+
+    df = _docs(spark, [(i, "s", "t " * 10) for i in range(6)])
+    kept = token_budget_per_source(df, budget=25).collect()
+    assert len(kept) == 3
+    assert sum(r.n_tokens for r in kept) == 30  # crossing doc kept
+
+
+def test_token_budget_budget_exceeds_total_keeps_all(spark):
+    from lsh_spark.operators.training_ops import token_budget_per_source
+
+    df = _docs(spark, [(i, "s", "a b c") for i in range(5)])
+    assert token_budget_per_source(df, budget=10_000).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# hll_vocab_report
+# ---------------------------------------------------------------------------
+
+def test_hll_estimate_tracks_exact_distinct(spark):
+    """Deterministic accuracy check: ~4000 distinct bigrams in one
+    source; the raw HLL estimate (m=256, ideal std err ~6.5%) must land
+    within 20%.  The arithmetic itself is pinned bit-exactly by the
+    DuckDB gate oracle — this guards the SKETCH quality (e.g. a broken
+    register index that maps everything to one register would pass a
+    pure parity check)."""
+    from lsh_spark.operators.pipeline_queries import hll_vocab_report
+    import os
+    import tempfile
+
+    words = " ".join(f"w{i}" for i in range(4001))
+    df = _docs(spark, [(1, "s", words)])
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        from lsh_spark.sources import io as _io
+
+        _io._SCHEMA_CACHE.pop(os.path.join(d, "documents.parquet"), None)
+        row = hll_vocab_report(spark, d).collect()[0]
+    assert row.exact_distinct == 4000
+    assert abs(row.est_distinct - 4000) / 4000 < 0.20
+    assert 0 < row.n_registers <= 256
+
+
+def test_hll_rho_matches_python_bit_length(spark):
+    """The bin()-based rho (57 - bit_length of the 56-bit tail) against
+    Python's int.bit_length on the same md5 arithmetic."""
+    import hashlib
+
+    toks = [f"a b{i}" for i in range(64)]
+    rows = spark.createDataFrame(
+        [(t,) for t in toks], "g string"
+    ).select(
+        "g",
+        F.conv(F.substring(F.md5("g"), 3, 14), 16, 10).cast("bigint")
+        .alias("__v"),
+    ).select(
+        "g",
+        F.when(F.col("__v") == 0, F.lit(57))
+        .otherwise(F.lit(57) - F.length(F.bin(F.col("__v"))))
+        .cast("int").alias("rho"),
+    ).collect()
+    for r in rows:
+        v = int(hashlib.md5(r.g.encode()).hexdigest()[2:16], 16)
+        assert r.rho == (57 if v == 0 else 57 - v.bit_length())
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunk_stats
+# ---------------------------------------------------------------------------
+
+def test_cdc_spans_reconstruct_text():
+    from lsh_spark._core.batch import cdc_spans_batch
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 9,
+             "short", "", None, "exactly8", "ascii and unícöde \U0001f389 mix " * 20]
+    starts, lens = cdc_spans_batch(texts)
+    for t, ss, ll in zip(texts, starts, lens):
+        if not t:
+            assert ss == [] and ll == []
+            continue
+        assert ss[0] == 1
+        assert sum(ll) == len(t)
+        # contiguous, non-empty spans
+        for i in range(1, len(ss)):
+            assert ss[i] == ss[i - 1] + ll[i - 1]
+        assert all(x > 0 for x in ll)
+        assert "".join(t[s - 1:s - 1 + n] for s, n in zip(ss, ll)) == t
+
+
+def test_cdc_shift_invariance_finds_shared_chunks(spark):
+    """The CDC property exact fixed-size chunking lacks: a shared
+    paragraph at DIFFERENT offsets in two documents still yields
+    identical interior chunks, because boundaries are a pure function
+    of a sliding window."""
+    from lsh_spark.operators.dedup import cdc_chunk_stats
+
+    shared = " ".join(f"common{i} payload{i * 3}" for i in range(30))
+    a = "intro one. " + shared + " outro alpha."
+    b = "a completely different and longer introduction text! " \
+        + shared + " and another ending."
+    df = _docs(spark, [(1, "s", a), (2, "s", b), (3, "s", "unrelated " * 30)])
+    got = {r.doc_id: r for r in cdc_chunk_stats(df).collect()}
+    assert got[1].n_shared_chunks > 0
+    assert got[2].n_shared_chunks > 0
+    assert got[3].n_shared_chunks == 0
+    for r in got.values():
+        assert r.n_unique_chunks <= r.n_chunks
+
+
+def test_cdc_cross_engine_with_unicode(spark):
+    """Direct Spark-vs-DuckDB parity on planted docs including
+    multi-byte and astral code points — pins the codepoint contract
+    (UTF-32 kernel codes == SQL ord; character-based substring on both
+    engines)."""
+    from lsh_spark.operators.dedup import (cdc_chunk_stats,
+                                           cdc_chunk_stats_oracle_sql)
+
+    rows = [
+        (1, "s", "café naïve résumé " * 25),
+        (2, "s", "emoji \U0001f389 party \U0001f680 rocket " * 20),
+        (3, "s", "plain ascii text with words " * 15),
+        (4, "s", "tiny"),
+    ]
+    df = _docs(spark, rows)
+    got = sorted(tuple(r) for r in cdc_chunk_stats(df).collect())
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        rows, columns=["doc_id", "source", "text"]))
+    want = sorted(tuple(r) for r in
+                  con.execute(cdc_chunk_stats_oracle_sql()).fetchall())
+    assert got == want

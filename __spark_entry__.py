@@ -215,6 +215,8 @@ _REDUNDANT_TAIL = [
     "token_budget_docs",
     "hll_vocab_report",
     "cdc_chunk_dedup_stats",
+    "events_user_rolling_counts",
+    "source_kl_divergence",
 ]
 
 

@@ -49,7 +49,7 @@ TEXT_STATS_ORACLE = f"""
 SELECT doc_id,
        length(text) AS n_chars,
        CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+            ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_word_tokens,
        round(CASE WHEN length(text) > 0
              THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text)
@@ -58,16 +58,16 @@ SELECT doc_id,
              THEN len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)
              ELSE 0.0 END, 6) AS digit_ratio,
        round(CASE WHEN trim(text) = '' THEN 0.0
-             WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
-             THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             WHEN len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) > 0
+             THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                                   t -> list_contains({_STOP_SQL}, t))) * 1.0
-                  / len(regexp_split_to_array(trim(text), '\\s+'))
+                  / len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))
              ELSE 0.0 END, 6) AS stopword_ratio,
        round(CASE WHEN trim(text) = '' THEN 0.0
-             WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
-             THEN list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+             WHEN len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) > 0
+             THEN list_sum(list_transform(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
                                           t -> length(t))) * 1.0
-                  / len(regexp_split_to_array(trim(text), '\\s+'))
+                  / len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))
              ELSE 0.0 END, 6) AS avg_token_len
 FROM documents
 """
@@ -97,10 +97,10 @@ WITH feats AS (
               THEN len(regexp_extract_all(text, '[{_CJK_LO}-{_CJK_HI}]')) * 1.0 / length(text)
               ELSE 0.0 END AS cjk_ratio,
          CASE WHEN trim(text) = '' THEN 0.0
-              WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
-              THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              WHEN len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) > 0
+              THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                                    t -> list_contains({_MARKER_SQL}, t))) * 1.0
-                   / len(regexp_split_to_array(trim(text), '\\s+'))
+                   / len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))
               ELSE 0.0 END AS es_ratio,
          CASE WHEN length(text) > 0
               THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text)
@@ -109,10 +109,10 @@ WITH feats AS (
               THEN len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)
               ELSE 0.0 END AS digit_ratio,
          CASE WHEN trim(text) = '' THEN 0.0
-              WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
-              THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              WHEN len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) > 0
+              THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                                    t -> list_contains({_STOP_SQL}, t))) * 1.0
-                   / len(regexp_split_to_array(trim(text), '\\s+'))
+                   / len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))
               ELSE 0.0 END AS stopword_ratio
   FROM {source}
 )
@@ -457,7 +457,7 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_NORMALIZED_ORACLE = """
 SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
 FROM documents
-GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+GROUP BY trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
 HAVING count(*) > 1
 """
 
@@ -665,7 +665,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 TFIDF_ORACLE = """
 WITH terms AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS term
   FROM documents
 ),
 t2 AS (SELECT doc_id, term FROM terms WHERE term != ''),
@@ -767,10 +767,10 @@ WITH feats AS (
               THEN len(regexp_extract_all(text, '[{_CJK_LO}-{_CJK_HI}]')) * 1.0 / length(text)
               ELSE 0.0 END AS cjk_ratio,
          CASE WHEN trim(text) = '' THEN 0.0
-              WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
-              THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              WHEN len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) > 0
+              THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                                    t -> list_contains({_MARKER_SQL}, t))) * 1.0
-                   / len(regexp_split_to_array(trim(text), '\\s+'))
+                   / len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))
               ELSE 0.0 END AS es_ratio,
          CASE WHEN length(text) > 0
               THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text)
@@ -779,13 +779,13 @@ WITH feats AS (
               THEN len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)
               ELSE 0.0 END AS digit_ratio,
          CASE WHEN trim(text) = '' THEN 0.0
-              WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
-              THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              WHEN len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) > 0
+              THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                                    t -> list_contains({_STOP_SQL}, t))) * 1.0
-                   / len(regexp_split_to_array(trim(text), '\\s+'))
+                   / len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))
               ELSE 0.0 END AS stopword_ratio,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens
   FROM documents
 ),
 q AS (
@@ -1411,7 +1411,7 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 UNIGRAM_LOGPROB_ORACLE = r"""
 WITH tok AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+         unnest(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
                             t -> t <> '')) AS w
   FROM documents
 ),
@@ -1509,7 +1509,7 @@ def _cms_oracle() -> str:
     h = string_hash_sql("(s.j::VARCHAR || ' ' || c.tok)")
     return rf"""
 WITH tok AS (
-  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+  SELECT unnest(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
                             t -> t <> '')) AS tok
   FROM documents
 ),
@@ -2027,7 +2027,7 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_NOVELTY_ORACLE = r"""
 WITH words AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\s+'),
+         list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
                      t -> t <> '') AS ws
   FROM documents
 ),
@@ -2106,7 +2106,7 @@ feats AS (
   SELECT d.doc_id, t.lang_guess AS lang, t.quality,
          length(d.text) AS n_chars,
          CASE WHEN trim(d.text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+              ELSE len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\x0b\\f\\r]+'))
               END AS n_tokens
   FROM documents d JOIN tq t ON t.doc_id = d.doc_id
 )
@@ -3768,7 +3768,7 @@ WITH q AS ({_text_quality_oracle('documents')}),
 toks AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END
            AS n_toks,
          source
   FROM documents
@@ -4946,3 +4946,93 @@ def _cdc_oracle() -> str:
 
 QUERIES_LATE["cdc_chunk_dedup_stats"] = (cdc_chunk_dedup_stats,
                                          _cdc_oracle())
+
+
+# ---------------------------------------------------------------------------
+# per-source KL divergence vs the corpus unigram distribution (round 11)
+# — the domain-shift diagnostic a mixture builder reads next to
+# cross_source_near_dup_matrix: which sources are lexical outliers.
+# ---------------------------------------------------------------------------
+
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(P_source || P_corpus) over unigram distributions, per source:
+    ``sum_w p_s(w) * ln(p_s(w) / p(w))`` with integer counts everywhere
+    and the zipf_fit_stats float contract — each word's term is ONE
+    literal double op order ``(c_s/n_s) * ln((c_s/n_s) / (c/N))``,
+    6dp-quantized, then DECIMAL(28,6)-summed so shuffle order can't
+    perturb the total.  Words absent from a source contribute exactly 0
+    (p_s = 0) and never materialize a row.
+
+    Scale shape: corpus word counts, per-source totals, and the grand
+    total are all RE-AGGREGATIONS of the one (source, word) count frame
+    — never of raw text — so every branch is a columnar scan + a
+    map-side-combining aggregate (the explode is re-planned per branch
+    at gate scale; a standing deployment persists the count frame once
+    and all branches read it).  The only vocab-sized shuffle is the
+    word-keyed join of source counts to corpus counts; totals ride in
+    broadcast (|sources|-row and 1-row) joins — never a global window,
+    which would single-task the vocab."""
+    from .training_ops import _words
+
+    docs = load_table(spark, sf_dir, "documents")
+    sw = (
+        docs.select("source",
+                    F.explode(_words(F.col("text"))).alias("__w"))
+        .groupBy("source", "__w")
+        .agg(F.count(F.lit(1)).alias("__cs"))
+    )
+    corpus = sw.groupBy("__w").agg(F.sum("__cs").alias("__c"))
+    totals = sw.groupBy("source").agg(
+        F.sum("__cs").alias("__ns"),
+        F.count(F.lit(1)).alias("n_types"))
+    big_n = sw.agg(F.sum("__cs").alias("__N"))
+    ps = F.col("__cs").cast("double") / F.col("__ns").cast("double")
+    pc = F.col("__c").cast("double") / F.col("__N").cast("double")
+    term = F.round(ps * F.log(ps / pc), 6).cast("decimal(28,6)")
+    return (
+        sw.join(corpus, on="__w")
+        .join(F.broadcast(totals), on="source")
+        .crossJoin(F.broadcast(big_n))
+        .groupBy("source", "__ns", "n_types")
+        .agg(F.sum(term).alias("__kl"))
+        .select(
+            "source",
+            F.col("__ns").alias("n_tokens"),
+            "n_types",
+            F.col("__kl").cast("double").alias("kl_vs_corpus"),
+        )
+    )
+
+
+SOURCE_KL_ORACLE = r"""
+WITH sw AS (
+  SELECT source, w, count(*)::BIGINT AS cs
+  FROM (SELECT source,
+               unnest(list_filter(string_split_regex(text,
+                      '[ \t\n\x0b\f\r]+'), t -> t != '')) AS w
+        FROM documents)
+  GROUP BY source, w
+),
+corpus AS (
+  SELECT w, sum(cs)::BIGINT AS c FROM sw GROUP BY w
+),
+totals AS (
+  SELECT source, sum(cs)::BIGINT AS ns, count(*)::BIGINT AS n_types
+  FROM sw GROUP BY source
+),
+big_n AS (SELECT sum(cs)::BIGINT AS n FROM sw)
+SELECT s.source, t.ns AS n_tokens, t.n_types,
+       CAST(sum(CAST(round(
+         (s.cs::DOUBLE / t.ns::DOUBLE)
+         * ln((s.cs::DOUBLE / t.ns::DOUBLE)
+              / (c.c::DOUBLE / b.n::DOUBLE)), 6)
+         AS DECIMAL(28,6))) AS DOUBLE) AS kl_vs_corpus
+FROM sw s
+JOIN corpus c USING (w)
+JOIN totals t USING (source)
+CROSS JOIN big_n b
+GROUP BY s.source, t.ns, t.n_types
+"""
+
+QUERIES_LATE["source_kl_divergence"] = (source_kl_divergence,
+                                        SOURCE_KL_ORACLE)

@@ -614,7 +614,7 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_TERMS_ORACLE = """
 WITH terms AS (
-  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS term
   FROM documents
 ),
 counts AS (
@@ -1943,3 +1943,43 @@ ORDER BY n_excess_parts DESC, s_suppkey ASC
 """
 
 QUERIES_LATE["q20_excess_shippers"] = (q20_excess_shippers, Q20_ORACLE)
+
+
+def events_user_rolling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event rolling activity features — how many events this user
+    produced in the preceding 15 minutes / 1 hour (inclusive of the
+    current event): the classic time-decayed feature-engineering shape
+    (fraud velocity checks, rate limiting, engagement features).
+
+    Scale shape: BOTH range frames share one (user_id, ts) window
+    ordering, so the plan pays ONE shuffle + ONE sort for two features;
+    the frame arithmetic is integer microseconds (``unix_micros`` ==
+    DuckDB ``epoch_us``, exact — never float epoch seconds, whose
+    cast-rounding differs between engines).  Partitioning by user is
+    the natural bound: no user's history sits in more than one task,
+    and no task sees more than one user's span."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    base = (Window.partitionBy("user_id").orderBy(us.cast("long")))
+    w15 = base.rangeBetween(-15 * 60 * 1_000_000, Window.currentRow)
+    w1h = base.rangeBetween(-3600 * 1_000_000, Window.currentRow)
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w15).alias("n_15m"),
+        F.count(F.lit(1)).over(w1h).alias("n_1h"),
+    )
+
+
+EVENTS_ROLLING_ORACLE = """
+SELECT event_id, user_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW
+                     )::BIGINT AS n_15m,
+       count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+                     )::BIGINT AS n_1h
+FROM events
+"""
+
+QUERIES_LATE["events_user_rolling_counts"] = (events_user_rolling_counts,
+                                              EVENTS_ROLLING_ORACLE)

@@ -606,7 +606,7 @@ def simhash_pairs_sql(max_hamming: int = 3) -> str:
 WITH
   docs AS (SELECT doc_id AS id, text FROM documents),
   toks AS (
-    SELECT id, unnest(list_filter(string_split_regex(text, '\\s+'),
+    SELECT id, unnest(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
                                   t -> t != '')) AS tok
     FROM docs
   ),

@@ -871,3 +871,29 @@ def test_hll_vocab_report_is_pure_aggregate_chain(spark):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert "MapInPandas" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_rolling_counts_one_shuffle_one_sort_one_window(spark):
+    """events_user_rolling_counts: both range frames must ride ONE
+    (user_id, ts) exchange + sort and ONE Window operator — a second
+    hashpartitioning or Sort means the frames stopped sharing the
+    ordering."""
+    from lsh_spark.operators.relational import events_user_rolling_counts
+
+    plan = _plan(events_user_rolling_counts(spark, SF_DIR))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert plan.count("Sort (") == 1, plan
+    assert plan.count(") Window") == 1, plan
+    assert "n_15m" in plan and "n_1h" in plan
+
+
+def test_source_kl_no_global_window_broadcast_totals(spark):
+    """source_kl_divergence: totals/grand-total ride broadcast joins,
+    never a partition-less Window (which would single-task the vocab);
+    no cartesian beyond the 1-row broadcast."""
+    from lsh_spark.operators.pipeline_queries import source_kl_divergence
+
+    plan = _plan(source_kl_divergence(spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -217,6 +217,9 @@ _REDUNDANT_TAIL = [
     "cdc_chunk_dedup_stats",
     "events_user_rolling_counts",
     "source_kl_divergence",
+    "chunk_novelty_docs",
+    "cdc_index_stats",
+    "chunk_novelty_streaming",
 ]
 
 

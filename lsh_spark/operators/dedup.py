@@ -633,33 +633,12 @@ def embedding_allpairs_cosine(
 _CDC_WINDOW, _CDC_BASE, _CDC_DIVISOR = 8, 1099511628211, 64
 
 
-def cdc_chunk_stats(
-    docs: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    window: int = _CDC_WINDOW,
-    base: int = _CDC_BASE,
-    divisor: int = _CDC_DIVISOR,
-) -> DataFrame:
-    """Content-defined chunking + chunk-level cross-document dedup
-    stats (LBFS-style windowed Rabin-Karp; see
-    ``_core/batch.py::cdc_spans_batch`` for the boundary contract).
-    Per document: chunk count, distinct chunk count, and how many of
-    its distinct chunks also occur in ANOTHER document — the signal a
-    storage- or licensing-dedup pass acts on, and a near-dup LOCALIZER
-    (which 64-char stretch is copied, not just "these docs are 0.8
-    similar").
-
-    100 TB shape: boundary detection is position-local (a pure function
-    of ``window`` code points — deliberately no min/max chunk clamps,
-    which would need sequential suppression state), so the chunker is a
-    zero-shuffle ``mapInPandas`` scan; chunk text never leaves its row
-    (spans explode against the carried text, substring + md5 in JVM
-    codegen); everything downstream is digest-keyed aggregates —
-    32-hex digests only, never chunk payloads, through the shuffles.
-    Cross-doc sharing is one (digest → doc-count) aggregate joined back
-    by digest: the classic storage-dedup plan, no windows, no pairs."""
+def _cdc_chunks(docs: DataFrame, *, id_col: str, text_col: str,
+                window: int, base: int, divisor: int) -> DataFrame:
+    """(doc_id, __ch) chunk-digest rows for a corpus — the shared core
+    of the stats query and the persisted chunk index.  Spans ride the
+    SAME mapInPandas row as the carried text (explode → substring → md5
+    in JVM codegen); chunk text never crosses a shuffle."""
     from pyspark.sql.types import (ArrayType, IntegerType, StructField,
                                    StructType)
 
@@ -687,7 +666,7 @@ def cdc_chunk_stats(
             yield out
 
     spanned = src.mapInPandas(spans, schema=schema)
-    chunks = (
+    return (
         spanned.select(
             "doc_id",
             F.explode(F.arrays_zip("__starts", "__lens")).alias("__sp"),
@@ -698,6 +677,37 @@ def cdc_chunk_stats(
                 "substring(__text, __sp.__starts, __sp.__lens)"))
             .alias("__ch"))
     )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = _CDC_WINDOW,
+    base: int = _CDC_BASE,
+    divisor: int = _CDC_DIVISOR,
+) -> DataFrame:
+    """Content-defined chunking + chunk-level cross-document dedup
+    stats (LBFS-style windowed Rabin-Karp; see
+    ``_core/batch.py::cdc_spans_batch`` for the boundary contract).
+    Per document: chunk count, distinct chunk count, and how many of
+    its distinct chunks also occur in ANOTHER document — the signal a
+    storage- or licensing-dedup pass acts on, and a near-dup LOCALIZER
+    (which 64-char stretch is copied, not just "these docs are 0.8
+    similar").
+
+    100 TB shape: boundary detection is position-local (a pure function
+    of ``window`` code points — deliberately no min/max chunk clamps,
+    which would need sequential suppression state), so the chunker is a
+    zero-shuffle ``mapInPandas`` scan; chunk text never leaves its row
+    (spans explode against the carried text, substring + md5 in JVM
+    codegen); everything downstream is digest-keyed aggregates —
+    32-hex digests only, never chunk payloads, through the shuffles.
+    Cross-doc sharing is one (digest → doc-count) aggregate joined back
+    by digest: the classic storage-dedup plan, no windows, no pairs."""
+    chunks = _cdc_chunks(docs, id_col=id_col, text_col=text_col,
+                         window=window, base=base, divisor=divisor)
     per_doc = chunks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.countDistinct("__ch").alias("n_unique_chunks"),
@@ -719,17 +729,21 @@ def cdc_chunk_stats(
     )
 
 
-def cdc_chunk_stats_oracle_sql(
+def _cdc_ch_ctes(
+    sfx: str,
+    source: str,
     *,
     window: int = _CDC_WINDOW,
     base: int = _CDC_BASE,
     divisor: int = _CDC_DIVISOR,
-    source: str = "documents",
 ) -> str:
-    """DuckDB twin of :func:`cdc_chunk_stats` — replays the windowed
-    Rabin-Karp boundary rule per character position in HUGEINT (each
-    ``code * base^k`` term < 2^85, the ``window``-term sum < 2^88, both
-    inside HUGEINT; the mod-2^64 wrap is explicit)."""
+    """CTE chain ``pos{sfx}/ib{sfx}/bnd{sfx}/ch{sfx}`` computing
+    (doc_id, ch) chunk digests for ``source`` — the SQL replay of the
+    windowed Rabin-Karp boundary rule, per character position in
+    HUGEINT (each ``code * base^k`` term < 2^85, the ``window``-term
+    sum < 2^88, both inside HUGEINT; the mod-2^64 wrap is explicit).
+    Shared by the stats oracle and the persisted-chunk-index oracles
+    so the index gates re-derive chunking from the RAW corpus."""
     w = int(window)
     pow_lits = []
     acc = 1
@@ -739,29 +753,42 @@ def cdc_chunk_stats_oracle_sql(
     terms = " + ".join(
         f"ord(substr(text, p - {k}, 1))::HUGEINT * {pow_lits[k]}::HUGEINT"
         for k in range(w))
-    return f"""
-WITH pos AS (
+    return f"""pos{sfx} AS (
   SELECT doc_id, text, length(text) AS n,
          unnest(generate_series({w}, length(text))) AS p
   FROM {source} WHERE length(text) >= {w}
 ),
-ib AS (
-  SELECT doc_id, text, n, p FROM pos
+ib{sfx} AS (
+  SELECT doc_id, text, n, p FROM pos{sfx}
   WHERE (({terms}) % 18446744073709551616) % {int(divisor)} = 0
     AND p < n
 ),
-bnd AS (
-  SELECT doc_id, text, p FROM ib
+bnd{sfx} AS (
+  SELECT doc_id, text, p FROM ib{sfx}
   UNION ALL
   SELECT doc_id, text, length(text) AS p FROM {source}
   WHERE length(text) > 0
 ),
-ch AS (
+ch{sfx} AS (
   SELECT doc_id,
-         md5(substr(text, coalesce(lag(p) OVER w, 0) + 1,
-                    p - coalesce(lag(p) OVER w, 0))) AS ch
-  FROM bnd WINDOW w AS (PARTITION BY doc_id ORDER BY p)
-),
+         md5(substr(text, coalesce(lag(p) OVER w{sfx}, 0) + 1,
+                    p - coalesce(lag(p) OVER w{sfx}, 0))) AS ch
+  FROM bnd{sfx} WINDOW w{sfx} AS (PARTITION BY doc_id ORDER BY p)
+)"""
+
+
+def cdc_chunk_stats_oracle_sql(
+    *,
+    window: int = _CDC_WINDOW,
+    base: int = _CDC_BASE,
+    divisor: int = _CDC_DIVISOR,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`cdc_chunk_stats` (boundary replay in
+    :func:`_cdc_ch_ctes`)."""
+    return f"""
+WITH {_cdc_ch_ctes('', source, window=window, base=base,
+                   divisor=divisor)},
 per_doc AS (
   SELECT doc_id, count(*)::BIGINT AS n_chunks,
          count(DISTINCT ch)::BIGINT AS n_unique_chunks
@@ -781,3 +808,189 @@ SELECT p.doc_id, p.n_chunks, p.n_unique_chunks,
        coalesce(s.n_shared, 0)::BIGINT AS n_shared_chunks
 FROM per_doc p LEFT JOIN shared s USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# persisted CDC chunk index — the incremental-crawl storage-dedup flow:
+# chunk the corpus ONCE into a bucketed digest table; every new batch
+# chunks only itself and probes by digest with no corpus-side exchange.
+# ---------------------------------------------------------------------------
+
+def build_cdc_chunk_index(
+    corpus: DataFrame,
+    table_name: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = _CDC_WINDOW,
+    base: int = _CDC_BASE,
+    divisor: int = _CDC_DIVISOR,
+    num_buckets: int = 32,
+) -> None:
+    """Persist the corpus's distinct (doc, chunk-digest) rows as
+    ``<name>_chunks`` bucketed by digest, plus a ``<name>_meta`` row
+    pinning the chunking parameters (window/base/divisor are
+    index-defining the way banding parameters are for the LSH index —
+    probes read them from the meta so a probe can never chunk with
+    different boundaries than the index).  Follows the repo index
+    lifecycle contract: rebuilds sweep compaction generations and clear
+    ``<name>_deletes`` FILE-level; deletes are merge-on-read doc-id
+    tombstones every probe anti-joins."""
+    from ..sources.formats import (drop_table_and_files,
+                                   drop_versioned_siblings, save_table,
+                                   write_bucketed_table)
+
+    spark = corpus.sparkSession
+    drop_versioned_siblings(spark, f"{table_name}_chunks", 0)
+    chunks = (
+        _cdc_chunks(corpus, id_col=id_col, text_col=text_col,
+                    window=window, base=base, divisor=divisor)
+        .select(F.col("doc_id").alias("__rid"), "__ch")
+        .distinct()
+    )
+    write_bucketed_table(chunks, f"{table_name}_chunks",
+                         bucket_by=["__ch"], num_buckets=num_buckets)
+    meta = spark.range(1).select(
+        F.lit(id_col).alias("id_col"),
+        F.lit(text_col).alias("text_col"),
+        F.lit(int(window)).cast("int").alias("window"),
+        F.lit(int(base)).cast("bigint").alias("base"),
+        F.lit(int(divisor)).cast("int").alias("divisor"),
+        F.lit(int(num_buckets)).cast("int").alias("num_buckets"),
+        F.lit(0).cast("int").alias("version"),
+    )
+    save_table(meta, f"{table_name}_meta", single_file=True)
+    drop_table_and_files(spark, f"{table_name}_deletes")
+
+
+def _cdc_index_meta(spark, table_name: str):
+    from ..sources.formats import index_meta
+
+    return index_meta(spark, f"{table_name}_meta")
+
+
+def delete_from_cdc_index(ids: DataFrame, table_name: str,
+                          id_col: "str | None" = None) -> None:
+    """Merge-on-read doc tombstones for the chunk index (same contract
+    as ``delete_from_lsh_index``: O(delta) append, probes anti-join,
+    physical removal at the next full build)."""
+    from ..sources.formats import save_table
+    from .similarity_join import _adopt_orphan_tombstones
+
+    spark = ids.sparkSession
+    if id_col is None:
+        id_col = _cdc_index_meta(spark, table_name).id_col
+    rows = ids.select(F.col(id_col).alias("__rid")).distinct()
+    _adopt_orphan_tombstones(spark, table_name)
+    save_table(rows, f"{table_name}_deletes", mode="append",
+               single_file=True)
+
+
+def _live_index_chunks(spark, table_name: str) -> DataFrame:
+    from ..sources.formats import meta_version, versioned_name
+
+    m = _cdc_index_meta(spark, table_name)
+    chunks = spark.table(versioned_name(f"{table_name}_chunks",
+                                        meta_version(m)))
+    if spark.catalog.tableExists(f"{table_name}_deletes"):
+        dels = spark.table(f"{table_name}_deletes").select("__rid")
+        chunks = chunks.join(F.broadcast(dels), on="__rid",
+                             how="left_anti")
+    return chunks
+
+
+def chunk_novelty_against_index(
+    spark,
+    table_name: str,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per new-batch document: how many of its distinct chunks already
+    exist in the persisted corpus index — ``(doc_id, n_unique_chunks,
+    n_known_chunks, known_frac)``.  The standing incremental-crawl
+    storage-dedup probe: only the batch is chunked; the digest
+    semi-probe reads matching buckets of the bucketed ``_chunks`` table
+    with no corpus-side exchange, and tombstoned corpus docs are
+    anti-joined out first (merge-on-read).  Chunking parameters come
+    from the index meta row — never from caller arguments — so probe
+    boundaries can't drift from the index."""
+    m = _cdc_index_meta(spark, table_name)
+    probe = (
+        _cdc_chunks(new_docs, id_col=id_col, text_col=text_col,
+                    window=int(m.window), base=int(m.base),
+                    divisor=int(m.divisor))
+        .distinct()
+    )
+    live = _live_index_chunks(spark, table_name)
+    totals = probe.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_unique_chunks"))
+    known = (
+        probe.join(live.select("__ch"), on="__ch", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__known"))
+    )
+    return (
+        totals.join(known, on="doc_id", how="left")
+        .select(
+            "doc_id", "n_unique_chunks",
+            F.coalesce(F.col("__known"), F.lit(0)).cast("bigint")
+            .alias("n_known_chunks"),
+            F.round(
+                F.coalesce(F.col("__known"), F.lit(0)).cast("double")
+                / F.col("n_unique_chunks").cast("double"), 6)
+            .alias("known_frac"),
+        )
+    )
+
+
+def cdc_index_stats_df(spark, table_name: str) -> DataFrame:
+    """Content profile of the LIVE rows of a persisted chunk index
+    (tombstones anti-joined): total (doc, digest) rows, distinct
+    digests, and the sharing maximum.  The gate oracle recomputes the
+    same numbers from the RAW corpus, so this query pins persisted
+    index content against an independent derivation (the index-stats
+    contract)."""
+    live = _live_index_chunks(spark, table_name)
+    per_digest = live.groupBy("__ch").agg(
+        F.count(F.lit(1)).alias("__nd"))
+    return per_digest.agg(
+        F.sum("__nd").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.max("__nd").cast("bigint").alias("max_docs_per_chunk"),
+    )
+
+
+def attach_cdc_chunk_index(spark, table_name: str,
+                           location_root: "str | None" = None) -> None:
+    """Re-register a chunk index's tables in a fresh session from files
+    surviving on disk — bucket spec from the meta row (the cross-session
+    contract shared by every persisted index family); re-attaches
+    ``_deletes`` when its directory survives so tombstones keep masking.
+    ``location_root`` overrides the warehouse directory (an index copied
+    or mounted elsewhere)."""
+    import os
+
+    from ..sources.formats import (_warehouse_path, attach_bucketed_table,
+                                   attach_table, meta_version,
+                                   versioned_name)
+
+    def loc(name: str) -> "str | None":
+        if location_root is None:
+            return None
+        return os.path.join(location_root, name.lower())
+
+    attach_table(spark, f"{table_name}_meta",
+                 location=loc(f"{table_name}_meta"))
+    m = _cdc_index_meta(spark, table_name)
+    phys = versioned_name(f"{table_name}_chunks", meta_version(m))
+    attach_bucketed_table(spark, phys, bucket_by=["__ch"],
+                          num_buckets=int(m.num_buckets),
+                          location=loc(phys))
+    dels_dir = (loc(f"{table_name}_deletes")
+                or os.path.join(_warehouse_path(spark),
+                                f"{table_name}_deletes".lower()))
+    if (not spark.catalog.tableExists(f"{table_name}_deletes")
+            and os.path.isdir(dels_dir)):
+        attach_table(spark, f"{table_name}_deletes", location=dels_dir)

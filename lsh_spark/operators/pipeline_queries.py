@@ -5036,3 +5036,88 @@ GROUP BY s.source, t.ns, t.n_types
 
 QUERIES_LATE["source_kl_divergence"] = (source_kl_divergence,
                                         SOURCE_KL_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# persisted CDC chunk index gates (dedup.build_cdc_chunk_index family):
+# batch probe, streaming probe, index stats — even-id docs are the
+# indexed corpus, odd-id docs the incoming crawl (the dedup_against_corpus
+# split).  All three share one session-amortized index build.
+# ---------------------------------------------------------------------------
+
+def chunk_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents import ensure_cdc_index
+    from .dedup import chunk_novelty_against_index
+
+    index = ensure_cdc_index(spark, sf_dir)
+    new = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 1)
+    return chunk_novelty_against_index(spark, index, new)
+
+
+def _chunk_novelty_oracle() -> str:
+    from .dedup import _cdc_ch_ctes
+
+    corpus = "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) c"
+    batch = "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1) b"
+    return f"""
+WITH {_cdc_ch_ctes('_c', corpus)},
+{_cdc_ch_ctes('_b', batch)},
+cd_c AS (SELECT DISTINCT ch FROM ch_c),
+cd_b AS (SELECT DISTINCT doc_id, ch FROM ch_b),
+tot AS (
+  SELECT doc_id, count(*)::BIGINT AS n_unique_chunks
+  FROM cd_b GROUP BY doc_id
+),
+kn AS (
+  SELECT doc_id, count(*)::BIGINT AS n_known
+  FROM cd_b WHERE ch IN (SELECT ch FROM cd_c)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_unique_chunks,
+       coalesce(k.n_known, 0)::BIGINT AS n_known_chunks,
+       round(coalesce(k.n_known, 0)::DOUBLE
+             / t.n_unique_chunks::DOUBLE, 6) AS known_frac
+FROM tot t LEFT JOIN kn k USING (doc_id)
+"""
+
+
+QUERIES_LATE["chunk_novelty_docs"] = (chunk_novelty_docs,
+                                      _chunk_novelty_oracle())
+
+
+def cdc_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents import ensure_cdc_index
+    from .dedup import cdc_index_stats_df
+
+    index = ensure_cdc_index(spark, sf_dir)
+    return cdc_index_stats_df(spark, index)
+
+
+def _cdc_index_stats_oracle() -> str:
+    from .dedup import _cdc_ch_ctes
+
+    corpus = "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) c"
+    return f"""
+WITH {_cdc_ch_ctes('_c', corpus)},
+cd AS (SELECT DISTINCT doc_id, ch FROM ch_c),
+per AS (SELECT ch, count(*)::BIGINT AS nd FROM cd GROUP BY ch)
+SELECT sum(nd)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_chunks,
+       max(nd)::BIGINT AS max_docs_per_chunk
+FROM per
+"""
+
+
+QUERIES_LATE["cdc_index_stats"] = (cdc_index_stats,
+                                   _cdc_index_stats_oracle())
+
+
+def _chunk_novelty_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents import chunk_novelty_streaming
+
+    return chunk_novelty_streaming(spark, sf_dir)
+
+
+QUERIES_LATE["chunk_novelty_streaming"] = (_chunk_novelty_streaming,
+                                           _chunk_novelty_oracle())

@@ -538,3 +538,93 @@ def boolean_search_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.startswith("batch_id=") for f in os.listdir(out_dir)):
         return spark.createDataFrame([], "query_id long, doc_id long")
     return spark.read.parquet(out_dir).select("query_id", "doc_id")
+
+
+def ensure_cdc_index(spark: SparkSession, sf_dir: str) -> str:
+    """Session-amortized build of the gate's CDC chunk index (even-id
+    documents, default chunking params); returns the index name.  Same
+    reuse contract as ``ensure_ab_index``: rebuilds when the meta row's
+    parameters differ from the wanted ones, reuses otherwise — shared
+    by the batch probe, the streaming probe, and the index-stats gate
+    queries."""
+    from ..operators.dedup import (_CDC_BASE, _CDC_DIVISOR, _CDC_WINDOW,
+                                   build_cdc_chunk_index)
+    from ..sources.io import _ensure_session_confs, load_table
+
+    _ensure_session_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    index = f"cdcidx_{tag}"
+    want = dict(id_col="doc_id", text_col="text",
+                window=int(_CDC_WINDOW), base=int(_CDC_BASE),
+                divisor=int(_CDC_DIVISOR))
+    have = None
+    if spark.catalog.tableExists(f"{index}_meta"):
+        from ..sources.formats import index_meta
+
+        m = index_meta(spark, f"{index}_meta")
+        have = dict(id_col=m.id_col, text_col=m.text_col,
+                    window=int(m.window), base=int(m.base),
+                    divisor=int(m.divisor))
+    if have != want:
+        import sys
+        import time
+
+        t0 = time.perf_counter()
+        build_cdc_chunk_index(corpus, index, **want)
+        print(f"# ensure_cdc_index: chunk-index build took "
+              f"{time.perf_counter() - t0:.2f}s (reused by later runs "
+              f"in this session)", file=sys.stderr)
+    return index
+
+
+def chunk_novelty_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: the streaming incremental-crawl storage-dedup
+    probe — odd-id documents arrive as a file-source stream; each
+    micro-batch chunks ONLY itself (``dedup._cdc_chunks``) and
+    semi-probes the persisted bucketed chunk-digest index by digest, no
+    corpus-side exchange per batch.  Same oracle as the batch twin
+    ``chunk_novelty_docs`` (both sides re-derived from the raw corpus
+    in SQL, so the persisted index content is independently pinned)."""
+    from ..operators.dedup import chunk_novelty_against_index
+    from ..sources.io import load_table
+
+    index = ensure_cdc_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/lsh_spark_stream_cdc_{tag}"
+    ckpt = f"/tmp/lsh_spark_ckpt_stream_cdc_{tag}"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+        .where(F.col("doc_id") % 2 == 1)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = chunk_novelty_against_index(spark, index, batch_df)
+        _write_batch_idempotent(out, out_dir, batch_id)
+
+    from .events import scoped_state_partitions
+
+    with scoped_state_partitions(spark):
+        q = (stream.writeStream.foreachBatch(process)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        q.awaitTermination()
+
+    if not os.path.isdir(out_dir) or not any(
+            f.startswith("batch_id=") for f in os.listdir(out_dir)):
+        return spark.createDataFrame(
+            [], "doc_id long, n_unique_chunks long, n_known_chunks long, "
+            "known_frac double")
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "n_unique_chunks", "n_known_chunks", "known_frac")

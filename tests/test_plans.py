@@ -897,3 +897,25 @@ def test_source_kl_no_global_window_broadcast_totals(spark):
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_chunk_novelty_probe_corpus_side_bucketed(spark):
+    """chunk_novelty_against_index: the persisted _chunks table must be
+    read through its bucket spec (Bucketed: true) so the digest
+    semi-probe needs no corpus-side exchange; only the (small) probe
+    side chunks per query."""
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.dedup import (build_cdc_chunk_index,
+                                           chunk_novelty_against_index)
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for sfx in ("chunks", "meta", "deletes"):
+        spark.sql(f"DROP TABLE IF EXISTS cdcplan_{sfx}")
+    build_cdc_chunk_index(docs.where(F.col("doc_id") % 2 == 0),
+                          "cdcplan", num_buckets=8)
+    plan = _plan(chunk_novelty_against_index(
+        spark, "cdcplan", docs.where(F.col("doc_id") % 2 == 1)))
+    assert "Bucketed: true" in plan, plan
+    assert "Cartesian" not in plan, plan

@@ -199,3 +199,100 @@ def test_cdc_cross_engine_with_unicode(spark):
     want = sorted(tuple(r) for r in
                   con.execute(cdc_chunk_stats_oracle_sql()).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# persisted CDC chunk index lifecycle
+# ---------------------------------------------------------------------------
+
+def test_cdc_index_delete_tombstones_and_rebuild(spark):
+    """Merge-on-read deletes: probing after delete_from_cdc_index must
+    equal probing an index rebuilt WITHOUT the deleted docs; a full
+    rebuild clears the tombstones."""
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.dedup import (
+        build_cdc_chunk_index,
+        chunk_novelty_against_index,
+        delete_from_cdc_index,
+    )
+    from lsh_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    probe = docs.where(F.col("doc_id") % 2 == 1)
+    for t in ("cdcdel", "cdcref"):
+        for sfx in ("chunks", "meta", "deletes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{sfx}")
+    build_cdc_chunk_index(corpus, "cdcdel", num_buckets=8)
+
+    full = chunk_novelty_against_index(spark, "cdcdel", probe).collect()
+    assert sum(r.n_known_chunks for r in full) > 0
+    victims = [r.doc_id for r in
+               corpus.select("doc_id").limit(3).collect()]
+    delete_from_cdc_index(
+        spark.createDataFrame([(v,) for v in victims], "doc_id long"),
+        "cdcdel")
+    after = chunk_novelty_against_index(spark, "cdcdel", probe).collect()
+    build_cdc_chunk_index(
+        corpus.where(~F.col("doc_id").isin(victims)), "cdcref",
+        num_buckets=8)
+    want = chunk_novelty_against_index(spark, "cdcref", probe).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, want))
+    # rebuild clears tombstones: full probe returns
+    build_cdc_chunk_index(corpus, "cdcdel", num_buckets=8)
+    again = chunk_novelty_against_index(spark, "cdcdel", probe).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, full))
+
+
+def test_cdc_index_attach_reregisters(spark, tmp_path):
+    """attach_cdc_chunk_index re-registers chunk/meta/deletes tables
+    (WITH the bucket spec from the meta row) from files surviving on
+    disk after the catalog forgets them — the cross-session contract:
+    copy the table dirs to a fresh root, attach under a new name, and
+    probes must match, tombstones included."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.dedup import (
+        attach_cdc_chunk_index,
+        build_cdc_chunk_index,
+        chunk_novelty_against_index,
+        delete_from_cdc_index,
+    )
+    from lsh_spark.sources.formats import _warehouse_path
+    from lsh_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    probe = docs.where(F.col("doc_id") % 2 == 1)
+    for t in ("cdcatt", "cdcnew"):
+        for sfx in ("chunks", "meta", "deletes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{sfx}")
+    build_cdc_chunk_index(corpus, "cdcatt", num_buckets=8)
+    victims = [r.doc_id for r in
+               corpus.select("doc_id").limit(2).collect()]
+    delete_from_cdc_index(
+        spark.createDataFrame([(v,) for v in victims], "doc_id long"),
+        "cdcatt")
+    before = sorted(map(tuple, chunk_novelty_against_index(
+        spark, "cdcatt", probe).collect()))
+    # "new session": files on disk, catalog empty — copy the table dirs
+    wh = _warehouse_path(spark)
+    for sfx in ("chunks", "meta", "deletes"):
+        shutil.copytree(os.path.join(wh, f"cdcatt_{sfx}"),
+                        tmp_path / f"cdcnew_{sfx}")
+    attach_cdc_chunk_index(spark, "cdcnew",
+                           location_root=str(tmp_path))
+    after = sorted(map(tuple, chunk_novelty_against_index(
+        spark, "cdcnew", probe).collect()))
+    assert after == before
+    desc = spark.sql("DESCRIBE EXTENDED cdcnew_chunks").collect()
+    desc_txt = "\n".join(f"{r.col_name} {r.data_type}" for r in desc)
+    assert "Num Buckets 8" in desc_txt
+    # attach is idempotent
+    attach_cdc_chunk_index(spark, "cdcnew", location_root=str(tmp_path))

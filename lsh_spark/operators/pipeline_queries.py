@@ -1985,17 +1985,12 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     back by ngram digest.  Ratio is a double division of integer
     counts, rounded 6dp."""
     docs = load_table(spark, sf_dir, "documents")
-    from .training_ops import _words
+    from .training_ops import _words, exploded_word_bigrams
 
-    w = _words(F.col("text"))
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(F.sequence(F.lit(0), F.size(w) - 2),
-                    lambda i: F.concat_ws(" ", F.get(w, i),
-                                          F.get(w, i + 1))),
-    ).otherwise(F.array().cast("array<string>"))
     dg = (
-        docs.select("doc_id", F.explode(bigrams).alias("__g"))
+        exploded_word_bigrams(
+            docs.select("doc_id", _words(F.col("text")).alias("__t")),
+            F.col("__t"), keep=("doc_id",))
         .select("doc_id", F.md5("__g").alias("__h"))
         .distinct()
     )
@@ -3093,19 +3088,10 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", _words(F.col("text")).alias("__t"))
-    grams = toks.select(
-        "doc_id",
-        # CASE guard: Spark's sequence(1, 0) is the DESCENDING [1, 0],
-        # so an unguarded transform would index past a 1-token array
-        # (ANSI INVALID_ARRAY_INDEX) — same contract as
-        # sparse_sim._bigram_terms
-        F.explode(F.expr(
-            "CASE WHEN size(__t) < 2 THEN array() "
-            "ELSE transform(sequence(1, size(__t) - 1), "
-            "i -> struct(element_at(__t, i) AS w1, "
-            "element_at(__t, i + 1) AS w2)) END")).alias("__g"),
-    ).select("doc_id", F.col("__g.w1").alias("__w1"),
-             F.col("__g.w2").alias("__w2"))
+    from .training_ops import exploded_word_bigrams
+
+    grams = exploded_word_bigrams(toks, F.col("__t"), keep=("doc_id",),
+                                  pair=True)
     dc = grams.groupBy("doc_id", "__w1", "__w2").agg(
         F.count(F.lit(1)).alias("__c"))
     freq = dc.groupBy("__w1", "__w2").agg(F.sum("__c").alias("__cw"))
@@ -3606,16 +3592,15 @@ _PMI_K = 50
 def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from .training_ops import _words
+    from .training_ops import _words, exploded_word_bigrams
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _words(F.col("text")).alias("__t"))
-    grams = toks.select(
-        F.explode(F.expr(
-            "transform(sequence(1, greatest(size(__t) - 1, 0)), "
-            "i -> struct(element_at(__t, i) AS w1, "
-            "element_at(__t, i + 1) AS w2))")).alias("__g"),
-    ).select(F.col("__g.w1").alias("w1"), F.col("__g.w2").alias("w2"))
+    # slice+zip form (codegen; also closes the latent sequence(1, 0)
+    # descending-range ANSI hazard this site still carried for 1-token
+    # docs — greatest() does NOT protect element_at, CLAUDE.md)
+    grams = exploded_word_bigrams(toks, F.col("__t"), pair=True).select(
+        F.col("__w1").alias("w1"), F.col("__w2").alias("w2"))
     pair = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
     # unigram counts AS BIGRAM ENDPOINTS (left/right marginals of the
     # pair table — no second corpus scan, and the PMI normalization is
@@ -4805,20 +4790,13 @@ def hll_vocab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_distinct); ``exact_distinct`` is gate-side evidence (the thing
     HLL avoids computing at 100 TB), derived in the SAME aggregate via
     per-register count-distinct summed across the register partition."""
-    from .training_ops import _words
+    from .training_ops import _words, exploded_word_bigrams
 
     docs = load_table(spark, sf_dir, "documents")
-    w = _words(F.col("text"))
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(F.sequence(F.lit(0), F.size(w) - 2),
-                    lambda i: F.concat_ws(" ", F.get(w, i),
-                                          F.get(w, i + 1))),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = (
-        docs.select("source", F.explode(bigrams).alias("__g"))
-        .select("source", "__g", F.md5("__g").alias("__hx"))
-    )
+    bg = exploded_word_bigrams(
+        docs.select("source", _words(F.col("text")).alias("__t")),
+        F.col("__t"), keep=("source",)
+    ).select("source", "__g", F.md5("__g").alias("__hx"))
     reg = bg.select(
         "source", "__g",
         F.conv(F.substring("__hx", 1, 2), 16, 10).cast("int")

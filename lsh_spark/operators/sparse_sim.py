@@ -39,20 +39,6 @@ from pyspark.sql import functions as F
 _DEC = "decimal(28,6)"
 
 
-def _bigram_terms(tokens: Column) -> Column:
-    """Word-bigram term strings ('w1 w2') from a token array; under 2
-    tokens yields the empty list.  The CASE guard is load-bearing:
-    Spark's ``sequence(1, 0)`` is the DESCENDING ``[1, 0]`` (not
-    empty), so an unguarded transform indexes past a 1-token array and
-    raises INVALID_ARRAY_INDEX under ANSI mode."""
-    return F.expr(
-        "CASE WHEN size(__t) < 2 THEN array() "
-        "ELSE transform(sequence(1, size(__t) - 1), "
-        "i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1))) "
-        "END"
-    )
-
-
 def tfidf_cosine_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -69,13 +55,14 @@ def tfidf_cosine_pairs(
     Weight = round(n_t · ln(N/df), 6); every downstream sum is the
     6dp-quantize → DECIMAL(28,6) fold, so the result is bit-stable
     under any execution order."""
-    from .training_ops import _words
+    from .training_ops import _words, exploded_word_bigrams
 
     toks = docs.select(
         F.col(id_col).alias("__id"),
         _words(F.lower(F.col(text_col))).alias("__t"))
-    grams = toks.select(
-        "__id", F.explode(_bigram_terms(F.col("__t"))).alias("__term"))
+    grams = exploded_word_bigrams(
+        toks, F.col("__t"), keep=("__id",)).select(
+        "__id", F.col("__g").alias("__term"))
     tf = grams.groupBy("__id", "__term").agg(
         F.count(F.lit(1)).alias("__n_t"))
     df_t = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))

@@ -1869,3 +1869,29 @@ c AS (
 )
 SELECT doc_id, source, n_tokens FROM c WHERE pre < {int(budget)}
 """
+
+
+def exploded_word_bigrams(df: DataFrame, tokens, *, keep=(),
+                          pair: bool = False) -> DataFrame:
+    """Explode adjacent word pairs from a token-array column — the
+    whole-stage-codegen shape: ``slice + arrays_zip + explode`` then a
+    plain column ``concat_ws``.  The ``transform(sequence(...), i ->
+    ...)`` HOF form is INTERPRETED (higher-order functions never enter
+    codegen) and measured 20x slower building the same 266k bigrams at
+    sf0.1 (4.95 s vs 0.24 s) — the same interpreter trap as the IVF
+    cell-assignment fold.  Output rows: ``keep`` columns plus either
+    ``__g`` ('w1 w2', ``pair=False``) or ``__w1``/``__w2``
+    (``pair=True``).  Docs with under 2 tokens produce no rows (slice
+    length ``greatest(size-1, 0)`` — the sequence(1, 0) descending trap
+    cannot arise because there is no sequence)."""
+    n = F.greatest(F.size(tokens) - 1, F.lit(0))
+    pairs = F.arrays_zip(F.slice(tokens, 1, n), F.slice(tokens, 2, n))
+    ex = df.select(*[F.col(c) for c in keep],
+                   F.explode(pairs).alias("__p"))
+    head = [F.col(c) for c in keep]
+    if pair:
+        return ex.select(*head, F.col("__p.0").alias("__w1"),
+                         F.col("__p.1").alias("__w2"))
+    return ex.select(
+        *head,
+        F.concat_ws(" ", F.col("__p.0"), F.col("__p.1")).alias("__g"))

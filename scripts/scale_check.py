@@ -1095,6 +1095,121 @@ def graph() -> None:
     spark.stop()
 
 
+
+
+def r11() -> None:
+    """Round-11 family scale check (corpus replication, perturbed
+    texts).  Expected shapes:
+      * cdc_chunk_stats — linear in total chars (position-local
+        boundaries: one mapInPandas scan + digest aggregates);
+      * CDC index build linear; the novelty PROBE with a FIXED batch
+        must stay bounded by the batch + matched buckets, not the
+        corpus;
+      * token_budget_per_source under a SINGLE DOMINANT source (every
+        replica mapped to one source) — the adversarial case the
+        two-phase bucket cutoff exists for: the exact window's input
+        stays O(budget), so wall grows only with the phase-1 histogram
+        (linear scan), never with a corpus-sized single-task sort;
+      * hll_vocab_report — linear scan + bounded register state.
+    """
+    from pyspark import StorageLevel
+
+    from lsh_spark.operators.dedup import (
+        build_cdc_chunk_index,
+        cdc_chunk_stats,
+        chunk_novelty_against_index,
+    )
+    from lsh_spark.operators.pipeline_queries import hll_vocab_report
+    from lsh_spark.operators.training_ops import token_budget_per_source
+    from lsh_spark.plans import get_spark
+    from lsh_spark.sources.formats import drop_table_and_files
+    from lsh_spark.sources.io import load_table
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 5, 20]
+    spark = get_spark(app_name="lsh_spark-scale-check-r11")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n_base = base.count()
+    probe_batch = base.limit(500).select("doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK)
+    probe_batch.count()
+    for rep in reps:
+        docs = (
+            base.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select(
+                (F.col("doc_id") * rep + F.col("__rep")).alias("doc_id"),
+                F.lit("src_dominant").alias("source"),
+                F.concat(F.col("text"), F.lit(" tail"),
+                         F.col("__rep").cast("string")).alias("text"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        docs.count()
+        t0 = time.perf_counter()
+        n_cdc = cdc_chunk_stats(docs).count()
+        t_cdc = time.perf_counter() - t0
+        name = f"scalecheck_cdc_{rep}"
+        t0 = time.perf_counter()
+        build_cdc_chunk_index(docs, name, num_buckets=32)
+        t_build = time.perf_counter() - t0
+        t_probe = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_probe = chunk_novelty_against_index(
+                spark, name, probe_batch).count()
+            t_probe = min(t_probe, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        n_budget = token_budget_per_source(docs, budget=50_000).count()
+        t_budget = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_hll = _hll_inline(docs).count()
+        t_hll = time.perf_counter() - t0
+        print(
+            f"rep={rep:3d} docs={n_base * rep:8d}  "
+            f"cdc_stats={t_cdc:6.1f}s ({n_cdc})  "
+            f"idx_build={t_build:6.1f}s  probe500={t_probe:6.1f}s "
+            f"({n_probe})  budget50k={t_budget:6.1f}s ({n_budget})  "
+            f"hll={t_hll:6.1f}s ({n_hll})",
+            flush=True)
+        for sfx in ("_chunks", "_meta", "_deletes"):
+            drop_table_and_files(spark, f"{name}{sfx}")
+        docs.unpersist()
+        spark.catalog.clearCache()
+    spark.stop()
+
+
+def _hll_inline(docs):
+    """hll_vocab_report's register plan over an in-memory frame (the
+    gate query loads from a path; the aggregate shape is identical)."""
+    from lsh_spark.operators.training_ops import _words
+
+    w = _words(F.col("text"))
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(w) - 2),
+                    lambda i: F.concat_ws(" ", F.get(w, i),
+                                          F.get(w, i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (docs.select("source", F.explode(bigrams).alias("__g"))
+          .select("source", "__g", F.md5("__g").alias("__hx")))
+    reg = bg.select(
+        "source", "__g",
+        F.conv(F.substring("__hx", 1, 2), 16, 10).cast("int")
+        .alias("__idx"),
+        F.conv(F.substring("__hx", 3, 14), 16, 10).cast("bigint")
+        .alias("__v"),
+    ).select(
+        "source", "__g", "__idx",
+        F.when(F.col("__v") == 0, F.lit(57))
+        .otherwise(F.lit(57) - F.length(F.bin(F.col("__v"))))
+        .cast("int").alias("__rho"))
+    regs = reg.groupBy("source", "__idx").agg(
+        F.max("__rho").alias("__m"),
+        F.countDistinct("__g").alias("__nd"))
+    return regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_registers"))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--vectors":
         vectors()
@@ -1124,5 +1239,7 @@ if __name__ == "__main__":
         edit_only()
     elif len(sys.argv) > 1 and sys.argv[1] == "--graph":
         graph()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r11":
+        r11()
     else:
         main()

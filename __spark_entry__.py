@@ -220,6 +220,7 @@ _REDUNDANT_TAIL = [
     "chunk_novelty_docs",
     "cdc_index_stats",
     "chunk_novelty_streaming",
+    "bpe_encoded_token_counts",
 ]
 
 

@@ -5099,3 +5099,25 @@ def _chunk_novelty_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_LATE["chunk_novelty_streaming"] = (_chunk_novelty_streaming,
                                            _chunk_novelty_oracle())
+
+
+# ---------------------------------------------------------------------------
+# BPE encode gate — the other half of the tokenizer-training loop:
+# train the gate's 3 merges (identical algebra to bpe_train_merge_table
+# via the shared _bpe_loop) and tokenize every document with them.
+# ---------------------------------------------------------------------------
+
+def bpe_encoded_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_ops import bpe_encode_token_counts
+
+    return bpe_encode_token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_encode_oracle() -> str:
+    from .training_ops import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql()
+
+
+QUERIES_LATE["bpe_encoded_token_counts"] = (bpe_encoded_token_counts,
+                                            _bpe_encode_oracle())

@@ -1626,6 +1626,18 @@ def bpe_train_merges(
     TakeOrdered(1).  Lineage stays shallow (a few windows per step);
     steps are unrolled into one plan, so the whole merge table is one
     job."""
+    out, _ = _bpe_loop(docs, steps=steps, text_col=text_col)
+    return out
+
+
+def _bpe_loop(docs: DataFrame, *, steps: int, text_col: str):
+    """Shared BPE training loop: returns (merge_table, final_toks) —
+    ``final_toks`` is the tokenized vocabulary state (__w, __n, __pos,
+    __tok) after the last merge, the thing the ENCODER needs (a word's
+    BPE token count is its row count here).  ``bpe_train_merges``
+    returns the first element; ``bpe_encode_token_counts`` consumes the
+    second.  One function so the two gates can never train different
+    merge tables."""
     words = docs.select(F.explode(_words(F.col(text_col))).alias("__w"))
     wc = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__n"))
     toks = (
@@ -1698,7 +1710,48 @@ def bpe_train_merges(
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)
-    return out
+    return out, toks
+
+
+def bpe_encode_token_counts(
+    docs: DataFrame,
+    *,
+    steps: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ENCODE half of the BPE loop: train ``steps`` merges
+    (:func:`_bpe_loop`, identical algebra to the merge-table gate) and
+    tokenize every document with them — per doc, the whitespace word
+    count and the BPE token count after the merges (the number a
+    token-budget planner actually needs; whitespace words only
+    approximate it).
+
+    Closed form: a word's post-merge token count is its ROW COUNT in
+    the final vocabulary state, so encoding is one |vocab|-row count
+    aggregate joined (broadcast — token counts are one int per distinct
+    word) onto the corpus word explode.  No per-document re-merge: the
+    merge result is a function of the word alone, computed once per
+    distinct word — the whole point of training on the vocabulary."""
+    _, toks = _bpe_loop(docs, steps=steps, text_col=text_col)
+    vt = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__nt"))
+    dw = docs.select(F.col(id_col),
+                     F.explode(_words(F.col(text_col))).alias("__w"))
+    per = (
+        dw.join(F.broadcast(vt), on="__w")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__nw"),
+             F.sum("__nt").alias("__nb"))
+    )
+    return (
+        docs.select(id_col).join(per, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("__nw", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("__nb", F.lit(0)).cast("bigint")
+            .alias("n_bpe_tokens"),
+        )
+    )
 
 
 def bpe_train_merges_oracle_sql(steps: int = 3,
@@ -1706,6 +1759,43 @@ def bpe_train_merges_oracle_sql(steps: int = 3,
     """DuckDB twin of :func:`bpe_train_merges`: the same unrolled
     per-step window algebra (lead → weighted top-1 → gaps-and-islands
     greedy merge → renumber)."""
+    ctes = _bpe_ctes(steps, source)
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, a AS pair_a, b AS pair_b, nt AS n_total "
+        f"FROM top{k}" for k in range(1, int(steps) + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+def bpe_encode_oracle_sql(steps: int = 3,
+                          source: str = "documents") -> str:
+    """DuckDB twin of :func:`bpe_encode_token_counts`: the training
+    CTEs verbatim (t{steps} is the final vocabulary state), then the
+    per-word row count joined onto the corpus word explode."""
+    k = int(steps)
+    ctes = _bpe_ctes(steps, source)
+    return "WITH " + ",\n".join(ctes) + f""",
+vt AS (SELECT w, count(*)::BIGINT AS nt FROM t{k} GROUP BY w),
+dw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text,
+                '[ \\t\\n\\x0b\\f\\r]+'), t -> t != '')) AS w
+  FROM {source}
+),
+per AS (
+  SELECT dw.doc_id, count(*)::BIGINT AS nw, sum(vt.nt)::BIGINT AS nb
+  FROM dw JOIN vt USING (w) GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.nw, 0)::BIGINT AS n_words,
+       coalesce(p.nb, 0)::BIGINT AS n_bpe_tokens
+FROM {source} d LEFT JOIN per p USING (doc_id)
+"""
+
+
+def _bpe_ctes(steps: int = 3, source: str = "documents") -> list:
+    """The unrolled BPE-training CTE chain (wc/t0, then l/top/r/i/o/m/x/t
+    per step) — shared by the merge-table and encoder oracles so both
+    replay ONE training run; t{steps} is the final vocabulary state."""
     ctes = [f"""wc AS (
   SELECT w, count(*) AS n FROM (
     SELECT unnest(list_filter(string_split_regex(text,
@@ -1765,10 +1855,7 @@ def bpe_train_merges_oracle_sql(steps: int = 3,
          CASE WHEN m THEN tok || nxt ELSE tok END AS tok
   FROM x{k} WHERE NOT absorbed
 )""")
-    sel = "\nUNION ALL\n".join(
-        f"SELECT {k} AS step, a AS pair_a, b AS pair_b, nt AS n_total "
-        f"FROM top{k}" for k in range(1, int(steps) + 1))
-    return "WITH " + ",\n".join(ctes) + "\n" + sel
+    return ctes
 
 
 # ---------------------------------------------------------------------------

@@ -1181,17 +1181,13 @@ def r11() -> None:
 def _hll_inline(docs):
     """hll_vocab_report's register plan over an in-memory frame (the
     gate query loads from a path; the aggregate shape is identical)."""
-    from lsh_spark.operators.training_ops import _words
+    from lsh_spark.operators.training_ops import (_words,
+                                                  exploded_word_bigrams)
 
-    w = _words(F.col("text"))
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(F.sequence(F.lit(0), F.size(w) - 2),
-                    lambda i: F.concat_ws(" ", F.get(w, i),
-                                          F.get(w, i + 1))),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = (docs.select("source", F.explode(bigrams).alias("__g"))
-          .select("source", "__g", F.md5("__g").alias("__hx")))
+    bg = exploded_word_bigrams(
+        docs.select("source", _words(F.col("text")).alias("__t")),
+        F.col("__t"), keep=("source",)
+    ).select("source", "__g", F.md5("__g").alias("__hx"))
     reg = bg.select(
         "source", "__g",
         F.conv(F.substring("__hx", 1, 2), 16, 10).cast("int")

@@ -296,3 +296,49 @@ def test_cdc_index_attach_reregisters(spark, tmp_path):
     assert "Num Buckets 8" in desc_txt
     # attach is idempotent
     attach_cdc_chunk_index(spark, "cdcnew", location_root=str(tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode_token_counts — encode parity vs a classic Python BPE
+# ---------------------------------------------------------------------------
+
+def test_bpe_encode_matches_reference_encoder(spark):
+    """Applying the trained merges must yield the same per-doc token
+    counts as a classic Python BPE (train + greedy left-to-right
+    apply), including the a == b run-parity case."""
+    from collections import Counter
+
+    from lsh_spark.operators.training_ops import bpe_encode_token_counts
+
+    texts = ["aaab aa ab banana", "banana aaab aaaa", "ab ab aa aaab"]
+    steps = 4
+
+    wc = Counter(w for t in texts for w in t.split())
+    vocab = {w: list(w) for w in wc}
+    for _ in range(steps):
+        pc = Counter()
+        for w, toks in vocab.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), _nt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in bpe_encode_token_counts(docs, steps=steps).collect()}
+    for i, t in enumerate(texts):
+        words = t.split()
+        want = (len(words), sum(len(vocab[w]) for w in words))
+        assert got[i] == want, (i, got[i], want)

@@ -221,6 +221,7 @@ _REDUNDANT_TAIL = [
     "cdc_index_stats",
     "chunk_novelty_streaming",
     "bpe_encoded_token_counts",
+    "source_kl_streaming",
 ]
 
 

@@ -5121,3 +5121,52 @@ def _bpe_encode_oracle() -> str:
 
 QUERIES_LATE["bpe_encoded_token_counts"] = (bpe_encoded_token_counts,
                                             _bpe_encode_oracle())
+
+
+# ---------------------------------------------------------------------------
+# streaming drift monitor gate — per-source KL of the streamed half vs
+# the STATIC corpus distribution (the mixture-rebalancing alarm signal)
+# ---------------------------------------------------------------------------
+
+def _source_kl_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents import source_kl_streaming
+
+    return source_kl_streaming(spark, sf_dir)
+
+
+SOURCE_KL_STREAMING_ORACLE = r"""
+WITH sw AS (
+  SELECT source, w, count(*)::BIGINT AS cs
+  FROM (SELECT source,
+               unnest(list_filter(string_split_regex(text,
+                      '[ \t\n\x0b\f\r]+'), t -> t != '')) AS w
+        FROM documents WHERE doc_id % 2 = 1)
+  GROUP BY source, w
+),
+corpus AS (
+  SELECT w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(list_filter(string_split_regex(text,
+               '[ \t\n\x0b\f\r]+'), t -> t != '')) AS w
+        FROM documents)
+  GROUP BY w
+),
+totals AS (
+  SELECT source, sum(cs)::BIGINT AS ns, count(*)::BIGINT AS n_types
+  FROM sw GROUP BY source
+),
+big_n AS (SELECT sum(c)::BIGINT AS n FROM corpus)
+SELECT s.source, t.ns AS n_tokens, t.n_types,
+       CAST(sum(CAST(round(
+         (s.cs::DOUBLE / t.ns::DOUBLE)
+         * ln((s.cs::DOUBLE / t.ns::DOUBLE)
+              / (c.c::DOUBLE / b.n::DOUBLE)), 6)
+         AS DECIMAL(28,6))) AS DOUBLE) AS kl_vs_corpus
+FROM sw s
+JOIN corpus c USING (w)
+JOIN totals t USING (source)
+CROSS JOIN big_n b
+GROUP BY s.source, t.ns, t.n_types
+"""
+
+QUERIES_LATE["source_kl_streaming"] = (_source_kl_streaming,
+                                       SOURCE_KL_STREAMING_ORACLE)

@@ -628,3 +628,91 @@ def chunk_novelty_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             "known_frac double")
     return spark.read.parquet(out_dir).select(
         "doc_id", "n_unique_chunks", "n_known_chunks", "known_frac")
+
+
+def source_kl_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: the streaming DRIFT MONITOR — odd-id documents
+    arrive as a file-source stream; each micro-batch contributes only
+    its (source, word, count) PARTIALS (map-side-combining shape: the
+    per-batch write is vocabulary-bounded, never document-bounded), and
+    the final read-back sums partials and computes per-source
+    KL(streamed-source distribution || static corpus distribution) with
+    the zipf float contract (one literal double op order per word term,
+    6dp quantize, DECIMAL(28,6) sum).  Streamed words are a subset of
+    the static corpus here, so every pc > 0; the join to corpus counts
+    is inner by construction.
+
+    Returns (source, n_tokens, n_types, kl_vs_corpus) over the streamed
+    half."""
+    from ..operators.training_ops import _words
+    from ..sources.io import _ensure_session_confs, load_table
+
+    _ensure_session_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/lsh_spark_stream_kl_{tag}"
+    ckpt = f"/tmp/lsh_spark_ckpt_stream_kl_{tag}"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+        .where(F.col("doc_id") % 2 == 1)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = (
+            batch_df.select(
+                "source", F.explode(_words(F.col("text"))).alias("__w"))
+            .groupBy("source", "__w")
+            .agg(F.count(F.lit(1)).alias("__cs"))
+        )
+        _write_batch_idempotent(partial, out_dir, batch_id)
+
+    from .events import scoped_state_partitions
+
+    with scoped_state_partitions(spark):
+        q = (stream.writeStream.foreachBatch(process)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        q.awaitTermination()
+
+    if not os.path.isdir(out_dir) or not any(
+            f.startswith("batch_id=") for f in os.listdir(out_dir)):
+        return spark.createDataFrame(
+            [], "source string, n_tokens long, n_types long, "
+            "kl_vs_corpus double")
+    sw = (spark.read.parquet(out_dir)
+          .groupBy("source", "__w")
+          .agg(F.sum("__cs").alias("__cs")))
+    corpus = (
+        docs.select("source",
+                    F.explode(_words(F.col("text"))).alias("__w"))
+        .groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = sw.groupBy("source").agg(
+        F.sum("__cs").alias("__ns"),
+        F.count(F.lit(1)).alias("n_types"))
+    big_n = corpus.agg(F.sum("__c").alias("__N"))
+    ps = F.col("__cs").cast("double") / F.col("__ns").cast("double")
+    pc = F.col("__c").cast("double") / F.col("__N").cast("double")
+    term = F.round(ps * F.log(ps / pc), 6).cast("decimal(28,6)")
+    return (
+        sw.join(corpus, on="__w")
+        .join(F.broadcast(totals), on="source")
+        .crossJoin(F.broadcast(big_n))
+        .groupBy("source", "__ns", "n_types")
+        .agg(F.sum(term).alias("__kl"))
+        .select(
+            "source",
+            F.col("__ns").alias("n_tokens"),
+            "n_types",
+            F.col("__kl").cast("double").alias("kl_vs_corpus"),
+        )
+    )

@@ -994,3 +994,91 @@ def attach_cdc_chunk_index(spark, table_name: str,
     if (not spark.catalog.tableExists(f"{table_name}_deletes")
             and os.path.isdir(dels_dir)):
         attach_table(spark, f"{table_name}_deletes", location=dels_dir)
+
+
+def extend_cdc_chunk_index(corpus_delta: DataFrame,
+                           table_name: str) -> None:
+    """Incrementally grow a persisted chunk index: chunk ONLY the delta
+    (parameters from the meta row — boundary drift is impossible) and
+    APPEND to the bucketed ``_chunks`` table; Spark honors the existing
+    bucket spec on append, so probes keep their exchange-free corpus
+    side.  The daily-ingest shape: the corpus chunked once at build,
+    each increment chunks only itself.
+
+    Caller contract (the ``extend_lsh_corpus_index`` contract): delta
+    ids must be NEW — id dedup against the index is a full ``_chunks``
+    scan, the cost this operator exists to avoid; a repeated id only
+    inflates ``cdc_index_stats`` row counts (novelty probes key on
+    distinct digests and are unaffected), but dedup the delta upstream
+    if ids can repeat."""
+    from ..sources.formats import meta_version, versioned_name, \
+        write_bucketed_table
+
+    spark = corpus_delta.sparkSession
+    m = _cdc_index_meta(spark, table_name)
+    chunks = (
+        _cdc_chunks(corpus_delta, id_col=m.id_col, text_col=m.text_col,
+                    window=int(m.window), base=int(m.base),
+                    divisor=int(m.divisor))
+        .select(F.col("doc_id").alias("__rid"), "__ch")
+        .distinct()
+    )
+    write_bucketed_table(
+        chunks, versioned_name(f"{table_name}_chunks", meta_version(m)),
+        bucket_by=["__ch"], num_buckets=int(m.num_buckets),
+        mode="append")
+
+
+def compact_cdc_chunk_index(spark, table_name: str, *,
+                            keep_previous: bool = False) -> None:
+    """Maintenance pass after extends/deletes: rewrite ``_chunks`` into
+    one file-set per bucket with tombstoned docs FOLDED OUT, publish by
+    appending a bumped-``version`` meta row (the append IS the
+    generation swap — a racing probe sees either generation, each fully
+    on disk), then truncate ``_deletes``.  Same guarantees and refusals
+    as ``compact_lsh_index`` (new generations land in the session
+    warehouse; custom-location indexes are refused;
+    ``keep_previous=True`` defers old-generation cleanup for in-flight
+    readers)."""
+    from ..sources.formats import (
+        drop_table_and_files,
+        drop_versioned_siblings,
+        generation_in_warehouse,
+        index_meta,
+        meta_version,
+        save_table,
+        versioned_name,
+        write_bucketed_table,
+    )
+
+    m = index_meta(spark, f"{table_name}_meta")
+    cur = meta_version(m)
+    nxt = cur + 1
+    phys = versioned_name(f"{table_name}_chunks", cur)
+    if not generation_in_warehouse(spark, phys):
+        raise ValueError(
+            f"refusing to compact {table_name}: {phys} is attached at a "
+            "custom location, and the compacted generation always lands "
+            "in the session warehouse — the index would end up split "
+            "across directories; copy it into the warehouse (the attach "
+            "default) or rebuild first")
+    deletes = None
+    if spark.catalog.tableExists(f"{table_name}_deletes"):
+        deletes = spark.table(f"{table_name}_deletes")
+    drop_versioned_siblings(spark, f"{table_name}_chunks", cur)
+    src = spark.table(phys)
+    if deletes is not None:
+        src = src.join(F.broadcast(deletes), on="__rid", how="left_anti")
+    write_bucketed_table(src, versioned_name(f"{table_name}_chunks", nxt),
+                         bucket_by=["__ch"],
+                         num_buckets=int(m.num_buckets))
+    flipped = spark.range(1).select(
+        *[F.lit(m[c]).alias(c) for c in spark.table(
+            f"{table_name}_meta").columns if c != "version"],
+        F.lit(nxt).cast("int").alias("version"))
+    save_table(flipped, f"{table_name}_meta", mode="append",
+               single_file=True)
+    if not keep_previous:
+        drop_table_and_files(spark, phys)
+        if deletes is not None:
+            drop_table_and_files(spark, f"{table_name}_deletes")

@@ -342,3 +342,54 @@ def test_bpe_encode_matches_reference_encoder(spark):
         words = t.split()
         want = (len(words), sum(len(vocab[w]) for w in words))
         assert got[i] == want, (i, got[i], want)
+
+
+def test_cdc_index_extend_and_compact(spark):
+    """extend chunks ONLY the delta and appends (probe equals an index
+    built on the union); compact folds tombstones into a new
+    generation, bumps the version pointer, truncates _deletes, and
+    leaves probe results unchanged."""
+    from pyspark.sql import functions as F
+
+    from lsh_spark.operators.dedup import (
+        build_cdc_chunk_index,
+        chunk_novelty_against_index,
+        compact_cdc_chunk_index,
+        delete_from_cdc_index,
+        extend_cdc_chunk_index,
+    )
+    from lsh_spark.sources.formats import index_meta, meta_version
+    from lsh_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    half_a = corpus.where(F.col("doc_id") % 4 == 0)
+    half_b = corpus.where(F.col("doc_id") % 4 == 2)
+    probe = docs.where(F.col("doc_id") % 2 == 1)
+    for t in ("cdcext", "cdcfull"):
+        for sfx in ("chunks", "meta", "deletes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_{sfx}")
+    build_cdc_chunk_index(half_a, "cdcext", num_buckets=8)
+    extend_cdc_chunk_index(half_b, "cdcext")
+    build_cdc_chunk_index(corpus, "cdcfull", num_buckets=8)
+    got = sorted(map(tuple, chunk_novelty_against_index(
+        spark, "cdcext", probe).collect()))
+    want = sorted(map(tuple, chunk_novelty_against_index(
+        spark, "cdcfull", probe).collect()))
+    assert got == want
+
+    victims = [r.doc_id for r in
+               corpus.select("doc_id").limit(3).collect()]
+    delete_from_cdc_index(
+        spark.createDataFrame([(v,) for v in victims], "doc_id long"),
+        "cdcext")
+    before = sorted(map(tuple, chunk_novelty_against_index(
+        spark, "cdcext", probe).collect()))
+    compact_cdc_chunk_index(spark, "cdcext")
+    after = sorted(map(tuple, chunk_novelty_against_index(
+        spark, "cdcext", probe).collect()))
+    assert after == before
+    assert meta_version(index_meta(spark, "cdcext_meta")) == 1
+    assert not spark.catalog.tableExists("cdcext_deletes")
+    assert spark.catalog.tableExists("cdcext_chunks_v1")

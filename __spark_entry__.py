@@ -222,6 +222,7 @@ _REDUNDANT_TAIL = [
     "chunk_novelty_streaming",
     "bpe_encoded_token_counts",
     "source_kl_streaming",
+    "dedup_cluster_size_histogram",
 ]
 
 

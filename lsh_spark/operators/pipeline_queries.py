@@ -5170,3 +5170,52 @@ GROUP BY s.source, t.ns, t.n_types
 
 QUERIES_LATE["source_kl_streaming"] = (_source_kl_streaming,
                                        SOURCE_KL_STREAMING_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster size histogram — the dedup REPORT a dataset card
+# ships: how many clusters of each size, rows reclaimable by keep-one.
+# Same banding plan (and oracle CC) as dedup_clusters_minhash.
+# ---------------------------------------------------------------------------
+
+def dedup_cluster_size_histogram(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Histogram of near-dup cluster sizes over the pair-free CC
+    labels: (cluster_size, n_clusters, n_docs, n_reclaimable) with
+    n_reclaimable = docs a keep-one-per-cluster pass would drop.
+    Composes the audited cluster operator with two tiny aggregates —
+    the histogram is |distinct sizes| rows, so everything after the CC
+    iteration is effectively free; sizes aggregate from labels
+    (map-side combine), never from materialized pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = lsh_dedup_clusters(docs, "text", id_col="doc_id",
+                                  band_count=6, band_size=6, seed=123)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size", "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint").alias("n_reclaimable"),
+        )
+    )
+
+
+CLUSTER_HISTOGRAM_ORACLE = f"""
+WITH sizes AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+  FROM ({_orc.dedup_clusters_sql(3, 6, 6, 123)}) c
+  GROUP BY cluster_id
+)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+       (cluster_size * count(*))::BIGINT AS n_docs,
+       ((cluster_size - 1) * count(*))::BIGINT AS n_reclaimable
+FROM sizes GROUP BY cluster_size
+"""
+
+QUERIES_LATE["dedup_cluster_size_histogram"] = (
+    dedup_cluster_size_histogram, CLUSTER_HISTOGRAM_ORACLE)

@@ -527,10 +527,12 @@ def dedup_keep_first_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-free cluster dedup (connected components over band buckets —
     the corpus-scale path).  The DuckDB oracle computes true CC via a
-    recursive CTE; label-propagation's fixed point must agree."""
-    docs = load_table(spark, sf_dir, "documents")
-    return lsh_dedup_clusters(docs, "text", id_col="doc_id",
-                              band_count=6, band_size=6, seed=123)
+    recursive CTE; label-propagation's fixed point must agree.  Labels
+    come from the session-amortized ``ensure_cluster_labels`` table —
+    four gates share one CC run (a fresh driver session builds it on
+    first use, so the correctness surface is unchanged)."""
+    return spark.table(ensure_cluster_labels(spark, sf_dir)).select(
+        "doc_id", "cluster_id", "is_representative")
 
 
 def kmv_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1717,14 +1719,25 @@ FROM vals
 
 def dedup_keep_longest_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware retention over the pair-free cluster path
-    (``lsh_dedup_keep_longest``): each near-dup component keeps its
-    longest document, ties on lowest id — checked against the true-CC +
-    QUALIFY-window oracle."""
-    from .similarity_join import lsh_dedup_keep_longest
-
+    (``lsh_dedup_keep_longest``'s winner aggregate): each near-dup
+    component keeps its longest document, ties on lowest id — checked
+    against the true-CC + QUALIFY-window oracle.  Cluster labels come
+    from the shared ``ensure_cluster_labels`` table; the winner per
+    component stays one ``max(struct(len, -id))`` hash-aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    return lsh_dedup_keep_longest(docs, "text", id_col="doc_id",
-                                  band_count=6, band_size=6, seed=123)
+    clusters = spark.table(ensure_cluster_labels(spark, sf_dir))
+    lens = docs.select(F.col("doc_id"), F.length("text").alias("__len"))
+    return (
+        clusters.join(lens, on="doc_id")
+        .groupBy("cluster_id")
+        .agg(F.max(F.struct(F.col("__len"),
+                            (-F.col("doc_id")).alias("__nid"))).alias("w"))
+        .select(
+            (-F.col("w.__nid")).alias("doc_id"),
+            "cluster_id",
+            F.col("w.__len").alias("n_chars"),
+        )
+    )
 
 
 QUERIES_LATE["dedup_keep_longest_minhash"] = (
@@ -4719,13 +4732,10 @@ def leakfree_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: inherits the CC core's contract (singleton-bucket
     prune, long-keyed label joins, checkpointed lineage); the split
     itself is a zero-shuffle per-row map over the (doc, cluster)
-    frame."""
-    from .similarity_join import lsh_dedup_clusters
+    frame — read from the shared ``ensure_cluster_labels`` table."""
     from .training_ops import split_expr
 
-    docs = load_table(spark, sf_dir, "documents")
-    clusters = lsh_dedup_clusters(docs, "text", id_col="doc_id",
-                                  band_count=6, band_size=6, seed=123)
+    clusters = spark.table(ensure_cluster_labels(spark, sf_dir))
     return clusters.select(
         "doc_id", "cluster_id",
         split_expr(F.col("cluster_id")).alias("split"))
@@ -5186,10 +5196,9 @@ def dedup_cluster_size_histogram(spark: SparkSession,
     Composes the audited cluster operator with two tiny aggregates —
     the histogram is |distinct sizes| rows, so everything after the CC
     iteration is effectively free; sizes aggregate from labels
-    (map-side combine), never from materialized pairs."""
-    docs = load_table(spark, sf_dir, "documents")
-    clusters = lsh_dedup_clusters(docs, "text", id_col="doc_id",
-                                  band_count=6, band_size=6, seed=123)
+    (map-side combine, via the shared ``ensure_cluster_labels``
+    table), never from materialized pairs."""
+    clusters = spark.table(ensure_cluster_labels(spark, sf_dir))
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -5219,3 +5228,48 @@ FROM sizes GROUP BY cluster_size
 
 QUERIES_LATE["dedup_cluster_size_histogram"] = (
     dedup_cluster_size_histogram, CLUSTER_HISTOGRAM_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# session-amortized near-dup cluster labels — four gates consume the
+# SAME (band 6x6, seed 123) component labels; build them once per
+# session (the ensure_* contract: params pinned in a meta row, a
+# parameter change forces a rebuild, a fresh driver session builds on
+# first use).
+# ---------------------------------------------------------------------------
+
+_CCLBL_PARAMS = dict(ngram_width=3, band_count=6, band_size=6, seed=123)
+
+
+def ensure_cluster_labels(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import sys
+    import time
+
+    from ..sources.formats import index_meta, save_table
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"cclbl_{tag}"
+    want = {k: int(v) for k, v in _CCLBL_PARAMS.items()}
+    have = None
+    if spark.catalog.tableExists(f"{name}_meta"):
+        m = index_meta(spark, f"{name}_meta")
+        have = dict(ngram_width=int(m.ngram_width),
+                    band_count=int(m.band_count),
+                    band_size=int(m.band_size), seed=int(m.seed))
+    if have != want:
+        t0 = time.perf_counter()
+        docs = load_table(spark, sf_dir, "documents")
+        labels = lsh_dedup_clusters(
+            docs, "text", id_col="doc_id",
+            ngram_width=want["ngram_width"],
+            band_count=want["band_count"],
+            band_size=want["band_size"], seed=want["seed"])
+        save_table(labels, name, single_file=True)
+        meta = spark.range(1).select(
+            *[F.lit(v).cast("int").alias(k) for k, v in want.items()])
+        save_table(meta, f"{name}_meta", single_file=True)
+        print(f"# ensure_cluster_labels: CC build took "
+              f"{time.perf_counter() - t0:.2f}s (reused by the other "
+              f"cluster gates this session)", file=sys.stderr)
+    return name

@@ -393,3 +393,39 @@ def test_cdc_index_extend_and_compact(spark):
     assert meta_version(index_meta(spark, "cdcext_meta")) == 1
     assert not spark.catalog.tableExists("cdcext_deletes")
     assert spark.catalog.tableExists("cdcext_chunks_v1")
+
+
+def test_cdc_spans_property_random_texts():
+    """Property test over random unicode-ish texts: spans always
+    reconstruct the text, are contiguous and non-empty, and boundaries
+    are content-defined — equal texts chunk equally regardless of list
+    position (statelessness across the batch)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lsh_spark._core.batch import cdc_spans_batch
+
+    alphabet = st.characters(
+        min_codepoint=32, max_codepoint=0x10FFF,
+        blacklist_categories=("Cs",))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.text(alphabet=alphabet, max_size=400), max_size=6))
+    def check(texts):
+        starts, lens = cdc_spans_batch(texts)
+        for t, ss, ll in zip(texts, starts, lens):
+            if not t:
+                assert ss == [] and ll == []
+                continue
+            assert ss[0] == 1 and sum(ll) == len(t)
+            assert all(x > 0 for x in ll)
+            for i in range(1, len(ss)):
+                assert ss[i] == ss[i - 1] + ll[i - 1]
+            assert "".join(
+                t[s - 1:s - 1 + n] for s, n in zip(ss, ll)) == t
+        # statelessness: re-chunking any single text alone is identical
+        if texts:
+            s2, l2 = cdc_spans_batch([texts[0]])
+            assert s2[0] == starts[0] and l2[0] == lens[0]
+
+    check()

@@ -223,6 +223,8 @@ _REDUNDANT_TAIL = [
     "bpe_encoded_token_counts",
     "source_kl_streaming",
     "dedup_cluster_size_histogram",
+    "asof_click_next_purchase",
+    "lineitem_grouping_sets",
 ]
 
 

@@ -71,3 +71,55 @@ def asof_join(
         *keep,
         *[F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    by: str,
+    on: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """FORWARD as-of join: for every left row, the EARLIEST right row
+    with ``right.on >= left.on`` within the same ``by`` key (ties: a
+    simultaneous right row counts) — the attribution/"time to next
+    event" direction the backward join can't express.  Same union-sort
+    plan (one shuffle + sort per ``by``), with the carrying window
+    flipped to ``first(value, ignoreNulls) OVER (... ROWS BETWEEN
+    CURRENT ROW AND UNBOUNDED FOLLOWING)`` and left rows sorting BEFORE
+    right rows at equal timestamps so the simultaneous match stays in
+    frame."""
+    l_tag = left.withColumn("__side", F.lit(0))
+    r_proj = right.select(
+        F.col(by),
+        F.col(on),
+        F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    for c in left.columns:
+        if c not in (by, on):
+            r_proj = r_proj.withColumn(
+                c, F.lit(None).cast(left.schema[c].dataType))
+    for c in right_cols:
+        l_tag = l_tag.withColumn(f"__r_{c}",
+                                 F.lit(None).cast(right.schema[c].dataType))
+
+    unioned = l_tag.select(r_proj.columns).unionByName(
+        r_proj.select(r_proj.columns))
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned
+    for c in right_cols:
+        carried = carried.withColumn(
+            f"__c_{c}", F.first(f"__r_{c}", ignorenulls=True).over(w))
+    out = carried.where(F.col("__side") == 0)
+    keep = [c for c in left.columns]
+    return out.select(
+        *keep,
+        *[F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )

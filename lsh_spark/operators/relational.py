@@ -1983,3 +1983,91 @@ FROM events
 
 QUERIES_LATE["events_user_rolling_counts"] = (events_user_rolling_counts,
                                               EVENTS_ROLLING_ORACLE)
+
+
+def asof_click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of query (time-to-convert attribution): each click
+    paired with the user's NEXT purchase at-or-after it, plus the gap in
+    whole seconds.  Oracle: DuckDB's native ASOF LEFT JOIN with the
+    ``<=`` comparison; the Spark side is the flipped union-sort
+    composition (``operators.asof.asof_join_forward`` — one shuffle +
+    sort per user, no range join).  The gap is integer microseconds
+    DIV 1e6 — exact on both engines, never float epoch math."""
+    from .asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+        F.col("ts").alias("purchase_ts"))
+    joined = asof_join_forward(
+        clicks, purchases, by="user_id", on="ts",
+        right_cols=["purchase_event_id", "purchase_value", "purchase_ts"],
+        suffix="")
+    return joined.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "purchase_event_id", "purchase_value",
+        F.when(
+            F.col("purchase_event_id").isNotNull(),
+            F.expr("(unix_micros(purchase_ts) - unix_micros(ts)) "
+                   "DIV 1000000"),
+        ).alias("secs_to_purchase"),
+    )
+
+
+ASOF_FORWARD_ORACLE = """
+SELECT c.user_id, c.event_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       p.event_id AS purchase_event_id,
+       p.value AS purchase_value,
+       CASE WHEN p.event_id IS NOT NULL
+            THEN (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 END
+         AS secs_to_purchase
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+QUERIES_LATE["asof_click_next_purchase"] = (asof_click_next_purchase,
+                                            ASOF_FORWARD_ORACLE)
+
+
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS lattice — the third grouping construct
+    next to rollup and CUBE: per (returnflag, linestatus), per
+    returnflag, and grand total in ONE aggregate pass (Spark expands
+    sets inside a single Aggregate; no self-union of scans), with
+    GROUPING markers disambiguating NULL-as-total from NULL-as-value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_rf", "g_ls",
+                "n_rows", "sum_qty")
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag)::INT AS g_rf,
+       GROUPING(l_linestatus)::INT AS g_ls,
+       count(*)::BIGINT AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+QUERIES_LATE["lineitem_grouping_sets"] = (lineitem_grouping_sets,
+                                          GROUPING_SETS_ORACLE)

@@ -429,3 +429,21 @@ def test_cdc_spans_property_random_texts():
             assert s2[0] == starts[0] and l2[0] == lens[0]
 
     check()
+
+
+def test_asof_join_forward_ties_and_no_match(spark):
+    """Forward as-of: earliest right row with right.on >= left.on; a
+    SIMULTANEOUS right row counts; a left row after the last right row
+    gets NULLs."""
+    from lsh_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 40), (2, 5)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 15, "a"), (1, 20, "b"), (1, 30, "c")],
+        "k long, t long, v string")
+    got = {(r.k, r.t): r.v_next for r in asof_join_forward(
+        left, right, by="k", on="t", right_cols=["v"],
+        suffix="_next").withColumnRenamed("v_next", "v_next").collect()}
+    assert got == {(1, 10): "a", (1, 20): "b", (1, 40): None,
+                   (2, 5): None}

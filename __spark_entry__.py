@@ -225,6 +225,10 @@ _REDUNDANT_TAIL = [
     "dedup_cluster_size_histogram",
     "asof_click_next_purchase",
     "lineitem_grouping_sets",
+    "key_skew_report",
+    "bloom_dedup_docs",
+    "item_triangle_counts",
+    "bloom_dedup_streaming",
 ]
 
 

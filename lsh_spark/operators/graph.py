@@ -313,3 +313,134 @@ SELECT CASE WHEN nd % 2 = 0 THEN 'user' ELSE 'item' END AS kind,
 FROM reach
 GROUP BY nd
 """
+
+
+def triangle_counts(
+    events: DataFrame,
+    *,
+    min_cooccur: int = 2,
+    max_items_per_user: int = 1000,
+) -> DataFrame:
+    """Per-item triangle participation over the item co-occurrence
+    graph (edge = two items shared by ≥ ``min_cooccur`` users, the
+    same dedup + heavy-user cap as :func:`item_cooccurrence_pairs`).
+    Returns ``(item, n_triangles)`` for items in ≥ 1 triangle.
+
+    100 TB shape — degree-ordered orientation (the standard bound):
+    every edge is directed from its lower-(degree, id) endpoint to the
+    higher, so wedges enumerate only at the LOW-rank vertex and each
+    triangle is generated exactly once; total wedge volume is
+    O(m^{3/2}) regardless of degree skew (a star's hub has out-degree
+    0 after orientation).  The oracle replays the naive id-ordered
+    3-join — a different enumeration of provably the same triangle
+    set, so the per-item counts are engine-identical.  All joins carry
+    (long, long) edge rows; degrees attach map-side from a groupBy the
+    size of the item vocabulary."""
+    ui = (
+        events.select(
+            "user_id",
+            F.from_json("props", "k BIGINT")["k"].alias("item"))
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    heavy = (ui.groupBy("user_id").agg(F.count(F.lit(1)).alias("__n"))
+             .where(F.col("__n") > int(max_items_per_user))
+             .select("user_id"))
+    ui = ui.join(F.broadcast(heavy), on="user_id", how="left_anti")
+    a = ui.select("user_id", F.col("item").alias("item_a"))
+    b = ui.select("user_id", F.col("item").alias("item_b"))
+    edges = (
+        a.join(b, on="user_id")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= int(min_cooccur))
+        .select("item_a", "item_b")
+    )
+    deg = (
+        edges.select(F.col("item_a").alias("item"))
+        .unionAll(edges.select(F.col("item_b").alias("item")))
+        .groupBy("item").agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    # orient: src = lower (deg, id), dst = higher; carry dst's rank so
+    # the wedge join can order its two high endpoints without a re-join
+    da = deg.select(F.col("item").alias("item_a"),
+                    F.col("__deg").alias("__dega"))
+    db = deg.select(F.col("item").alias("item_b"),
+                    F.col("__deg").alias("__degb"))
+    ed = edges.join(da, on="item_a").join(db, on="item_b")
+    a_first = (F.col("__dega") < F.col("__degb")) | (
+        (F.col("__dega") == F.col("__degb"))
+        & (F.col("item_a") < F.col("item_b")))
+    oriented = ed.select(
+        F.when(a_first, F.col("item_a")).otherwise(F.col("item_b"))
+        .alias("src"),
+        F.when(a_first, F.col("item_b")).otherwise(F.col("item_a"))
+        .alias("dst"),
+        F.when(a_first, F.col("__degb")).otherwise(F.col("__dega"))
+        .alias("__rdst"),
+    )
+    o1 = oriented.select(F.col("src"), F.col("dst").alias("v"),
+                         F.col("__rdst").alias("__rv"))
+    o2 = oriented.select(F.col("src"), F.col("dst").alias("w"),
+                         F.col("__rdst").alias("__rw"))
+    wedges = (
+        o1.join(o2, on="src")
+        .where((F.col("__rv") < F.col("__rw"))
+               | ((F.col("__rv") == F.col("__rw"))
+                  & (F.col("v") < F.col("w"))))
+        .select("src", "v", "w")
+    )
+    closing = oriented.select(F.col("src").alias("v"),
+                              F.col("dst").alias("w"))
+    tris = wedges.join(closing, on=["v", "w"])
+    return (
+        tris.select(F.explode(F.array("src", "v", "w")).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def triangle_counts_oracle_sql(
+    min_cooccur: int = 2,
+    max_items_per_user: int = 1000,
+    source: str = "events",
+) -> str:
+    """DuckDB twin of :func:`triangle_counts` — the naive id-ordered
+    triangle enumeration (a < b < c, all three edges present), which
+    lists exactly the same triangles the degree orientation does, so
+    the per-item counts hash-match."""
+    return f"""
+WITH ui0 AS (
+  SELECT DISTINCT user_id, json_extract(props, '$.k')::BIGINT AS item
+  FROM {source}
+  WHERE json_extract(props, '$.k') IS NOT NULL
+),
+heavy AS (
+  SELECT user_id FROM ui0 GROUP BY 1
+  HAVING count(*) > {int(max_items_per_user)}
+),
+ui AS (
+  SELECT ui0.* FROM ui0
+  WHERE NOT EXISTS (SELECT 1 FROM heavy h WHERE h.user_id = ui0.user_id)
+),
+e AS (
+  SELECT a.item AS ia, b.item AS ib
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= {int(min_cooccur)}
+),
+tri AS (
+  SELECT e1.ia AS x, e1.ib AS y, e2.ib AS z
+  FROM e e1
+  JOIN e e2 ON e2.ia = e1.ia AND e2.ib > e1.ib
+  JOIN e e3 ON e3.ia = e1.ib AND e3.ib = e2.ib
+),
+m AS (
+  SELECT x AS item FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT item, count(*)::BIGINT AS n_triangles
+FROM m GROUP BY item
+"""

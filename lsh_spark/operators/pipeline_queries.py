@@ -5273,3 +5273,84 @@ def ensure_cluster_labels(spark: SparkSession, sf_dir: str) -> str:
               f"{time.perf_counter() - t0:.2f}s (reused by the other "
               f"cluster gates this session)", file=sys.stderr)
     return name
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter crawl dedup (operators/bloom.py) — the cheap exact-digest
+# membership gate a crawler runs BEFORE the near-dup machinery; the
+# probe frame plants exact duplicates (ids shifted by +10M) so the
+# no-false-negative path is exercised at every scale factor.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M_BITS = 1 << 16
+_BLOOM_PLANT_SHIFT = 10_000_000
+
+_BLOOM_PROBE_SQL = f"""SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+ UNION ALL
+ SELECT doc_id + {_BLOOM_PLANT_SHIFT} AS doc_id, text
+ FROM documents WHERE doc_id % 10 = 0"""
+
+
+def _bloom_probe_frame(docs: DataFrame) -> DataFrame:
+    """Odd-id docs (the 'new crawl') plus planted exact copies of the
+    %10==0 corpus docs under shifted ids — %10==0 ids are always even,
+    so every planted row duplicates a CORPUS document and must come
+    back ``bloom_hit AND exact_dup``."""
+    return (
+        docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+        .unionAll(
+            docs.where(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + F.lit(_BLOOM_PLANT_SHIFT))
+                    .alias("doc_id"), "text"))
+    )
+
+
+def bloom_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .bloom import bloom_dedup_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    return bloom_dedup_report(corpus, _bloom_probe_frame(docs),
+                              m_bits=_BLOOM_M_BITS)
+
+
+def _bloom_oracle() -> str:
+    from .bloom import bloom_dedup_oracle_sql
+
+    return bloom_dedup_oracle_sql(m_bits=_BLOOM_M_BITS,
+                                  probe_sql=_BLOOM_PROBE_SQL)
+
+
+QUERIES_LATE["bloom_dedup_docs"] = (bloom_dedup_docs, _bloom_oracle())
+
+
+# ---------------------------------------------------------------------------
+# triangle participation over the item co-occurrence graph
+# (operators/graph.py) — the clustering-coefficient building block.
+# ---------------------------------------------------------------------------
+
+def item_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import triangle_counts
+
+    return triangle_counts(load_table(spark, sf_dir, "events"),
+                           min_cooccur=2, max_items_per_user=1000)
+
+
+def _triangle_oracle() -> str:
+    from .graph import triangle_counts_oracle_sql
+
+    return triangle_counts_oracle_sql(2, 1000)
+
+
+QUERIES_LATE["item_triangle_counts"] = (item_triangle_counts,
+                                        _triangle_oracle())
+
+
+def _bloom_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.documents import bloom_dedup_streaming
+
+    return bloom_dedup_streaming(spark, sf_dir)
+
+
+QUERIES_LATE["bloom_dedup_streaming"] = (_bloom_dedup_streaming,
+                                         _bloom_oracle())

@@ -2071,3 +2071,60 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 
 QUERIES_LATE["lineitem_grouping_sets"] = (lineitem_grouping_sets,
                                           GROUPING_SETS_ORACLE)
+
+
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnostic over the events stream: per
+    event_type, the user_id key-frequency distribution — the report a
+    pipeline operator reads before choosing salting/AQE-skew settings
+    for a user-keyed shuffle.
+
+    Integer-exact by construction: counts are BIGINTs, the percentile
+    boundaries ride the Spark ``percentile`` == DuckDB
+    ``quantile_cont`` bit-equality (probe-verified for
+    ``curriculum_stages``), and ``top_share`` is ONE double division
+    of two exact integers (same IEEE op in both engines, 6dp-rounded
+    in-plan per the pair-similarity idiom).
+
+    Scale shape: groupBy (event_type, user_id) aggregates map-side;
+    the per-type fold is over the distinct-key frame (bounded by the
+    key vocabulary, far smaller than the stream); no windows, no
+    sorts — the percentile is an aggregate, not a global order."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    return (
+        per_key.groupBy("event_type")
+        .agg(
+            F.sum("__cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("__cnt").cast("long").alias("max_key_rows"),
+            F.expr("percentile(__cnt, 0.5)").alias("p50_key_rows"),
+            F.expr("percentile(__cnt, 0.99)").alias("p99_key_rows"),
+            F.round(F.max("__cnt").cast("double")
+                    / F.sum("__cnt").cast("double"), 6)
+            .alias("top_share"),
+        )
+    )
+
+
+KEY_SKEW_ORACLE = """
+WITH per_key AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       sum(cnt)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_keys,
+       max(cnt)::BIGINT AS max_key_rows,
+       quantile_cont(cnt, 0.5) AS p50_key_rows,
+       quantile_cont(cnt, 0.99) AS p99_key_rows,
+       round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+         AS top_share
+FROM per_key
+GROUP BY event_type
+"""
+
+QUERIES_LATE["key_skew_report"] = (key_skew_report, KEY_SKEW_ORACLE)

@@ -716,3 +716,67 @@ def source_kl_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__kl").cast("double").alias("kl_vs_corpus"),
         )
     )
+
+
+def bloom_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: the streaming Bloom membership gate — the
+    crawl probe frame (odd-id docs + planted exact duplicates, same
+    construction as the batch twin) arrives as a file-source stream;
+    the Bloom words table and the exact-digest set build ONCE from the
+    even-id corpus (localCheckpointed — a LogicalRDD leaf, so no
+    micro-batch re-aggregates the corpus) and each batch runs the
+    broadcast probe + digest-confirm joins.  Same oracle as the batch
+    twin ``bloom_dedup_docs`` — batch/stream parity by construction."""
+    from ..operators.bloom import bloom_build_words, bloom_probe_report
+    from ..operators.pipeline_queries import (_BLOOM_M_BITS,
+                                              _BLOOM_PLANT_SHIFT)
+    from ..sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    words = bloom_build_words(
+        corpus, "text", m_bits=_BLOOM_M_BITS).localCheckpoint(eager=True)
+    seen = (corpus.select(F.md5(F.col("text")).alias("__hx")).distinct()
+            .localCheckpoint(eager=True))
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/lsh_spark_stream_bloom_{tag}"
+    ckpt = f"/tmp/lsh_spark_ckpt_stream_bloom_{tag}"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+        .where((F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0))
+        .select(
+            F.when(F.col("doc_id") % 10 == 0,
+                   F.col("doc_id") + F.lit(_BLOOM_PLANT_SHIFT))
+            .otherwise(F.col("doc_id")).alias("doc_id"),
+            "text")
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = bloom_probe_report(batch_df, words, seen,
+                                 m_bits=_BLOOM_M_BITS)
+        _write_batch_idempotent(out, out_dir, batch_id)
+
+    from .events import scoped_state_partitions
+
+    with scoped_state_partitions(spark):
+        q = (stream.writeStream.foreachBatch(process)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        q.awaitTermination()
+
+    if not os.path.isdir(out_dir) or not any(
+            f.startswith("batch_id=") for f in os.listdir(out_dir)):
+        return spark.createDataFrame(
+            [], "doc_id long, bloom_hit boolean, exact_dup boolean")
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "bloom_hit", "exact_dup")

@@ -1,0 +1,135 @@
+"""Round-11 session-2 operator units: Bloom-filter membership sketch
+(no false negatives, cross-engine-exact words table) and triangle
+counting over the co-occurrence graph (degree-ordered orientation ==
+naive id-ordered enumeration)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType)
+
+_DOC_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("text", StringType(), True),
+])
+
+
+# ---------------------------------------------------------------------------
+# bloom filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives(spark):
+    """Every probe text that IS in the corpus must come back
+    bloom_hit=true (the defining Bloom property), and exact_dup must
+    agree with plain digest membership."""
+    from lsh_spark.operators.bloom import bloom_dedup_report
+
+    corpus_rows = [(i, f"corpus document {i} body") for i in range(0, 40, 2)]
+    probe_rows = (
+        [(100 + i, f"corpus document {i} body") for i in range(0, 20, 2)]
+        + [(200 + i, f"novel probe {i}") for i in range(5)])
+    corpus = spark.createDataFrame(corpus_rows, _DOC_SCHEMA)
+    probe = spark.createDataFrame(probe_rows, _DOC_SCHEMA)
+    out = {r.doc_id: (r.bloom_hit, r.exact_dup)
+           for r in bloom_dedup_report(corpus, probe).collect()}
+    assert len(out) == len(probe_rows)
+    for i in range(0, 20, 2):
+        assert out[100 + i] == (True, True), f"planted dup {i} missed"
+    for i in range(5):
+        hit, exact = out[200 + i]
+        assert not exact  # novel text is never an exact dup
+        # bloom_hit may rarely be a false positive; it must still IMPLY
+        # nothing about exact_dup — asserted by the planted block above
+
+
+def test_bloom_exact_implies_hit_and_oracle_matches(spark):
+    """Gate-shaped check on a tiny frame: Spark report == DuckDB oracle
+    row-for-row, and exact_dup ⇒ bloom_hit everywhere."""
+    from lsh_spark.operators.bloom import (bloom_dedup_oracle_sql,
+                                           bloom_dedup_report)
+
+    rows = [(i, f"text body {i % 7}") for i in range(30)]
+    docs = spark.createDataFrame(rows, _DOC_SCHEMA)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    probe = docs.where(F.col("doc_id") % 2 == 1)
+    got = (bloom_dedup_report(corpus, probe)
+           .orderBy("doc_id").collect())
+    assert all(r.bloom_hit for r in got if r.exact_dup)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = con.execute(
+        bloom_dedup_oracle_sql() + " ORDER BY doc_id").fetchall()
+    assert [(r.doc_id, r.bloom_hit, r.exact_dup) for r in got] == \
+        [tuple(w) for w in want]
+
+
+def test_bloom_words_table_is_bounded(spark):
+    """The words table never exceeds m_bits/32 rows — the broadcast
+    contract that makes the probe corpus-side exchange-free."""
+    from lsh_spark.operators.bloom import bloom_build_words
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], _DOC_SCHEMA)
+    words = bloom_build_words(docs, m_bits=1 << 10).collect()
+    assert len(words) <= (1 << 10) // 32
+    assert all(0 <= w.word_idx < (1 << 10) // 32 for w in words)
+    # 32-bit payload contract: no bit at or above position 32
+    assert all(0 < w.bits < (1 << 32) for w in words)
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+_EV_SCHEMA = StructType([
+    StructField("user_id", LongType(), False),
+    StructField("props", StringType(), True),
+])
+
+
+def _events(spark, user_items):
+    rows = [(u, f'{{"k": {i}}}') for u, items in user_items.items()
+            for i in items]
+    return spark.createDataFrame(rows, _EV_SCHEMA)
+
+
+def test_triangles_known_graph(spark):
+    """K4 on items {1,2,3,4} (every pair shared by 2 users) has 4
+    triangles; each item participates in C(3,2) = 3 of them."""
+    from lsh_spark.operators.graph import triangle_counts
+
+    # two users per item pair → every pair passes min_cooccur=2
+    user_items = {}
+    uid = 0
+    for a in range(1, 5):
+        for b in range(a + 1, 5):
+            for _ in range(2):
+                user_items[uid] = [a, b]
+                uid += 1
+    got = {r.item: r.n_triangles
+           for r in triangle_counts(_events(spark, user_items)).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_open_wedge_is_not_counted(spark):
+    """A path a-b-c with no closing edge has zero triangles."""
+    from lsh_spark.operators.graph import triangle_counts
+
+    user_items = {0: [1, 2], 1: [1, 2], 2: [2, 3], 3: [2, 3]}
+    assert triangle_counts(_events(spark, user_items)).count() == 0
+
+
+def test_triangles_heavy_user_capped(spark):
+    """A user touching everything is dropped before the pair join —
+    their edges alone cannot form triangles."""
+    from lsh_spark.operators.graph import triangle_counts
+
+    user_items = {0: list(range(1, 50))}  # one mega-user
+    got = triangle_counts(_events(spark, user_items),
+                          max_items_per_user=10).count()
+    assert got == 0

@@ -919,3 +919,40 @@ def test_chunk_novelty_probe_corpus_side_bucketed(spark):
         spark, "cdcplan", docs.where(F.col("doc_id") % 2 == 1)))
     assert "Bucketed: true" in plan, plan
     assert "Cartesian" not in plan, plan
+
+
+def test_bloom_probe_broadcasts_filter_words(spark):
+    """The Bloom words side must broadcast (≤ m_bits/32 rows) and the
+    probe must stay pure-JVM — no Python eval anywhere."""
+    from lsh_spark.operators.pipeline_queries import bloom_dedup_docs
+
+    plan = _plan(bloom_dedup_docs(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # the probe-side digest windows are JVM expressions (md5/conv), no
+    # cartesian anywhere
+    assert "CartesianProduct" not in plan
+
+
+def test_triangles_no_cartesian_ids_only(spark):
+    """Triangle counting joins carry (long, long) edge rows only: no
+    cartesian, no Python nodes, and the heavy-user anti-join
+    broadcasts."""
+    from lsh_spark.operators.pipeline_queries import item_triangle_counts
+
+    plan = _plan(item_triangle_counts(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # heavy-user cap broadcast
+
+
+def test_key_skew_report_two_aggregates_no_window(spark):
+    """The skew diagnostic is two map-side-combinable aggregates — no
+    window, no sort, no Python."""
+    from lsh_spark.operators.relational import key_skew_report
+
+    plan = _plan(key_skew_report(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan

@@ -229,6 +229,8 @@ _REDUNDANT_TAIL = [
     "bloom_dedup_docs",
     "item_triangle_counts",
     "bloom_dedup_streaming",
+    "ann_ivf_radius_search",
+    "more_like_this_docs",
 ]
 
 

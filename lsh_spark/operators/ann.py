@@ -1725,3 +1725,46 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ivf_radius_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+) -> DataFrame:
+    """IVF RANGE query (the FAISS ``range_search`` shape): all probed
+    neighbors with ``cosine_sim >= threshold`` per query —
+    ``(query_id, neighbor_id, cosine_sim)``, unranked.
+
+    Same deterministic Lloyd quantizer + cell probe as
+    :func:`ivf_lloyd_topk`, but the terminal operator is a FILTER, not
+    a rank window: a radius query needs no per-query sort at all, so
+    the whole plan is scan → broadcast-probe join → filter — the
+    output-bound shape (a top-k at 100 TB pays a per-query TakeOrdered;
+    a radius query pays only its own matches).  The 6dp round happens
+    before the compare (the pair-similarity contract), and recall
+    vs an exact scan is bounded by the probed cells exactly like the
+    top-k form."""
+    cents = lloyd_centroids(corpus, vec_col=vec_col, id_col=id_col,
+                            n_lists=n_lists, n_iters=n_iters)
+    bc = _collect_centroids(cents)
+    c_cells = _assign_cells_pandas(
+        _ivf_prep(corpus, id_col, vec_col, "neighbor_id"), bc,
+        "__v_neighbor_id")
+    probes = _assign_cells_pandas(
+        _ivf_prep(queries, id_col, vec_col, "query_id"), bc,
+        "__v_query_id", n_probe=n_probe)
+    return (
+        probes.join(c_cells, on="__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim",
+                    F.round(cosine("__v_query_id", "__v_neighbor_id"), 6))
+        .where(F.col("cosine_sim") >= F.lit(float(threshold)))
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )

@@ -5354,3 +5354,91 @@ def _bloom_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_LATE["bloom_dedup_streaming"] = (_bloom_dedup_streaming,
                                          _bloom_oracle())
+
+
+# ---------------------------------------------------------------------------
+# IVF radius search (ann.ivf_radius_search) — the FAISS range_search
+# shape: all probed neighbors above a similarity floor, NO per-query
+# rank window (scan → broadcast probe join → filter, output-bound).
+# ---------------------------------------------------------------------------
+
+_RADIUS_T = 0.25
+
+
+def ann_ivf_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ann import ivf_radius_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_radius_search(
+        emb, emb.where(F.col("vec_id") < _N_QUERIES),
+        threshold=_RADIUS_T, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE,
+        n_iters=_IVF_ITERS)
+
+
+def _ivf_radius_oracle() -> str:
+    """Same Lloyd/probe/score chain as ``_lloyd_oracle`` with the rank
+    window replaced by the threshold filter (6dp round BEFORE the
+    compare, >= on the rounded value — the pair-similarity contract)."""
+    ctes = _lloyd_cell_ctes(_IVF_LISTS, _IVF_ITERS)
+    cent = f"cent_{_IVF_ITERS}"
+    ctes.append(f"""q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < {_N_QUERIES})""")
+    ctes.append(f"""probes AS (
+  SELECT query_id, v, cell FROM (
+    SELECT query_id, v, cell,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY {_SQDIST.format(a='v', b='cv')} ASC, cell ASC) AS r
+    FROM q CROSS JOIN {cent}
+  ) WHERE r <= {_IVF_PROBE}
+)""")
+    ctes.append("""scored AS (
+  SELECT p.query_id, cc.neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(p.v, p.v)) > 0
+                     AND sqrt(list_dot_product(cc.v, cc.v)) > 0
+               THEN list_dot_product(p.v, cc.v)
+                    / (sqrt(list_dot_product(p.v, p.v))
+                       * sqrt(list_dot_product(cc.v, cc.v)))
+               ELSE 0.0 END, 6) AS cosine_sim
+  FROM probes p JOIN c_cells cc USING (cell)
+  WHERE p.query_id != cc.neighbor_id
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT query_id, neighbor_id, cosine_sim"
+              f" FROM scored WHERE cosine_sim >= {_RADIUS_T!r}")
+
+
+QUERIES_LATE["ann_ivf_radius_search"] = (ann_ivf_radius,
+                                         _ivf_radius_oracle())
+
+
+# ---------------------------------------------------------------------------
+# more-like-this (retrieval.bm25_topk with corpus-drawn queries) — the
+# doc→doc lexical recommender: each query document's own terms rank the
+# rest of the corpus, self-match excluded.
+# ---------------------------------------------------------------------------
+
+_MLT_N_QUERIES = 8
+_MLT_K = 5
+
+
+def more_like_this_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") < _MLT_N_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"))
+    return bm25_topk(docs, queries, k=_MLT_K, exclude_self=True)
+
+
+def _mlt_oracle() -> str:
+    from .retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(
+        k=_MLT_K, exclude_self=True,
+        queries_select=(f"SELECT doc_id AS query_id, text AS query_text"
+                        f" FROM documents WHERE doc_id < {_MLT_N_QUERIES}"))
+
+
+QUERIES_LATE["more_like_this_docs"] = (more_like_this_docs, _mlt_oracle())

@@ -133,3 +133,55 @@ def test_triangles_heavy_user_capped(spark):
     got = triangle_counts(_events(spark, user_items),
                           max_items_per_user=10).count()
     assert got == 0
+
+
+# ---------------------------------------------------------------------------
+# IVF radius search + more-like-this
+# ---------------------------------------------------------------------------
+
+def test_ivf_radius_finds_planted_twin(spark):
+    """A vector's exact duplicate must be returned at sim 1.0; weaker
+    matches below the floor must not appear; no self-matches."""
+    import math
+
+    from lsh_spark.operators.ann import ivf_radius_search
+
+    def unit(i, j, d=8):
+        v = [0.0] * d
+        v[i % d] = 3.0
+        v[j % d] += 1.0
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [(i, unit(i, i + 1)) for i in range(32)]
+    rows.append((100, unit(5, 6)))  # exact twin of vec 5
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_radius_search(
+        emb, emb.where("vec_id IN (5, 7)"), threshold=0.95,
+        n_lists=4, n_probe=4)  # probe all cells: exact at this scale
+    got = {(r.query_id, r.neighbor_id): r.cosine_sim for r in out.collect()}
+    assert got.get((5, 100)) == 1.0
+    assert all(q != n for q, n in got)
+    assert all(s >= 0.95 for s in got.values())
+
+
+def test_more_like_this_ranks_twin_first(spark):
+    """A document whose text is identical to the query doc must be the
+    rank-1 more-like-this hit."""
+    from lsh_spark.operators.retrieval import bm25_topk
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),          # exact twin of 0
+        (2, "alpha beta something else here"),  # partial overlap
+        (3, "totally unrelated words only"),
+    ]
+    docs = spark.createDataFrame(rows, _DOC_SCHEMA)
+    q = docs.where("doc_id = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"))
+    out = bm25_topk(docs, q, k=3, exclude_self=True).collect()
+    top = [r for r in out if r.rank == 1][0]
+    assert top.doc_id == 1
+    assert all(r.doc_id != 0 for r in out)  # self excluded

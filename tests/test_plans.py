@@ -956,3 +956,24 @@ def test_key_skew_report_two_aggregates_no_window(spark):
     assert "Window" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ivf_radius_no_rank_window(spark):
+    """The radius query's terminal operator is a filter — no per-query
+    rank window anywhere in the plan (the output-bound contract)."""
+    from lsh_spark.operators.pipeline_queries import ann_ivf_radius
+
+    plan = _plan(ann_ivf_radius(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_more_like_this_prunes_postings_to_query_vocab(spark):
+    """MLT rides bm25_topk: the postings side must join the broadcast
+    query-term set (pruning df/score work to the matched vocabulary)
+    and never ship text through the score join."""
+    from lsh_spark.operators.pipeline_queries import more_like_this_docs
+
+    plan = _plan(more_like_this_docs(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan

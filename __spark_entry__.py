@@ -231,6 +231,7 @@ _REDUNDANT_TAIL = [
     "bloom_dedup_streaming",
     "ann_ivf_radius_search",
     "more_like_this_docs",
+    "bloom_index_stats",
 ]
 
 

@@ -214,3 +214,174 @@ exact AS (
 SELECT p.doc_id AS doc_id, p.bloom_hit, e.exact_dup
 FROM probe p JOIN exact e ON e.doc_id = p.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# persisted Bloom index — the crawler's standing membership filter.
+# Lifecycle follows the repo's index contract (meta-pinned parameters,
+# append-only stats deltas, cross-session attach).  Deletes are
+# structurally unsupported: a Bloom filter is an over-approximation and
+# clearing a bit would false-negative other members — shrink only via
+# rebuild.  Extend is the bit_or MERGE (associative), so
+# build(A) ∪ extend(B) ≡ build(A ∪ B) bit-for-bit and re-inserting a
+# document is a no-op on the bits.
+# ---------------------------------------------------------------------------
+
+def build_bloom_index(
+    corpus: DataFrame,
+    table_name: str,
+    *,
+    text_col: str = "text",
+    m_bits: int = 1 << 16,
+) -> None:
+    """Persist ``<name>_words`` (word_idx, bits), ``<name>_stats``
+    (append-only insert-count deltas readers SUM) and ``<name>_meta``
+    (m_bits/k pinned — probes MUST hash with the meta row's m_bits,
+    never a caller parameter)."""
+    from ..sources.formats import save_table
+
+    spark = corpus.sparkSession
+    words = bloom_build_words(corpus, text_col, m_bits=m_bits)
+    save_table(words, f"{table_name}_words")
+    stats = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    save_table(stats, f"{table_name}_stats", single_file=True)
+    meta = spark.range(1).select(
+        F.lit(int(m_bits)).cast("long").alias("m_bits"),
+        F.lit(int(_K)).cast("int").alias("k"),
+        F.lit(text_col).alias("text_col"),
+        F.lit(0).cast("int").alias("version"))
+    save_table(meta, f"{table_name}_meta", single_file=True)
+
+
+def extend_bloom_index(
+    new_docs: DataFrame,
+    table_name: str,
+    *,
+    text_col: str | None = None,
+) -> None:
+    """Merge a new batch into the filter: union old words with the
+    batch's words and re-aggregate ``bit_or`` (associative — identical
+    bits to a from-scratch build over the union); append one stats
+    delta row.  The words rewrite is bounded by m_bits/32 rows
+    regardless of batch or corpus size."""
+    from ..sources.formats import index_meta, save_table
+
+    spark = new_docs.sparkSession
+    m = index_meta(spark, f"{table_name}_meta")
+    tc = text_col or m.text_col
+    delta = bloom_build_words(new_docs, tc, m_bits=int(m.m_bits))
+    # pin the merged frame before the overwrite reads its own input
+    merged = (
+        spark.table(f"{table_name}_words").unionAll(delta)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .localCheckpoint(eager=True)
+    )
+    save_table(merged, f"{table_name}_words")
+    stats = new_docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    save_table(stats, f"{table_name}_stats", mode="append",
+               single_file=True)
+
+
+def probe_bloom_index(
+    spark,
+    table_name: str,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str | None = None,
+) -> DataFrame:
+    """Probe the PERSISTED filter: ``(id_col, bloom_hit)``.  Hashing
+    parameters come from the meta row (the index-defining-params
+    contract); the words table broadcasts, so the probe ships only the
+    batch's own k rows per document."""
+    from ..sources.formats import index_meta
+
+    m = index_meta(spark, f"{table_name}_meta")
+    tc = text_col or m.text_col
+    return bloom_probe(new_docs, spark.table(f"{table_name}_words"),
+                       tc, id_col=id_col, m_bits=int(m.m_bits))
+
+
+def attach_bloom_index(spark, table_name: str,
+                       location_root: str | None = None) -> None:
+    """Re-register a Bloom index written by an earlier session (the
+    in-memory catalog forgets managed tables while their files
+    survive): meta/words/stats come back as external tables over their
+    existing warehouse directories.  No bucket spec — the words table
+    is broadcast-read, never join-bucketed."""
+    import os
+
+    from ..sources.formats import _warehouse_path, attach_table
+
+    root = location_root or _warehouse_path(spark)
+    for suffix in ("meta", "words", "stats"):
+        name = f"{table_name}_{suffix}"
+        attach_table(spark, name, os.path.join(root, name.lower()))
+
+
+def bloom_index_stats(spark, table_name: str) -> DataFrame:
+    """Integer-exact health report of the persisted filter:
+    ``(m_bits, n_words, n_set_bits, n_docs_inserted, fill_ratio)``.
+    Everything before the terminal division is an integer
+    (``bit_count`` per word, summed); ``fill_ratio`` is ONE double
+    division of two exact integers, 6dp-rounded — the hll_vocab
+    contract.  No ln-based cardinality estimate in the gate: ln is not
+    bit-stable cross-engine."""
+    from ..sources.formats import index_meta
+
+    m = index_meta(spark, f"{table_name}_meta")
+    words = spark.table(f"{table_name}_words")
+    stats = spark.table(f"{table_name}_stats")
+    n_docs = stats.agg(F.sum("n_docs").cast("long").alias("__nd"))
+    return (
+        words.agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.expr("bit_count(bits)")).cast("long")
+            .alias("n_set_bits"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.lit(int(m.m_bits)).cast("long").alias("m_bits"),
+            "n_words", "n_set_bits",
+            F.col("__nd").alias("n_docs_inserted"),
+            F.round(F.col("n_set_bits").cast("double")
+                    / F.lit(float(int(m.m_bits))), 6).alias("fill_ratio"))
+    )
+
+
+def bloom_index_stats_oracle_sql(
+    *,
+    m_bits: int = 1 << 16,
+    corpus_pred: str = "doc_id % 2 = 0",
+    source: str = "documents",
+) -> str:
+    """Oracle for :func:`bloom_index_stats` that re-derives the filter
+    content from the RAW corpus (the boolean_search_indexed precedent:
+    persisted state is pinned against an independent derivation, not
+    against itself)."""
+    m = int(m_bits)
+    cpos = "\n  UNION ALL\n".join(
+        f"  SELECT ('0x' || substr(hx, {1 + 8 * i}, 8))::BIGINT"
+        f" % {m} AS p FROM dc"
+        for i in range(_K))
+    return f"""
+WITH dc AS (
+  SELECT md5(text) AS hx FROM {source} WHERE {corpus_pred}
+),
+cpos AS (
+{cpos}
+),
+words AS (
+  SELECT p // 32 AS word_idx,
+         bit_or(1::BIGINT << (p % 32)::INT) AS bits
+  FROM cpos GROUP BY 1
+)
+SELECT {m}::BIGINT AS m_bits,
+       count(*)::BIGINT AS n_words,
+       sum(bit_count(bits))::BIGINT AS n_set_bits,
+       (SELECT count(*) FROM {source} WHERE {corpus_pred})::BIGINT
+         AS n_docs_inserted,
+       round(CAST(sum(bit_count(bits)) AS DOUBLE)
+             / CAST({float(m)!r} AS DOUBLE), 6) AS fill_ratio
+FROM words
+"""

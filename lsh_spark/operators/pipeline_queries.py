@@ -5442,3 +5442,50 @@ def _mlt_oracle() -> str:
 
 
 QUERIES_LATE["more_like_this_docs"] = (more_like_this_docs, _mlt_oracle())
+
+
+# ---------------------------------------------------------------------------
+# persisted Bloom index lifecycle gate — stats pin the persisted bits
+# against an independent from-raw-corpus derivation (the
+# boolean_search_indexed precedent).
+# ---------------------------------------------------------------------------
+
+def ensure_bloom_index(spark: SparkSession, sf_dir: str) -> str:
+    """Session-amortized build of the gate's Bloom index over the
+    even-id corpus; m_bits pinned in the meta row — a parameter change
+    forces a rebuild, same-session reruns reuse the filter (the
+    ensure_ab_index contract)."""
+    import os
+
+    from .bloom import build_bloom_index
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"bloomidx_{tag}"
+    want = dict(m_bits=int(_BLOOM_M_BITS), text_col="text")
+    have = None
+    if spark.catalog.tableExists(f"{name}_meta"):
+        from ..sources.formats import index_meta
+
+        m = index_meta(spark, f"{name}_meta")
+        have = dict(m_bits=int(m.m_bits), text_col=m.text_col)
+    if have != want:
+        docs = load_table(spark, sf_dir, "documents")
+        build_bloom_index(docs.where(F.col("doc_id") % 2 == 0), name,
+                          m_bits=_BLOOM_M_BITS)
+    return name
+
+
+def bloom_index_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .bloom import bloom_index_stats
+
+    return bloom_index_stats(spark, ensure_bloom_index(spark, sf_dir))
+
+
+def _bloom_stats_oracle() -> str:
+    from .bloom import bloom_index_stats_oracle_sql
+
+    return bloom_index_stats_oracle_sql(m_bits=_BLOOM_M_BITS)
+
+
+QUERIES_LATE["bloom_index_stats"] = (bloom_index_stats_docs,
+                                     _bloom_stats_oracle())

@@ -1206,6 +1206,96 @@ def _hll_inline(docs):
         F.count(F.lit(1)).alias("n_registers"))
 
 
+def s2() -> None:
+    """Round-11 session-2 sweep: Bloom membership (build linear, probe
+    flat), triangle counting (wedge volume under co-visitation growth),
+    and IVF radius search (corpus replication, fixed query set)."""
+    from lsh_spark.operators.ann import ivf_radius_search
+    from lsh_spark.operators.bloom import (bloom_build_words,
+                                           bloom_probe_report)
+    from lsh_spark.operators.graph import triangle_counts
+    from lsh_spark.plans import get_spark
+    from lsh_spark.sources.io import load_table
+    from pyspark import StorageLevel
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 5, 20]
+    spark = get_spark(app_name="lsh_spark-scale-check-s2")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = load_table(spark, "/root/testdata/sf0.1", "documents")
+    ev0 = load_table(spark, "/root/testdata/sf0.1", "events")
+    emb0 = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    probe = (docs0.where(F.col("doc_id") % 10 == 1)
+             .select("doc_id", "text"))  # fixed 500-doc batch
+    n_probe_docs = probe.count()
+    for rep in reps:
+        docs = (
+            docs0.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select((F.col("doc_id") * rep + F.col("__rep"))
+                    .alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" tail"),
+                             F.col("__rep").cast("string")).alias("text"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        n = docs.count()
+        # bloom: m scales with the corpus (kn/m ~ 0.3 here), the
+        # production sizing rule — words stay <= m/32 rows
+        m_bits = 1 << (16 + max(0, rep.bit_length() - 1))
+        t0 = time.perf_counter()
+        words = bloom_build_words(docs, m_bits=m_bits)
+        n_words = words.count()
+        t_build = time.perf_counter() - t0
+        words = words.localCheckpoint(eager=True)
+        seen = (docs.select(F.md5(F.col("text")).alias("__hx"))
+                .distinct().localCheckpoint(eager=True))
+        t0 = time.perf_counter()
+        n_hits = (bloom_probe_report(probe, words, seen, m_bits=m_bits)
+                  .where("bloom_hit").count())
+        t_probe = time.perf_counter() - t0
+        # events replicated: users duplicated with fresh ids -> item
+        # popularity grows linearly, pair supports grow linearly, the
+        # co-occurrence edge set (support >= rep) stays comparable
+        ev = (
+            ev0.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select((F.col("user_id") * rep + F.col("__rep"))
+                    .alias("user_id"), "props")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        ev.count()
+        t0 = time.perf_counter()
+        n_tri = triangle_counts(ev, min_cooccur=2 * rep).count()
+        t_tri = time.perf_counter() - t0
+        # radius search: corpus replicated with perturbed vectors,
+        # cells scale linearly so cell width stays constant
+        emb = (
+            emb0.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select((F.col("vec_id") * rep + F.col("__rep"))
+                    .alias("vec_id"),
+                    F.transform(
+                        "embedding",
+                        lambda x, i: x + (F.col("__rep") % 7).cast("float")
+                        * F.lit(0.001) * (i % 3).cast("float")
+                    ).alias("embedding"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        emb.count()
+        t0 = time.perf_counter()
+        n_rad = ivf_radius_search(
+            emb, emb.where(F.col("vec_id") < 10), threshold=0.25,
+            n_lists=16 * rep, n_probe=4).count()
+        t_rad = time.perf_counter() - t0
+        print(
+            f"rep={rep:3d} docs={n:7d}  bloom_build={t_build:6.1f}s "
+            f"({n_words} words, m=2^{m_bits.bit_length() - 1})  "
+            f"probe[{n_probe_docs}]={t_probe:5.1f}s ({n_hits} hits)  "
+            f"triangles={t_tri:6.1f}s ({n_tri} items)  "
+            f"radius={t_rad:6.1f}s ({n_rad} pairs)",
+            flush=True)
+        for d in (docs, ev, emb):
+            d.unpersist()
+        spark.catalog.clearCache()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--vectors":
         vectors()
@@ -1237,5 +1327,7 @@ if __name__ == "__main__":
         graph()
     elif len(sys.argv) > 1 and sys.argv[1] == "--r11":
         r11()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--s2":
+        s2()
     else:
         main()

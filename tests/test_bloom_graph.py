@@ -185,3 +185,74 @@ def test_more_like_this_ranks_twin_first(spark):
     top = [r for r in out if r.rank == 1][0]
     assert top.doc_id == 1
     assert all(r.doc_id != 0 for r in out)  # self excluded
+
+
+# ---------------------------------------------------------------------------
+# persisted Bloom index lifecycle
+# ---------------------------------------------------------------------------
+
+def test_bloom_index_extend_equals_full_build(spark, tmp_path):
+    """bit_or is associative: build(A) + extend(B) must equal
+    build(A ∪ B) word-for-word, and probes through the extended index
+    must see B's documents as hits (no false negatives across the
+    extend boundary)."""
+    from lsh_spark.operators.bloom import (bloom_build_words,
+                                           build_bloom_index,
+                                           extend_bloom_index,
+                                           probe_bloom_index)
+
+    rows_a = [(i, f"first wave doc {i}") for i in range(40)]
+    rows_b = [(100 + i, f"second wave doc {i}") for i in range(25)]
+    a = spark.createDataFrame(rows_a, _DOC_SCHEMA)
+    b = spark.createDataFrame(rows_b, _DOC_SCHEMA)
+    build_bloom_index(a, "bloom_t1", m_bits=1 << 12)
+    extend_bloom_index(b, "bloom_t1")
+
+    got = {(r.word_idx, r.bits)
+           for r in spark.table("bloom_t1_words").collect()}
+    want = {(r.word_idx, r.bits)
+            for r in bloom_build_words(a.unionAll(b),
+                                       m_bits=1 << 12).collect()}
+    assert got == want
+
+    probe = spark.createDataFrame(rows_b[:10], _DOC_SCHEMA)
+    hits = probe_bloom_index(spark, "bloom_t1", probe).collect()
+    assert all(r.bloom_hit for r in hits)
+    # stats deltas sum across build + extend
+    from lsh_spark.operators.bloom import bloom_index_stats
+
+    st = bloom_index_stats(spark, "bloom_t1").first()
+    assert st.n_docs_inserted == len(rows_a) + len(rows_b)
+    assert 0 < st.n_set_bits <= min((1 << 12), 4 * st.n_docs_inserted)
+
+
+def test_bloom_index_attach_roundtrip(spark, tmp_path):
+    """Simulate the next-session shape (files on disk, catalog empty):
+    copy the table directories to a fresh root, attach under a new
+    name, and probes must return identical results — the cross-session
+    contract shared with the LSH/IVF/text indexes."""
+    import os
+    import shutil
+
+    from lsh_spark.operators.bloom import (attach_bloom_index,
+                                           build_bloom_index,
+                                           probe_bloom_index)
+    from lsh_spark.sources.formats import _warehouse_path
+
+    rows = [(i, f"persisted doc {i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, _DOC_SCHEMA)
+    build_bloom_index(docs, "bloom_t2", m_bits=1 << 12)
+    probe = spark.createDataFrame(rows[:5] + [(99, "unseen")], _DOC_SCHEMA)
+    before = sorted((r.doc_id, r.bloom_hit)
+                    for r in probe_bloom_index(spark, "bloom_t2",
+                                               probe).collect())
+    wh = _warehouse_path(spark)
+    for s in ("meta", "words", "stats"):
+        shutil.copytree(os.path.join(wh, f"bloom_t2_{s}"),
+                        tmp_path / f"bloom_t3_{s}")
+    attach_bloom_index(spark, "bloom_t3", location_root=str(tmp_path))
+    after = sorted((r.doc_id, r.bloom_hit)
+                   for r in probe_bloom_index(spark, "bloom_t3",
+                                              probe).collect())
+    assert before == after
+    assert (99, False) in before  # unseen text stays a miss here

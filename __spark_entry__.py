@@ -232,6 +232,7 @@ _REDUNDANT_TAIL = [
     "ann_ivf_radius_search",
     "more_like_this_docs",
     "bloom_index_stats",
+    "events_hourly_spikes",
 ]
 
 

@@ -2128,3 +2128,76 @@ GROUP BY event_type
 """
 
 QUERIES_LATE["key_skew_report"] = (key_skew_report, KEY_SKEW_ORACLE)
+
+
+def events_hourly_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window traffic-anomaly detection: per (event_type,
+    hour), compare the hour's event count against the trailing 24
+    OBSERVED hours (rows frame — a missing hour contributes nothing,
+    so the baseline is activity-weighted) and flag hours at > 2× the
+    trailing mean.
+
+    Integer-exact spike test: ``is_spike = cnt·n > 2·s`` compares
+    BIGINTs only — no float enters the decision; the reported ratio is
+    ONE double expression (cnt·n / s) of exact integers, 6dp-rounded,
+    replayed in the identical op order by the oracle.  Hours with
+    fewer than 12 trailing observations are warm-up and excluded (also
+    the divide-guard: n ≥ 12 ⇒ s ≥ 12).
+
+    Scale shape: one map-side-combinable (type, hour) aggregate, then
+    a per-type window over the HOURLY frame — the window input is
+    |types| × |hours| (time-bounded, thousands of rows per year), not
+    the event stream; no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", F.col("ts")),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(-24, -1))
+    trail = hourly.select(
+        "event_type", "hour", "n_events",
+        F.count(F.lit(1)).over(w).cast("long").alias("trail_n"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).cast("long")
+        .alias("trail_sum"))
+    return (
+        trail.where(F.col("trail_n") >= 12)
+        .select(
+            "event_type", "hour", "n_events", "trail_n", "trail_sum",
+            F.round((F.col("n_events").cast("double")
+                     * F.col("trail_n").cast("double"))
+                    / F.col("trail_sum").cast("double"), 6)
+            .alias("ratio_to_trailing_mean"),
+            (F.col("n_events") * F.col("trail_n")
+             > F.lit(2) * F.col("trail_sum")).alias("is_spike"))
+    )
+
+
+EVENTS_SPIKES_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+trail AS (
+  SELECT event_type, hour, n_events,
+         count(*) OVER w::BIGINT AS trail_n,
+         coalesce(sum(n_events) OVER w, 0)::BIGINT AS trail_sum
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n_events, trail_n, trail_sum,
+       round((CAST(n_events AS DOUBLE) * CAST(trail_n AS DOUBLE))
+             / CAST(trail_sum AS DOUBLE), 6) AS ratio_to_trailing_mean,
+       (n_events * trail_n > 2 * trail_sum) AS is_spike
+FROM trail
+WHERE trail_n >= 12
+"""
+
+QUERIES_LATE["events_hourly_spikes"] = (events_hourly_spikes,
+                                        EVENTS_SPIKES_ORACLE)

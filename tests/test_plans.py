@@ -977,3 +977,15 @@ def test_more_like_this_prunes_postings_to_query_vocab(spark):
     plan = _plan(more_like_this_docs(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hourly_spikes_window_over_hourly_frame(spark):
+    """The trailing window runs over the (type, hour) AGGREGATE, never
+    the raw event stream: a partial aggregation must precede the single
+    window, and nothing evaluates in Python."""
+    from lsh_spark.operators.relational import events_hourly_spikes
+
+    plan = _plan(events_hourly_spikes(spark, SF_DIR))
+    assert plan.count("Window") >= 1
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan

@@ -233,6 +233,7 @@ _REDUNDANT_TAIL = [
     "more_like_this_docs",
     "bloom_index_stats",
     "events_hourly_spikes",
+    "events_spikes_streaming",
 ]
 
 

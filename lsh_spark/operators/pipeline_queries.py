@@ -5489,3 +5489,19 @@ def _bloom_stats_oracle() -> str:
 
 QUERIES_LATE["bloom_index_stats"] = (bloom_index_stats_docs,
                                      _bloom_stats_oracle())
+
+
+def _events_spikes_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import events_spikes_streaming
+
+    return events_spikes_streaming(spark, sf_dir)
+
+
+def _spikes_oracle() -> str:
+    from ..operators.relational import EVENTS_SPIKES_ORACLE
+
+    return EVENTS_SPIKES_ORACLE
+
+
+QUERIES_LATE["events_spikes_streaming"] = (_events_spikes_streaming,
+                                           _spikes_oracle())

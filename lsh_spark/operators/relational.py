@@ -2156,6 +2156,14 @@ def events_hourly_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "yyyy-MM-dd HH:mm:ss").alias("hour"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+    return spikes_from_hourly(hourly)
+
+
+def spikes_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Trailing-window stage of :func:`events_hourly_spikes`, shared
+    with the streaming twin (which feeds summed per-batch partials):
+    input ``(event_type, hour, n_events)``, one row per observed
+    hour."""
     w = (Window.partitionBy("event_type").orderBy("hour")
          .rowsBetween(-24, -1))
     trail = hourly.select(

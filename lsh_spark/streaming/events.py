@@ -597,3 +597,70 @@ GROUP BY 1, 2
 
 QUERIES["events_hourly_append_streaming"] = (
     events_hourly_append_streaming, EVENTS_HOURLY_APPEND_ORACLE)
+
+
+def events_spikes_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: the streaming TRAFFIC-ANOMALY monitor — the
+    event stream contributes per-micro-batch ``(event_type, hour,
+    count)`` PARTIALS (map-side-combining shape: each batch's write is
+    bounded by types × hours, never by events), and the read-back sums
+    partials into the exact hourly frame and applies the SAME
+    trailing-window spike stage as the batch twin
+    (``relational.spikes_from_hourly`` — shared code, shared oracle).
+    The trailing window itself cannot run inside the stream (a rows
+    frame over unbounded history is not a streaming-state shape); the
+    partials-then-finalize split is the standing monitor deployment:
+    cheap incremental writes, one bounded read-back per report."""
+    import os
+    import shutil
+
+    from ..operators.relational import spikes_from_hourly
+    from ..sources.io import _ensure_session_confs, load_table
+    from .documents import _write_batch_idempotent
+
+    _ensure_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/lsh_spark_stream_spikes_{tag}"
+    ckpt = f"/tmp/lsh_spark_ckpt_stream_spikes_{tag}"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = (
+            batch_df.groupBy(
+                "event_type",
+                F.date_format(F.date_trunc("hour", F.col("ts")),
+                              "yyyy-MM-dd HH:mm:ss").alias("hour"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        )
+        _write_batch_idempotent(partial, out_dir, batch_id)
+
+    with scoped_state_partitions(spark):
+        q = (stream.writeStream.foreachBatch(process)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        q.awaitTermination()
+
+    if not os.path.isdir(out_dir) or not any(
+            f.startswith("batch_id=") for f in os.listdir(out_dir)):
+        return spark.createDataFrame(
+            [], "event_type string, hour string, n_events long, "
+            "trail_n long, trail_sum long, "
+            "ratio_to_trailing_mean double, is_spike boolean")
+    hourly = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type", "hour")
+        .agg(F.sum("__n").cast("long").alias("n_events"))
+    )
+    return spikes_from_hourly(hourly)

@@ -256,3 +256,28 @@ def test_bloom_index_attach_roundtrip(spark, tmp_path):
                                               probe).collect())
     assert before == after
     assert (99, False) in before  # unseen text stays a miss here
+
+
+def test_bloom_null_text_parity(spark):
+    """NULL text propagates identically in both engines (probe-verified
+    round 11): bloom_hit NULL, exact_dup false — pinned so the oracle's
+    NULL chain never silently diverges from Spark's."""
+    import duckdb
+
+    from lsh_spark.operators.bloom import (bloom_dedup_oracle_sql,
+                                           bloom_dedup_report)
+
+    rows = [(0, "alpha"), (2, "beta"), (4, None),
+            (1, "alpha"), (3, None), (5, "unseen")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.doc_id, r.bloom_hit, r.exact_dup)
+           for r in bloom_dedup_report(
+               docs.where("doc_id % 2 = 0"),
+               docs.where("doc_id % 2 = 1")).orderBy("doc_id").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = [tuple(w) for w in con.execute(
+        bloom_dedup_oracle_sql() + " ORDER BY doc_id").fetchall()]
+    assert got == want
+    assert got[1] == (3, None, False)

@@ -234,6 +234,9 @@ _REDUNDANT_TAIL = [
     "bloom_index_stats",
     "events_hourly_spikes",
     "events_spikes_streaming",
+    "event_path_trigrams",
+    "sq8_reconstruction_report",
+    "minhash_estimate_calibration",
 ]
 
 

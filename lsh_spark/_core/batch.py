@@ -82,14 +82,18 @@ def _fold_band_hashes(minima: np.ndarray, band_count: int, band_size: int) -> np
     return state
 
 
-def minhash_from_window_hashes(
+def seed_minima_from_window_hashes(
     hashes: np.ndarray,
     win_offsets: np.ndarray,
     band_count: int,
     band_size: int,
     seed: int,
 ) -> np.ndarray:
-    """Banded MinHash for every document segment → (n_docs, band_count)."""
+    """Per-seed minima for every document segment →
+    (n_docs, band_count·band_size) uint64 — the pre-band-fold state of
+    :func:`minhash_from_window_hashes` (extracted verbatim so the
+    calibration diagnostics can read the classic per-seed MinHash
+    estimator without touching the golden-pinned band fold)."""
     n_docs = win_offsets.shape[0] - 1
     n_seeds = band_count * band_size
     prefix = _seed_prefix_states(band_count, band_size, seed)
@@ -103,7 +107,21 @@ def minhash_from_window_hashes(
             h = fx_add_np(np.full(hashes.shape[0], prefix[s], dtype=np.uint64),
                           hashes)
             minima[nonempty, s] = np.minimum.reduceat(h, starts)
-    return _fold_band_hashes(minima, band_count, band_size)
+    return minima
+
+
+def minhash_from_window_hashes(
+    hashes: np.ndarray,
+    win_offsets: np.ndarray,
+    band_count: int,
+    band_size: int,
+    seed: int,
+) -> np.ndarray:
+    """Banded MinHash for every document segment → (n_docs, band_count)."""
+    return _fold_band_hashes(
+        seed_minima_from_window_hashes(hashes, win_offsets, band_count,
+                                       band_size, seed),
+        band_count, band_size)
 
 
 def minhash_text_batch(
@@ -508,3 +526,15 @@ def cdc_spans_batch(
         starts_out.append(starts)
         lens_out.append(lens)
     return starts_out, lens_out
+
+
+def minhash_text_minima_batch(
+    texts, ngram_width: int, band_count: int, band_size: int, seed: int
+) -> np.ndarray:
+    """text → per-seed minima matrix (n, band_count·band_size) — the
+    classic MinHash signature BEFORE the reference's band fold, for the
+    estimator-calibration diagnostics."""
+    ords, offsets = flatten_texts(texts)
+    hashes, win_offsets = batch_window_hashes(ords, offsets, ngram_width)
+    return seed_minima_from_window_hashes(
+        hashes, win_offsets, band_count, band_size, seed)

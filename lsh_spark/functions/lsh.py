@@ -517,3 +517,23 @@ def jaccard_from_sets(col_a, col_b) -> Column:
         return res.where(pd.notna(res), None)
 
     return _udf(col_a, col_b)
+
+
+def lsh_min_minima_long(col, ngram_width: int, band_count: int,
+                        band_size: int, seed: int) -> Column:
+    """Per-seed minima (the CLASSIC MinHash signature, length
+    band_count·band_size, BEFORE the reference's band fold) as int64
+    two's complement — equality-exact, used by the estimator-
+    calibration diagnostics (``_core/batch.py::
+    minhash_text_minima_batch``)."""
+    from .._core.batch import minhash_text_minima_batch
+
+    @pandas_udf(_LONG_ARRAY)
+    def _udf(s: pd.Series) -> pd.Series:
+        mask = _valid_text_mask(s)
+        texts = ["" if not ok else t for t, ok in zip(s, mask)]
+        mat = minhash_text_minima_batch(texts, ngram_width, band_count,
+                                        band_size, seed)
+        return _u64_rows_to_long(mat, mask, low32=False)
+
+    return _udf(col)

@@ -1768,3 +1768,52 @@ def ivf_radius_search(
         .where(F.col("cosine_sim") >= F.lit(float(threshold)))
         .select("query_id", "neighbor_id", "cosine_sim")
     )
+
+
+def sq8_reconstruction_report(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension quantization-error report of the SQ8 codec —
+    ``(dim_idx, n_vectors, mean_abs_err, max_abs_err)`` — the
+    measurement that justifies (or vetoes) shipping int8 codes for a
+    given embedding family.
+
+    Exactness contract: each element's reconstruction error
+    ``|x − x̂|`` (the audited ``_sq8_quant``/``_sq8_dequant`` literal
+    chain) is 6dp-rounded then DECIMAL(28,6)-summed — order-independent
+    across partitions — and the mean is ONE double division by the
+    exact count; ``max`` is order-independent as-is.
+
+    Scale shape: ONE corpus pass — the per-dim sums/maxes are ``dim``
+    aggregate expressions over the broadcast-bounds projection (no
+    explode on the corpus; the dim-wise explode happens on the 1-row
+    aggregate output)."""
+    c = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    bounds = sq8_bounds(corpus, vec_col=vec_col, dim=dim)
+    withb = c.crossJoin(F.broadcast(bounds))
+
+    def err(i):
+        x = F.col("__v")[i]
+        return F.round(
+            F.abs(x - _sq8_dequant(_sq8_quant(x, F.lit(i)), F.lit(i))), 6)
+
+    agg = withb.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.array(*[F.sum(err(i).cast("decimal(28,6)"))
+                  for i in range(dim)]).alias("__sums"),
+        F.array(*[F.max(err(i)) for i in range(dim)]).alias("__maxs"))
+    return (
+        agg.select(
+            "__n", F.posexplode(F.arrays_zip("__sums", "__maxs"))
+            .alias("dim_idx", "__z"))
+        .select(
+            F.col("dim_idx").cast("int").alias("dim_idx"),
+            F.col("__n").alias("n_vectors"),
+            F.round(F.col("__z")["__sums"].cast("double")
+                    / F.col("__n").cast("double"), 6)
+            .alias("mean_abs_err"),
+            F.col("__z")["__maxs"].alias("max_abs_err"))
+    )

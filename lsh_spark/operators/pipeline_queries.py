@@ -5505,3 +5505,120 @@ def _spikes_oracle() -> str:
 
 QUERIES_LATE["events_spikes_streaming"] = (_events_spikes_streaming,
                                            _spikes_oracle())
+
+
+# ---------------------------------------------------------------------------
+# SQ8 reconstruction-error report (ann.sq8_reconstruction_report) —
+# the compression-quality measurement behind the int8 ANN family.
+# ---------------------------------------------------------------------------
+
+def sq8_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ann import sq8_reconstruction_report
+
+    return sq8_reconstruction_report(
+        load_table(spark, sf_dir, "embeddings"), dim=_SQ8_DIM)
+
+
+SQ8_RECON_ORACLE = f"""
+WITH c AS (SELECT embedding::DOUBLE[] AS cv FROM embeddings),
+bounds AS (
+  SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+  FROM (SELECT i, min(cv[i]) AS mn, max(cv[i]) AS mx
+        FROM c, range(1, {{dim}} + 1) t(i) GROUP BY i)
+),
+errs AS (
+  SELECT i,
+         round(abs(cv[i] -
+           CASE WHEN b.mx[i] > b.mn[i]
+                THEN b.mn[i]
+                     + (least(greatest(
+                          floor(((cv[i] - b.mn[i]) * 255)
+                                / (b.mx[i] - b.mn[i]) + 0.5), 0), 255)
+                        * (b.mx[i] - b.mn[i])) / 255
+                ELSE b.mn[i] END), 6) AS e
+  FROM c, bounds b, range(1, {{dim}} + 1) t(i)
+)
+SELECT (i - 1)::INT AS dim_idx,
+       count(*)::BIGINT AS n_vectors,
+       round(CAST(sum(e::DECIMAL(28,6)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_abs_err,
+       max(e) AS max_abs_err
+FROM errs GROUP BY i
+""".replace("{dim}", str(_SQ8_DIM))
+
+
+QUERIES_LATE["sq8_reconstruction_report"] = (sq8_reconstruction,
+                                             SQ8_RECON_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration (similarity_join.minhash_estimate_for_pairs)
+# — measure the sketch: classic per-seed estimate vs exact jaccard over
+# the flagship's verified pairs, binned.
+# ---------------------------------------------------------------------------
+
+def minhash_estimate_calibration(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from .lsh_queries import _PAIRS_PLAN, minhash_near_dup_pairs
+    from .similarity_join import minhash_estimate_for_pairs
+
+    pairs = minhash_near_dup_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    est = minhash_estimate_for_pairs(
+        pairs, docs, "text", id_col="doc_id", ngram_width=3,
+        band_count=_PAIRS_PLAN.band_count,
+        band_size=_PAIRS_PLAN.band_size, seed=123)
+    b = F.floor(F.col("jaccard") * F.lit(20.0)).cast("int")
+    return (
+        est.select(
+            b.alias("jaccard_bin"),
+            F.round(F.col("est_sim"), 6).cast("decimal(28,6)")
+            .alias("__e"),
+            F.col("jaccard").cast("decimal(28,6)").alias("__j"))
+        .groupBy("jaccard_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.sum("__e").cast("double")
+                    / F.count(F.lit(1)).cast("double"), 6)
+            .alias("mean_est_sim"),
+            F.round(F.sum("__j").cast("double")
+                    / F.count(F.lit(1)).cast("double"), 6)
+            .alias("mean_true_jaccard"))
+    )
+
+
+def _calibration_oracle() -> str:
+    from .lsh_queries import _PAIRS_PLAN
+    from ..oracles.duckdb_lsh import _verified_pairs_ctes
+
+    k = _PAIRS_PLAN.band_count * _PAIRS_PLAN.band_size
+    return f"""
+WITH {_verified_pairs_ctes(3, _PAIRS_PLAN.band_count,
+                           _PAIRS_PLAN.band_size, 123, 0.6)},
+vr AS (SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM ver),
+eq AS (
+  SELECT v.id_a, v.id_b, v.jaccard,
+         count(*) FILTER (WHERE x.m = y.m)::BIGINT AS n_eq
+  FROM vr v
+  JOIN allmin x ON x.id = v.id_a
+  JOIN allmin y ON y.id = v.id_b AND y.seed_idx = x.seed_idx
+  GROUP BY 1, 2, 3
+),
+est AS (
+  SELECT floor(jaccard * CAST(20.0 AS DOUBLE))::INT AS jaccard_bin,
+         round(n_eq::DOUBLE / {k}::DOUBLE, 6)::DECIMAL(28,6) AS e,
+         jaccard::DECIMAL(28,6) AS j
+  FROM eq
+)
+SELECT jaccard_bin,
+       count(*)::BIGINT AS n_pairs,
+       round(CAST(sum(e) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_est_sim,
+       round(CAST(sum(j) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_true_jaccard
+FROM est GROUP BY jaccard_bin
+"""
+
+
+QUERIES_LATE["minhash_estimate_calibration"] = (
+    minhash_estimate_calibration, _calibration_oracle())

@@ -2209,3 +2209,57 @@ WHERE trail_n >= 12
 
 QUERIES_LATE["events_hourly_spikes"] = (events_hourly_spikes,
                                         EVENTS_SPIKES_ORACLE)
+
+
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey 3-step paths: per user, events ordered by
+    (ts, event_id) — the deterministic total order both engines share —
+    each event starts a path ``a>b>c`` with its two successors inside
+    the same user; paths counted globally, top 20 by (count desc, path
+    asc).
+
+    Scale shape: ONE shuffle+sort per user partition feeds both lead()
+    frames (same window spec), the path counts aggregate map-side, and
+    the global top-k plans as TakeOrdered — never a full sort of the
+    path vocabulary."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    paths = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("__a"),
+            F.lead("event_type", 1).over(w).alias("__b"),
+            F.lead("event_type", 2).over(w).alias("__c"))
+        .where(F.col("__b").isNotNull() & F.col("__c").isNotNull())
+        .select(F.concat_ws(">", "__a", "__b", "__c").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )
+    return paths.orderBy(F.col("n_paths").desc(),
+                         F.col("path").asc()).limit(20)
+
+
+EVENT_PATHS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS a,
+         lead(event_type, 1) OVER w AS b,
+         lead(event_type, 2) OVER w AS c
+  FROM events
+  -- epoch_us: DuckDB sees the parquet nanos, Spark's decode truncates
+  -- to micros — ordering on epoch_us ties at the SAME granularity so
+  -- event_id breaks ties identically in both engines
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC,
+               event_id ASC)
+),
+paths AS (
+  SELECT a || '>' || b || '>' || c AS path, count(*)::BIGINT AS n_paths
+  FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, n_paths FROM paths
+ORDER BY n_paths DESC, path ASC LIMIT 20
+"""
+
+QUERIES_LATE["event_path_trigrams"] = (event_path_trigrams,
+                                       EVENT_PATHS_ORACLE)

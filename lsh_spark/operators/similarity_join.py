@@ -1321,3 +1321,75 @@ def dedup_new_against_index(
     return new_docs.join(
         matches.select(F.col(probe_out).alias(id_col)).distinct(),
         on=id_col, how="left_anti")
+
+
+def minhash_estimate_for_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    ngram_width: int = 3,
+    band_count: int = 4,
+    band_size: int = 3,
+    seed: int = 123,
+) -> DataFrame:
+    """Append the CLASSIC per-seed MinHash estimate to a verified-pair
+    frame: ``est_sim = (#matching per-seed minima) / n_seeds`` — the
+    estimator whose expectation is the true Jaccard, measured here
+    against the exact value the pair already carries (the
+    "measure the sketch" diagnostic behind the banding tuner).
+
+    Kernel contract (the broadcast-verify discipline): the signature
+    MATRIX (doc-id-sorted, n_docs × n_seeds int64, the two's-complement
+    reinterpretation of the u64 minima) broadcasts once; pairs cross
+    the Arrow boundary as (id_a, id_b, jaccard) rows; the kernel emits
+    the RAW IEEE division (row-sum of equal positions / n_seeds) and
+    rounding happens in-plan (the containment template).  Pairs whose
+    id is absent from the matrix are dropped, matching join
+    semantics."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..functions.lsh import lsh_min_minima_long
+    from ..plans.cache import track_broadcast
+
+    sigs = docs.select(
+        F.col(id_col).alias("__id"),
+        lsh_min_minima_long(F.col(text_col), ngram_width, band_count,
+                            band_size, seed).alias("__sig"))
+    pdf = sigs.toPandas()
+    pdf = pdf[pdf["__sig"].notna()]  # NULL text → NULL sig → id dropped
+    ids = pdf["__id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    mat = (np.stack(pdf["__sig"].to_numpy()[order]).astype(np.int64)
+           if len(pdf) else np.empty((0, band_count * band_size),
+                                     dtype=np.int64))
+    bc = track_broadcast(
+        docs.sparkSession.sparkContext.broadcast((ids[order], mat)))
+
+    src = _fanout_pairs(pairs)
+    schema = StructType(list(pairs.schema.fields)
+                        + [StructField("est_sim", DoubleType(), True)])
+    cols = [f.name for f in pairs.schema.fields]
+    ida, idb = cols[0], cols[1]
+
+    def gen(batches):
+        sids, M = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            wa = b[ida].to_numpy(dtype=np.int64)
+            wb = b[idb].to_numpy(dtype=np.int64)
+            ia = np.searchsorted(sids, wa)
+            ib = np.searchsorted(sids, wb)
+            ia = np.minimum(ia, max(len(sids) - 1, 0))
+            ib = np.minimum(ib, max(len(sids) - 1, 0))
+            ok = ((sids[ia] == wa) & (sids[ib] == wb)) if len(sids) \
+                else np.zeros(len(wa), dtype=bool)
+            out = b.iloc[ok.nonzero()[0]].copy()
+            # row-sum of equal positions / n_seeds: ONE IEEE division
+            out["est_sim"] = (M[ia[ok]] == M[ib[ok]]).mean(axis=1)
+            yield out
+
+    return src.mapInPandas(gen, schema)

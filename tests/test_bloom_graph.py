@@ -281,3 +281,31 @@ def test_bloom_null_text_parity(spark):
         bloom_dedup_oracle_sql() + " ORDER BY doc_id").fetchall()]
     assert got == want
     assert got[1] == (3, None, False)
+
+
+# ---------------------------------------------------------------------------
+# minhash estimator calibration
+# ---------------------------------------------------------------------------
+
+def test_minhash_estimate_identical_docs_is_one(spark):
+    """Identical texts must estimate 1.0 (all minima equal); the exact
+    jaccard the pair carries must ride through the kernel unchanged."""
+    from lsh_spark.operators.similarity_join import (
+        lsh_self_dedup_pairs,
+        minhash_estimate_for_pairs,
+    )
+
+    rows = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely different document body here")]
+    docs = spark.createDataFrame(rows, _DOC_SCHEMA)
+    pairs = lsh_self_dedup_pairs(
+        docs, "text", id_col="doc_id", ngram_width=3, band_count=4,
+        band_size=3, seed=123, threshold=0.5)
+    out = minhash_estimate_for_pairs(
+        pairs, docs, "text", id_col="doc_id", ngram_width=3,
+        band_count=4, band_size=3, seed=123).collect()
+    got = {(r.id_a, r.id_b): (r.est_sim, r.jaccard) for r in out}
+    assert got[(0, 1)][0] == 1.0
+    assert got[(0, 1)][1] == 1.0
+    assert all(0.0 <= e <= 1.0 for e, _ in got.values())

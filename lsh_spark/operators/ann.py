@@ -1787,10 +1787,13 @@ def sq8_reconstruction_report(
     across partitions — and the mean is ONE double division by the
     exact count; ``max`` is order-independent as-is.
 
-    Scale shape: ONE corpus pass — the per-dim sums/maxes are ``dim``
-    aggregate expressions over the broadcast-bounds projection (no
-    explode on the corpus; the dim-wise explode happens on the 1-row
-    aggregate output)."""
+    Scale shape: ONE corpus pass — the ``dim`` error expressions are a
+    single projected array per row (each quant chain evaluated ONCE),
+    posexploded to (dim_idx, err) value rows and folded by a plain
+    map-side-combining aggregate (64 groups, 3 simple aggregate
+    expressions — clean whole-stage codegen; the earlier 2·dim
+    deep-tree aggregate form measured 4× slower because the duplicated
+    quant chains blew out codegen)."""
     c = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
     bounds = sq8_bounds(corpus, vec_col=vec_col, dim=dim)
     withb = c.crossJoin(F.broadcast(bounds))
@@ -1800,20 +1803,19 @@ def sq8_reconstruction_report(
         return F.round(
             F.abs(x - _sq8_dequant(_sq8_quant(x, F.lit(i)), F.lit(i))), 6)
 
-    agg = withb.agg(
-        F.count(F.lit(1)).cast("long").alias("__n"),
-        F.array(*[F.sum(err(i).cast("decimal(28,6)"))
-                  for i in range(dim)]).alias("__sums"),
-        F.array(*[F.max(err(i)) for i in range(dim)]).alias("__maxs"))
+    errs = withb.select(
+        F.posexplode(F.array(*[err(i) for i in range(dim)]))
+        .alias("dim_idx", "__e"))
     return (
-        agg.select(
-            "__n", F.posexplode(F.arrays_zip("__sums", "__maxs"))
-            .alias("dim_idx", "__z"))
+        errs.groupBy("dim_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"),
+             F.sum(F.col("__e").cast("decimal(28,6)")).alias("__s"),
+             F.max("__e").alias("max_abs_err"))
         .select(
             F.col("dim_idx").cast("int").alias("dim_idx"),
-            F.col("__n").alias("n_vectors"),
-            F.round(F.col("__z")["__sums"].cast("double")
-                    / F.col("__n").cast("double"), 6)
+            "n_vectors",
+            F.round(F.col("__s").cast("double")
+                    / F.col("n_vectors").cast("double"), 6)
             .alias("mean_abs_err"),
-            F.col("__z")["__maxs"].alias("max_abs_err"))
+            "max_abs_err")
     )

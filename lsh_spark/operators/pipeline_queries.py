@@ -5513,10 +5513,15 @@ QUERIES_LATE["events_spikes_streaming"] = (_events_spikes_streaming,
 # ---------------------------------------------------------------------------
 
 def sq8_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import fanout_scan
     from .ann import sq8_reconstruction_report
 
+    # single-file embeddings arrive as one task; the 64-wide quant
+    # chain is CPU-heavy, so fan the scan out first (no-op on a real
+    # multi-split layout)
     return sq8_reconstruction_report(
-        load_table(spark, sf_dir, "embeddings"), dim=_SQ8_DIM)
+        fanout_scan(load_table(spark, sf_dir, "embeddings")),
+        dim=_SQ8_DIM)
 
 
 SQ8_RECON_ORACLE = f"""

@@ -1347,7 +1347,16 @@ def minhash_estimate_for_pairs(
     the RAW IEEE division (row-sum of equal positions / n_seeds) and
     rounding happens in-plan (the containment template).  Pairs whose
     id is absent from the matrix are dropped, matching join
-    semantics."""
+    semantics.
+
+    100 TB note — this is a SAMPLED diagnostic by design: the matrix
+    broadcast carries n_docs · n_seeds · 8 bytes, fine to ~10⁷ docs
+    and deliberately NOT built for the full production corpus.
+    Estimator calibration is a statistical measurement — run it over
+    a deterministic document sample (the md5-bucket machinery of
+    ``stratified_sample``) and the confidence interval shrinks with
+    sampled pairs, not corpus size.  Feeding ``docs`` a sample keeps
+    every downstream piece unchanged (absent ids drop their pairs)."""
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
 

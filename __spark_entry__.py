@@ -205,6 +205,9 @@ _REDUNDANT_TAIL = [
     # into head positions 1-50 next round, demoting an equal number of
     # r11-green unchanged-code queries, preferring STALENESS (the
     # r9-green block above is next in line) for the remaining slots.
+    # Count check at round-11 close: 32 round-11 tail additions below
+    # (20 session-1 + 12 session-2) → r12's head = those 32 + the 18
+    # stalest re-checks, exactly filling the ~50-row driver window.
     "q11_important_parts",
     "q20_excess_shippers",
     "cross_source_near_dup_matrix",

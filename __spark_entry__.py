@@ -66,25 +66,77 @@ from pyspark.sql import DataFrame, SparkSession
 # artifact-vs-registry diff machine-checkable and exits non-zero on a
 # query with neither driver-row nor replica evidence.
 _REDUNDANT_TAIL = [
-    # Round-11 HEAD ROTATION (executing the round-10 verdict item 1 and
+    # Round-12 HEAD ROTATION (executing the round-11 verdict item 1 and
     # the mechanical list from `scripts/check_artifact_coverage.py
     # --emit-promotions`): the head (positions 1-50 = registry minus
     # this tail) is now exactly the 50 WEAKEST-evidence queries —
-    #   * the 18 never-driver-checked round-10 additions
-    #     (tfidf_cosine_pairs .. boolean_search_docs), replica-green at
-    #     sf0.001+sf0.01; driver rows are the gate that counts.  Five of
-    #     them also carry round-11 code/oracle changes and need the
-    #     driver re-check anyway: source_capped_docs (two-phase bounded
-    #     window), edit_distance_near_dup_pairs (capped-DP levenshtein),
-    #     tfidf_cosine_pairs + bpe_pair_top_counts (oracle ws-class
-    #     fix), item_cooccurrence (oracle NOT EXISTS fix);
-    #   * the 3 queries whose last green row is r7 and the 29 whose
-    #     last green row is r8 — the staleness criterion (the r8 block
-    #     was "next in line" per the round-10 duty note).
-    # With this head, driver-row union r1-r11 reaches 164/164 for the
-    # first time.  Demotions below are ordered strongest-evidence-first
-    # groupwise: the 50 r10-green queries (code unchanged this round),
-    # then the r9-green block carried over from the previous tail.
+    #   * the 32 never-driver-checked round-11 additions
+    #     (q11_important_parts .. minhash_estimate_calibration),
+    #     replica-green at sf0.001+sf0.01 (REPLICA.json 196/196) but
+    #     with zero driver rows; driver rows are the gate that counts.
+    #     Three of them also carry round-12 code changes and need the
+    #     driver re-check anyway: minhash_estimate_calibration (the
+    #     enforced max_docs sampling contract + explicit id-col names),
+    #     sq8_reconstruction_report (non-null error counting),
+    #     bloom_index_stats (partial-index rebuild guard);
+    #   * the 17 queries whose last green row is r8 and the 1 stalest
+    #     r9 row (top_orders_per_customer) — the staleness criterion
+    #     (the r8 block was next in line per the round-11 duty note).
+    # With this head, driver-row union r1-r12 reaches 196/196: every
+    # registered query has at least one green driver row.  Demotions
+    # below are ordered strongest-evidence-first groupwise: the 50
+    # r11-green queries (just checked, code unchanged), then the
+    # r10-green block, then the rest of the r9-green block.
+    "top_terms_per_lang",  # last green r11, 7 green rows
+    "weighted_minhash_signatures",  # last green r11, 4 green rows
+    "weighted_near_dup_pairs",  # last green r11, 4 green rows
+    "weighted_word_near_dup_pairs",  # last green r11, 3 green rows
+    "dedup_clusters_minhash",  # last green r11, 8 green rows
+    "dup_ngram_stats",  # last green r11, 4 green rows
+    "remove_duplicated_spans",  # last green r11, 4 green rows
+    "pack_sequences",  # last green r11, 4 green rows
+    "min_cost_supplier",  # last green r11, 4 green rows
+    "large_quantity_orders",  # last green r11, 4 green rows
+    "events_type_pivot",  # last green r11, 5 green rows
+    "lineitem_cube",  # last green r11, 5 green rows
+    "events_weekly_cohorts",  # last green r11, 5 green rows
+    "customer_order_counts",  # last green r11, 5 green rows
+    "q6_forecast_revenue",  # last green r11, 3 green rows
+    "q14_promo_revenue",  # last green r11, 3 green rows
+    "supplier_revenue_salted",  # last green r11, 3 green rows
+    "order_value_quantiles",  # last green r11, 3 green rows
+    "q15_top_supplier",  # last green r11, 3 green rows
+    "q9_profit_by_nation_year",  # last green r11, 1 green rows
+    "q12_late_shipment_priority",  # last green r11, 1 green rows
+    "q16_supplier_part_counts",  # last green r11, 1 green rows
+    "q21_waiting_suppliers",  # last green r11, 1 green rows
+    "media_container_features",  # last green r11, 3 green rows
+    "image_dhash_signatures",  # last green r11, 3 green rows
+    "image_dhash_near_dup_pairs",  # last green r11, 3 green rows
+    "image_dhash_clusters",  # last green r11, 3 green rows
+    "pii_scrub_stats",  # last green r11, 3 green rows
+    "line_dedup_docs",  # last green r11, 3 green rows
+    "audio_signal_features",  # last green r11, 3 green rows
+    "unigram_logprob_scores",  # last green r11, 3 green rows
+    "cms_heavy_hitters",  # last green r11, 3 green rows
+    "fingerprint_overlap_pairs",  # last green r11, 3 green rows
+    "dedup_keep_longest_minhash",  # last green r11, 3 green rows
+    "media_tiff_pixel_stats",  # last green r11, 3 green rows
+    "image_resize_stats",  # last green r11, 3 green rows
+    "tfidf_cosine_pairs",  # last green r11, 1 green rows
+    "edit_distance_near_dup_pairs",  # last green r11, 1 green rows
+    "mixture_temperature_plan",  # last green r11, 1 green rows
+    "containment_near_dup_pairs",  # last green r11, 1 green rows
+    "events_pagerank",  # last green r11, 1 green rows
+    "item_cooccurrence",  # last green r11, 1 green rows
+    "phrase_search_indexed_docs",  # last green r11, 1 green rows
+    "phrase_search_streaming",  # last green r11, 1 green rows
+    "epoch_shuffle",  # last green r11, 1 green rows
+    "bpe_pair_top_counts",  # last green r11, 1 green rows
+    "dedup_against_corpus",  # last green r11, 1 green rows
+    "source_capped_docs",  # last green r11, 1 green rows
+    "mixture_repeat_counts",  # last green r11, 1 green rows
+    "boolean_search_docs",  # last green r11, 1 green rows
     "q1_pricing_summary",  # last green r10, 6 green rows
     "q3_shipping_priority",  # last green r10, 6 green rows
     "q5_region_revenue",  # last green r10, 6 green rows
@@ -135,24 +187,6 @@ _REDUNDANT_TAIL = [
     "ann_ivf_pq_topk",  # last green r10, 1 green rows
     "ann_ivf_pq_index_search",  # last green r10, 1 green rows
     "curriculum_stages",  # last green r10, 1 green rows
-    "video_frame_sample_stats",  # last green r8, 2 green rows
-    "near_dup_index_stats",  # last green r8, 2 green rows
-    "ann_ivf_index_stats",  # last green r8, 2 green rows
-    "pipeline_clean_v2",  # last green r8, 2 green rows
-    "ngram_novelty_scores",  # last green r8, 2 green rows
-    "pii_scrub_streaming",  # last green r8, 2 green rows
-    "mp3_stream_features",  # last green r8, 1 green rows
-    "mp4_container_features",  # last green r8, 1 green rows
-    "ann_sq8_topk",  # last green r8, 1 green rows
-    "lang_id_predictions",  # last green r8, 1 green rows
-    "chunk_documents",  # last green r8, 1 green rows
-    "media_features_streaming",  # last green r8, 1 green rows
-    "prepare_training_corpus",  # last green r8, 1 green rows
-    "domain_blocklist_stats",  # last green r8, 1 green rows
-    "blocked_docs_filter",  # last green r8, 1 green rows
-    "dataset_splits",  # last green r8, 1 green rows
-    "split_leakage_stats",  # last green r8, 1 green rows
-    "top_orders_per_customer",  # last green r9, 5 green rows
     "events_hourly",  # last green r9, 5 green rows
     "customers_without_orders",  # last green r9, 5 green rows
     "part_brand_stats",  # last green r9, 5 green rows
@@ -199,47 +233,13 @@ _REDUNDANT_TAIL = [
     "source_quality_report",  # last green r9, 1 green rows
     "embedding_stats",  # last green r9, 1 green rows
     "ann_recall_report",  # last green r9, 1 green rows
-    # ROUND-12 ROTATION DUTY: any NEW round-11 queries appended below
+    # ROUND-13 ROTATION DUTY: any NEW round-12 queries appended below
     # this line have never been driver-checked — promote them (plus any
     # stragglers from check_artifact_coverage.py --emit-promotions)
     # into head positions 1-50 next round, demoting an equal number of
-    # r11-green unchanged-code queries, preferring STALENESS (the
-    # r9-green block above is next in line) for the remaining slots.
-    # Count check at round-11 close: 32 round-11 tail additions below
-    # (20 session-1 + 12 session-2) → r12's head = those 32 + the 18
-    # stalest re-checks, exactly filling the ~50-row driver window.
-    "q11_important_parts",
-    "q20_excess_shippers",
-    "cross_source_near_dup_matrix",
-    "bpe_train_merge_table",
-    "events_user_item_components",
-    "boolean_search_streaming",
-    "leakfree_dataset_splits",
-    "token_budget_docs",
-    "hll_vocab_report",
-    "cdc_chunk_dedup_stats",
-    "events_user_rolling_counts",
-    "source_kl_divergence",
-    "chunk_novelty_docs",
-    "cdc_index_stats",
-    "chunk_novelty_streaming",
-    "bpe_encoded_token_counts",
-    "source_kl_streaming",
-    "dedup_cluster_size_histogram",
-    "asof_click_next_purchase",
-    "lineitem_grouping_sets",
-    "key_skew_report",
-    "bloom_dedup_docs",
-    "item_triangle_counts",
-    "bloom_dedup_streaming",
-    "ann_ivf_radius_search",
-    "more_like_this_docs",
-    "bloom_index_stats",
-    "events_hourly_spikes",
-    "events_spikes_streaming",
-    "event_path_trigrams",
-    "sq8_reconstruction_report",
-    "minhash_estimate_calibration",
+    # r12-green unchanged-code queries, preferring STALENESS (the
+    # r9-green block above, then the r10-green block) for the
+    # remaining slots.
 ]
 
 

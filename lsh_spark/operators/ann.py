@@ -73,12 +73,19 @@ def sq8_bounds(corpus: DataFrame, *, vec_col: str, dim: int) -> DataFrame:
     """Single-row (__mn, __mx) per-dimension bounds frame — one
     map-side-combined aggregate (dim min/max expressions, no explode),
     broadcastable by construction.  min/max are order-independent, so
-    the bounds are bit-identical across engines and runs."""
-    return corpus.select(
-        F.col(vec_col).cast("array<double>").alias("__v")
-    ).agg(
-        F.array(*[F.min(F.col("__v")[i]) for i in range(dim)]).alias("__mn"),
-        F.array(*[F.max(F.col("__v")[i]) for i in range(dim)]).alias("__mx"),
+    the bounds are bit-identical across engines and runs.
+
+    Element access is ``F.get`` (NULL out-of-bounds): under Spark 4
+    ANSI mode ``__v[i]`` RAISES INVALID_ARRAY_INDEX on a short vector
+    (probe-confirmed), while DuckDB's ``cv[i]`` yields NULL — F.get
+    restores the cross-engine NULL contract and min/max skip NULLs
+    identically on both sides."""
+    v = F.col(vec_col).cast("array<double>").alias("__v")
+    return corpus.select(v).agg(
+        F.array(*[F.min(F.get("__v", i)) for i in range(dim)])
+        .alias("__mn"),
+        F.array(*[F.max(F.get("__v", i)) for i in range(dim)])
+        .alias("__mx"),
     )
 
 
@@ -1799,23 +1806,31 @@ def sq8_reconstruction_report(
     withb = c.crossJoin(F.broadcast(bounds))
 
     def err(i):
-        x = F.col("__v")[i]
+        # F.get, not __v[i]: ANSI raises on a short vector's missing
+        # dims; NULL matches the oracle's cv[i] and the non-null count
+        x = F.get("__v", i)
         return F.round(
             F.abs(x - _sq8_dequant(_sq8_quant(x, F.lit(i)), F.lit(i))), 6)
 
     errs = withb.select(
         F.posexplode(F.array(*[err(i) for i in range(dim)]))
         .alias("dim_idx", "__e"))
+    # n_vectors counts NON-NULL error terms (count("__e")) so ragged /
+    # NULL vectors — whose out-of-bounds elements yield NULL errors on
+    # both engines — deflate neither the count nor the mean; the ANSI
+    # divide guard covers the all-NULL group (DuckDB's NULL via CASE)
     return (
         errs.groupBy("dim_idx")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        .agg(F.count(F.col("__e")).cast("long").alias("n_vectors"),
              F.sum(F.col("__e").cast("decimal(28,6)")).alias("__s"),
              F.max("__e").alias("max_abs_err"))
         .select(
             F.col("dim_idx").cast("int").alias("dim_idx"),
             "n_vectors",
-            F.round(F.col("__s").cast("double")
-                    / F.col("n_vectors").cast("double"), 6)
+            F.when(
+                F.col("n_vectors") > 0,
+                F.round(F.col("__s").cast("double")
+                        / F.col("n_vectors").cast("double"), 6))
             .alias("mean_abs_err"),
             "max_abs_err")
     )

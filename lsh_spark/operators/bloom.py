@@ -253,6 +253,19 @@ def build_bloom_index(
     save_table(meta, f"{table_name}_meta", single_file=True)
 
 
+def _meta_text_col(meta_row, text_col: str | None) -> str:
+    """The index-defining-params contract for the hashed column: a
+    caller-supplied ``text_col`` that DIFFERS from the meta-pinned one
+    would mix two hash spaces in one filter, so it is an error, not an
+    override."""
+    if text_col is not None and text_col != meta_row.text_col:
+        raise ValueError(
+            f"text_col={text_col!r} differs from the index's meta-pinned "
+            f"column {meta_row.text_col!r}; Bloom probes/extends must "
+            "hash the column the filter was built on (rebuild to change)")
+    return meta_row.text_col
+
+
 def extend_bloom_index(
     new_docs: DataFrame,
     table_name: str,
@@ -263,12 +276,16 @@ def extend_bloom_index(
     batch's words and re-aggregate ``bit_or`` (associative — identical
     bits to a from-scratch build over the union); append one stats
     delta row.  The words rewrite is bounded by m_bits/32 rows
-    regardless of batch or corpus size."""
+    regardless of batch or corpus size.
+
+    ``text_col`` may only RESTATE the meta-pinned column (hashing a
+    different column would mix hash spaces inside one filter — the
+    probes-use-meta-params contract); a differing value raises."""
     from ..sources.formats import index_meta, save_table
 
     spark = new_docs.sparkSession
     m = index_meta(spark, f"{table_name}_meta")
-    tc = text_col or m.text_col
+    tc = _meta_text_col(m, text_col)
     delta = bloom_build_words(new_docs, tc, m_bits=int(m.m_bits))
     # pin the merged frame before the overwrite reads its own input
     merged = (
@@ -293,12 +310,13 @@ def probe_bloom_index(
 ) -> DataFrame:
     """Probe the PERSISTED filter: ``(id_col, bloom_hit)``.  Hashing
     parameters come from the meta row (the index-defining-params
-    contract); the words table broadcasts, so the probe ships only the
-    batch's own k rows per document."""
+    contract — ``text_col`` may only restate the pinned column, a
+    differing value raises); the words table broadcasts, so the probe
+    ships only the batch's own k rows per document."""
     from ..sources.formats import index_meta
 
     m = index_meta(spark, f"{table_name}_meta")
-    tc = text_col or m.text_col
+    tc = _meta_text_col(m, text_col)
     return bloom_probe(new_docs, spark.table(f"{table_name}_words"),
                        tc, id_col=id_col, m_bits=int(m.m_bits))
 

@@ -5463,7 +5463,11 @@ def ensure_bloom_index(spark: SparkSession, sf_dir: str) -> str:
     name = f"bloomidx_{tag}"
     want = dict(m_bits=int(_BLOOM_M_BITS), text_col="text")
     have = None
-    if spark.catalog.tableExists(f"{name}_meta"):
+    # a meta row alone does not prove a usable index: a partial one
+    # (meta present, _words/_stats missing) must rebuild, not fail
+    # downstream (round-11 advice)
+    if all(spark.catalog.tableExists(f"{name}_{sfx}")
+           for sfx in ("meta", "words", "stats")):
         from ..sources.formats import index_meta
 
         m = index_meta(spark, f"{name}_meta")
@@ -5544,9 +5548,11 @@ errs AS (
   FROM c, bounds b, range(1, {{dim}} + 1) t(i)
 )
 SELECT (i - 1)::INT AS dim_idx,
-       count(*)::BIGINT AS n_vectors,
-       round(CAST(sum(e::DECIMAL(28,6)) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 6) AS mean_abs_err,
+       count(e)::BIGINT AS n_vectors,
+       CASE WHEN count(e) > 0
+            THEN round(CAST(sum(e::DECIMAL(28,6)) AS DOUBLE)
+                       / CAST(count(e) AS DOUBLE), 6)
+            ELSE NULL END AS mean_abs_err,
        max(e) AS max_abs_err
 FROM errs GROUP BY i
 """.replace("{dim}", str(_SQ8_DIM))
@@ -5569,10 +5575,13 @@ def minhash_estimate_calibration(spark: SparkSession,
 
     pairs = minhash_near_dup_pairs(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
+    # max_docs=None: the gate corpus is the explicit full-corpus call —
+    # its oracle replays every document, so the sampling default must
+    # not bind here (and at sf gate sizes it would not anyway)
     est = minhash_estimate_for_pairs(
         pairs, docs, "text", id_col="doc_id", ngram_width=3,
         band_count=_PAIRS_PLAN.band_count,
-        band_size=_PAIRS_PLAN.band_size, seed=123)
+        band_size=_PAIRS_PLAN.band_size, seed=123, max_docs=None)
     b = F.floor(F.col("jaccard") * F.lit(20.0)).cast("int")
     return (
         est.select(

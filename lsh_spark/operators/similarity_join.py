@@ -1329,10 +1329,14 @@ def minhash_estimate_for_pairs(
     text_col: str = "text",
     *,
     id_col: str = "doc_id",
+    id_a_col: str = "id_a",
+    id_b_col: str = "id_b",
     ngram_width: int = 3,
     band_count: int = 4,
     band_size: int = 3,
     seed: int = 123,
+    max_docs: int | None = 1_000_000,
+    sample_salt: str = "calib-v1",
 ) -> DataFrame:
     """Append the CLASSIC per-seed MinHash estimate to a verified-pair
     frame: ``est_sim = (#matching per-seed minima) / n_seeds`` — the
@@ -1352,16 +1356,34 @@ def minhash_estimate_for_pairs(
     100 TB note — this is a SAMPLED diagnostic by design: the matrix
     broadcast carries n_docs · n_seeds · 8 bytes, fine to ~10⁷ docs
     and deliberately NOT built for the full production corpus.
-    Estimator calibration is a statistical measurement — run it over
-    a deterministic document sample (the md5-bucket machinery of
-    ``stratified_sample``) and the confidence interval shrinks with
-    sampled pairs, not corpus size.  Feeding ``docs`` a sample keeps
-    every downstream piece unchanged (absent ids drop their pairs)."""
+    Estimator calibration is a statistical measurement — the
+    confidence interval shrinks with sampled pairs, not corpus size —
+    so ``max_docs`` ENFORCES the contract by default: when ``docs``
+    exceeds it, a deterministic md5-bucket sample (the
+    ``split_bucket_expr`` machinery — reproducible across runs,
+    engines, and partitionings) caps the matrix before anything is
+    collected.  Absent ids drop their pairs, so every surviving
+    estimate is bit-identical to the full-corpus run (pytest-pinned).
+    ``max_docs=None`` is the explicit full-corpus opt-in the exact
+    gate oracle uses."""
+    import math
+
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     from ..functions.lsh import lsh_min_minima_long
     from ..plans.cache import track_broadcast
+
+    if max_docs is not None:
+        n_docs = docs.select(id_col).count()
+        if n_docs > max_docs:
+            from .training_ops import split_bucket_expr
+
+            buckets = 1 << 20
+            keep = int(math.ceil(max_docs / n_docs * buckets))
+            docs = docs.where(
+                split_bucket_expr(F.col(id_col), salt=sample_salt,
+                                  buckets=buckets) < keep)
 
     sigs = docs.select(
         F.col(id_col).alias("__id"),
@@ -1377,11 +1399,16 @@ def minhash_estimate_for_pairs(
     bc = track_broadcast(
         docs.sparkSession.sparkContext.broadcast((ids[order], mat)))
 
+    cols = [f.name for f in pairs.schema.fields]
+    missing = [c for c in (id_a_col, id_b_col) if c not in cols]
+    if missing:
+        raise ValueError(
+            f"pairs frame is missing id column(s) {missing}; have {cols} "
+            f"— pass id_a_col/id_b_col naming the pair's id columns")
     src = _fanout_pairs(pairs)
     schema = StructType(list(pairs.schema.fields)
                         + [StructField("est_sim", DoubleType(), True)])
-    cols = [f.name for f in pairs.schema.fields]
-    ida, idb = cols[0], cols[1]
+    ida, idb = id_a_col, id_b_col
 
     def gen(batches):
         sids, M = bc.value

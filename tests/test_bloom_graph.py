@@ -309,3 +309,109 @@ def test_minhash_estimate_identical_docs_is_one(spark):
     assert got[(0, 1)][0] == 1.0
     assert got[(0, 1)][1] == 1.0
     assert all(0.0 <= e <= 1.0 for e, _ in got.values())
+
+
+def test_minhash_estimate_sampling_bit_equal(spark):
+    """The enforced max_docs sampling contract (round-11 verdict item
+    2): when the corpus exceeds max_docs, a deterministic md5-bucket
+    sample caps the broadcast matrix BEFORE collection; absent ids drop
+    their pairs and every surviving pair's estimate is bit-identical to
+    the full-corpus run."""
+    from lsh_spark.operators.similarity_join import (
+        lsh_self_dedup_pairs,
+        minhash_estimate_for_pairs,
+    )
+    from lsh_spark.operators.training_ops import split_bucket_expr
+
+    # near-dup families so the miner emits plenty of pairs
+    rows = [(i, f"shared very repetitive body text {i % 6} tail tail")
+            for i in range(48)]
+    docs = spark.createDataFrame(rows, _DOC_SCHEMA)
+    pairs = lsh_self_dedup_pairs(
+        docs, "text", id_col="doc_id", ngram_width=3, band_count=4,
+        band_size=3, seed=123, threshold=0.5)
+    full = {(r.id_a, r.id_b): r.est_sim
+            for r in minhash_estimate_for_pairs(
+                pairs, docs, "text", id_col="doc_id", ngram_width=3,
+                band_count=4, band_size=3, seed=123,
+                max_docs=None).collect()}
+    max_docs = 24
+    sampled = {(r.id_a, r.id_b): r.est_sim
+               for r in minhash_estimate_for_pairs(
+                   pairs, docs, "text", id_col="doc_id", ngram_width=3,
+                   band_count=4, band_size=3, seed=123,
+                   max_docs=max_docs).collect()}
+    # replicate the operator's keep set exactly (same salt/buckets)
+    import math
+
+    buckets = 1 << 20
+    keep_lim = int(math.ceil(max_docs / len(rows) * buckets))
+    kept = {r.doc_id for r in docs.where(
+        split_bucket_expr(F.col("doc_id"), salt="calib-v1",
+                          buckets=buckets) < keep_lim).collect()}
+    assert 0 < len(kept) < len(rows)  # the sample actually binds
+    want_pairs = {p for p in full
+                  if p[0] in kept and p[1] in kept}
+    assert set(sampled) == want_pairs
+    assert len(sampled) < len(full)  # some pairs actually dropped
+    for p, est in sampled.items():
+        assert est == full[p]  # bit-equal, not approximately
+
+
+def test_minhash_estimate_requires_named_id_cols(spark):
+    """A pairs frame without the declared id columns raises instead of
+    silently miswiring the kernel's searchsorted lookups (round-11
+    advice: positional cols[0]/cols[1] was the hazard)."""
+    import pytest as _pytest
+
+    from lsh_spark.operators.similarity_join import (
+        minhash_estimate_for_pairs,
+    )
+
+    docs = spark.createDataFrame([(0, "alpha"), (1, "beta")], _DOC_SCHEMA)
+    bad_pairs = spark.createDataFrame(
+        [(0.9, 0, 1)], "jaccard double, left_id long, right_id long")
+    with _pytest.raises(ValueError, match="id_a"):
+        minhash_estimate_for_pairs(bad_pairs, docs, "text",
+                                   id_col="doc_id")
+    # explicit names wire the same frame correctly
+    out = minhash_estimate_for_pairs(
+        bad_pairs, docs, "text", id_col="doc_id",
+        id_a_col="left_id", id_b_col="right_id").collect()
+    assert len(out) == 1 and 0.0 <= out[0].est_sim <= 1.0
+
+
+def test_bloom_text_col_mismatch_raises(spark):
+    """probe/extend may only RESTATE the meta-pinned hashed column; a
+    differing text_col would mix hash spaces in one filter and raises
+    (round-11 advice)."""
+    import pytest as _pytest
+
+    from lsh_spark.operators.bloom import (build_bloom_index,
+                                           extend_bloom_index,
+                                           probe_bloom_index)
+
+    docs = spark.createDataFrame(
+        [(i, f"pinned col doc {i}") for i in range(10)], _DOC_SCHEMA)
+    build_bloom_index(docs, "bloom_tc", m_bits=1 << 10)
+    with _pytest.raises(ValueError, match="meta-pinned"):
+        probe_bloom_index(spark, "bloom_tc", docs, text_col="other")
+    with _pytest.raises(ValueError, match="meta-pinned"):
+        extend_bloom_index(docs, "bloom_tc", text_col="other")
+    # restating the pinned column is fine
+    hits = probe_bloom_index(spark, "bloom_tc", docs.limit(3),
+                             text_col="text").collect()
+    assert all(r.bloom_hit for r in hits)
+
+
+def test_ensure_bloom_index_rebuilds_partial_index(spark):
+    """A meta row without its _words/_stats siblings is a PARTIAL index
+    and must rebuild, not fail downstream (round-11 advice)."""
+    from lsh_spark.operators.pipeline_queries import ensure_bloom_index
+
+    sf_dir = "/root/testdata/sf0.001"
+    name = ensure_bloom_index(spark, sf_dir)
+    spark.sql(f"DROP TABLE {name}_words")
+    assert ensure_bloom_index(spark, sf_dir) == name
+    assert spark.catalog.tableExists(f"{name}_words")
+    assert spark.table(f"{name}_words").count() > 0

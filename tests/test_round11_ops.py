@@ -447,3 +447,31 @@ def test_asof_join_forward_ties_and_no_match(spark):
         suffix="_next").withColumnRenamed("v_next", "v_next").collect()}
     assert got == {(1, 10): "a", (1, 20): "b", (1, 40): None,
                    (2, 5): None}
+
+
+def test_sq8_report_counts_non_null_errors(spark):
+    """n_vectors counts NON-NULL error terms (round-11 advice): a short
+    vector's out-of-bounds dimensions yield NULL errors and must deflate
+    neither the count nor the mean; a full-dim corpus is unaffected
+    (the gate-hash-preserving case)."""
+    from lsh_spark.operators.ann import sq8_reconstruction_report
+
+    full = spark.createDataFrame(
+        [(0, [0.0, 10.0]), (1, [5.0, 20.0]), (2, [10.0, 30.0])],
+        "id long, embedding array<double>")
+    ragged = spark.createDataFrame(
+        [(0, [0.0, 10.0]), (1, [5.0, 20.0]), (2, [10.0, 30.0]),
+         (3, [7.5]), (4, None)],
+        "id long, embedding array<double>")
+    base = {r.dim_idx: r for r in
+            sq8_reconstruction_report(full, dim=2).collect()}
+    got = {r.dim_idx: r for r in
+           sq8_reconstruction_report(ragged, dim=2).collect()}
+    # dim 1 sees only the three full vectors' elements... plus none from
+    # the short/NULL rows: count must say so
+    assert base[1].n_vectors == 3
+    assert got[1].n_vectors == 3
+    assert got[0].n_vectors == 4  # the short vector has a dim-0 element
+    # the mean over dim 1 ignores the NULL error rows entirely: with the
+    # same bounds the three shared elements reconstruct identically
+    assert got[1].mean_abs_err is not None

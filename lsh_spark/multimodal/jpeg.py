@@ -4,11 +4,14 @@ media libraries, which upgrades the most common compressed image format
 from the deterministic digest stub to a genuinely decoded one in this
 environment (the same step ``multimodal.png`` took for PNG).
 
-Supported (the baseline-sequential core that covers the vast majority of
-JPEGs in the wild): SOF0/SOF1 sequential DCT, 8-bit samples, grayscale
-and 3-component YCbCr with any h/v sampling factors ≤ 2 (4:4:4, 4:2:2,
-4:2:0, ...), restart intervals, multiple DQT/DHT segments, 16-bit quant
-tables.  Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
+Supported (the sequential + progressive Huffman core that covers the
+vast majority of JPEGs in the wild): SOF0/SOF1 sequential DCT and SOF2
+progressive DCT (spectral selection AND successive approximation — DC
+first/refine, AC first/refine with EOB-run coding), 8-bit samples,
+grayscale and 3-component YCbCr with any h/v sampling factors ≤ 2
+(4:4:4, 4:2:2, 4:2:0, ...), restart intervals in every scan shape,
+non-interleaved progressive scans, multiple DQT/DHT segments, 16-bit
+quant tables.  Arithmetic coding, 12-bit, lossless, and hierarchical
 forms raise ``ValueError`` — callers treat that as a foreign blob and
 fall back to the digest stub, the same contract as ``decode_png``.
 
@@ -140,6 +143,8 @@ def _decode_body(content: bytes) -> dict:
     huff_ac: dict[int, _Huff] = {}
     restart = 0
     frame = None
+    store: dict[int, np.ndarray] | None = None   # progressive coef grids
+    scanned = False
     while True:
         if content[pos] != 0xFF:
             raise ValueError("JPEG: expected marker")
@@ -147,7 +152,10 @@ def _decode_body(content: bytes) -> dict:
             pos += 1
         marker = content[pos + 1]
         pos += 2
-        if marker == 0xD9:                       # EOI before SOS
+        if marker == 0xD9:                       # EOI
+            if scanned and frame is not None and store is not None:
+                # progressive: all scans accumulated — reconstruct
+                return _assemble(frame, qt, store)
             raise ValueError("JPEG: no scan data")
         (seglen,) = struct.unpack(">H", content[pos:pos + 2])
         seg = content[pos + 2:pos + seglen]
@@ -171,7 +179,7 @@ def _decode_body(content: bytes) -> dict:
                 if tbl.size != 64 or not tbl.all():
                     raise ValueError("JPEG: bad quant table")
                 qt[tq] = tbl
-        elif marker in (0xC0, 0xC1):             # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/1 seq, SOF2 prog
             precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise ValueError("JPEG: unsupported precision")
@@ -184,12 +192,13 @@ def _decode_body(content: bytes) -> dict:
                 if not (1 <= ch <= 2 and 1 <= cv <= 2):
                     raise ValueError("JPEG: unsupported sampling factor")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "prog": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"JPEG: unsupported SOF marker 0xFF{marker:02X} "
-                "(progressive/arithmetic/hierarchical)")
+                "(lossless/arithmetic/hierarchical)")
         elif marker == 0xC4:                     # DHT
             o = 0
             while o < len(seg):
@@ -205,14 +214,6 @@ def _decode_body(content: bytes) -> dict:
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                # a sequential-baseline file MAY split components across
-                # several scans; decoding only the first would silently
-                # return a grayscale image for a color file — refuse so
-                # callers fall back (same contract as progressive)
-                raise ValueError(
-                    "JPEG: unsupported non-interleaved scan layout "
-                    f"({ns} of {len(frame['comps'])} components in SOS)")
             by_id = {c["id"]: c for c in frame["comps"]}
             scan = []
             for i in range(ns):
@@ -222,85 +223,117 @@ def _decode_body(content: bytes) -> dict:
                     raise ValueError(
                         f"JPEG: SOS names undeclared component {cs}")
                 scan.append((comp, tds >> 4, tds & 0x0F))
-            return _decode_scan(content, data_start, frame, scan, qt,
-                                huff_dc, huff_ac, restart)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not frame["prog"]:
+                if ns != len(frame["comps"]):
+                    # a sequential-baseline file MAY split components
+                    # across several scans; decoding only the first would
+                    # silently return a grayscale image for a color file
+                    # — refuse so callers fall back
+                    raise ValueError(
+                        "JPEG: unsupported non-interleaved scan layout "
+                        f"({ns} of {len(frame['comps'])} components)")
+                return _decode_scan(content, data_start, frame, scan, qt,
+                                    huff_dc, huff_ac, restart)
+            if store is None:
+                store = _alloc_store(frame)
+            pos = _decode_prog_scan(content, data_start, frame, scan,
+                                    store, huff_dc, huff_ac, restart,
+                                    ss, se, ah, al)
+            scanned = True
         # APPn / COM / others: skipped via their length
 
 
-def _decode_scan(content, pos, frame, scan, qt, huff_dc, huff_ac,
-                 restart) -> dict:
+def _mcu_geometry(frame) -> tuple[int, int, int, int]:
     w, h = frame["w"], frame["h"]
     if not w or not h:
         raise ValueError("JPEG: empty frame")
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
+def _alloc_store(frame) -> dict[int, np.ndarray]:
+    """Per-component zigzag-coefficient grids, MCU-padded: (block_rows,
+    block_cols, 64) int64 — scans (sequential or progressive, any scan
+    script) accumulate here, assembly reads it once at the end."""
+    _hmax, _vmax, mcux, mcuy = _mcu_geometry(frame)
+    return {c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                              dtype=np.int64)
+            for c in frame["comps"]}
+
+
+def _decode_scan(content, pos, frame, scan, qt, huff_dc, huff_ac,
+                 restart) -> dict:
+    """Sequential-baseline entropy scan (single interleaved scan covers
+    every component 0..63) → decoded image dict."""
+    _hmax, _vmax, mcux, mcuy = _mcu_geometry(frame)
+    store = _alloc_store(frame)
     reader = _BitReader(content, pos)
     pred = {c["id"]: 0 for c, _t, _a in scan}
-    # zigzag coefficient vectors per component, appended MCU-major —
-    # everything past the Huffman walk runs batched
-    coeffs: dict[int, list] = {c["id"]: [] for c, _t, _a in scan}
     n_mcu = 0
     rst = 0
-    for _my in range(mcuy):
-        for _mx in range(mcux):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart and n_mcu and n_mcu % restart == 0:
                 reader.sync_restart(rst)
                 rst = (rst + 1) & 7
                 for k in pred:
                     pred[k] = 0
             for comp, tdc, tac in scan:
-                for _b in range(comp["h"] * comp["v"]):
-                    zz = np.zeros(64, dtype=np.int64)
-                    t = reader.decode(huff_dc[tdc])
-                    diff = _extend(reader.read_bits(t), t) if t else 0
-                    pred[comp["id"]] += diff
-                    zz[0] = pred[comp["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode(huff_ac[tac])
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break                # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG: AC index overflow")
-                        zz[k] = _extend(reader.read_bits(s), s)
-                        k += 1
-                    coeffs[comp["id"]].append(zz)
-            n_mcu += 1
-
-    planes = {}
-    for comp, _tdc, _tac in scan:
-        q = qt[comp["tq"]]
-        zz = np.stack(coeffs[comp["id"]])                 # (nblocks, 64)
-        blocks = (zz * q[None, :])[:, _UNZIGZAG].reshape(-1, 8, 8)
-        spatial = np.einsum("kn,bkl,lm->bnm", _D, blocks.astype(np.float64),
-                            _D)
-        px = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
-        # assemble the component plane at its own resolution
-        bw = mcux * comp["h"]
-        bh = mcuy * comp["v"]
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
-        i = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
+                grid = store[comp["id"]]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        plane[y0:y0 + 8, x0:x0 + 8] = px[i]
-                        i += 1
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = reader.decode(huff_dc[tdc])
+                        diff = _extend(reader.read_bits(t), t) if t else 0
+                        pred[comp["id"]] += diff
+                        zz[0] = pred[comp["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode(huff_ac[tac])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break            # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        grid[my * comp["v"] + by, mx * comp["h"] + bx] = zz
+            n_mcu += 1
+    return _assemble(frame, qt, store)
+
+
+def _assemble(frame, qt, store) -> dict:
+    """Dequantize + IDCT + plane assembly from the coefficient grids —
+    shared by the sequential one-scan path and the progressive
+    accumulate-then-reconstruct path."""
+    w, h = frame["w"], frame["h"]
+    hmax, vmax, _mcux, _mcuy = _mcu_geometry(frame)
+    planes = {}
+    for comp in frame["comps"]:
+        q = qt[comp["tq"]]
+        grid = store[comp["id"]]                      # (bh, bw, 64)
+        bh, bw = grid.shape[0], grid.shape[1]
+        zz = grid.reshape(-1, 64)
+        blocks = (zz * q[None, :])[:, _UNZIGZAG].reshape(-1, 8, 8)
+        spatial = np.einsum("kn,bkl,lm->bnm", _D,
+                            blocks.astype(np.float64), _D)
+        px = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+        plane = (px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh * 8, bw * 8))
         # upsample to full resolution and crop
         plane = np.repeat(np.repeat(plane, hmax // comp["h"], axis=1),
                           vmax // comp["v"], axis=0)
         planes[comp["id"]] = plane[:h, :w]
 
-    comps = [c for c, _t, _a in scan]
+    comps = frame["comps"]
     if len(comps) == 1:
         pixels = planes[comps[0]["id"]][:, :, None]
     else:
@@ -312,6 +345,170 @@ def _decode_scan(content, pos, frame, scan, qt, huff_dc, huff_ac,
                         y + 1.772 * cb], axis=-1)
         pixels = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return {"width": w, "height": h, "n_frames": 1, "_pixels": pixels}
+
+
+def _next_marker(data: bytes, reader: _BitReader) -> int:
+    """Position of the next non-RST marker after a completed entropy
+    scan (skips the reader's partial byte, stuffing and stray fill)."""
+    pos = reader.pos
+    if reader.bit:
+        pos += 2 if data[pos] == 0xFF else 1
+    while True:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 \
+                and not (0xD0 <= data[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+
+
+def _comp_block_dims(frame, comp) -> tuple[int, int]:
+    """Block-grid dimensions of ONE component in a non-interleaved scan
+    (T.81 A.2.2: ceil over the component's own sample dimensions, NOT
+    the MCU-padded grid)."""
+    hmax, vmax, _mcux, _mcuy = _mcu_geometry(frame)
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    ch = -(-frame["h"] * comp["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_prog_scan(content, pos, frame, scan, store, huff_dc, huff_ac,
+                      restart, ss, se, ah, al) -> int:
+    """One progressive scan (T.81 G.2): DC first/refine (interleaved or
+    single-component) or AC first/refine (single-component, EOB-run
+    coded), accumulating into the coefficient grids.  Returns the
+    position of the marker following the entropy data."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG: progressive DC scan with Se != 0")
+    else:
+        if len(scan) != 1:
+            raise ValueError("JPEG: interleaved progressive AC scan")
+        if not (ss <= se <= 63):
+            raise ValueError("JPEG: bad spectral band")
+    reader = _BitReader(content, pos)
+    _hmax, _vmax, mcux, mcuy = _mcu_geometry(frame)
+
+    if ss == 0:                                   # DC scan
+        pred = {c["id"]: 0 for c, _t, _a in scan}
+        if len(scan) > 1:
+            units = []                            # interleaved MCU walk
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    mcu = []
+                    for comp, tdc, _tac in scan:
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                mcu.append((comp, tdc,
+                                            my * comp["v"] + by,
+                                            mx * comp["h"] + bx))
+                    units.append(mcu)
+        else:
+            comp, tdc, _tac = scan[0]
+            bh, bw = _comp_block_dims(frame, comp)
+            units = [[(comp, tdc, y, x)]
+                     for y in range(bh) for x in range(bw)]
+        rst = 0
+        for n, unit in enumerate(units):
+            if restart and n and n % restart == 0:
+                reader.sync_restart(rst)
+                rst = (rst + 1) & 7
+                for k in pred:
+                    pred[k] = 0
+            for comp, tdc, y, x in unit:
+                grid = store[comp["id"]]
+                if ah == 0:                       # first DC scan
+                    t = reader.decode(huff_dc[tdc])
+                    diff = _extend(reader.read_bits(t), t) if t else 0
+                    pred[comp["id"]] += diff
+                    grid[y, x, 0] = pred[comp["id"]] << al
+                else:                             # DC refinement bit
+                    if reader.read_bit():
+                        grid[y, x, 0] |= 1 << al
+        return _next_marker(content, reader)
+
+    # AC scan — single component, band [ss, se]
+    comp, _tdc, tac = scan[0]
+    grid = store[comp["id"]]
+    bh, bw = _comp_block_dims(frame, comp)
+    table = huff_ac[tac]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    rst = 0
+    n = 0
+    for y in range(bh):
+        for x in range(bw):
+            if restart and n and n % restart == 0:
+                reader.sync_restart(rst)
+                rst = (rst + 1) & 7
+                eobrun = 0
+            n += 1
+            coef = grid[y, x]
+            if ah == 0:                           # AC first scan
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode(table)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:               # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break                     # EOB
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG: AC index overflow")
+                    coef[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+            else:                                 # AC refinement scan
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode(table)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r != 15:           # EOB run
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            # r == 15: ZRL — skip 16 zero-history coefs
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "JPEG: bad refinement size")
+                            newval = p1 if reader.read_bit() else m1
+                        # advance over r zero-history positions, reading
+                        # correction bits for nonzero-history coefs
+                        while k <= se:
+                            c = int(coef[k])
+                            if c != 0:
+                                if reader.read_bit() and (c & p1) == 0:
+                                    coef[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError(
+                                    "JPEG: AC index overflow")
+                            coef[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # end-of-band: refine remaining nonzero coefficients
+                    while k <= se:
+                        c = int(coef[k])
+                        if c != 0 and reader.read_bit() and (c & p1) == 0:
+                            coef[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    return _next_marker(content, reader)
 
 
 # ---------------------------------------------------------------------------
@@ -370,11 +567,16 @@ def _mag(v: int) -> tuple[int, int]:
 
 def encode_jpeg(pixels: np.ndarray, *, subsampling: str = "444",
                 quant: "np.ndarray | None" = None,
-                restart_interval: int = 0) -> bytes:
-    """(h, w[, c]) uint8 → baseline JPEG bytes.  c=1 grayscale, c=3 RGB
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """(h, w[, c]) uint8 → JPEG bytes.  c=1 grayscale, c=3 RGB
     (encoded as YCbCr; ``subsampling`` ∈ {"444", "422", "420"}).
     ``quant``: 64 zigzag-order values shared by both tables (default
-    all-ones — near-lossless, for round-trip bounds)."""
+    all-ones — near-lossless, for round-trip bounds).
+    ``progressive=True`` emits an SOF2 stream with the classic
+    successive-approximation script (DC first Al=1 + DC refine, per-band
+    AC first Al=1 + AC refine with EOB-run coding) — identical
+    coefficients to the baseline stream, so both decode identically."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -425,6 +627,10 @@ def encode_jpeg(pixels: np.ndarray, *, subsampling: str = "444",
         zz = np.round(coef.reshape(th // 8, tw // 8, 64)[:, :, _ZIGZAG]
                       / q[None, None, :]).astype(np.int64)
         comp_blocks.append(zz)
+
+    if progressive:
+        return _encode_progressive(w, h, comps, comp_blocks, q,
+                                   mcux, mcuy, restart_interval)
 
     # serialize MCU-major, collecting symbol histograms first
     def mcu_stream():
@@ -527,5 +733,231 @@ def encode_jpeg(pixels: np.ndarray, *, subsampling: str = "444",
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (T.81 G.1: spectral selection + successive
+# approximation with EOB-run coding — the scan shapes real encoders
+# emit, so the progressive decoder is exercised on genuine streams)
+# ---------------------------------------------------------------------------
+
+
+class _SymCollect:
+    """Pass-1 emitter: records which Huffman symbols a scan uses."""
+
+    def __init__(self):
+        self.syms: set = set()
+
+    def sym(self, s, _enc=None):
+        self.syms.add(s)
+
+    def bits(self, _v, _n):
+        pass
+
+    def rst(self, _n):
+        pass
+
+
+class _SymWrite:
+    """Pass-2 emitter: canonical-coded symbols + raw bits + restarts."""
+
+    def __init__(self, enc):
+        self.bw = _BitWriter()
+        self.enc = enc
+
+    def sym(self, s, _enc=None):
+        code, length = self.enc[s]
+        self.bw.write(code, length)
+
+    def bits(self, v, n):
+        if n:
+            self.bw.write(v, n)
+
+    def rst(self, n):
+        self.bw.flush()
+        self.bw.out += bytes([0xFF, 0xD0 + (n & 7)])
+
+
+def _prog_scan_units(scandef, comps, mcux, mcuy, w, h):
+    """Data-unit walk for one scan: interleaved MCU order for a
+    multi-component DC scan, the component's own block raster
+    otherwise.  Yields lists of (ci, by, bx) per restart-countable
+    unit."""
+    idxs = scandef["comps"]
+    if len(idxs) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for ci in idxs:
+                    cc = comps[ci]
+                    for by in range(cc["v"]):
+                        for bx in range(cc["h"]):
+                            unit.append((ci, my * cc["v"] + by,
+                                         mx * cc["h"] + bx))
+                yield unit
+    else:
+        ci = idxs[0]
+        cc = comps[ci]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        bh = -(-(-(-h * cc["v"] // vmax)) // 8)
+        bw = -(-(-(-w * cc["h"] // hmax)) // 8)
+        for y in range(bh):
+            for x in range(bw):
+                yield [(ci, y, x)]
+
+
+def _run_prog_scan(emit, scandef, comps, comp_blocks, mcux, mcuy,
+                   w, h, restart):
+    """Drive one progressive scan through an emitter (two-pass: symbol
+    collection, then writing)."""
+    ss, se = scandef["ss"], scandef["se"]
+    ah, al = scandef["ah"], scandef["al"]
+    pred = {ci: 0 for ci in scandef["comps"]}
+    eobrun = 0
+    pending: list = []                            # buffered correction bits
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        while eobrun > 0:
+            r = min(14, eobrun.bit_length() - 1)
+            n = min(eobrun, (1 << (r + 1)) - 1)
+            emit.sym(r << 4)
+            emit.bits(n - (1 << r), r)
+            eobrun -= n
+        for b in pending:
+            emit.bits(b, 1)
+        pending = []
+
+    rstn = 0
+    for n, unit in enumerate(_prog_scan_units(scandef, comps, mcux,
+                                              mcuy, w, h)):
+        if restart and n and n % restart == 0:
+            flush_eob()
+            emit.rst(rstn)
+            rstn = (rstn + 1) & 7
+            for k in pred:
+                pred[k] = 0
+            eobrun = 0
+        for ci, y, x in unit:
+            coef = comp_blocks[ci][y, x]
+            if ss == 0 and ah == 0:               # DC first
+                v = int(coef[0]) >> al
+                diff = v - pred[ci]
+                pred[ci] = v
+                size, mag = _mag(diff)
+                emit.sym(size)
+                emit.bits(mag, size)
+            elif ss == 0:                         # DC refine
+                emit.bits((int(coef[0]) >> al) & 1, 1)
+            elif ah == 0:                         # AC first
+                r = 0
+                wrote = False
+                for k in range(ss, se + 1):
+                    c = int(coef[k])
+                    va = (abs(c) >> al) * (1 if c >= 0 else -1)
+                    if va == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        emit.sym(0xF0)
+                        r -= 16
+                    size, mag = _mag(va)
+                    emit.sym((r << 4) | size)
+                    emit.bits(mag, size)
+                    r = 0
+                    wrote = True
+                if r > 0 or not wrote:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush_eob()
+            else:                                 # AC refine
+                vas = [abs(int(coef[k])) >> al for k in range(ss, se + 1)]
+                eob_k = 0
+                for i, t in enumerate(vas):
+                    if t == 1:
+                        eob_k = ss + i
+                r = 0
+                br: list = []
+                for k in range(ss, se + 1):
+                    t = vas[k - ss]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob_k:
+                        flush_eob()
+                        emit.sym(0xF0)
+                        r -= 16
+                        for b in br:
+                            emit.bits(b, 1)
+                        br = []
+                    if t > 1:                     # history coefficient
+                        br.append(t & 1)
+                        continue
+                    flush_eob()                   # newly nonzero (|v|=1)
+                    emit.sym((r << 4) | 1)
+                    emit.bits(1 if int(coef[k]) > 0 else 0, 1)
+                    for b in br:
+                        emit.bits(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    pending.extend(br)
+                    if eobrun == 32767:
+                        flush_eob()
+    flush_eob()
+
+
+def _encode_progressive(w, h, comps, comp_blocks, q, mcux, mcuy,
+                        restart_interval) -> bytes:
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cc in comps:
+        sof += bytes([cc["id"], (cc["h"] << 4) | cc["v"], cc["tq"]])
+    out += seg(0xC2, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    allc = list(range(len(comps)))
+    script = [dict(comps=allc, ss=0, se=0, ah=0, al=1)]
+    for ci in allc:
+        script += [dict(comps=[ci], ss=1, se=5, ah=0, al=1),
+                   dict(comps=[ci], ss=6, se=63, ah=0, al=1)]
+    for ci in allc:
+        script += [dict(comps=[ci], ss=1, se=5, ah=1, al=0),
+                   dict(comps=[ci], ss=6, se=63, ah=1, al=0)]
+    script.append(dict(comps=allc, ss=0, se=0, ah=1, al=0))
+
+    for sd in script:
+        dc_scan = sd["ss"] == 0
+        needs_table = not (dc_scan and sd["ah"])  # DC refine: raw bits
+        if needs_table:
+            col = _SymCollect()
+            _run_prog_scan(col, sd, comps, comp_blocks, mcux, mcuy,
+                           w, h, restart_interval)
+            bits, vals, enc = _canonical_table(col.syms)
+            tc = 0x00 if dc_scan else 0x10        # table class, slot 0
+            out += seg(0xC4, bytes([tc]) + bits + vals)
+        else:
+            enc = {}
+        wr = _SymWrite(enc)
+        _run_prog_scan(wr, sd, comps, comp_blocks, mcux, mcuy,
+                       w, h, restart_interval)
+        wr.bw.flush()
+        sos = bytes([len(sd["comps"])])
+        for ci in sd["comps"]:
+            sos += bytes([comps[ci]["id"], 0x00])
+        sos += bytes([sd["ss"], sd["se"], (sd["ah"] << 4) | sd["al"]])
+        out += seg(0xDA, sos)
+        out += wr.bw.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -100,18 +100,27 @@ def test_coarse_quant_still_decodes():
     assert err < 128
 
 
-def test_foreign_none_corrupt_and_progressive_raise():
+def test_foreign_none_corrupt_and_arithmetic_raise():
     assert decode_jpeg(b"not a jpeg") is None
     assert decode_jpeg(None) is None
     good = encode_jpeg(_rand_px(8, 8, 1))
     with pytest.raises(ValueError):
         decode_jpeg(good[:24])                   # truncated in header
-    # progressive SOF2 must raise (digest-stub fallback), not misdecode
+    # arithmetic-coded SOF9 keeps the refusal contract (digest-stub
+    # fallback), even now that SOF2 progressive decodes for real
+    sof9 = (b"\xff\xd8"
+            + _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            + _seg(0xC9, struct.pack(">BHHB", 8, 8, 8, 1)
+                   + bytes([1, 0x11, 0])))
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg(sof9)
+    # truncated progressive (SOF2 header, no scan) raises, not misdecodes
     sof2 = (b"\xff\xd8"
             + _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
             + _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1)
-                   + bytes([1, 0x11, 0])))
-    with pytest.raises(ValueError, match="progressive"):
+                   + bytes([1, 0x11, 0]))
+            + b"\xff\xd9")
+    with pytest.raises(ValueError, match="no scan data"):
         decode_jpeg(sof2)
 
 
@@ -213,3 +222,117 @@ def test_non_interleaved_scan_and_undeclared_component_raise():
     bad_ids[sos + 5] = 9                 # first scan component id -> 9
     with pytest.raises(ValueError, match="undeclared component"):
         decode_jpeg(bytes(bad_ids))
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+def test_progressive_equals_baseline_gray():
+    """Same pixels through the baseline and progressive encoders must
+    decode IDENTICALLY: both streams carry the same quantized
+    coefficients, so any difference is a scan-machinery bug."""
+    px = _rand_px(19, 23, 1, seed=3)
+    base = decode_jpeg(encode_jpeg(px))
+    prog = decode_jpeg(encode_jpeg(px, progressive=True))
+    assert (prog["width"], prog["height"]) == (23, 19)
+    assert np.array_equal(base["_pixels"], prog["_pixels"])
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_progressive_equals_baseline_color(sub):
+    """Color + subsampling: non-interleaved AC scans walk each
+    component's own block grid (smaller than the MCU-padded one for
+    subsampled chroma) — visible pixels must still match baseline."""
+    px = _smooth_rgb(21, 26)
+    base = decode_jpeg(encode_jpeg(px, subsampling=sub))
+    prog = decode_jpeg(encode_jpeg(px, subsampling=sub,
+                                   progressive=True))
+    assert np.array_equal(base["_pixels"], prog["_pixels"])
+
+
+def test_progressive_restart_intervals():
+    """Restart markers inside progressive scans (DC-interleaved MCU
+    counting AND per-block counting in non-interleaved AC scans) reset
+    predictors and EOB runs."""
+    px = _rand_px(17, 18, 3, seed=11)
+    base = decode_jpeg(encode_jpeg(px))
+    prog = decode_jpeg(encode_jpeg(px, progressive=True,
+                                   restart_interval=2))
+    assert np.array_equal(base["_pixels"], prog["_pixels"])
+
+
+def test_progressive_coarse_quant_exercises_eob_runs():
+    """A coarse quant table zeroes most AC coefficients, so the AC-first
+    and AC-refine scans must code multi-block EOB runs (and buffered
+    correction bits) — equality with the baseline decode pins them."""
+    quant = np.minimum(np.arange(1, 65) * 3, 255)
+    px = _smooth_rgb(40, 48)
+    base = decode_jpeg(encode_jpeg(px, quant=quant))
+    prog = decode_jpeg(encode_jpeg(px, quant=quant, progressive=True))
+    assert np.array_equal(base["_pixels"], prog["_pixels"])
+
+
+def test_hand_built_progressive_golden():
+    """A two-block grayscale SOF2 stream built BYTE BY BYTE from T.81
+    G.2 (manual tables, manual scan bits: DC-first with point transform
+    Al=1, AC-first with a cross-block EOB run, DC refinement bits) —
+    pins the progressive decoder against the spec's own arithmetic,
+    independent of our encoder."""
+    q = 2
+    # target coefficients: block0 DC=8, AC(zigzag 1)=3; block1 DC=-4
+    quant = bytes([q] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    # scan 1 — DC first, Al=1: v = dc >> 1 -> 4, -2; diffs 4, -6 (both
+    # size 3). DC table: symbol 3 as the 1-bit code "0".
+    dc_dht = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([3])
+    sos1 = bytes([1, 1, 0x00, 0, 0, 0x01])
+    # bits: 0 100 | 0 001  (mag(4)=100, mag(-6)=001) -> 0x41
+    scan1 = bytes([0b01000001])
+    # scan 2 — AC first, Ss=1 Se=63 Al=0.  Symbols: 0x02 (run 0, size 2)
+    # and 0x10 (EOB run of 2 blocks). Canonical table: len-2 codes 00, 01.
+    ac_dht = bytes([0x10]) + bytes([0, 2] + [0] * 14) + bytes([0x02, 0x10])
+    sos2 = bytes([1, 1, 0x00, 1, 63, 0x00])
+    # bits: 00 11 (coef +3) | 01 0 (EOB run=2: (1<<1)+0) -> 0011010 + pad
+    scan2 = bytes([0b00110101])
+    # scan 3 — DC refine Ah=1 Al=0: bits 0, 0 (8&1, -4&1) + 1-fill pad
+    sos3 = bytes([1, 1, 0x00, 0, 0, 0x10])
+    scan3 = bytes([0b00111111])
+    blob = (b"\xff\xd8" + _seg(0xDB, bytes([0x00]) + quant)
+            + _seg(0xC2, sof)
+            + _seg(0xC4, dc_dht) + _seg(0xDA, sos1) + scan1
+            + _seg(0xC4, ac_dht) + _seg(0xDA, sos2) + scan2
+            + _seg(0xDA, sos3) + scan3
+            + b"\xff\xd9")
+    meta = decode_jpeg(blob)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (16, 8, 1)
+    # spec math: spatial = D.T @ C @ D with C from dequantized coefs
+    d = np.array([[0.5 * (np.sqrt(0.5) if k == 0 else 1.0)
+                   * np.cos((2 * n + 1) * k * np.pi / 16)
+                   for n in range(8)] for k in range(8)])
+    c0 = np.zeros((8, 8))
+    c0[0, 0] = 8 * q
+    c0[0, 1] = 3 * q                              # zigzag index 1
+    want0 = np.clip(np.round(d.T @ c0 @ d) + 128, 0, 255).astype(np.uint8)
+    c1 = np.zeros((8, 8))
+    c1[0, 0] = -4 * q
+    want1 = np.clip(np.round(d.T @ c1 @ d) + 128, 0, 255).astype(np.uint8)
+    got = meta["_pixels"][:, :, 0]
+    assert np.array_equal(got[:, :8], want0)
+    assert np.array_equal(got[:, 8:], want1)
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=10, deadline=None)
+    @given(h=st.integers(1, 16), w=st.integers(1, 16),
+           sub=st.sampled_from(["444", "422", "420"]),
+           ri=st.sampled_from([0, 2]),
+           seed=st.integers(0, 2**31 - 1))
+    def test_prop_progressive_equals_baseline(h, w, sub, ri, seed):
+        px = _rand_px(h, w, 3, seed=seed)
+        base = decode_jpeg(encode_jpeg(px, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg(px, subsampling=sub,
+                                       restart_interval=ri,
+                                       progressive=True))
+        assert np.array_equal(base["_pixels"], prog["_pixels"])

@@ -2222,7 +2222,12 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames (same window spec), the path counts aggregate map-side, and
     the global top-k plans as TakeOrdered — never a full sort of the
     path vocabulary."""
-    ev = load_table(spark, sf_dir, "events")
+    return path_trigrams_df(load_table(spark, sf_dir, "events"))
+
+
+def path_trigrams_df(ev: DataFrame, k: int = 20) -> DataFrame:
+    """DataFrame-level core of :func:`event_path_trigrams` — exposed so
+    the scale sweeps drive the exact gate plan on replicated frames."""
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc())
     paths = (
@@ -2237,7 +2242,7 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
     )
     return paths.orderBy(F.col("n_paths").desc(),
-                         F.col("path").asc()).limit(20)
+                         F.col("path").asc()).limit(k)
 
 
 EVENT_PATHS_ORACLE = """

@@ -1296,6 +1296,111 @@ def s2() -> None:
     spark.stop()
 
 
+def r12() -> None:
+    """Round-12 sweep: event-path trigrams (uniform user growth AND a
+    single hot user), hourly spikes (event volume growth over a fixed
+    time span), and the calibration kernel's enforced max_docs sampling
+    (matrix stays capped while the corpus grows)."""
+    from lsh_spark.operators.relational import (path_trigrams_df,
+                                                spikes_from_hourly)
+    from lsh_spark.operators.similarity_join import (
+        minhash_estimate_for_pairs)
+    from lsh_spark.plans import get_spark
+    from lsh_spark.sources.io import load_table
+    from pyspark import StorageLevel
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 5, 20]
+    spark = get_spark(app_name="lsh_spark-scale-check-r12")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    ev0 = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "ts")
+    docs0 = load_table(spark, sf, "documents")
+    n_ev0 = ev0.count()
+    # fixed pair set for the calibration kernel: the flagship's verified
+    # pairs on the BASE corpus (ids remapped per replication below)
+    from lsh_spark.operators.lsh_queries import minhash_near_dup_pairs
+
+    pairs0 = (minhash_near_dup_pairs(spark, sf)
+              .localCheckpoint(eager=True))
+    n_pairs0 = pairs0.count()
+    max_docs = 20_000
+    for rep in reps:
+        # (a) uniform user growth: every user duplicated with fresh ids
+        # -> more window partitions of UNCHANGED size
+        ev_u = (
+            ev0.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select((F.col("event_id") * rep + F.col("__rep"))
+                    .alias("event_id"),
+                    (F.col("user_id") * rep + F.col("__rep"))
+                    .alias("user_id"), "event_type", "ts")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        n_u = ev_u.count()
+        t0 = time.perf_counter()
+        n_tri_u = path_trigrams_df(ev_u).count()
+        t_tri_u = time.perf_counter() - t0
+        # (b) ONE hot user: user 0's events replicated rep*10x on the
+        # SAME id (fresh event ids) -> one window partition carries
+        # ~rep*10x the events of any other (the 100 TB skewed-key case)
+        hot = ev0.where(F.col("user_id") == 0)
+        ev_h = (
+            ev0.unionAll(
+                hot.crossJoin(
+                    spark.range(rep * 10 - 1)
+                    .select(F.col("id").alias("__rep")))
+                .select((F.col("event_id") * (rep * 10) + F.col("__rep")
+                         + F.lit(1)).alias("event_id"),
+                        "user_id", "event_type", "ts"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        n_hot = ev_h.where(F.col("user_id") == 0).count()
+        t0 = time.perf_counter()
+        n_tri_h = path_trigrams_df(ev_h).count()
+        t_tri_h = time.perf_counter() - t0
+        # (c) spikes: volume grows, hour span fixed -> the window input
+        # (types x hours) must stay CONSTANT
+        t0 = time.perf_counter()
+        hourly = (
+            ev_u.groupBy(
+                "event_type",
+                F.date_format(F.date_trunc("hour", F.col("ts")),
+                              "yyyy-MM-dd HH:mm:ss").alias("hour"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+        n_spk = spikes_from_hourly(hourly).count()
+        t_spk = time.perf_counter() - t0
+        # (d) calibration kernel under the enforced sampling contract:
+        # corpus grows rep x, the broadcast matrix stays <= max_docs
+        docs = (
+            docs0.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select((F.col("doc_id") * rep + F.col("__rep"))
+                    .alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" tail"),
+                             F.col("__rep").cast("string")).alias("text"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        n_docs = docs.count()
+        pairs = pairs0.select(
+            (F.col("id_a") * rep).alias("id_a"),
+            (F.col("id_b") * rep).alias("id_b"), "jaccard")
+        t0 = time.perf_counter()
+        n_est = minhash_estimate_for_pairs(
+            pairs, docs, "text", id_col="doc_id",
+            max_docs=max_docs).count()
+        t_cal = time.perf_counter() - t0
+        print(
+            f"rep={rep:3d} events={n_u:8d}  "
+            f"trigrams_uniform={t_tri_u:6.1f}s ({n_tri_u} paths)  "
+            f"trigrams_hot[{n_hot:7d} ev/user]={t_tri_h:6.1f}s "
+            f"({n_tri_h})  spikes={t_spk:5.1f}s ({n_spk} rows)  "
+            f"calib[docs={n_docs:7d},cap={max_docs},"
+            f"pairs={n_pairs0}]={t_cal:6.1f}s ({n_est} kept)",
+            flush=True)
+        for d in (ev_u, ev_h, docs):
+            d.unpersist()
+        spark.catalog.clearCache()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--vectors":
         vectors()
@@ -1329,5 +1434,7 @@ if __name__ == "__main__":
         r11()
     elif len(sys.argv) > 1 and sys.argv[1] == "--s2":
         s2()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r12":
+        r12()
     else:
         main()

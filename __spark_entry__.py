@@ -239,7 +239,10 @@ _REDUNDANT_TAIL = [
     # into head positions 1-50 next round, demoting an equal number of
     # r12-green unchanged-code queries, preferring STALENESS (the
     # r9-green block above, then the r10-green block) for the
-    # remaining slots.
+    # remaining slots.  Count at round-12 close: 3 additions below.
+    "image_progressive_decode_stats",
+    "hll_users_per_event_type",
+    "langid_confusion_matrix",
 ]
 
 

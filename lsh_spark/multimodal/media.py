@@ -435,6 +435,92 @@ def synthesize_image_groups_from_documents(
     return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
 
 
+def synthesize_progressive_jpegs_from_documents(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA frame of REAL progressive (SOF2) JPEGs whose pixels
+    are PURE doc_id arithmetic: the image of doc ``d`` is a grid of
+    8×8-CONSTANT blocks — block (col i, row j) carries gray value
+    ``(d*11 + 29*i + 47*j) % 256`` in all three channels, over
+    ``bw = 2 + d % 3`` block columns and ``bh = 1 + (d*3) % 3`` rows
+    (so w = 8·bw, h = 8·bh).  Block-constant pixels with the all-ones
+    quant table make the DCT round-trip EXACT (each block is DC-only:
+    Y−128 is block-constant, so the quantized coefficient set is
+    {DC = 8·(v−128)} and IDCT + rounding returns v bit-for-bit, with
+    Cb/Cr exactly zero for gray input) — every decoded pixel is a
+    closed-form function of doc_id a SQL oracle reproduces WITHOUT
+    decoding.  This is the gate corpus pinning the full progressive
+    pipeline (successive-approximation encoder → SOF2 multi-scan
+    decoder) cross-engine."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw, bh = 2 + d % 3, 1 + (d * 3) % 3
+                i = np.arange(bw, dtype=np.int64)[None, :]
+                j = np.arange(bh, dtype=np.int64)[:, None]
+                blocks = ((d * 11 + 29 * i + 47 * j) % 256).astype(np.uint8)
+                gray = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                px = np.repeat(gray[:, :, None], 3, axis=2)
+                rows.append({"media_id": d, "kind": "image",
+                             "content": encode_jpeg(px, progressive=True),
+                             "mime": "image/jpeg"})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return docs.select("doc_id").mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+DECODED_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("px_min", IntegerType(), True),
+    StructField("px_max", IntegerType(), True),
+    StructField("px_sum", LongType(), True),
+    StructField("n_px", LongType(), True),
+])
+
+
+def decoded_image_stats(media: DataFrame) -> DataFrame:
+    """Integer pixel statistics + dimensions from a REAL image decode,
+    STRICT form (an undecodable blob raises rather than falling back —
+    unlike the tolerant ``image_pixel_stats`` quality gate below):
+    ``(media_id, width, height, px_min, px_max, px_sum, n_px)`` over
+    every channel value.  All columns are exact integers; ratios (mean
+    pixel etc.) belong in-plan as ONE double division of exact
+    operands, the repo-wide idiom."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                meta = _decode_image(bytes(content))
+                if meta is None or "_pixels" not in meta:
+                    raise ValueError(
+                        f"image_pixel_stats: undecodable image "
+                        f"media_id={int(media_id)}")
+                px = meta["_pixels"].astype(np.int64)
+                rows.append({
+                    "media_id": int(media_id),
+                    "width": int(meta["width"]),
+                    "height": int(meta["height"]),
+                    "px_min": int(px.min()),
+                    "px_max": int(px.max()),
+                    "px_sum": int(px.sum()),
+                    "n_px": int(px.size),
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODED_STATS_SCHEMA])
+
+    return media.mapInPandas(_stats, schema=DECODED_STATS_SCHEMA)
+
+
 def synthesize_tone_audio_from_documents(docs: DataFrame) -> DataFrame:
     """MEDIA_SCHEMA frame of REAL PCM16 WAV clips whose samples are PURE
     doc_id arithmetic — sample ``i`` of doc ``d`` is

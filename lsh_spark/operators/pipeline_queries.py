@@ -5636,3 +5636,200 @@ FROM est GROUP BY jaccard_bin
 
 QUERIES_LATE["minhash_estimate_calibration"] = (
     minhash_estimate_calibration, _calibration_oracle())
+
+
+# ---------------------------------------------------------------------------
+# round-12 additions: progressive-JPEG decode gate (closed-form pixel
+# corpus), grouped-HLL distinct users, language-ID confusion matrix.
+# ---------------------------------------------------------------------------
+
+def image_progressive_decode_stats(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Pixel statistics of REAL progressive (SOF2) JPEGs synthesized
+    from doc_id arithmetic (``synthesize_progressive_jpegs_from_
+    documents``): the corpus is 8×8-block-constant, so the DCT
+    round-trip is exact and the oracle replays every decoded pixel
+    closed-form — no codec in SQL.  Pins the whole
+    successive-approximation encode → multi-scan decode path
+    cross-engine; ``mean_px`` is ONE double division of exact integers
+    (6dp, the repo idiom)."""
+    from ..multimodal.media import (decoded_image_stats,
+                                    synthesize_progressive_jpegs_from_documents)
+    from ..sources.io import fanout_scan
+
+    docs = fanout_scan(load_table(spark, sf_dir, "documents"))
+    st = decoded_image_stats(
+        synthesize_progressive_jpegs_from_documents(docs))
+    return st.select(
+        F.col("media_id").alias("doc_id"),
+        "width", "height", "px_min", "px_max", "px_sum", "n_px",
+        F.round(F.col("px_sum").cast("double")
+                / F.col("n_px").cast("double"), 6).alias("mean_px"))
+
+
+PROGRESSIVE_DECODE_ORACLE = """
+WITH g AS (
+  SELECT doc_id, 2 + doc_id % 3 AS bw, 1 + (doc_id * 3) % 3 AS bh
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, bw, bh,
+         (doc_id * 11 + 29 * ((k - 1) % bw)
+          + 47 * ((k - 1) // bw)) % 256 AS v
+  FROM (SELECT doc_id, bw, bh,
+               unnest(generate_series(1, bw * bh)) AS k
+        FROM g)
+)
+SELECT doc_id,
+       (8 * bw)::INT AS width,
+       (8 * bh)::INT AS height,
+       min(v)::INT AS px_min,
+       max(v)::INT AS px_max,
+       (sum(v) * 192)::BIGINT AS px_sum,
+       (bw * bh * 192)::BIGINT AS n_px,
+       round(CAST(sum(v) * 192 AS DOUBLE)
+             / CAST(bw * bh * 192 AS DOUBLE), 6) AS mean_px
+FROM blocks GROUP BY doc_id, bw, bh
+"""
+
+QUERIES_LATE["image_progressive_decode_stats"] = (
+    image_progressive_decode_stats, PROGRESSIVE_DECODE_ORACLE)
+
+
+def hll_distinct_report(df: DataFrame, group_col: str,
+                        item_col: str) -> DataFrame:
+    """Grouped HyperLogLog distinct-count report — the sketch-per-group
+    production pattern (rollups keep 256 registers per group and MERGE
+    by max, never recount).  Same integer-exact register contract as
+    ``hll_vocab_report``: rho from ``57 - length(bin(v))``, harmonic
+    denominator carried as the exact integer S = sum(2^(57-rho))
+    (absent registers contribute 2^57), and the estimate is ONE double
+    division of exactly-representable operands.  The gate reports the
+    RAW estimate — the linear-counting small-range correction needs
+    ``ln``, which is not bit-stable cross-engine, so groups far below
+    ~2.5·m distinct items sit at the raw estimator's ~alpha·m floor by
+    design (callers apply linear counting from n_registers client-side;
+    ``exact_distinct`` rides along as gate evidence)."""
+    h = df.select(
+        F.col(group_col).alias("__grp"),
+        F.col(item_col).cast("string").alias("__u")
+    ).select(
+        "__grp", "__u", F.md5("__u").alias("__hx"))
+    reg = h.select(
+        "__grp", "__u",
+        F.conv(F.substring("__hx", 1, 2), 16, 10).cast("int")
+        .alias("__idx"),
+        F.conv(F.substring("__hx", 3, 14), 16, 10).cast("bigint")
+        .alias("__v"),
+    ).select(
+        "__grp", "__u", "__idx",
+        F.when(F.col("__v") == 0, F.lit(57))
+        .otherwise(F.lit(57) - F.length(F.bin(F.col("__v"))))
+        .cast("int").alias("__rho"),
+    )
+    regs = reg.groupBy("__grp", "__idx").agg(
+        F.max("__rho").alias("__m"),
+        F.countDistinct("__u").alias("__nd"),
+    )
+    per = regs.groupBy("__grp").agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum("__m").cast("bigint").alias("sum_rho"),
+        F.sum("__nd").cast("bigint").alias("exact_distinct"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 57 - __m)")
+              .cast("decimal(30,0)")).alias("__s_present"),
+    )
+    s_total = (
+        F.col("__s_present")
+        + (F.lit(_HLL_M) - F.col("n_registers"))
+        * F.lit(1 << 57).cast("decimal(30,0)")
+    )
+    return per.select(
+        F.col("__grp").alias(group_col),
+        "n_registers", "sum_rho", "exact_distinct",
+        F.round(F.lit(_HLL_SCALE) / s_total.cast("double"), 6)
+        .alias("est_distinct"),
+    )
+
+
+def hll_users_per_event_type(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-event-type HLL distinct-user report (see
+    :func:`hll_distinct_report` for the integer-exact contract and the
+    deliberate raw-estimate small-range behavior)."""
+    return hll_distinct_report(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+HLL_USERS_ORACLE = rf"""
+WITH h AS (
+  SELECT event_type, user_id::VARCHAR AS u,
+         md5(user_id::VARCHAR) AS hx
+  FROM events
+),
+r AS (
+  SELECT event_type, u,
+         ('0x' || substr(hx, 1, 2))::INT AS idx,
+         ('0x' || substr(hx, 3, 14))::UBIGINT AS v
+  FROM h
+),
+rho AS (
+  SELECT event_type, u, idx,
+         CASE WHEN v = 0 THEN 57
+              ELSE 57 - length(bin(v)) END AS rho
+  FROM r
+),
+reg AS (
+  SELECT event_type, idx, max(rho) AS m, count(DISTINCT u) AS nd
+  FROM rho GROUP BY event_type, idx
+),
+agg AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_registers,
+         sum(m)::BIGINT AS sum_rho,
+         sum(nd)::BIGINT AS exact_distinct,
+         sum((1::HUGEINT << (57 - m))) AS s_present
+  FROM reg GROUP BY event_type
+)
+SELECT event_type, n_registers, sum_rho, exact_distinct,
+       round({_HLL_SCALE!r} / CAST(
+         s_present + ({_HLL_M} - n_registers) * (1::HUGEINT << 57)
+         AS DOUBLE), 6) AS est_distinct
+FROM agg
+"""
+
+QUERIES_LATE["hll_users_per_event_type"] = (hll_users_per_event_type,
+                                            HLL_USERS_ORACLE)
+
+
+def langid_confusion_matrix(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Model-quality rollup of the n-gram language identifier: counts
+    per (true lang, predicted lang) cell plus the summed integer score
+    — the confusion matrix a data pipeline reports before trusting
+    langid-based filtering.  Reuses the exact ``char_ngram_lang_id``
+    plan (same params as the ``lang_id_predictions`` gate); NULL
+    predictions (docs matching no profile n-gram) form their own row,
+    identically grouped by both engines."""
+    from .langid import char_ngram_lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = char_ngram_lang_id(
+        docs, ngram_width=_LANGID_N, profile_size=_LANGID_PROFILE)
+    return (
+        pred.groupBy(
+            F.col("lang").alias("true_lang"), "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("score").cast("long").alias("total_score"))
+    )
+
+
+LANGID_CONFUSION_ORACLE = f"""
+WITH base AS ({LANG_ID_PREDICTIONS_ORACLE})
+SELECT lang AS true_lang, predicted_lang,
+       count(*)::BIGINT AS n_docs,
+       sum(score)::BIGINT AS total_score
+FROM base GROUP BY 1, 2
+"""
+
+QUERIES_LATE["langid_confusion_matrix"] = (langid_confusion_matrix,
+                                           LANGID_CONFUSION_ORACLE)

@@ -1,0 +1,118 @@
+"""Round-12 operator units: the progressive-JPEG gate corpus (exact
+block-constant DCT round-trip, strict decode-stats kernel), grouped-HLL
+distinct users, and the language-ID confusion matrix."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_progressive_corpus_decodes_exactly(spark):
+    """The gate corpus contract: 8x8-block-constant pixels + all-ones
+    quant make the progressive encode/decode round-trip EXACT, so the
+    SQL oracle may replay pixels closed-form without a codec."""
+    from lsh_spark.multimodal.jpeg import decode_jpeg
+    from lsh_spark.multimodal.media import (
+        synthesize_progressive_jpegs_from_documents)
+
+    docs = spark.createDataFrame([(d,) for d in range(12)],
+                                 "doc_id long")
+    for r in synthesize_progressive_jpegs_from_documents(docs).collect():
+        d = r.media_id
+        bw, bh = 2 + d % 3, 1 + (d * 3) % 3
+        i = np.arange(bw, dtype=np.int64)[None, :]
+        j = np.arange(bh, dtype=np.int64)[:, None]
+        blocks = ((d * 11 + 29 * i + 47 * j) % 256).astype(np.uint8)
+        gray = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        want = np.repeat(gray[:, :, None], 3, axis=2)
+        content = bytes(r.content)
+        # the stream is genuinely progressive (SOF2 marker present)
+        assert b"\xff\xc2" in content and b"\xff\xc0" not in content
+        meta = decode_jpeg(content)
+        assert np.array_equal(meta["_pixels"], want), f"doc {d}"
+
+
+def test_decoded_image_stats_strict_raises(spark):
+    """decoded_image_stats is the STRICT kernel (no stub fallback):
+    foreign bytes raise instead of yielding digest-derived fakes."""
+    from lsh_spark.multimodal.media import (MEDIA_SCHEMA,
+                                            decoded_image_stats)
+
+    bad = spark.createDataFrame(
+        [(1, "image", bytearray(b"not an image"), "image/jpeg")],
+        MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="undecodable"):
+        decoded_image_stats(bad).collect()
+
+
+def test_hll_users_tracks_exact_distinct(spark):
+    """Grouped HLL on a corpus WELL ABOVE the raw estimator's validity
+    floor (n >> 2.5 m = 640): estimate within the 3-sigma band of the
+    exact count carried in the same aggregate."""
+    from lsh_spark.operators.pipeline_queries import hll_distinct_report
+
+    df = spark.range(60_000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        # ~20k distinct items per group, disjoint across groups
+        F.col("id").alias("item"))
+    rows = hll_distinct_report(df, "grp", "item").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.exact_distinct == 20_000
+        # sigma = 1.04/sqrt(256) = 6.5%; allow 3 sigma
+        rel = abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
+        assert rel < 0.20, (r.grp, r.est_distinct, r.exact_distinct)
+
+
+def test_hll_users_small_range_floor(spark):
+    """The gate's documented small-range behavior: far below 2.5·m
+    distinct items the RAW estimate sits near the alpha*m floor (no
+    ln-based linear counting cross-engine) while exact_distinct stays
+    correct — pinned so nobody 'fixes' the estimator and silently
+    breaks the gate hash."""
+    from lsh_spark.operators.pipeline_queries import (
+        _HLL_M, hll_users_per_event_type)
+
+    rows = hll_users_per_event_type(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.exact_distinct < _HLL_M
+        # raw floor: alpha*m ~ 184 at m=256; estimate lands near it
+        assert 100.0 < r.est_distinct < 300.0
+
+
+def test_langid_confusion_diagonal_and_totals(spark):
+    """The confusion matrix must re-aggregate lang_id_predictions
+    exactly: cell counts sum to the corpus size and the diagonal
+    dominates (the identifier is trained on the corpus itself)."""
+    from lsh_spark.operators.pipeline_queries import (
+        langid_confusion_matrix)
+    from lsh_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    cells = langid_confusion_matrix(spark, sf).collect()
+    n_docs = load_table(spark, sf, "documents").count()
+    assert sum(c.n_docs for c in cells) == n_docs
+    # exact re-aggregation parity with the prediction-level operator
+    from lsh_spark.operators.langid import char_ngram_lang_id
+    from lsh_spark.operators.pipeline_queries import (_LANGID_N,
+                                                      _LANGID_PROFILE)
+
+    pred = char_ngram_lang_id(
+        load_table(spark, sf, "documents"),
+        ngram_width=_LANGID_N, profile_size=_LANGID_PROFILE)
+    want = {(r.lang, r.predicted_lang): (r.cnt, r.sc)
+            for r in pred.groupBy("lang", "predicted_lang")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("score").alias("sc")).collect()}
+    got = {(c.true_lang, c.predicted_lang): (c.n_docs, c.total_score)
+           for c in cells}
+    assert got == want
+    # the self-trained identifier must beat chance on the diagonal
+    langs = {c.true_lang for c in cells}
+    diag = sum(c.n_docs for c in cells
+               if c.predicted_lang == c.true_lang)
+    assert diag * len(langs) > n_docs

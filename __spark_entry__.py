@@ -243,6 +243,9 @@ _REDUNDANT_TAIL = [
     "image_progressive_decode_stats",
     "hll_users_per_event_type",
     "langid_confusion_matrix",
+    "hll_users_streaming",
+    "proximity_search_docs",
+    "proximity_search_indexed_docs",
 ]
 
 

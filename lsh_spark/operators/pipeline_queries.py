@@ -5710,12 +5710,26 @@ def hll_distinct_report(df: DataFrame, group_col: str,
     ~2.5·m distinct items sit at the raw estimator's ~alpha·m floor by
     design (callers apply linear counting from n_registers client-side;
     ``exact_distinct`` rides along as gate evidence)."""
+    regs = hll_rho_rows(df, group_col, item_col).groupBy(
+        "__grp", "__idx").agg(
+        F.max("__rho").alias("__m"),
+        F.countDistinct("__u").alias("__nd"),
+    )
+    return hll_finalize(regs, group_col)
+
+
+def hll_rho_rows(df: DataFrame, group_col: str,
+                 item_col: str) -> DataFrame:
+    """(__grp, __u, __idx, __rho) register-update rows — the
+    per-element stage of the grouped HLL, shared with the streaming
+    twin (whose micro-batches reduce these to mergeable per-register
+    maxima before anything is persisted)."""
     h = df.select(
         F.col(group_col).alias("__grp"),
         F.col(item_col).cast("string").alias("__u")
     ).select(
         "__grp", "__u", F.md5("__u").alias("__hx"))
-    reg = h.select(
+    return h.select(
         "__grp", "__u",
         F.conv(F.substring("__hx", 1, 2), 16, 10).cast("int")
         .alias("__idx"),
@@ -5727,10 +5741,11 @@ def hll_distinct_report(df: DataFrame, group_col: str,
         .otherwise(F.lit(57) - F.length(F.bin(F.col("__v"))))
         .cast("int").alias("__rho"),
     )
-    regs = reg.groupBy("__grp", "__idx").agg(
-        F.max("__rho").alias("__m"),
-        F.countDistinct("__u").alias("__nd"),
-    )
+
+
+def hll_finalize(regs: DataFrame, group_col: str) -> DataFrame:
+    """Register-table → report stage of the grouped HLL; ``regs`` is
+    (__grp, __idx, __m, __nd) with one row per present register."""
     per = regs.groupBy("__grp").agg(
         F.count(F.lit(1)).alias("n_registers"),
         F.sum("__m").cast("bigint").alias("sum_rho"),
@@ -5833,3 +5848,68 @@ FROM base GROUP BY 1, 2
 
 QUERIES_LATE["langid_confusion_matrix"] = (langid_confusion_matrix,
                                            LANGID_CONFUSION_ORACLE)
+
+
+def _hll_users_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # late-registered here (the QUERIES_LATE contract): earlier registry
+    # positions stay stable
+    from ..streaming.events import hll_users_streaming
+
+    return hll_users_streaming(spark, sf_dir)
+
+
+QUERIES_LATE["hll_users_streaming"] = (_hll_users_streaming,
+                                       HLL_USERS_ORACLE)
+
+
+# two-term proximity retrieval (retrieval.proximity_search): the NEAR
+# operator — order-free gapped co-occurrence within a token window;
+# integer positions/gaps end-to-end, so the oracle is exact by
+# construction.  The indexed twin probes the session-shared positional
+# text index (ensure_text_index — same index as BM25/phrase/boolean).
+_PROX_TERMS = [(0, "sort", "join"), (1, "hash", "scan"),
+               (2, "merge", "table")]
+_PROX_WINDOW = 6
+
+
+def _prox_queries(spark: SparkSession) -> DataFrame:
+    # literal projection, not createDataFrame (Python-local relations
+    # cost seconds per materialization on this host — see CLAUDE.md)
+    ta = F.array(*[F.lit(a) for _q, a, _b in _PROX_TERMS])
+    tb = F.array(*[F.lit(b) for _q, _a, b in _PROX_TERMS])
+    return spark.range(len(_PROX_TERMS)).select(
+        F.col("id").alias("query_id"),
+        F.element_at(ta, (F.col("id") + 1).cast("int")).alias("term_a"),
+        F.element_at(tb, (F.col("id") + 1).cast("int")).alias("term_b"))
+
+
+def proximity_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .retrieval import proximity_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return proximity_search(docs, _prox_queries(spark),
+                            window=_PROX_WINDOW)
+
+
+def _prox_oracle() -> str:
+    from .retrieval import proximity_search_oracle_sql
+
+    vals = ", ".join(f"({i}, '{a}', '{b}')" for i, a, b in _PROX_TERMS)
+    return proximity_search_oracle_sql(vals, window=_PROX_WINDOW)
+
+
+QUERIES_LATE["proximity_search_docs"] = (proximity_search_docs,
+                                         _prox_oracle())
+
+
+def proximity_search_indexed_docs(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from .retrieval import ensure_text_index, proximity_search_indexed
+
+    index = ensure_text_index(spark, sf_dir)
+    return proximity_search_indexed(spark, index, _prox_queries(spark),
+                                    window=_PROX_WINDOW)
+
+
+QUERIES_LATE["proximity_search_indexed_docs"] = (
+    proximity_search_indexed_docs, _prox_oracle())

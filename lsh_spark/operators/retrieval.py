@@ -362,6 +362,127 @@ GROUP BY 1, 2
 """
 
 
+def proximity_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_a_col: str = "term_a",
+    term_b_col: str = "term_b",
+) -> DataFrame:
+    """Two-term PROXIMITY match: a document qualifies when some
+    occurrence of ``term_a`` and some occurrence of ``term_b`` sit
+    within ``window`` token positions (``|pa − pb| ≤ window``) — the
+    NEAR operator phrase search cannot express (order-free, gapped).
+    Returns ``(query_id, doc_id, n_pairs, min_gap)``: the count of
+    qualifying position pairs and the closest gap, exact integers.
+
+    100 TB shape: the query-term table broadcasts and prunes the
+    positional postings FIRST (only documents containing a matched term
+    survive the scan); the position pair join shuffles bare
+    (query_id, doc_id, pos) int rows keyed by (query_id, doc_id), so
+    pair volume is tf_a × tf_b per matching document — bounded by
+    per-document term frequency, never corpus size.  Identical-term
+    queries (a == b) pair every position with itself (gap 0) — both
+    engines replay the same convention."""
+    pos_post = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_words(F.col(text_col))).alias("__pos", "__term"))
+    return _proximity_match(pos_post, queries, window,
+                            query_id_col, term_a_col, term_b_col)
+
+
+def _proximity_match(pos_post: DataFrame, queries: DataFrame,
+                     window: int, query_id_col: str,
+                     term_a_col: str, term_b_col: str) -> DataFrame:
+    """Position-pair stage shared by the on-the-fly and indexed
+    proximity forms; ``pos_post`` is (doc_id, __pos, __term)."""
+    qa = queries.select(F.col(query_id_col).alias("query_id"),
+                        F.col(term_a_col).alias("__term"))
+    qb = queries.select(F.col(query_id_col).alias("query_id"),
+                        F.col(term_b_col).alias("__term"))
+    pa = (pos_post.join(F.broadcast(qa), "__term")
+          .select("query_id", "doc_id", F.col("__pos").alias("__pa")))
+    pb = (pos_post.join(F.broadcast(qb), "__term")
+          .select("query_id", "doc_id", F.col("__pos").alias("__pb")))
+    pairs = (
+        pa.join(pb, ["query_id", "doc_id"])
+        .select("query_id", "doc_id",
+                F.abs(F.col("__pa") - F.col("__pb")).alias("__gap"))
+        .where(F.col("__gap") <= F.lit(int(window)))
+    )
+    return pairs.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("__gap").cast("long").alias("min_gap"))
+
+
+def proximity_search_indexed(
+    spark,
+    table_name: str,
+    queries: DataFrame,
+    *,
+    window: int = 8,
+    query_id_col: str = "query_id",
+    term_a_col: str = "term_a",
+    term_b_col: str = "term_b",
+) -> DataFrame:
+    """Proximity match against a POSITIONAL ``build_text_index``:
+    identical semantics (and oracle) to :func:`proximity_search` — the
+    persisted (doc_id, __term, __pos) table replaces the per-batch
+    tokenize/posexplode, tombstones anti-join, and the broadcast term
+    join prunes postings at the scan."""
+    m = _meta(spark, table_name)
+    if not _is_positional(m):
+        raise ValueError(
+            f"text index {table_name!r} was built without "
+            "positional=True — proximity probes need the positions "
+            "table; rebuild with build_text_index(..., positional=True)")
+    pos_post = _live_side(
+        spark, table_name,
+        spark.table(_phys(table_name, "positions", m)))
+    return _proximity_match(pos_post, queries, window,
+                            query_id_col, term_a_col, term_b_col)
+
+
+def proximity_search_oracle_sql(queries_values: str, *, window: int,
+                                source: str = "documents") -> str:
+    """DuckDB replay of ``proximity_search`` — same ws-class
+    tokenization, 0-based positions, integer gap arithmetic."""
+    ws = r"'[ \t\n\x0b\f\r]+'"
+    return rf"""
+WITH q AS (SELECT * FROM (VALUES {queries_values})
+           q(query_id, term_a, term_b)),
+post AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+         unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, {ws}), t -> t != '')
+                 AS toks
+        FROM {source})
+),
+pa AS (
+  SELECT q.query_id, p.doc_id, p.pos AS ppa
+  FROM post p JOIN q ON p.term = q.term_a
+),
+pb AS (
+  SELECT q.query_id, p.doc_id, p.pos AS ppb
+  FROM post p JOIN q ON p.term = q.term_b
+),
+pairs AS (
+  SELECT query_id, doc_id, abs(ppa - ppb) AS gap
+  FROM pa JOIN pb USING (query_id, doc_id)
+  WHERE abs(ppa - ppb) <= {int(window)}
+)
+SELECT query_id, doc_id,
+       count(*)::BIGINT AS n_pairs,
+       min(gap)::BIGINT AS min_gap
+FROM pairs GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # persisted inverted index (the standing-deployment form: postings and
 # doc lengths are computed once and bucketed, so every query batch

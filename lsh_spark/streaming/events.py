@@ -664,3 +664,73 @@ def events_spikes_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("__n").cast("long").alias("n_events"))
     )
     return spikes_from_hourly(hourly)
+
+
+def hll_users_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate query: the streaming DISTINCT-USERS monitor — each
+    micro-batch reduces its events to per-(event_type, register)
+    MAXIMA before anything is persisted (``max`` is associative AND
+    idempotent, so the sketch is replay/restart-safe and the per-batch
+    write is bounded by groups × 256 registers, never by events); the
+    read-back merges partials by another ``max`` and finalizes through
+    the SAME integer-exact stage as the batch twin
+    (``pipeline_queries.hll_finalize`` — shared code, shared oracle).
+
+    ``exact_distinct`` is gate evidence, not part of the sketch: the
+    batch also writes its within-batch-distinct (group, item, register)
+    rows, deduplicated again at read-back — the piece a 100 TB
+    deployment drops (that is the POINT of the sketch); the mergeable
+    register maxima alone are what the monitor keeps."""
+    import os
+    import shutil
+
+    from ..operators.pipeline_queries import hll_finalize, hll_rho_rows
+    from ..sources.io import _ensure_session_confs, load_table
+    from .documents import _write_batch_idempotent
+
+    _ensure_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_regs = f"/tmp/lsh_spark_stream_hllu_regs_{tag}"
+    out_items = f"/tmp/lsh_spark_stream_hllu_items_{tag}"
+    ckpt = f"/tmp/lsh_spark_ckpt_stream_hllu_{tag}"
+    for d in (out_regs, out_items, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rows = hll_rho_rows(batch_df, "event_type", "user_id")
+        regs = rows.groupBy("__grp", "__idx").agg(
+            F.max("__rho").alias("__m"))
+        _write_batch_idempotent(regs, out_regs, batch_id)
+        items = rows.select("__grp", "__u", "__idx").distinct()
+        _write_batch_idempotent(items, out_items, batch_id)
+
+    with scoped_state_partitions(spark):
+        q = (stream.writeStream.foreachBatch(process)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        q.awaitTermination()
+
+    if not os.path.isdir(out_regs) or not any(
+            f.startswith("batch_id=") for f in os.listdir(out_regs)):
+        return spark.createDataFrame(
+            [], "event_type string, n_registers long, sum_rho long, "
+            "exact_distinct long, est_distinct double")
+    m = (spark.read.parquet(out_regs)
+         .groupBy("__grp", "__idx").agg(F.max("__m").alias("__m")))
+    nd = (spark.read.parquet(out_items).select("__grp", "__u", "__idx")
+          .distinct()
+          .groupBy("__grp", "__idx")
+          .agg(F.countDistinct("__u").alias("__nd")))
+    regs = m.join(nd, ["__grp", "__idx"])
+    return hll_finalize(regs, "event_type")

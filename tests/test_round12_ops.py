@@ -116,3 +116,56 @@ def test_langid_confusion_diagonal_and_totals(spark):
     diag = sum(c.n_docs for c in cells
                if c.predicted_lang == c.true_lang)
     assert diag * len(langs) > n_docs
+
+
+def test_proximity_search_window_semantics(spark):
+    """Hand-built corpus: gap arithmetic, window boundary inclusivity,
+    pair counting with repeated terms, and the order-free contract."""
+    from lsh_spark.operators.retrieval import proximity_search
+
+    docs = spark.createDataFrame(
+        [(1, "alpha x x beta"),          # gap 3
+         (2, "beta alpha"),              # gap 1, order-free
+         (3, "alpha x beta x alpha"),    # gaps 2 and 2 -> 2 pairs
+         (4, "alpha only here"),         # term_b absent
+         (5, "x x alpha beta x")],       # gap 1
+        "doc_id long, text string")
+    q = spark.createDataFrame([(0, "alpha", "beta")],
+                              "query_id long, term_a string, term_b string")
+    got = {r.doc_id: (r.n_pairs, r.min_gap)
+           for r in proximity_search(docs, q, window=2).collect()}
+    assert got == {2: (1, 1), 3: (2, 2), 5: (1, 1)}
+    # window 3 admits doc 1's gap-3 pair (boundary is inclusive)
+    got3 = {r.doc_id: (r.n_pairs, r.min_gap)
+            for r in proximity_search(docs, q, window=3).collect()}
+    assert got3[1] == (1, 3)
+
+
+def test_proximity_indexed_matches_on_the_fly(spark):
+    """The indexed probe must reproduce the on-the-fly result exactly
+    (same positional semantics through the persisted table)."""
+    from lsh_spark.operators.pipeline_queries import (
+        proximity_search_docs, proximity_search_indexed_docs)
+
+    sf = "/root/testdata/sf0.001"
+    fly = {(r.query_id, r.doc_id): (r.n_pairs, r.min_gap)
+           for r in proximity_search_docs(spark, sf).collect()}
+    idx = {(r.query_id, r.doc_id): (r.n_pairs, r.min_gap)
+           for r in proximity_search_indexed_docs(spark, sf).collect()}
+    assert fly and fly == idx
+
+
+def test_hll_streaming_matches_batch(spark):
+    """The streaming sketch (per-batch register maxima, merged by max
+    at read-back) must equal the batch aggregate row-for-row — the
+    mergeability property that makes the sketch deployable."""
+    from lsh_spark.operators.pipeline_queries import (
+        hll_users_per_event_type)
+    from lsh_spark.streaming.events import hll_users_streaming
+
+    sf = "/root/testdata/sf0.001"
+    batch = {r.event_type: tuple(r)[1:]
+             for r in hll_users_per_event_type(spark, sf).collect()}
+    stream = {r.event_type: tuple(r)[1:]
+              for r in hll_users_streaming(spark, sf).collect()}
+    assert batch and batch == stream

@@ -143,8 +143,9 @@ def _decode_body(content: bytes) -> dict:
     huff_ac: dict[int, _Huff] = {}
     restart = 0
     frame = None
-    store: dict[int, np.ndarray] | None = None   # progressive coef grids
+    store: dict[int, np.ndarray] | None = None   # multi-scan coef grids
     scanned = False
+    covered: set = set()                         # comp ids (DC-)scanned
     while True:
         if content[pos] != 0xFF:
             raise ValueError("JPEG: expected marker")
@@ -154,7 +155,17 @@ def _decode_body(content: bytes) -> dict:
         pos += 2
         if marker == 0xD9:                       # EOI
             if scanned and frame is not None and store is not None:
-                # progressive: all scans accumulated — reconstruct
+                # multi-scan (progressive OR sequential non-interleaved):
+                # all scans accumulated — reconstruct once.  Every
+                # component must have been scanned (DC-scanned, for
+                # progressive): a file whose scans never cover a
+                # component is truncated/corrupt, and assembling it
+                # would silently return zeroed planes.
+                missing = [c["id"] for c in frame["comps"]
+                           if c["id"] not in covered]
+                if missing:
+                    raise ValueError(
+                        f"JPEG: component(s) {missing} never scanned")
                 return _assemble(frame, qt, store)
             raise ValueError("JPEG: no scan data")
         (seglen,) = struct.unpack(">H", content[pos:pos + 2])
@@ -227,21 +238,26 @@ def _decode_body(content: bytes) -> dict:
             ahal = seg[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
             if not frame["prog"]:
-                if ns != len(frame["comps"]):
-                    # a sequential-baseline file MAY split components
-                    # across several scans; decoding only the first would
-                    # silently return a grayscale image for a color file
-                    # — refuse so callers fall back
-                    raise ValueError(
-                        "JPEG: unsupported non-interleaved scan layout "
-                        f"({ns} of {len(frame['comps'])} components)")
-                return _decode_scan(content, data_start, frame, scan, qt,
-                                    huff_dc, huff_ac, restart)
-            if store is None:
-                store = _alloc_store(frame)
-            pos = _decode_prog_scan(content, data_start, frame, scan,
-                                    store, huff_dc, huff_ac, restart,
-                                    ss, se, ah, al)
+                if ns == len(frame["comps"]):
+                    # the single fully-interleaved scan: decode + finish
+                    return _decode_scan(content, data_start, frame, scan,
+                                        qt, huff_dc, huff_ac, restart)
+                # sequential NON-INTERLEAVED layout: components split
+                # across several scans — accumulate like progressive and
+                # reconstruct at EOI
+                if store is None:
+                    store = _alloc_store(frame)
+                pos = _decode_seq_scan(content, data_start, frame, scan,
+                                       store, huff_dc, huff_ac, restart)
+                covered.update(c["id"] for c, _t, _a in scan)
+            else:
+                if store is None:
+                    store = _alloc_store(frame)
+                pos = _decode_prog_scan(content, data_start, frame, scan,
+                                        store, huff_dc, huff_ac, restart,
+                                        ss, se, ah, al)
+                if ss == 0:
+                    covered.update(c["id"] for c, _t, _a in scan)
             scanned = True
         # APPn / COM / others: skipped via their length
 
@@ -286,28 +302,78 @@ def _decode_scan(content, pos, frame, scan, qt, huff_dc, huff_ac,
                 grid = store[comp["id"]]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        t = reader.decode(huff_dc[tdc])
-                        diff = _extend(reader.read_bits(t), t) if t else 0
-                        pred[comp["id"]] += diff
-                        zz[0] = pred[comp["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode(huff_ac[tac])
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break            # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG: AC index overflow")
-                            zz[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        grid[my * comp["v"] + by, mx * comp["h"] + bx] = zz
+                        grid[my * comp["v"] + by, mx * comp["h"] + bx] = \
+                            _read_block_seq(reader, huff_dc[tdc],
+                                            huff_ac[tac], pred,
+                                            comp["id"])
             n_mcu += 1
     return _assemble(frame, qt, store)
+
+
+def _read_block_seq(reader, hdc, hac, pred, cid) -> np.ndarray:
+    """One sequential-DCT block: DC diff + AC run/size walk → zigzag
+    coefficient vector (shared by the interleaved fast path and the
+    non-interleaved multi-scan path)."""
+    zz = np.zeros(64, dtype=np.int64)
+    t = reader.decode(hdc)
+    diff = _extend(reader.read_bits(t), t) if t else 0
+    pred[cid] += diff
+    zz[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = reader.decode(hac)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break                                # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG: AC index overflow")
+        zz[k] = _extend(reader.read_bits(s), s)
+        k += 1
+    return zz
+
+
+def _decode_seq_scan(content, pos, frame, scan, store, huff_dc, huff_ac,
+                     restart) -> int:
+    """One sequential scan covering a SUBSET of the frame's components
+    (T.81 A.2: ns > 1 interleaves the scan's own components over the
+    frame MCU grid; ns == 1 walks the component's own block raster).
+    Full DC+AC per block, accumulated into the coefficient grids;
+    returns the position of the marker after the entropy data."""
+    reader = _BitReader(content, pos)
+    pred = {c["id"]: 0 for c, _t, _a in scan}
+    _hmax, _vmax, mcux, mcuy = _mcu_geometry(frame)
+    if len(scan) > 1:
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for comp, tdc, tac in scan:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            unit.append((comp, tdc, tac,
+                                         my * comp["v"] + by,
+                                         mx * comp["h"] + bx))
+                units.append(unit)
+    else:
+        comp, tdc, tac = scan[0]
+        bh, bw = _comp_block_dims(frame, comp)
+        units = [[(comp, tdc, tac, y, x)]
+                 for y in range(bh) for x in range(bw)]
+    rst = 0
+    for n, unit in enumerate(units):
+        if restart and n and n % restart == 0:
+            reader.sync_restart(rst)
+            rst = (rst + 1) & 7
+            for k in pred:
+                pred[k] = 0
+        for comp, tdc, tac, y, x in unit:
+            store[comp["id"]][y, x] = _read_block_seq(
+                reader, huff_dc[tdc], huff_ac[tac], pred, comp["id"])
+    return _next_marker(content, reader)
 
 
 def _assemble(frame, qt, store) -> dict:
@@ -568,7 +634,8 @@ def _mag(v: int) -> tuple[int, int]:
 def encode_jpeg(pixels: np.ndarray, *, subsampling: str = "444",
                 quant: "np.ndarray | None" = None,
                 restart_interval: int = 0,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False,
+                separate_scans: bool = False) -> bytes:
     """(h, w[, c]) uint8 → JPEG bytes.  c=1 grayscale, c=3 RGB
     (encoded as YCbCr; ``subsampling`` ∈ {"444", "422", "420"}).
     ``quant``: 64 zigzag-order values shared by both tables (default
@@ -576,7 +643,10 @@ def encode_jpeg(pixels: np.ndarray, *, subsampling: str = "444",
     ``progressive=True`` emits an SOF2 stream with the classic
     successive-approximation script (DC first Al=1 + DC refine, per-band
     AC first Al=1 + AC refine with EOB-run coding) — identical
-    coefficients to the baseline stream, so both decode identically."""
+    coefficients to the baseline stream, so both decode identically.
+    ``separate_scans=True`` emits a sequential SOF0 stream with one
+    NON-INTERLEAVED scan per component (T.81 A.2 single-component block
+    raster) — again coefficient-identical to the interleaved stream."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -631,6 +701,9 @@ def encode_jpeg(pixels: np.ndarray, *, subsampling: str = "444",
     if progressive:
         return _encode_progressive(w, h, comps, comp_blocks, q,
                                    mcux, mcuy, restart_interval)
+    if separate_scans:
+        return _encode_separate_scans(w, h, comps, comp_blocks, q,
+                                      restart_interval)
 
     # serialize MCU-major, collecting symbol histograms first
     def mcu_stream():
@@ -959,5 +1032,107 @@ def _encode_progressive(w, h, comps, comp_blocks, q, mcux, mcuy,
         sos += bytes([sd["ss"], sd["se"], (sd["ah"] << 4) | sd["al"]])
         out += seg(0xDA, sos)
         out += wr.bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# sequential separate-scans encoder (one non-interleaved scan per
+# component — the T.81 A.2 layout some encoders emit for 4:4:4 color;
+# exercises the decoder's multi-scan sequential path on real streams)
+# ---------------------------------------------------------------------------
+
+
+def _seq_block_ops(diff: int, zz) -> "list[tuple]":
+    """(kind, symbol, magnitude, nbits) ops for one sequential block —
+    DC size/diff then AC run/size pairs with ZRL and EOB."""
+    ops = []
+    size, mag = _mag(int(diff))
+    ops.append(("dc", size, mag, size))
+    run = 0
+    last = 0
+    for i in range(1, 64):
+        if zz[i] != 0:
+            last = i
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ops.append(("ac", 0xF0, 0, 0))
+            run -= 16
+        s, m = _mag(v)
+        ops.append(("ac", (run << 4) | s, m, s))
+        run = 0
+    if last < 63:
+        ops.append(("ac", 0x00, 0, 0))
+    return ops
+
+
+def _encode_separate_scans(w, h, comps, comp_blocks, q,
+                           restart_interval) -> bytes:
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    hmax = max(cc["h"] for cc in comps)
+    vmax = max(cc["v"] for cc in comps)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cc in comps:
+        sof += bytes([cc["id"], (cc["h"] << 4) | cc["v"], cc["tq"]])
+    out += seg(0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    for ci, cc in enumerate(comps):
+        cw = -(-w * cc["h"] // hmax)
+        chh = -(-h * cc["v"] // vmax)
+        bh, bwn = -(-chh // 8), -(-cw // 8)
+
+        def stream():
+            pred = 0
+            n = 0
+            for y in range(bh):
+                for x in range(bwn):
+                    if restart_interval and n and \
+                            n % restart_interval == 0:
+                        yield ("RST", None, None)
+                        pred = 0
+                    zz = comp_blocks[ci][y, x]
+                    d = int(zz[0]) - pred
+                    pred = int(zz[0])
+                    yield ("BLK", d, zz)
+                    n += 1
+
+        dc_syms: set = set()
+        ac_syms: set = set()
+        for kind, d, zz in stream():
+            if kind != "BLK":
+                continue
+            for k2, sym, _m, _s in _seq_block_ops(d, zz):
+                (dc_syms if k2 == "dc" else ac_syms).add(sym)
+        dc_bits, dc_vals, dc_enc = _canonical_table(dc_syms)
+        ac_bits, ac_vals, ac_enc = _canonical_table(ac_syms)
+        bwr = _BitWriter()
+        rst = 0
+        for kind, d, zz in stream():
+            if kind == "RST":
+                bwr.flush()
+                bwr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                continue
+            for k2, sym, m, s in _seq_block_ops(d, zz):
+                code, length = (dc_enc if k2 == "dc" else ac_enc)[sym]
+                bwr.write(code, length)
+                if s:
+                    bwr.write(m, s)
+        bwr.flush()
+        out += seg(0xC4, bytes([0x00]) + dc_bits + dc_vals)
+        out += seg(0xC4, bytes([0x10]) + ac_bits + ac_vals)
+        out += seg(0xDA, bytes([1, cc["id"], 0x00, 0, 63, 0]))
+        out += bwr.out
     out += b"\xff\xd9"
     return bytes(out)

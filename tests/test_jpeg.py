@@ -204,18 +204,21 @@ if _HAVE_HYP:
             data if data[:2] != b"\xff\xd8" else b"x" + data) is None
 
 
-def test_non_interleaved_scan_and_undeclared_component_raise():
-    """Multi-scan baseline layouts and SOS/SOF component mismatches
-    must raise ValueError (stub fallback), never decode partially or
-    leak StopIteration through the ValueError contract."""
+def test_incomplete_scan_coverage_and_undeclared_component_raise():
+    """SOS/SOF component mismatches and files whose scans never cover
+    every component must raise ValueError (stub fallback), never decode
+    partially — a luma-only sequential file would otherwise return
+    zeroed chroma planes silently."""
     good = encode_jpeg(_rand_px(8, 8, 3, seed=1))
     # locate the SOS segment (FFDA) and rewrite its component list
     sos = good.index(b"\xff\xda")
     ln = struct.unpack(">H", good[sos + 2:sos + 4])[0]
-    # (a) single-component scan of a 3-component frame
+    # (a) single-component scan of a 3-component frame, then EOI:
+    # decodes as a non-interleaved luma scan but chroma is never
+    # covered -> refused at EOI
     one_comp = (good[:sos] + b"\xff\xda" + struct.pack(">H", 8)
                 + bytes([1, 1, 0x00, 0, 63, 0]) + good[sos + 2 + ln:])
-    with pytest.raises(ValueError, match="non-interleaved"):
+    with pytest.raises(ValueError, match="never scanned"):
         decode_jpeg(one_comp)
     # (b) scan naming a component id SOF never declared
     bad_ids = bytearray(good)
@@ -336,3 +339,44 @@ if _HAVE_HYP:
                                        restart_interval=ri,
                                        progressive=True))
         assert np.array_equal(base["_pixels"], prog["_pixels"])
+
+
+# ---------------------------------------------------------------------------
+# sequential non-interleaved (separate scans per component)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_separate_scans_equals_interleaved(sub):
+    """A sequential SOF0 stream with one non-interleaved scan per
+    component carries the same coefficients as the interleaved stream,
+    so both must decode identically (this layout used to be a
+    documented refusal)."""
+    px = _smooth_rgb(21, 26)
+    inter = decode_jpeg(encode_jpeg(px, subsampling=sub))
+    sep = decode_jpeg(encode_jpeg(px, subsampling=sub,
+                                  separate_scans=True))
+    assert np.array_equal(inter["_pixels"], sep["_pixels"])
+
+
+def test_separate_scans_restart_and_noise():
+    px = _rand_px(19, 23, 3, seed=21)
+    inter = decode_jpeg(encode_jpeg(px))
+    sep = decode_jpeg(encode_jpeg(px, separate_scans=True,
+                                  restart_interval=3))
+    assert np.array_equal(inter["_pixels"], sep["_pixels"])
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=10, deadline=None)
+    @given(h=st.integers(1, 16), w=st.integers(1, 16),
+           sub=st.sampled_from(["444", "422", "420"]),
+           ri=st.sampled_from([0, 2]),
+           seed=st.integers(0, 2**31 - 1))
+    def test_prop_separate_scans_equals_interleaved(h, w, sub, ri, seed):
+        px = _rand_px(h, w, 3, seed=seed)
+        inter = decode_jpeg(encode_jpeg(px, subsampling=sub))
+        sep = decode_jpeg(encode_jpeg(px, subsampling=sub,
+                                      restart_interval=ri,
+                                      separate_scans=True))
+        assert np.array_equal(inter["_pixels"], sep["_pixels"])

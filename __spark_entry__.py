@@ -246,6 +246,7 @@ _REDUNDANT_TAIL = [
     "hll_users_streaming",
     "proximity_search_docs",
     "proximity_search_indexed_docs",
+    "item_ppr_scores",
 ]
 
 

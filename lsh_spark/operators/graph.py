@@ -87,6 +87,167 @@ def pagerank_undirected(
     return ranks.select(F.col("__node").alias("node"), "rank")
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Personalized PageRank: the restart mass ``(1−d)`` concentrates
+    on the SEED set instead of teleporting uniformly — the
+    similar-to-these recommendation / neighborhood-expansion primitive
+    (seed a few items, rank the graph by proximity to them).
+
+    Exactness contract — INTEGER MICRO-UNITS (the events_hourly_spikes
+    philosophy: no float anywhere in the iteration): ranks live as
+    BIGINT micro-ranks (units of 1e-6) and every quantization is the
+    half-up integer division ``(2a + b) DIV (2b)``, identical in both
+    engines by construction (the per-term ``round(double, 6)`` chain of
+    ``pagerank_undirected`` is correct there, but probe-measured to hit
+    .5-at-6dp boundaries on PPR's sparser rank distribution, where
+    Spark's exact-BigDecimal and DuckDB's scaled-double roundings can
+    disagree):
+      rank₀(v)  = halfup(10⁶ / |S|) for seeds, 0 otherwise
+      contrib(e) = halfup(rank(src) / deg(src))
+      rank'(v)  = halfup((1−d)·10⁶ / |S|)·[v ∈ S] + halfup(d·Σ contrib)
+    with d = dnum/dden rational (0.85 = 17/20).  The reported ``rank``
+    is ONE terminal division of exact integers by 10⁶ — bit-stable.
+    ``seeds`` is a one-column (``node``) frame; it broadcasts (a seed
+    set is small by definition).  Zero-rank nodes contribute 0 rows, so
+    the frame stays total over all nodes every iteration — unreachable
+    nodes report rank 0.0, not absence."""
+    dnum, dden = _damping_rational(damping)
+    deg = edges.groupBy(F.col(src).alias("__src")).agg(
+        F.count(F.lit(1)).alias("__deg"))
+    sd = F.broadcast(
+        seeds.select(F.col("node").alias("__node")).distinct()
+        .withColumn("__seed", F.lit(True)))
+    n_seeds = F.broadcast(
+        seeds.select("node").distinct()
+        .agg(F.count(F.lit(1)).alias("__ns")))
+    scale = 1_000_000
+    # halfup((dden-dnum) * scale / (dden*ns)) — the seed restart mass
+    restart = (
+        F.when(F.col("__seed"),
+               F.expr(f"(2 * {(dden - dnum) * scale}L + {dden}L * __ns) "
+                      f"DIV (2 * {dden}L * __ns)"))
+        .otherwise(F.lit(0).cast("long"))
+    )
+    ranks = (
+        deg.select(F.col("__src").alias("__node"))
+        .join(sd, on="__node", how="left")
+        .crossJoin(n_seeds)
+        .select(
+            "__node",
+            F.when(F.col("__seed"),
+                   F.expr(f"(2 * {scale}L + __ns) DIV (2 * __ns)"))
+            .otherwise(F.lit(0)).cast("long").alias("__r"))
+    )
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    for i in range(int(iters)):
+        contribs = (
+            e.join(ranks.withColumnRenamed("__node", "__src"), on="__src")
+            .join(deg, on="__src")
+            .select(
+                F.col("__dst").alias("__node"),
+                F.expr("(2 * __r + __deg) DIV (2 * __deg)").alias("__c"))
+            .groupBy("__node")
+            .agg(F.sum("__c").cast("long").alias("__s"))
+        )
+        ranks = (
+            contribs.join(sd, on="__node", how="left")
+            .crossJoin(n_seeds)
+            .select(
+                "__node",
+                (restart
+                 + F.expr(f"(2 * {dnum}L * __s + {dden}L) "
+                          f"DIV (2 * {dden}L)"))
+                .cast("long").alias("__r"))
+        )
+        if checkpoint_every and (i + 1) % int(checkpoint_every) == 0 \
+                and (i + 1) < int(iters):
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        F.col("__node").alias("node"),
+        (F.col("__r").cast("double") / F.lit(float(scale)))
+        .alias("rank"))
+
+
+def _damping_rational(damping: float) -> tuple[int, int]:
+    """Damping as an exact small rational (micro-unit contract)."""
+    from fractions import Fraction
+
+    fr = Fraction(damping).limit_denominator(10_000)
+    if float(fr) != float(damping):
+        raise ValueError(
+            f"personalized_pagerank damping {damping!r} is not an exact "
+            "small rational; the integer micro-unit contract needs one "
+            "(e.g. 0.85 = 17/20)")
+    return fr.numerator, fr.denominator
+
+
+def ppr_oracle_sql(iters: int = 3, damping: float = 0.85,
+                   seed_pred: str = "node % 2 = 1 AND (node // 2) % 17 = 0",
+                   source: str = "events") -> str:
+    """DuckDB twin of :func:`personalized_pagerank` over the
+    user↔item bipartite graph with seeds derived from the node table by
+    ``seed_pred`` — the identical integer micro-unit chain (half-up
+    integer divisions, BIGINT sums), unrolled; the only float is the
+    terminal exact-integer division by 1e6."""
+    dnum, dden = _damping_rational(damping)
+    scale = 1_000_000
+    rst = (dden - dnum) * scale
+    ctes = [f"""e0 AS (
+  SELECT DISTINCT user_id * 2 AS u,
+         json_extract(props, '$.k')::BIGINT * 2 + 1 AS i
+  FROM {source}
+  WHERE json_extract(props, '$.k') IS NOT NULL
+)""", """edges AS (
+  SELECT u AS src, i AS dst FROM e0
+  UNION ALL
+  SELECT i AS src, u AS dst FROM e0
+)""", """deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1)""",
+            f"""seeds AS (
+  SELECT src AS node FROM deg WHERE {seed_pred.replace('node', 'src')}
+)""", """ns AS (SELECT count(*)::BIGINT AS n_seeds FROM seeds)""",
+            f"""r0 AS (
+  SELECT deg.src AS node,
+         CASE WHEN s.node IS NOT NULL
+              THEN (2 * {scale} + (SELECT n_seeds FROM ns))
+                   // (2 * (SELECT n_seeds FROM ns))
+              ELSE 0 END::BIGINT AS r
+  FROM deg LEFT JOIN seeds s ON s.node = deg.src
+)"""]
+    for k in range(1, int(iters) + 1):
+        ctes.append(f"""c{k} AS (
+  SELECT e.dst AS node,
+         sum((2 * r.r + deg.d) // (2 * deg.d))::BIGINT AS s
+  FROM edges e
+  JOIN r{k - 1} r ON r.node = e.src
+  JOIN deg ON deg.src = e.src
+  GROUP BY 1
+)""")
+        ctes.append(f"""r{k} AS (
+  SELECT c.node,
+         (CASE WHEN sd.node IS NOT NULL
+               THEN (2 * {rst} + {dden} * (SELECT n_seeds FROM ns))
+                    // (2 * {dden} * (SELECT n_seeds FROM ns))
+               ELSE 0 END
+          + (2 * {dnum} * c.s + {dden}) // (2 * {dden}))::BIGINT AS r
+  FROM c{k} c LEFT JOIN seeds sd ON sd.node = c.node
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END AS kind,
+       node // 2 AS id,
+       CAST(r AS DOUBLE) / 1e6 AS rank
+FROM r{int(iters)}
+""")
+
+
 def user_item_edges(events: DataFrame) -> DataFrame:
     """Bipartite user↔item edges from the events stream: one distinct
     (user, props.k) pair per co-occurrence, both directions, nodes

@@ -5913,3 +5913,35 @@ def proximity_search_indexed_docs(spark: SparkSession,
 
 QUERIES_LATE["proximity_search_indexed_docs"] = (
     proximity_search_indexed_docs, _prox_oracle())
+
+
+# personalized PageRank (graph.personalized_pagerank): restart mass on
+# a seed ITEM set — the similar-to-these neighborhood-expansion
+# primitive; unrolled-CTE oracle, same float contract as events_pagerank.
+_PPR_ITERS = 3
+
+
+def item_ppr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import personalized_pagerank, user_item_edges
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = user_item_edges(ev)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.where((F.col("node") % 2 == 1)
+                        & (F.expr("node DIV 2") % 17 == 0))
+    pr = personalized_pagerank(edges, seeds, iters=_PPR_ITERS)
+    return pr.select(
+        F.when(F.col("node") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("item")).alias("kind"),
+        F.expr("node DIV 2").alias("id"),
+        "rank",
+    )
+
+
+def _ppr_oracle() -> str:
+    from .graph import ppr_oracle_sql
+
+    return ppr_oracle_sql(_PPR_ITERS)
+
+
+QUERIES_LATE["item_ppr_scores"] = (item_ppr_scores, _ppr_oracle())

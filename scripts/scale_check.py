@@ -1401,6 +1401,84 @@ def r12() -> None:
     spark.stop()
 
 
+def r12b() -> None:
+    """Round-12 new-operator sweep: proximity search (posting volume
+    growth under fixed query terms), personalized PageRank (graph
+    growth), and progressive-JPEG decode throughput (batch decode of
+    the synthesized SOF2 corpus)."""
+    from lsh_spark.operators.graph import (personalized_pagerank,
+                                           user_item_edges)
+    from lsh_spark.operators.retrieval import proximity_search
+    from lsh_spark.plans import get_spark
+    from lsh_spark.sources.io import load_table
+    from pyspark import StorageLevel
+
+    reps = [int(a) for a in sys.argv[2:]] or [1, 5, 20]
+    spark = get_spark(app_name="lsh_spark-scale-check-r12b")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    docs0 = load_table(spark, sf, "documents")
+    ev0 = load_table(spark, sf, "events")
+    terms = spark.range(3).select(
+        F.col("id").alias("query_id"),
+        F.element_at(F.array(F.lit("sort"), F.lit("hash"),
+                             F.lit("merge")),
+                     (F.col("id") + 1).cast("int")).alias("term_a"),
+        F.element_at(F.array(F.lit("join"), F.lit("scan"),
+                             F.lit("table")),
+                     (F.col("id") + 1).cast("int")).alias("term_b"))
+    for rep in reps:
+        docs = (
+            docs0.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select((F.col("doc_id") * rep + F.col("__rep"))
+                    .alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" tail"),
+                             F.col("__rep").cast("string")).alias("text"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        n_prox = proximity_search(docs, terms, window=6).count()
+        t_prox = time.perf_counter() - t0
+        # PPR: users duplicated with fresh ids -> graph grows linearly,
+        # seed set (items) stays the same size
+        ev = (
+            ev0.crossJoin(
+                spark.range(rep).select(F.col("id").alias("__rep")))
+            .select((F.col("user_id") * rep + F.col("__rep"))
+                    .alias("user_id"), "props")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        ev.count()
+        edges = user_item_edges(ev)
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        seeds = nodes.where((F.col("node") % 2 == 1)
+                            & (F.expr("node DIV 2") % 17 == 0))
+        t0 = time.perf_counter()
+        n_ppr = personalized_pagerank(edges, seeds, iters=3).count()
+        t_ppr = time.perf_counter() - t0
+        # progressive decode throughput: synthesize + decode the SOF2
+        # corpus over the replicated doc ids (CPU-bound Arrow batches)
+        from lsh_spark.multimodal.media import (
+            decoded_image_stats, synthesize_progressive_jpegs_from_documents)
+        from lsh_spark.sources.io import fanout_scan
+
+        t0 = time.perf_counter()
+        n_dec = decoded_image_stats(
+            synthesize_progressive_jpegs_from_documents(
+                fanout_scan(docs))).count()
+        t_dec = time.perf_counter() - t0
+        print(
+            f"rep={rep:3d} docs={n_docs:7d}  "
+            f"proximity={t_prox:6.1f}s ({n_prox} rows)  "
+            f"ppr[3 iters]={t_ppr:6.1f}s ({n_ppr} nodes)  "
+            f"prog_decode={t_dec:6.1f}s ({n_dec} images)",
+            flush=True)
+        for d in (docs, ev):
+            d.unpersist()
+        spark.catalog.clearCache()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--vectors":
         vectors()
@@ -1436,5 +1514,7 @@ if __name__ == "__main__":
         s2()
     elif len(sys.argv) > 1 and sys.argv[1] == "--r12":
         r12()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--r12b":
+        r12b()
     else:
         main()

@@ -989,3 +989,44 @@ def test_hourly_spikes_window_over_hourly_frame(spark):
     assert plan.count("Window") >= 1
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_proximity_search_broadcast_terms_ids_only(spark):
+    """Proximity: the query-term table broadcasts and prunes postings
+    at the scan; the pair join's exchanges carry (query_id, doc_id,
+    position) ints only — text never shuffles, no Python runs."""
+    from lsh_spark.operators.pipeline_queries import proximity_search_docs
+
+    plan = _plan(proximity_search_docs(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    exchange_lines = " ".join(
+        l for l in plan.splitlines() if "Exchange" in l)
+    assert "text#" not in exchange_lines, exchange_lines
+
+
+def test_ppr_integer_iteration_no_float_exchange(spark):
+    """Personalized PageRank: three micro-unit iterations shuffle
+    (node, BIGINT) pairs only — no double column crosses an exchange
+    (the terminal display division is post-aggregate), the seed table
+    broadcasts, and no Python runs."""
+    from lsh_spark.operators.pipeline_queries import item_ppr_scores
+
+    plan = _plan(item_ppr_scores(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "rank#" not in line, line
+
+
+def test_hll_users_pure_aggregate_chain(spark):
+    """Grouped HLL: register construction is one scan + two map-side-
+    combinable aggregates — no join, no window, no Python."""
+    from lsh_spark.operators.pipeline_queries import (
+        hll_users_per_event_type)
+
+    plan = _plan(hll_users_per_event_type(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan

@@ -465,9 +465,10 @@ def encode_gif_rgb(pixels: np.ndarray) -> bytes:
 
 def decode_tiff(content: bytes) -> dict | None:
     """Baseline TIFF parse → the image dict shape: real IFD walk, both
-    byte orders (II/MM), uncompressed 8-bit chunky samples, grayscale
-    (photometric 0 — white-is-zero — is inverted to black-is-zero — and
-    1) and RGB, multi-strip assembly.  Compressed variants, non-8-bit
+    byte orders (II/MM), uncompressed AND PackBits-compressed (32773,
+    per-strip RLE) 8-bit chunky samples, grayscale (photometric 0 —
+    white-is-zero — is inverted to black-is-zero — and 1) and RGB,
+    multi-strip assembly.  LZW/JPEG-compressed variants, non-8-bit
     samples, planar layout and extra samples raise (digest-stub
     fallback upstream, same contract as the other codecs)."""
     if content is None or content[:4] not in (b"II*\x00", b"MM\x00*"):
@@ -513,7 +514,7 @@ def _decode_tiff_body(content: bytes) -> dict:
         raise ValueError("TIFF: missing dimensions")
     w, h = int(wv[0]), int(hv[0])
     comp = val(259, [1])[0]
-    if comp != 1:
+    if comp not in (1, 32773):
         raise ValueError(f"TIFF: unsupported compression {comp}")
     phot = val(262, [1])[0]
     spp = int(val(277, [1])[0])
@@ -531,7 +532,12 @@ def _decode_tiff_body(content: bytes) -> dict:
     offs, counts = val(273), val(279)
     if offs is None or counts is None:
         raise ValueError("TIFF: missing strip layout")
-    data = b"".join(content[o:o + c] for o, c in zip(offs, counts))
+    strips = [content[o:o + c] for o, c in zip(offs, counts)]
+    if comp == 32773:
+        # PackBits: each strip is an independent RLE stream
+        data = b"".join(_packbits_decode(s) for s in strips)
+    else:
+        data = b"".join(strips)
     need = w * h * spp
     if len(data) < need:
         raise ValueError("TIFF: truncated pixel data")
@@ -544,13 +550,76 @@ def _decode_tiff_body(content: bytes) -> dict:
             "_pixels": np.ascontiguousarray(px)}
 
 
-def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<") -> bytes:
-    """(h, w) gray or (h, w, 3) RGB uint8 → single-strip uncompressed
-    TIFF (black-is-zero / RGB, chunky), either byte order — the inverse
-    of ``decode_tiff`` for the round-trip tests."""
+def _packbits_decode(stream: bytes) -> bytes:
+    """Apple PackBits RLE (the TIFF 32773 per-strip codec): control
+    byte n ∈ 0..127 copies n+1 literals; n ∈ -127..-1 repeats the next
+    byte 1−n times; −128 is a no-op."""
+    out = bytearray()
+    i = 0
+    n_in = len(stream)
+    while i < n_in:
+        n = stream[i]
+        i += 1
+        if n < 128:                               # literal run
+            j = i + n + 1
+            if j > n_in:
+                raise ValueError("TIFF: truncated PackBits literal")
+            out += stream[i:j]
+            i = j
+        elif n > 128:                             # replicate run
+            if i >= n_in:
+                raise ValueError("TIFF: truncated PackBits repeat")
+            out += bytes([stream[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (repeat packets for runs ≥ 3, literal packets
+    otherwise, 128-byte packet cap) — the inverse of
+    ``_packbits_decode`` for the round-trip tests and the compressed
+    ``encode_tiff`` path."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        # literal stretch: until the next ≥3 run or the 128 cap
+        j = i
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<",
+                compression: str = "none",
+                rows_per_strip: "int | None" = None) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → TIFF (black-is-zero / RGB,
+    chunky), either byte order — the inverse of ``decode_tiff`` for the
+    round-trip tests.  ``compression``: "none" or "packbits" (per-strip
+    RLE); ``rows_per_strip`` splits the image into multiple strips
+    (default: one strip).  The default-parameter layout is
+    byte-identical to the historical single-strip encoder (the media
+    gate corpus depends on it)."""
     bo = byteorder
     if bo not in ("<", ">"):
         raise ValueError("encode_tiff: byteorder must be '<' or '>'")
+    if compression not in ("none", "packbits"):
+        raise ValueError(f"encode_tiff: unknown compression {compression!r}")
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -558,12 +627,28 @@ def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<") -> bytes:
     if spp not in (1, 3):
         raise ValueError("encode_tiff: gray or RGB input only")
     h, w, _ = px.shape
-    data = px.tobytes()
+    rps = int(rows_per_strip) if rows_per_strip else h
+    raw_strips = [px[y:y + rps].tobytes() for y in range(0, h, rps)] \
+        or [b""]
+    if compression == "packbits":
+        payloads = [_packbits_encode(s) for s in raw_strips]
+        comp_tag = 32773
+    else:
+        payloads = raw_strips
+        comp_tag = 1
+    n_strips = len(payloads)
     n_tags = 9
     ifd_size = 2 + n_tags * 12 + 4
     bps_extra = 6 if spp == 3 else 0
     bps_off = 8 + ifd_size
-    data_off = bps_off + bps_extra
+    arrays_off = bps_off + bps_extra
+    arrays_extra = 8 * n_strips if n_strips > 1 else 0
+    data_off = arrays_off + arrays_extra
+    offs = []
+    pos = data_off
+    for p in payloads:
+        offs.append(pos)
+        pos += len(p)
 
     def short(v: int) -> bytes:
         return struct.pack(bo + "H", v).ljust(4, b"\x00")
@@ -571,24 +656,36 @@ def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<") -> bytes:
     def entry(tag: int, typ: int, cnt: int, payload: bytes) -> bytes:
         return struct.pack(bo + "HHI", tag, typ, cnt) + payload
 
+    if n_strips == 1:
+        e273 = entry(273, 4, 1, struct.pack(bo + "I", offs[0]))
+        e279 = entry(279, 4, 1, struct.pack(bo + "I", len(payloads[0])))
+        arrays_block = b""
+    else:
+        e273 = entry(273, 4, n_strips, struct.pack(bo + "I", arrays_off))
+        e279 = entry(279, 4, n_strips,
+                     struct.pack(bo + "I", arrays_off + 4 * n_strips))
+        arrays_block = (
+            struct.pack(bo + "I" * n_strips, *offs)
+            + struct.pack(bo + "I" * n_strips,
+                          *[len(p) for p in payloads]))
     entries = [
         entry(256, 4, 1, struct.pack(bo + "I", w)),
         entry(257, 4, 1, struct.pack(bo + "I", h)),
         entry(258, 3, spp,
               short(8) if spp == 1 else struct.pack(bo + "I", bps_off)),
-        entry(259, 3, 1, short(1)),
+        entry(259, 3, 1, short(comp_tag)),
         entry(262, 3, 1, short(1 if spp == 1 else 2)),
-        entry(273, 4, 1, struct.pack(bo + "I", data_off)),
+        e273,
         entry(277, 3, 1, short(spp)),
-        entry(278, 4, 1, struct.pack(bo + "I", h)),
-        entry(279, 4, 1, struct.pack(bo + "I", len(data))),
+        entry(278, 4, 1, struct.pack(bo + "I", rps)),
+        e279,
     ]
     header = (b"II*\x00" if bo == "<" else b"MM\x00*") + struct.pack(
         bo + "I", 8)
     ifd = (struct.pack(bo + "H", n_tags) + b"".join(entries)
            + struct.pack(bo + "I", 0))
     bps_block = struct.pack(bo + "HHH", 8, 8, 8) if spp == 3 else b""
-    return header + ifd + bps_block + data
+    return header + ifd + bps_block + arrays_block + b"".join(payloads)
 
 
 # ---------------------------------------------------------------------------

@@ -713,3 +713,58 @@ def test_mp4_roundtrip_property(brand, n_compat, timescale, duration,
         assert (m["width"], m["height"]) == (vids[0][1], vids[0][2])
     else:
         assert m["width"] is None and m["height"] is None
+
+
+# ---------------------------------------------------------------------------
+# PackBits-compressed TIFF (compression 32773)
+# ---------------------------------------------------------------------------
+
+def test_packbits_spec_golden():
+    """The classic Apple PackBits worked example, byte for byte — pins
+    the decoder against the published spec rather than our encoder."""
+    from lsh_spark.multimodal.containers import (_packbits_decode,
+                                                 _packbits_encode)
+
+    enc = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03,
+                 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    want = (b"\xAA\xAA\xAA\x80\x00\x2A\xAA\xAA\xAA\xAA\x80\x00\x2A\x22"
+            + b"\xAA" * 10)
+    assert _packbits_decode(enc) == want
+    # our encoder round-trips the same payload (not necessarily the
+    # same bytes — the spec allows many encodings)
+    assert _packbits_decode(_packbits_encode(want)) == want
+    # -128 is a spec no-op
+    assert _packbits_decode(bytes([0x80, 0x00, 0x41])) == b"A"
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("rps", [None, 3])
+def test_tiff_packbits_round_trip(bo, rps):
+    """PackBits and multi-strip layouts decode to the identical pixels
+    as the single-strip uncompressed form, both byte orders."""
+    import numpy as np
+
+    from lsh_spark.multimodal.containers import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(7)
+    for shape in [(7, 9), (10, 6, 3)]:
+        px = rng.integers(0, 5, size=shape, dtype=np.uint8) * 50
+        base = decode_tiff(encode_tiff(px, byteorder=bo))["_pixels"]
+        pb = decode_tiff(encode_tiff(
+            px, byteorder=bo, compression="packbits",
+            rows_per_strip=rps))["_pixels"]
+        assert np.array_equal(base, pb)
+
+
+def test_tiff_lzw_still_refused():
+    """Other compressions keep the refusal contract (stub fallback)."""
+    import numpy as np
+
+    from lsh_spark.multimodal.containers import decode_tiff, encode_tiff
+
+    blob = bytearray(encode_tiff(np.zeros((4, 4), np.uint8)))
+    # compression tag (259) short value sits in the IFD; patch 1 -> 5
+    idx = blob.index(bytes.fromhex("03010300"))  # tag 259, type 3, ...
+    blob[idx + 8] = 5                            # LZW
+    with pytest.raises(ValueError, match="compression"):
+        decode_tiff(bytes(blob))

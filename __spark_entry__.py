@@ -247,6 +247,7 @@ _REDUNDANT_TAIL = [
     "proximity_search_docs",
     "proximity_search_indexed_docs",
     "item_ppr_scores",
+    "item_hits_scores",
 ]
 
 

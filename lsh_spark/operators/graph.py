@@ -248,6 +248,122 @@ FROM r{int(iters)}
 """)
 
 
+def hits_scores(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg) — the third of the classic
+    link-analysis trio next to PageRank and personalized PageRank:
+    authority(v) = Σ hub(in-neighbors), hub(v) = Σ authority
+    (out-neighbors), each renormalized per half-step.
+
+    Integer micro-unit contract (the :func:`personalized_pagerank`
+    idiom — no float in the iteration): scores are BIGINT micro-units,
+    hub₀ = 10⁶ everywhere, and each half-step renormalizes by the MAX
+    (order-independent, unlike an L2 norm — no sqrt exists bit-stably
+    cross-engine): score'(v) = halfup(raw(v)·10⁶ / max(raw)) with
+    halfup(a/b) = (2a + b) DIV (2b).  The reported doubles are ONE
+    terminal exact-integer division each.  Returns (node, hub,
+    authority)."""
+    scale = 1_000_000
+    deg_nodes = edges.select(F.col(src).alias("__node")).distinct()
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    hub = deg_nodes.select(
+        "__node", F.lit(scale).cast("long").alias("__h"))
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        # pin the raw half-step ONCE: it is referenced twice (the max
+        # aggregate and the renormalized projection), and without the
+        # checkpoint each reference recomputes the whole upstream
+        # chain — doubling work per half-step, 2^(2·iters) overall
+        # (measured 55 s at sf0.001; pinned, 3 s).  Also the cc.py
+        # lineage lesson for long chains.
+        raw = raw.localCheckpoint(eager=True)
+        mx = F.broadcast(raw.agg(F.max(col).alias("__mx")))
+        return (
+            raw.crossJoin(mx)
+            .select("__node",
+                    F.expr(f"(2 * {col} * {scale}L + __mx) DIV (2 * __mx)")
+                    .cast("long").alias(col))
+        )
+
+    auth = None
+    for i in range(int(iters)):
+        a_raw = (
+            e.join(hub.withColumnRenamed("__node", "__src"), on="__src")
+            .groupBy(F.col("__dst").alias("__node"))
+            .agg(F.sum("__h").cast("long").alias("__a"))
+        )
+        auth = _norm(a_raw, "__a")
+        h_raw = (
+            e.join(auth.withColumnRenamed("__node", "__dst"), on="__dst")
+            .groupBy(F.col("__src").alias("__node"))
+            .agg(F.sum("__a").cast("long").alias("__h"))
+        )
+        hub = _norm(h_raw, "__h")
+    return (
+        hub.join(auth, on="__node")
+        .select(
+            F.col("__node").alias("node"),
+            (F.col("__h").cast("double") / F.lit(float(scale)))
+            .alias("hub"),
+            (F.col("__a").cast("double") / F.lit(float(scale)))
+            .alias("authority"))
+    )
+
+
+def hits_oracle_sql(iters: int = 3, source: str = "events") -> str:
+    """DuckDB twin of :func:`hits_scores` over the user↔item bipartite
+    graph — identical integer micro-unit half-steps, unrolled."""
+    scale = 1_000_000
+    ctes = [f"""e0 AS (
+  SELECT DISTINCT user_id * 2 AS u,
+         json_extract(props, '$.k')::BIGINT * 2 + 1 AS i
+  FROM {source}
+  WHERE json_extract(props, '$.k') IS NOT NULL
+)""", """edges AS (
+  SELECT u AS src, i AS dst FROM e0
+  UNION ALL
+  SELECT i AS src, u AS dst FROM e0
+)""", f"""h0 AS (
+  SELECT DISTINCT src AS node, {scale}::BIGINT AS h FROM edges
+)"""]
+    for k in range(1, int(iters) + 1):
+        ctes.append(f"""ar{k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(p.h)::BIGINT AS a
+  FROM edges e JOIN h{k - 1} p ON p.node = e.src
+  GROUP BY 1
+)""")
+        ctes.append(f"""a{k} AS MATERIALIZED (
+  SELECT node,
+         ((2 * a * {scale} + (SELECT max(a) FROM ar{k}))
+          // (2 * (SELECT max(a) FROM ar{k})))::BIGINT AS a
+  FROM ar{k}
+)""")
+        ctes.append(f"""hr{k} AS MATERIALIZED (
+  SELECT e.src AS node, sum(p.a)::BIGINT AS h
+  FROM edges e JOIN a{k} p ON p.node = e.dst
+  GROUP BY 1
+)""")
+        ctes.append(f"""h{k} AS MATERIALIZED (
+  SELECT node,
+         ((2 * h * {scale} + (SELECT max(h) FROM hr{k}))
+          // (2 * (SELECT max(h) FROM hr{k})))::BIGINT AS h
+  FROM hr{k}
+)""")
+    n = int(iters)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CASE WHEN h.node % 2 = 0 THEN 'user' ELSE 'item' END AS kind,
+       h.node // 2 AS id,
+       CAST(h.h AS DOUBLE) / 1e6 AS hub,
+       CAST(a.a AS DOUBLE) / 1e6 AS authority
+FROM h{n} h JOIN a{n} a ON a.node = h.node
+""")
+
+
 def user_item_edges(events: DataFrame) -> DataFrame:
     """Bipartite user↔item edges from the events stream: one distinct
     (user, props.k) pair per co-occurrence, both directions, nodes

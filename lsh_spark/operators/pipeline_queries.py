@@ -5945,3 +5945,31 @@ def _ppr_oracle() -> str:
 
 
 QUERIES_LATE["item_ppr_scores"] = (item_ppr_scores, _ppr_oracle())
+
+
+# HITS hubs/authorities (graph.hits_scores) — the third classic
+# link-analysis operator; same integer micro-unit contract as
+# item_ppr_scores (max-renormalized half-steps, no float in the loop).
+_HITS_ITERS = 3
+
+
+def item_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import hits_scores, user_item_edges
+
+    ev = load_table(spark, sf_dir, "events")
+    hs = hits_scores(user_item_edges(ev), iters=_HITS_ITERS)
+    return hs.select(
+        F.when(F.col("node") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("item")).alias("kind"),
+        F.expr("node DIV 2").alias("id"),
+        "hub", "authority",
+    )
+
+
+def _hits_oracle() -> str:
+    from .graph import hits_oracle_sql
+
+    return hits_oracle_sql(_HITS_ITERS)
+
+
+QUERIES_LATE["item_hits_scores"] = (item_hits_scores, _hits_oracle())

@@ -196,3 +196,20 @@ def test_personalized_pagerank_seed_locality(spark):
                    10: 0.0, 11: 0.0}
     with _pytest.raises(ValueError, match="rational"):
         personalized_pagerank(edges, seeds, damping=0.8500000001)
+
+
+def test_hits_star_graph_exact(spark):
+    """HITS on the star K1,3 (center 0, leaves 1-3): the center is the
+    sole authority, leaves are the hubs; micro-unit half-steps
+    hand-unrolled — a(center)=1.0, a(leaf)=333333/1e6,
+    h(leaf)=1.0, h(center)=999999/1e6 at the fixed point."""
+    from lsh_spark.operators.graph import hits_scores
+
+    und = [(0, 1), (0, 2), (0, 3)]
+    rows = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {r.node: (r.hub, r.authority)
+           for r in hits_scores(edges, iters=3).collect()}
+    assert got[0] == (0.999999, 1.0)
+    for leaf in (1, 2, 3):
+        assert got[leaf] == (1.0, 0.333333)

@@ -248,6 +248,7 @@ _REDUNDANT_TAIL = [
     "proximity_search_indexed_docs",
     "item_ppr_scores",
     "item_hits_scores",
+    "item_lpa_communities",
 ]
 
 

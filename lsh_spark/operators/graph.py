@@ -364,6 +364,87 @@ FROM h{n} h JOIN a{n} a ON a.node = h.node
 """)
 
 
+def lpa_communities(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (LPA) — community detection
+    beyond connectivity: every node starts as its own label and each
+    fixed iteration adopts the MOST FREQUENT neighbor label, ties to
+    the smallest label.  All-integer and fully deterministic (the
+    argmax is the min-over-(−count, label)-structs idiom — map-side
+    combinable, no per-node sort), so the oracle replays it exactly;
+    fixed iterations are the spec (synchronous LPA can oscillate on
+    bipartite structure — a caller wanting convergence composes more
+    iterations).
+
+    100 TB shape per iteration: one edge⋈labels join keyed src, one
+    (dst, label) count aggregate, one per-dst argmax aggregate — bare
+    (long, long[, long]) rows on every exchange; labels localCheckpoint
+    every ``checkpoint_every`` rounds (the cc.py lineage lesson)."""
+    labels = (edges.select(F.col(src).alias("__node")).distinct()
+              .select("__node", F.col("__node").alias("__lbl")))
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    for i in range(int(iters)):
+        votes = (
+            e.join(labels.withColumnRenamed("__node", "__src"), on="__src")
+            .groupBy(F.col("__dst").alias("__node"), "__lbl")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = (
+            votes.groupBy("__node")
+            .agg(F.min(F.struct((-F.col("__c")).alias("__neg"),
+                                F.col("__lbl").alias("__l"))).alias("__b"))
+            .select("__node", F.col("__b.__l").alias("__lbl"))
+        )
+        if checkpoint_every and (i + 1) % int(checkpoint_every) == 0 \
+                and (i + 1) < int(iters):
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select(F.col("__node").alias("node"),
+                         F.col("__lbl").alias("community"))
+
+
+def lpa_oracle_sql(iters: int = 4, source: str = "events") -> str:
+    """DuckDB twin of :func:`lpa_communities` over the user↔item
+    bipartite graph — identical vote/argmax integer chain, unrolled."""
+    ctes = [f"""e0 AS (
+  SELECT DISTINCT user_id * 2 AS u,
+         json_extract(props, '$.k')::BIGINT * 2 + 1 AS i
+  FROM {source}
+  WHERE json_extract(props, '$.k') IS NOT NULL
+)""", """edges AS (
+  SELECT u AS src, i AS dst FROM e0
+  UNION ALL
+  SELECT i AS src, u AS dst FROM e0
+)""", """l0 AS (
+  SELECT DISTINCT src AS node, src AS lbl FROM edges
+)"""]
+    for k in range(1, int(iters) + 1):
+        ctes.append(f"""v{k} AS (
+  SELECT e.dst AS node, l.lbl, count(*) AS c
+  FROM edges e JOIN l{k - 1} l ON l.node = e.src
+  GROUP BY 1, 2
+)""")
+        ctes.append(f"""l{k} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl ASC) AS rk
+    FROM v{k})
+  WHERE rk = 1
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END AS kind,
+       node // 2 AS id,
+       lbl AS community
+FROM l{int(iters)}
+""")
+
+
 def user_item_edges(events: DataFrame) -> DataFrame:
     """Bipartite user↔item edges from the events stream: one distinct
     (user, props.k) pair per co-occurrence, both directions, nodes

@@ -5973,3 +5973,31 @@ def _hits_oracle() -> str:
 
 
 QUERIES_LATE["item_hits_scores"] = (item_hits_scores, _hits_oracle())
+
+
+# Label propagation communities (graph.lpa_communities) — community
+# structure beyond connectivity; all-integer vote/argmax chain.
+_LPA_ITERS = 4
+
+
+def item_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import lpa_communities, user_item_edges
+
+    ev = load_table(spark, sf_dir, "events")
+    com = lpa_communities(user_item_edges(ev), iters=_LPA_ITERS)
+    return com.select(
+        F.when(F.col("node") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("item")).alias("kind"),
+        F.expr("node DIV 2").alias("id"),
+        "community",
+    )
+
+
+def _lpa_oracle() -> str:
+    from .graph import lpa_oracle_sql
+
+    return lpa_oracle_sql(_LPA_ITERS)
+
+
+QUERIES_LATE["item_lpa_communities"] = (item_lpa_communities,
+                                        _lpa_oracle())

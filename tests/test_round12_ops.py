@@ -213,3 +213,18 @@ def test_hits_star_graph_exact(spark):
     assert got[0] == (0.999999, 1.0)
     for leaf in (1, 2, 3):
         assert got[leaf] == (1.0, 0.333333)
+
+
+def test_lpa_two_cliques_converge_to_min_ids(spark):
+    """LPA on two disconnected triangles: each converges to its
+    minimum node id (hand-unrolled: after the tie-to-smallest round
+    the min label floods the clique); communities never leak across
+    components."""
+    from lsh_spark.operators.graph import lpa_communities
+
+    und = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    rows = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {r.node: r.community
+           for r in lpa_communities(edges, iters=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}

@@ -239,9 +239,9 @@ _REDUNDANT_TAIL = [
     # into head positions 1-50 next round, demoting an equal number of
     # r12-green unchanged-code queries, preferring STALENESS (the
     # r9-green block above, then the r10-green block) for the
-    # remaining slots.  Count at round-12 close: 10 additions below
+    # remaining slots.  Count at round-12 close: 9 additions below
     # (all replica-green at sf0.001+sf0.01, REPLICA.json): the r13
-    # head = these 10 + the 40 stalest re-checks (r9-green block
+    # head = these 9 + the 41 stalest re-checks (r9-green block
     # first, then r10-green) per --emit-promotions.
     "image_progressive_decode_stats",
     "hll_users_per_event_type",

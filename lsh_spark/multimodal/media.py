@@ -440,8 +440,11 @@ def synthesize_progressive_jpegs_from_documents(docs: DataFrame) -> DataFrame:
     are PURE doc_id arithmetic: the image of doc ``d`` is a grid of
     8×8-CONSTANT blocks — block (col i, row j) carries gray value
     ``(d*11 + 29*i + 47*j) % 256`` in all three channels, over
-    ``bw = 2 + d % 3`` block columns and ``bh = 1 + (d*3) % 3`` rows
-    (so w = 8·bw, h = 8·bh).  Block-constant pixels with the all-ones
+    ``bw = 2 + d % 3`` block columns and ``bh = 1 + (d // 3) % 3`` rows
+    (so w = 8·bw, h = 8·bh; ``bh`` varies with ``d // 3`` so it is
+    decorrelated from ``bw`` and the corpus genuinely exercises
+    multi-block-ROW progressive decode — the r12 formula
+    ``1 + (d*3) % 3`` was identically 1).  Block-constant pixels with the all-ones
     quant table make the DCT round-trip EXACT (each block is DC-only:
     Y−128 is block-constant, so the quantized coefficient set is
     {DC = 8·(v−128)} and IDCT + rounding returns v bit-for-bit, with
@@ -459,7 +462,7 @@ def synthesize_progressive_jpegs_from_documents(docs: DataFrame) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                bw, bh = 2 + d % 3, 1 + (d * 3) % 3
+                bw, bh = 2 + d % 3, 1 + (d // 3) % 3
                 i = np.arange(bw, dtype=np.int64)[None, :]
                 j = np.arange(bh, dtype=np.int64)[:, None]
                 blocks = ((d * 11 + 29 * i + 47 * j) % 256).astype(np.uint8)
@@ -503,7 +506,7 @@ def decoded_image_stats(media: DataFrame) -> DataFrame:
                 meta = _decode_image(bytes(content))
                 if meta is None or "_pixels" not in meta:
                     raise ValueError(
-                        f"image_pixel_stats: undecodable image "
+                        f"decoded_image_stats: undecodable image "
                         f"media_id={int(media_id)}")
                 px = meta["_pixels"].astype(np.int64)
                 rows.append({

@@ -117,7 +117,10 @@ def personalized_pagerank(
     with d = dnum/dden rational (0.85 = 17/20).  The reported ``rank``
     is ONE terminal division of exact integers by 10⁶ — bit-stable.
     ``seeds`` is a one-column (``node``) frame; it broadcasts (a seed
-    set is small by definition).  Zero-rank nodes contribute 0 rows, so
+    set is small by definition).  Seeds absent from the graph's node
+    set are EXCLUDED from ``|S|`` (they contribute no rank row, so
+    counting them would silently leak their restart share — total mass
+    would fall below 1).  Zero-rank nodes contribute 0 rows, so
     the frame stays total over all nodes every iteration — unreachable
     nodes report rank 0.0, not absence."""
     dnum, dden = _damping_rational(damping)
@@ -126,8 +129,14 @@ def personalized_pagerank(
     sd = F.broadcast(
         seeds.select(F.col("node").alias("__node")).distinct()
         .withColumn("__seed", F.lit(True)))
+    # |S| counts only seeds PRESENT in the node set (ranks are keyed
+    # off deg nodes, so an out-of-graph seed contributes no row — if it
+    # still counted toward |S| its restart share would silently vanish
+    # and total mass drop below 1).  Broadcast-semi against the seed
+    # set: deg shuffles nothing beyond its own aggregate.
     n_seeds = F.broadcast(
-        seeds.select("node").distinct()
+        deg.select(F.col("__src").alias("__node"))
+        .join(sd.select("__node"), on="__node", how="left_semi")
         .agg(F.count(F.lit(1)).alias("__ns")))
     scale = 1_000_000
     # halfup((dden-dnum) * scale / (dden*ns)) — the seed restart mass
@@ -268,6 +277,10 @@ def hits_scores(
     halfup(a/b) = (2a + b) DIV (2b).  The reported doubles are ONE
     terminal exact-integer division each.  Returns (node, hub,
     authority)."""
+    if int(iters) < 1:
+        raise ValueError(
+            f"hits_scores iters must be >= 1, got {iters!r} (with no "
+            "half-step there is no authority frame to report)")
     scale = 1_000_000
     deg_nodes = edges.select(F.col(src).alias("__node")).distinct()
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))

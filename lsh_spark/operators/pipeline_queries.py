@@ -5669,7 +5669,7 @@ def image_progressive_decode_stats(spark: SparkSession,
 
 PROGRESSIVE_DECODE_ORACLE = """
 WITH g AS (
-  SELECT doc_id, 2 + doc_id % 3 AS bw, 1 + (doc_id * 3) % 3 AS bh
+  SELECT doc_id, 2 + doc_id % 3 AS bw, 1 + (doc_id // 3) % 3 AS bh
   FROM documents
 ),
 blocks AS (

@@ -21,7 +21,7 @@ def test_progressive_corpus_decodes_exactly(spark):
                                  "doc_id long")
     for r in synthesize_progressive_jpegs_from_documents(docs).collect():
         d = r.media_id
-        bw, bh = 2 + d % 3, 1 + (d * 3) % 3
+        bw, bh = 2 + d % 3, 1 + (d // 3) % 3
         i = np.arange(bw, dtype=np.int64)[None, :]
         j = np.arange(bh, dtype=np.int64)[:, None]
         blocks = ((d * 11 + 29 * i + 47 * j) % 256).astype(np.uint8)
@@ -228,3 +228,38 @@ def test_lpa_two_cliques_converge_to_min_ids(spark):
     got = {r.node: r.community
            for r in lpa_communities(edges, iters=4).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_ppr_out_of_graph_seed_excluded(spark):
+    """r13 advice fix: a seed id absent from the graph's node set must
+    not dilute the restart share — |S| counts only seeds that intersect
+    the node set, so PPR({2, 999}) == PPR({2}) exactly (with the old
+    distinct-seed count, node 999 would silently eat half the restart
+    mass and total rank would drop below 1)."""
+    from lsh_spark.operators.graph import personalized_pagerank
+
+    und = [(1, 2), (2, 3), (10, 11)]
+    rows = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    in_graph = spark.createDataFrame([(2,)], "node long")
+    with_ghost = spark.createDataFrame([(2,), (999,)], "node long")
+    want = {r.node: r.rank
+            for r in personalized_pagerank(edges, in_graph,
+                                           iters=3).collect()}
+    got = {r.node: r.rank
+           for r in personalized_pagerank(edges, with_ghost,
+                                          iters=3).collect()}
+    assert got == want
+    assert got[2] == 0.258375  # the hand-unrolled value, undiluted
+
+
+def test_hits_zero_iters_rejected(spark):
+    """r13 advice fix: iters=0 has no authority half-step to report —
+    a meaningful ValueError at entry, not an AttributeError later."""
+    import pytest as _pytest
+
+    from lsh_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    with _pytest.raises(ValueError, match="iters must be >= 1"):
+        hits_scores(edges, iters=0)

@@ -66,27 +66,79 @@ from pyspark.sql import DataFrame, SparkSession
 # artifact-vs-registry diff machine-checkable and exits non-zero on a
 # query with neither driver-row nor replica evidence.
 _REDUNDANT_TAIL = [
-    # Round-12 HEAD ROTATION (executing the round-11 verdict item 1 and
+    # Round-13 HEAD ROTATION (executing the round-12 verdict item 1 and
     # the mechanical list from `scripts/check_artifact_coverage.py
     # --emit-promotions`): the head (positions 1-50 = registry minus
     # this tail) is now exactly the 50 WEAKEST-evidence queries —
-    #   * the 32 never-driver-checked round-11 additions
-    #     (q11_important_parts .. minhash_estimate_calibration),
-    #     replica-green at sf0.001+sf0.01 (REPLICA.json 196/196) but
-    #     with zero driver rows; driver rows are the gate that counts.
-    #     Three of them also carry round-12 code changes and need the
-    #     driver re-check anyway: minhash_estimate_calibration (the
-    #     enforced max_docs sampling contract + explicit id-col names),
-    #     sq8_reconstruction_report (non-null error counting),
-    #     bloom_index_stats (partial-index rebuild guard);
-    #   * the 17 queries whose last green row is r8 and the 1 stalest
-    #     r9 row (top_orders_per_customer) — the staleness criterion
-    #     (the r8 block was next in line per the round-11 duty note).
-    # With this head, driver-row union r1-r12 reaches 196/196: every
+    #   * the 9 never-driver-checked round-12 additions
+    #     (image_progressive_decode_stats .. item_lpa_communities),
+    #     replica-green at sf0.001+sf0.01 (REPLICA.json) but with zero
+    #     driver rows.  Four of them also carry round-13 code changes
+    #     and need the driver re-check anyway:
+    #     image_progressive_decode_stats (the bh block-row formula now
+    #     genuinely varies — synthesizer + oracle + replay changed in
+    #     lockstep BEFORE any driver row pinned the degenerate hash),
+    #     item_ppr_scores (out-of-graph seeds excluded from |S|),
+    #     item_hits_scores (iters >= 1 validation),
+    #     hll_users_per_event_type / hll_users_streaming ride the
+    #     exact_evidence=True gate call sites of the r13 opt-in;
+    #   * the 41 stalest re-checks: the whole remaining r9-green block
+    #     (events_hourly .. vocab_stats) per the staleness criterion.
+    # With this head, driver-row union r1-r13 reaches 205/205: every
     # registered query has at least one green driver row.  Demotions
     # below are ordered strongest-evidence-first groupwise: the 50
-    # r11-green queries (just checked, code unchanged), then the
-    # r10-green block, then the rest of the r9-green block.
+    # r12-green queries (just checked, code unchanged except the five
+    # noted above), then the prior tail in its existing order.
+    "top_orders_per_customer",  # last green r12, 6 green rows
+    "q11_important_parts",  # last green r12, 1 green rows
+    "q20_excess_shippers",  # last green r12, 1 green rows
+    "events_user_rolling_counts",  # last green r12, 1 green rows
+    "asof_click_next_purchase",  # last green r12, 1 green rows
+    "lineitem_grouping_sets",  # last green r12, 1 green rows
+    "key_skew_report",  # last green r12, 1 green rows
+    "events_hourly_spikes",  # last green r12, 1 green rows
+    "event_path_trigrams",  # last green r12, 1 green rows
+    "video_frame_sample_stats",  # last green r12, 3 green rows
+    "near_dup_index_stats",  # last green r12, 3 green rows
+    "ann_ivf_index_stats",  # last green r12, 3 green rows
+    "pipeline_clean_v2",  # last green r12, 3 green rows
+    "ngram_novelty_scores",  # last green r12, 3 green rows
+    "pii_scrub_streaming",  # last green r12, 3 green rows
+    "mp3_stream_features",  # last green r12, 2 green rows
+    "mp4_container_features",  # last green r12, 2 green rows
+    "ann_sq8_topk",  # last green r12, 2 green rows
+    "lang_id_predictions",  # last green r12, 2 green rows
+    "chunk_documents",  # last green r12, 2 green rows
+    "media_features_streaming",  # last green r12, 2 green rows
+    "prepare_training_corpus",  # last green r12, 2 green rows
+    "domain_blocklist_stats",  # last green r12, 2 green rows
+    "blocked_docs_filter",  # last green r12, 2 green rows
+    "dataset_splits",  # last green r12, 2 green rows
+    "split_leakage_stats",  # last green r12, 2 green rows
+    "cross_source_near_dup_matrix",  # last green r12, 1 green rows
+    "bpe_train_merge_table",  # last green r12, 1 green rows
+    "events_user_item_components",  # last green r12, 1 green rows
+    "boolean_search_streaming",  # last green r12, 1 green rows
+    "leakfree_dataset_splits",  # last green r12, 1 green rows
+    "hll_vocab_report",  # last green r12, 1 green rows
+    "token_budget_docs",  # last green r12, 1 green rows
+    "cdc_chunk_dedup_stats",  # last green r12, 1 green rows
+    "source_kl_divergence",  # last green r12, 1 green rows
+    "chunk_novelty_docs",  # last green r12, 1 green rows
+    "cdc_index_stats",  # last green r12, 1 green rows
+    "chunk_novelty_streaming",  # last green r12, 1 green rows
+    "bpe_encoded_token_counts",  # last green r12, 1 green rows
+    "source_kl_streaming",  # last green r12, 1 green rows
+    "dedup_cluster_size_histogram",  # last green r12, 1 green rows
+    "bloom_dedup_docs",  # last green r12, 1 green rows
+    "item_triangle_counts",  # last green r12, 1 green rows
+    "bloom_dedup_streaming",  # last green r12, 1 green rows
+    "ann_ivf_radius_search",  # last green r12, 1 green rows
+    "more_like_this_docs",  # last green r12, 1 green rows
+    "bloom_index_stats",  # last green r12, 1 green rows
+    "events_spikes_streaming",  # last green r12, 1 green rows
+    "sq8_reconstruction_report",  # last green r12, 1 green rows
+    "minhash_estimate_calibration",  # last green r12, 1 green rows
     "top_terms_per_lang",  # last green r11, 7 green rows
     "weighted_minhash_signatures",  # last green r11, 4 green rows
     "weighted_near_dup_pairs",  # last green r11, 4 green rows
@@ -187,71 +239,11 @@ _REDUNDANT_TAIL = [
     "ann_ivf_pq_topk",  # last green r10, 1 green rows
     "ann_ivf_pq_index_search",  # last green r10, 1 green rows
     "curriculum_stages",  # last green r10, 1 green rows
-    "events_hourly",  # last green r9, 5 green rows
-    "customers_without_orders",  # last green r9, 5 green rows
-    "part_brand_stats",  # last green r9, 5 green rows
-    "high_value_order_customers",  # last green r9, 5 green rows
-    "event_type_distribution",  # last green r9, 5 green rows
-    "jaccard_near_dup_pairs",  # last green r9, 6 green rows
-    "minhash_signatures",  # last green r9, 5 green rows
-    "minhash32_signatures",  # last green r9, 4 green rows
-    "minhash_near_dup_pairs",  # last green r9, 6 green rows
-    "euclidean_signatures",  # last green r9, 4 green rows
-    "euclidean32_signatures",  # last green r9, 4 green rows
-    "minhash_shingle_signatures",  # last green r9, 5 green rows
-    "minhash32_shingle_signatures",  # last green r9, 4 green rows
-    "dedup_exact",  # last green r9, 5 green rows
-    "text_stats",  # last green r9, 5 green rows
-    "text_quality",  # last green r9, 7 green rows
-    "dedup_normalized",  # last green r9, 5 green rows
-    "embedding_dup_pairs",  # last green r9, 6 green rows
-    "simhash_near_dup_pairs",  # last green r9, 5 green rows
-    "doc_fingerprints",  # last green r9, 4 green rows
-    "distinct_ngram_counts",  # last green r9, 4 green rows
-    "kmv_doc_stats",  # last green r9, 4 green rows
-    "tfidf_top_terms",  # last green r9, 6 green rows
-    "clean_corpus",  # last green r9, 5 green rows
-    "q7_volume_shipping",  # last green r9, 1 green rows
-    "q8_market_share",  # last green r9, 1 green rows
-    "q10_returned_items",  # last green r9, 1 green rows
-    "q19_bracket_revenue",  # last green r9, 1 green rows
-    "q22_sales_opportunity",  # last green r9, 1 green rows
-    "semantic_dedup",  # last green r9, 3 green rows
-    "documents_upsert",  # last green r9, 3 green rows
-    "corpus_summary_report",  # last green r9, 3 green rows
-    "corpus_summary_streaming",  # last green r9, 3 green rows
-    "bm25_search",  # last green r9, 1 green rows
-    "duplicate_substring_spans",  # last green r9, 1 green rows
-    "bm25_index_search",  # last green r9, 1 green rows
-    "bm25_index_stats",  # last green r9, 1 green rows
-    "bm25_search_streaming",  # last green r9, 1 green rows
-    "hybrid_search_rrf",  # last green r9, 1 green rows
-    "hybrid_search_indexed",  # last green r9, 1 green rows
-    "vocab_stats",  # last green r9, 1 green rows
     "pmi_top_pairs",  # last green r9, 1 green rows
     "near_dup_threshold_histogram",  # last green r9, 1 green rows
     "source_quality_report",  # last green r9, 1 green rows
     "embedding_stats",  # last green r9, 1 green rows
     "ann_recall_report",  # last green r9, 1 green rows
-    # ROUND-13 ROTATION DUTY: any NEW round-12 queries appended below
-    # this line have never been driver-checked — promote them (plus any
-    # stragglers from check_artifact_coverage.py --emit-promotions)
-    # into head positions 1-50 next round, demoting an equal number of
-    # r12-green unchanged-code queries, preferring STALENESS (the
-    # r9-green block above, then the r10-green block) for the
-    # remaining slots.  Count at round-12 close: 9 additions below
-    # (all replica-green at sf0.001+sf0.01, REPLICA.json): the r13
-    # head = these 9 + the 41 stalest re-checks (r9-green block
-    # first, then r10-green) per --emit-promotions.
-    "image_progressive_decode_stats",
-    "hll_users_per_event_type",
-    "langid_confusion_matrix",
-    "hll_users_streaming",
-    "proximity_search_docs",
-    "proximity_search_indexed_docs",
-    "item_ppr_scores",
-    "item_hits_scores",
-    "item_lpa_communities",
 ]
 
 

@@ -5697,7 +5697,8 @@ QUERIES_LATE["image_progressive_decode_stats"] = (
 
 
 def hll_distinct_report(df: DataFrame, group_col: str,
-                        item_col: str) -> DataFrame:
+                        item_col: str, *,
+                        exact_evidence: bool = False) -> DataFrame:
     """Grouped HyperLogLog distinct-count report — the sketch-per-group
     production pattern (rollups keep 256 registers per group and MERGE
     by max, never recount).  Same integer-exact register contract as
@@ -5708,13 +5709,24 @@ def hll_distinct_report(df: DataFrame, group_col: str,
     RAW estimate — the linear-counting small-range correction needs
     ``ln``, which is not bit-stable cross-engine, so groups far below
     ~2.5·m distinct items sit at the raw estimator's ~alpha·m floor by
-    design (callers apply linear counting from n_registers client-side;
-    ``exact_distinct`` rides along as gate evidence)."""
-    regs = hll_rho_rows(df, group_col, item_col).groupBy(
-        "__grp", "__idx").agg(
-        F.max("__rho").alias("__m"),
-        F.countDistinct("__u").alias("__nd"),
-    )
+    design (callers apply linear counting from n_registers client-side).
+
+    ``exact_evidence=False`` (the default, the 100 TB shape) ships ONLY
+    ``(__grp, __idx, __rho)`` ints through the shuffle — the raw item
+    column never crosses an exchange and no exact-distinct aggregate
+    runs.  ``exact_evidence=True`` (the gate call sites) additionally
+    carries ``exact_distinct`` per group as cross-engine evidence — a
+    full ``countDistinct`` over the items, the piece a production
+    deployment drops by default."""
+    rows = hll_rho_rows(df, group_col, item_col)
+    if exact_evidence:
+        regs = rows.groupBy("__grp", "__idx").agg(
+            F.max("__rho").alias("__m"),
+            F.countDistinct("__u").alias("__nd"),
+        )
+    else:
+        regs = rows.select("__grp", "__idx", "__rho").groupBy(
+            "__grp", "__idx").agg(F.max("__rho").alias("__m"))
     return hll_finalize(regs, group_col)
 
 
@@ -5745,22 +5757,29 @@ def hll_rho_rows(df: DataFrame, group_col: str,
 
 def hll_finalize(regs: DataFrame, group_col: str) -> DataFrame:
     """Register-table → report stage of the grouped HLL; ``regs`` is
-    (__grp, __idx, __m, __nd) with one row per present register."""
-    per = regs.groupBy("__grp").agg(
+    (__grp, __idx, __m[, __nd]) with one row per present register —
+    ``__nd`` (the exact-evidence column) is optional: when absent the
+    report omits ``exact_distinct`` (the estimate-only 100 TB shape)."""
+    has_nd = "__nd" in regs.columns
+    aggs = [
         F.count(F.lit(1)).alias("n_registers"),
         F.sum("__m").cast("bigint").alias("sum_rho"),
-        F.sum("__nd").cast("bigint").alias("exact_distinct"),
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 57 - __m)")
               .cast("decimal(30,0)")).alias("__s_present"),
-    )
+    ]
+    if has_nd:
+        aggs.insert(2, F.sum("__nd").cast("bigint").alias("exact_distinct"))
+    per = regs.groupBy("__grp").agg(*aggs)
     s_total = (
         F.col("__s_present")
         + (F.lit(_HLL_M) - F.col("n_registers"))
         * F.lit(1 << 57).cast("decimal(30,0)")
     )
+    cols = (["n_registers", "sum_rho", "exact_distinct"] if has_nd
+            else ["n_registers", "sum_rho"])
     return per.select(
         F.col("__grp").alias(group_col),
-        "n_registers", "sum_rho", "exact_distinct",
+        *cols,
         F.round(F.lit(_HLL_SCALE) / s_total.cast("double"), 6)
         .alias("est_distinct"),
     )
@@ -5770,9 +5789,12 @@ def hll_users_per_event_type(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Per-event-type HLL distinct-user report (see
     :func:`hll_distinct_report` for the integer-exact contract and the
-    deliberate raw-estimate small-range behavior)."""
+    deliberate raw-estimate small-range behavior).  The gate passes
+    ``exact_evidence=True`` — the cross-engine evidence column the
+    operator's production default omits."""
     return hll_distinct_report(
-        load_table(spark, sf_dir, "events"), "event_type", "user_id")
+        load_table(spark, sf_dir, "events"), "event_type", "user_id",
+        exact_evidence=True)
 
 
 HLL_USERS_ORACLE = rf"""

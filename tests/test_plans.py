@@ -1030,3 +1030,22 @@ def test_hll_users_pure_aggregate_chain(spark):
     assert "EvalPython" not in plan
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hll_report_default_ships_no_items(spark):
+    """r13 (verdict item 4): hll_distinct_report's production default
+    (exact_evidence=False) must never ship the raw item column through
+    an exchange — the plan carries only (group, register, rho) ints and
+    runs no exact-distinct aggregate.  The gate call sites opt in to
+    the evidence column explicitly."""
+    from lsh_spark.operators.pipeline_queries import hll_distinct_report
+    from lsh_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    plan = _plan(hll_distinct_report(ev, "event_type", "user_id"))
+    assert "__u" not in plan, [l for l in plan.splitlines() if "__u" in l]
+    assert "__nd" not in plan
+    # the opt-in path really does carry the evidence aggregate
+    on = _plan(hll_distinct_report(ev, "event_type", "user_id",
+                                   exact_evidence=True))
+    assert "__nd" in on

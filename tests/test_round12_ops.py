@@ -57,13 +57,22 @@ def test_hll_users_tracks_exact_distinct(spark):
         (F.col("id") % 3).cast("string").alias("grp"),
         # ~20k distinct items per group, disjoint across groups
         F.col("id").alias("item"))
-    rows = hll_distinct_report(df, "grp", "item").collect()
+    rows = hll_distinct_report(df, "grp", "item",
+                               exact_evidence=True).collect()
     assert len(rows) == 3
     for r in rows:
         assert r.exact_distinct == 20_000
         # sigma = 1.04/sqrt(256) = 6.5%; allow 3 sigma
         rel = abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
         assert rel < 0.20, (r.grp, r.est_distinct, r.exact_distinct)
+    # the production default (exact_evidence=False) reports the SAME
+    # estimate/register columns with no exact-distinct aggregate at all
+    est = {r.grp: (r.n_registers, r.sum_rho, r.est_distinct)
+           for r in hll_distinct_report(df, "grp", "item").collect()}
+    assert est == {r.grp: (r.n_registers, r.sum_rho, r.est_distinct)
+                   for r in rows}
+    cols = hll_distinct_report(df, "grp", "item").columns
+    assert "exact_distinct" not in cols
 
 
 def test_hll_users_small_range_floor(spark):

@@ -18,6 +18,41 @@ import os
 import sys
 import time
 
+# Queries whose ``.count()`` terminal under-measures: Catalyst legally
+# prunes work that cannot change a count(1)'s row count — left joins on
+# unique keys are ELIMINATED and deterministic output-only projections
+# (Arrow/Python eval columns) are column-pruned (r12 verdict item 3 /
+# SCALECHECK session 2: lang_id_predictions benched 0.25 s against a
+# ~6 s real collect).  These get a noop-sink terminal instead: full
+# column materialization, zero I/O.  The list is DERIVED, not curated —
+# scripts/find_prunable_terminals.py plan-diffs every registry query
+# (full optimized plan vs its count(1) plan, tallying prunable node
+# kinds), and tests/test_plans.py::test_bench_noop_terminal_set_is_current
+# fails if this set drifts from the detection.
+_NOOP_TERMINAL = {
+    "ann_recall_report",
+    "asof_click_next_purchase",
+    "asof_purchase_last_click",
+    "bigram_logprob_scores",
+    "bloom_dedup_docs",
+    "bpe_encoded_token_counts",
+    "cdc_chunk_dedup_stats",
+    "chunk_novelty_docs",
+    "contamination_overlap",
+    "dup_ngram_stats",
+    "errors_with_nearby_clicks",
+    "events_dedup_streaming",
+    "item_ppr_scores",
+    "jaccard_near_dup_pairs",
+    "kmv_doc_stats",
+    "lang_id_predictions",
+    "line_dedup_docs",
+    "ngram_novelty_scores",
+    "remove_duplicated_spans",
+    "semantic_dedup",
+    "unigram_logprob_scores",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,7 +105,16 @@ def main() -> None:
         spark.catalog.clearCache()
     def run_once(name: str) -> tuple[float, int]:
         t0 = time.perf_counter()
-        n = qs[name](spark, sf_dir).count()
+        df = qs[name](spark, sf_dir)
+        if name in _NOOP_TERMINAL:
+            # count(1) would let Catalyst legally prune real work here
+            # (join elimination on unique keys / column-pruned Arrow
+            # projections — see _NOOP_TERMINAL); the noop sink forces a
+            # full-column materialization with no I/O cost.
+            df.write.format("noop").mode("overwrite").save()
+            n = -1
+        else:
+            n = df.count()
         dt = time.perf_counter() - t0
         # operators persist intermediates (shingle sets etc.) for their own
         # lifetime; drop them so queries are timed independently
@@ -100,7 +144,8 @@ def main() -> None:
         if dt > 5.0:
             dt = min(dt, run_once(name)[0])
         timings[name] = round(dt, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        rows = "noop terminal" if n < 0 else f"{n} rows"
+        print(f"# {name}: {timings[name]:.3f}s ({rows})", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -110,6 +155,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # queries timed against the noop sink (count(1) would let
+        # Catalyst prune real work); their numbers are NOT comparable
+        # to pre-r13 BENCH_DETAIL artifacts, which under-measured them
+        "noop_terminal": sorted(_NOOP_TERMINAL),
     }
     # full per-query detail: stderr (driver logs) + a stable file path
     print(json.dumps(detail), file=sys.stderr)

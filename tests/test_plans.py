@@ -1049,3 +1049,36 @@ def test_hll_report_default_ships_no_items(spark):
     on = _plan(hll_distinct_report(ev, "event_type", "user_id",
                                    exact_evidence=True))
     assert "__nd" in on
+
+
+def test_bench_noop_terminal_set_is_current(spark):
+    """r13 (verdict item 3): bench.py's _NOOP_TERMINAL must equal the
+    plan-diff detection — a query whose count(1) plan drops prunable
+    nodes (eliminated joins, pruned scans, pruned Arrow/Python evals)
+    is silently under-measured by a count() terminal, and a query in
+    the set that no longer needs it wastes noop-sink cost.  Full sweep
+    over the registry at sf0.001 (detection is rule-based, so the
+    verdict is SF-independent)."""
+    import importlib.util
+    import os
+
+    import __spark_entry__ as entry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "find_prunable_terminals",
+        os.path.join(root, "scripts", "find_prunable_terminals.py"))
+    det = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(det)
+    spec_b = importlib.util.spec_from_file_location(
+        "bench", os.path.join(root, "bench.py"))
+    bench = importlib.util.module_from_spec(spec_b)
+    spec_b.loader.exec_module(bench)
+
+    derived = set()
+    for name, fn in sorted(entry.queries().items()):
+        if det.lost_under_count(fn(spark, SF_DIR)):
+            derived.add(name)
+    assert derived == bench._NOOP_TERMINAL, (
+        f"stale _NOOP_TERMINAL: missing={sorted(derived - bench._NOOP_TERMINAL)} "
+        f"extra={sorted(bench._NOOP_TERMINAL - derived)}")

@@ -244,6 +244,15 @@ _REDUNDANT_TAIL = [
     "source_quality_report",  # last green r9, 1 green rows
     "embedding_stats",  # last green r9, 1 green rows
     "ann_recall_report",  # last green r9, 1 green rows
+    # ROUND-14 ROTATION DUTY: any NEW round-13 queries appended below
+    # this line have never been driver-checked — promote them (plus any
+    # stragglers from check_artifact_coverage.py --emit-promotions)
+    # into head positions 1-50 next round, demoting an equal number of
+    # r13-green unchanged-code queries, preferring STALENESS (the
+    # r10-green block above) for the remaining slots.  Count at
+    # round-13 close: 1 addition below (replica-green at
+    # sf0.001+sf0.01, REPLICA.json).
+    "proximity_rank_docs",
 ]
 
 

@@ -5937,6 +5937,45 @@ QUERIES_LATE["proximity_search_indexed_docs"] = (
     proximity_search_indexed_docs, _prox_oracle())
 
 
+# proximity-weighted BM25 ranking (r12 verdict item 8): k-term queries
+# (3+ terms), min-gap pair term fused into the BM25 score, riding the
+# SAME session-amortized positional ensure_text_index as the BM25 /
+# phrase / boolean / proximity gate family.  The oracle re-derives both
+# the lexical fold and the pair stage from the RAW corpus, so it also
+# independently pins persisted index content (the boolean_search_indexed
+# contract).
+_PROXRANK_QUERIES = [(0, "sort merge join"), (1, "hash join filter scan"),
+                     (2, "window agg group order"),
+                     (3, "fast vector query")]
+_PROXRANK_WINDOW = 6
+_PROXRANK_K = 15
+
+
+def proximity_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .retrieval import ensure_text_index, proximity_rank_indexed
+
+    index = ensure_text_index(spark, sf_dir)
+    qt = F.array(*[F.lit(t) for _i, t in _PROXRANK_QUERIES])
+    queries = spark.range(len(_PROXRANK_QUERIES)).select(
+        F.col("id").alias("query_id"),
+        F.element_at(qt, (F.col("id") + 1).cast("int"))
+        .alias("query_text"))
+    return proximity_rank_indexed(spark, index, queries,
+                                  window=_PROXRANK_WINDOW, k=_PROXRANK_K)
+
+
+def _proxrank_oracle() -> str:
+    from .retrieval import proximity_rank_oracle_sql
+
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _PROXRANK_QUERIES)
+    return proximity_rank_oracle_sql(vals, window=_PROXRANK_WINDOW,
+                                     k=_PROXRANK_K)
+
+
+QUERIES_LATE["proximity_rank_docs"] = (proximity_rank_docs,
+                                       _proxrank_oracle())
+
+
 # personalized PageRank (graph.personalized_pagerank): restart mass on
 # a seed ITEM set — the similar-to-these neighborhood-expansion
 # primitive; unrolled-CTE oracle, same float contract as events_pagerank.

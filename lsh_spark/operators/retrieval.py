@@ -91,14 +91,15 @@ def _query_terms(queries: DataFrame, query_id_col: str,
         .alias("__term"))
 
 
-def _bm25_score(post: DataFrame, qt: DataFrame, dl: DataFrame,
-                stats: DataFrame, *, k: int, k1: float, b: float,
-                exclude_self: bool = False) -> DataFrame:
-    """Shared scoring tail for the on-the-fly and persisted-index forms:
+def _bm25_raw(post: DataFrame, qt: DataFrame, dl: DataFrame,
+              stats: DataFrame, *, k1: float, b: float) -> DataFrame:
+    """Shared scoring core for the on-the-fly and persisted-index forms:
     ``post`` is (doc_id, __term, __tf) already restricted to the query
     vocabulary, ``dl`` is (doc_id, __dl), ``stats`` a 1-row
-    (__n_docs, __total).  All three callers' oracles replay the same
-    literal op order."""
+    (__n_docs, __total).  Returns the UNROUNDED per-(query, doc) fold
+    ``(query_id, doc_id, __bm)`` — every caller's oracle replays the
+    same literal op order; rounding/ranking live in the callers
+    (:func:`_bm25_score`, :func:`proximity_rank`'s fusion)."""
     dfreq = post.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
     avgdl = F.col("__total").cast("double") / F.col("__n_docs").cast("double")
     idf = F.log(
@@ -122,15 +123,27 @@ def _bm25_score(post: DataFrame, qt: DataFrame, dl: DataFrame,
                 F.struct(F.col("__term"), (idf * tfn).alias("__s"))
                 .alias("__ts"))
     )
-    scored = (
+    raw = (
         terms.groupBy("query_id", "doc_id")
         .agg(F.sort_array(F.collect_list("__ts")).alias("__arr"))
         .select(
             "query_id", "doc_id",
-            F.round(F.aggregate(F.col("__arr"), F.lit(0.0),
-                                lambda a, x: a + x["__s"]), 6)
-            .alias("score"))
+            F.aggregate(F.col("__arr"), F.lit(0.0),
+                        lambda a, x: a + x["__s"]).alias("__bm"))
     )
+    return raw
+
+
+def _bm25_score(post: DataFrame, qt: DataFrame, dl: DataFrame,
+                stats: DataFrame, *, k: int, k1: float, b: float,
+                exclude_self: bool = False) -> DataFrame:
+    """Rounded-and-ranked tail over :func:`_bm25_raw` — unchanged
+    semantics (round happens in the same composed projection Catalyst
+    collapses, so the three existing callers' plans and oracles are
+    untouched); split so :func:`proximity_rank` can fuse the UNROUNDED
+    fold with its proximity term before the single terminal round."""
+    scored = _bm25_raw(post, qt, dl, stats, k1=k1, b=b).select(
+        "query_id", "doc_id", F.round(F.col("__bm"), 6).alias("score"))
     if exclude_self:
         scored = scored.where(F.col("doc_id") != F.col("query_id"))
     from pyspark.sql import Window
@@ -480,6 +493,280 @@ SELECT query_id, doc_id,
        count(*)::BIGINT AS n_pairs,
        min(gap)::BIGINT AS min_gap
 FROM pairs GROUP BY 1, 2
+"""
+
+
+def _proximity_rank_tail(pos_post: DataFrame, post: DataFrame,
+                         qt: DataFrame, dl: DataFrame, stats: DataFrame,
+                         *, window: int, k: int, k1: float, b: float,
+                         prox_weight: float) -> DataFrame:
+    """Fusion tail shared by the on-the-fly and indexed proximity-rank
+    forms: BM25 fold (``_bm25_raw``) + proximity term, ONE terminal
+    6-dp round, row_number ranking with id ties.
+
+    Proximity term, k-term generalization of the NEAR operator: for
+    every unordered pair of DISTINCT query terms (t1 < t2 by string
+    order) matched in the document with some occurrence pair within
+    ``window`` (``|p1 − p2| ≤ window``), the pair contributes
+    ``1.0 / (min_gap + 1.0)``; contributions fold left-to-right sorted
+    by (t1, t2) — the BM25 fold idiom, so the sum order is engine-
+    independent.  Identical-term self-pairs never contribute (strict
+    ``t1 < t2``).  Fusion: ``score = round(bm25 + w · prox, 6)`` in one
+    literal op order; docs matching ≥1 term but with no qualifying
+    pair score ``prox = 0.0`` (COALESCE after the left join)."""
+    raw = _bm25_raw(post, qt, dl, stats, k1=k1, b=b)
+    mp = (pos_post.join(F.broadcast(qt), "__term")
+          .select("query_id", "doc_id", "__term", "__pos"))
+    pa = mp.select("query_id", "doc_id",
+                   F.col("__term").alias("__t1"),
+                   F.col("__pos").alias("__p1"))
+    pb = mp.select("query_id", "doc_id",
+                   F.col("__term").alias("__t2"),
+                   F.col("__pos").alias("__p2"))
+    gaps = (
+        pa.join(pb, ["query_id", "doc_id"])
+        .where(F.col("__t1") < F.col("__t2"))
+        .select("query_id", "doc_id", "__t1", "__t2",
+                F.abs(F.col("__p1") - F.col("__p2")).alias("__gap"))
+        .where(F.col("__gap") <= F.lit(int(window)))
+    )
+    prox = (
+        gaps.groupBy("query_id", "doc_id", "__t1", "__t2")
+        .agg(F.min("__gap").alias("__mg"))
+        .select("query_id", "doc_id",
+                F.struct(
+                    "__t1", "__t2",
+                    (F.lit(1.0)
+                     / (F.col("__mg").cast("double") + F.lit(1.0)))
+                    .alias("__c")).alias("__ps"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sort_array(F.collect_list("__ps")).alias("__parr"))
+        .select("query_id", "doc_id",
+                F.aggregate(F.col("__parr"), F.lit(0.0),
+                            lambda a, x: a + x["__c"]).alias("__px"))
+    )
+    scored = (
+        raw.join(prox, ["query_id", "doc_id"], "left")
+        .select("query_id", "doc_id",
+                F.round(
+                    F.col("__bm")
+                    + F.lit(float(prox_weight))
+                    * F.coalesce(F.col("__px"), F.lit(0.0)), 6)
+                .alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def proximity_rank(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    window: int = 8,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    prox_weight: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Proximity-weighted BM25 ranking over k-term queries (3+ terms) —
+    the retrieval-stack fusion plain BM25's bag-of-words scoring and
+    the two-term NEAR operator each miss: documents where the query's
+    terms cluster tightly outrank bag-of-words ties.  Returns
+    ``(query_id, doc_id, score, rank)``; see
+    :func:`_proximity_rank_tail` for the exactness contract.
+
+    100 TB shape: BOTH stages prune against the broadcast query-term
+    set first — tf postings for the BM25 fold, positional postings for
+    the pair stage — so the position self-join shuffles bare
+    (query_id, doc_id, term, pos) rows bounded by per-document
+    query-term frequency, never corpus size, and the fusion join is
+    per-(query, matched-doc)."""
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(_words(F.col(text_col))).alias("__term"))
+        .groupBy("doc_id", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_words(F.col(text_col))).cast("long").alias("__dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("__n_docs"),
+                   F.sum("__dl").alias("__total"))
+    qt = _query_terms(queries, query_id_col, query_text_col)
+    # three consumers (df aggregate, scoring join, matched-doc semi) —
+    # persist so the explode+agg lineage runs once (the bm25_topk rule)
+    from pyspark import StorageLevel
+
+    post = track(
+        toks.join(F.broadcast(qt.select("__term").distinct()), "__term")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    dl_matched = dl.join(post.select("doc_id").distinct(),
+                         "doc_id", "left_semi")
+    pos_post = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_words(F.col(text_col))).alias("__pos", "__term"))
+    return _proximity_rank_tail(pos_post, post, qt, dl_matched, stats,
+                                window=window, k=k, k1=k1, b=b,
+                                prox_weight=prox_weight)
+
+
+def proximity_rank_indexed(
+    spark,
+    table_name: str,
+    queries: DataFrame,
+    *,
+    window: int = 8,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    prox_weight: float = 1.0,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Proximity-weighted BM25 against a POSITIONAL
+    ``build_text_index`` — identical semantics (and oracle) to
+    :func:`proximity_rank`: the persisted postings feed the BM25 fold,
+    the positions table feeds the pair stage, tombstones anti-join on
+    both sides, and the broadcast query-term join prunes each at the
+    scan."""
+    m = _meta(spark, table_name)
+    if not _is_positional(m):
+        raise ValueError(
+            f"text index {table_name!r} was built without "
+            "positional=True — proximity-rank probes need the "
+            "positions table; rebuild with "
+            "build_text_index(..., positional=True)")
+    qt = _query_terms(queries, query_id_col, query_text_col)
+    post = _live_side(
+        spark, table_name,
+        spark.table(_phys(table_name, "postings", m))
+        .join(F.broadcast(qt.select("__term").distinct()), "__term"))
+    dl = _live_side(spark, table_name,
+                    spark.table(_phys(table_name, "doclen", m)))
+    stats = _live_stats(spark, table_name, m)
+    pos_post = _live_side(
+        spark, table_name,
+        spark.table(_phys(table_name, "positions", m)))
+    return _proximity_rank_tail(pos_post, post, qt, dl, stats,
+                                window=window, k=k, k1=k1, b=b,
+                                prox_weight=prox_weight)
+
+
+def proximity_rank_oracle_sql(queries_values: str, *, window: int,
+                              k: int = 10, k1: float = 1.2,
+                              b: float = 0.75, prox_weight: float = 1.0,
+                              source: str = "documents") -> str:
+    """DuckDB replay of :func:`proximity_rank` — the BM25 oracle chain
+    (UNROUNDED fold) + the pair-stage min-gap term folded in (t1, t2)
+    order, fused in the identical literal op order with one terminal
+    6-dp round.  Corpus-derived like the proximity/boolean oracles, so
+    it independently pins the positional index content the indexed
+    form reads."""
+    ws = r"'[ \t\n\x0b\f\r]+'"
+    return rf"""
+WITH q AS (SELECT * FROM (VALUES {queries_values})
+           q(query_id, query_text)),
+qt AS (
+  SELECT query_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(query_text, {ws}),
+             t -> t != ''))) AS term
+  FROM q
+),
+tokl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, {ws}), t -> t != '')
+           AS toks
+  FROM {source}
+),
+toks AS (
+  SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tokl)
+  GROUP BY doc_id, t
+),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tokl),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total
+          FROM dl),
+post AS (
+  SELECT t.doc_id, t.term, t.tf FROM toks t
+  JOIN (SELECT DISTINCT term FROM qt) v USING (term)
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term),
+terms AS (
+  SELECT qt.query_id, p.doc_id, p.term,
+         ln(1.0 + (s.n_docs::DOUBLE - f.df::DOUBLE + 0.5)
+                  / (f.df::DOUBLE + 0.5))
+         * ((p.tf::DOUBLE * {k1 + 1.0})
+            / (p.tf::DOUBLE
+               + {k1} * ({1.0 - b}
+                         + {b} * (d.dl::DOUBLE
+                                  / (s.total::DOUBLE
+                                     / s.n_docs::DOUBLE))))) AS contrib
+  FROM post p
+  JOIN qt ON qt.term = p.term
+  JOIN dfreq f ON f.term = p.term
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+bm AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+                                  list(contrib ORDER BY term)),
+                     (a, x) -> a + x) AS bm
+  FROM terms GROUP BY query_id, doc_id
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+         unnest(toks) AS term
+  FROM tokl
+),
+mp AS (
+  SELECT qt.query_id, p.doc_id, p.term, p.pos
+  FROM pos p JOIN qt USING (term)
+),
+gaps AS (
+  SELECT a.query_id, a.doc_id, a.term AS t1, b.term AS t2,
+         abs(a.pos - b.pos) AS gap
+  FROM mp a JOIN mp b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+   AND a.term < b.term
+  WHERE abs(a.pos - b.pos) <= {int(window)}
+),
+mg AS (
+  SELECT query_id, doc_id, t1, t2, min(gap) AS mg
+  FROM gaps GROUP BY 1, 2, 3, 4
+),
+px AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list(1.0 / (mg::DOUBLE + 1.0) ORDER BY t1, t2)),
+             (a, x) -> a + x) AS px
+  FROM mg GROUP BY query_id, doc_id
+),
+scored AS (
+  SELECT bm.query_id, bm.doc_id,
+         round(bm.bm + {prox_weight!r}
+               * coalesce(px.px, 0.0::DOUBLE), 6) AS score
+  FROM bm LEFT JOIN px USING (query_id, doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {int(k)}
 """
 
 

@@ -1082,3 +1082,20 @@ def test_bench_noop_terminal_set_is_current(spark):
     assert derived == bench._NOOP_TERMINAL, (
         f"stale _NOOP_TERMINAL: missing={sorted(derived - bench._NOOP_TERMINAL)} "
         f"extra={sorted(bench._NOOP_TERMINAL - derived)}")
+
+
+def test_proximity_rank_broadcast_terms_no_python(spark):
+    """Proximity-weighted BM25 (r13): both the tf postings and the
+    positional postings prune against broadcast query terms; every
+    exchange carries bare (query_id, doc_id, term, pos/score) rows —
+    document text never shuffles and no Python runs; the index scans
+    stay bucketed."""
+    from lsh_spark.operators.pipeline_queries import proximity_rank_docs
+
+    plan = _plan(proximity_rank_docs(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    exchange_lines = " ".join(
+        l for l in plan.splitlines() if "Exchange" in l)
+    assert "text#" not in exchange_lines, exchange_lines
+    assert "Bucketed: true" in plan

@@ -588,7 +588,10 @@ def _train_pq_books(corpus: DataFrame, *, vec_col: str, id_col: str,
             lloyd_centroids(sl, vec_col="__sv", id_col="__vid",
                             n_lists=n_codes, n_iters=n_iters))
 
-    with ThreadPoolExecutor(max_workers=m) as ex:
+    # Cap concurrent driver threads (r13 advice): a large m (say 64
+    # subspaces) would otherwise oversubscribe the very scheduler this
+    # overlap relieves; ex.map preserves subspace order under any cap.
+    with ThreadPoolExecutor(max_workers=min(int(m), 16)) as ex:
         return list(ex.map(train, range(m)))
 
 

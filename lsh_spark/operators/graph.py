@@ -117,26 +117,35 @@ def personalized_pagerank(
     with d = dnum/dden rational (0.85 = 17/20).  The reported ``rank``
     is ONE terminal division of exact integers by 10⁶ — bit-stable.
     ``seeds`` is a one-column (``node``) frame; it broadcasts (a seed
-    set is small by definition).  Seeds absent from the graph's node
-    set are EXCLUDED from ``|S|`` (they contribute no rank row, so
-    counting them would silently leak their restart share — total mass
-    would fall below 1).  Zero-rank nodes contribute 0 rows, so
-    the frame stays total over all nodes every iteration — unreachable
-    nodes report rank 0.0, not absence."""
+    set is small by definition).  The node set is
+    ``distinct(src) ∪ distinct(dst)`` — on a directed graph a node may
+    appear only as a destination (it receives contributions and, if
+    seeded, restart mass) or only as a source (it keeps its restart
+    mass but receives nothing); both are real graph nodes, so both
+    count toward ``|S|`` and both keep a rank row every iteration
+    (r13 advice: keying ``|S|`` off out-degree alone over-counted
+    total mass when a dst-only seed drew restart through the contribs
+    join).  Seeds absent from the node set are EXCLUDED from ``|S|``
+    (they contribute no rank row, so counting them would silently leak
+    their restart share — total mass would fall below 1).  Ranks are
+    keyed off the node set every iteration — unreachable nodes report
+    rank 0.0, not absence."""
     dnum, dden = _damping_rational(damping)
     deg = edges.groupBy(F.col(src).alias("__src")).agg(
         F.count(F.lit(1)).alias("__deg"))
+    nodes = (edges.select(F.col(src).alias("__node"))
+             .union(edges.select(F.col(dst).alias("__node")))
+             .distinct())
     sd = F.broadcast(
         seeds.select(F.col("node").alias("__node")).distinct()
         .withColumn("__seed", F.lit(True)))
-    # |S| counts only seeds PRESENT in the node set (ranks are keyed
-    # off deg nodes, so an out-of-graph seed contributes no row — if it
-    # still counted toward |S| its restart share would silently vanish
-    # and total mass drop below 1).  Broadcast-semi against the seed
-    # set: deg shuffles nothing beyond its own aggregate.
+    # |S| counts only seeds PRESENT in the node set (src ∪ dst): an
+    # out-of-graph seed contributes no rank row — if it still counted
+    # toward |S| its restart share would silently vanish and total
+    # mass drop below 1.  Broadcast-semi against the seed set: nodes
+    # shuffles nothing beyond its own distinct.
     n_seeds = F.broadcast(
-        deg.select(F.col("__src").alias("__node"))
-        .join(sd.select("__node"), on="__node", how="left_semi")
+        nodes.join(sd.select("__node"), on="__node", how="left_semi")
         .agg(F.count(F.lit(1)).alias("__ns")))
     scale = 1_000_000
     # halfup((dden-dnum) * scale / (dden*ns)) — the seed restart mass
@@ -147,7 +156,7 @@ def personalized_pagerank(
         .otherwise(F.lit(0).cast("long"))
     )
     ranks = (
-        deg.select(F.col("__src").alias("__node"))
+        nodes
         .join(sd, on="__node", how="left")
         .crossJoin(n_seeds)
         .select(
@@ -167,13 +176,17 @@ def personalized_pagerank(
             .groupBy("__node")
             .agg(F.sum("__c").cast("long").alias("__s"))
         )
+        # total over the node set: a node with no in-edges (or whose
+        # in-neighbors all rank 0 AND contribute no row) keeps its row
+        # — a src-only seed must keep drawing restart mass.
         ranks = (
-            contribs.join(sd, on="__node", how="left")
+            nodes.join(contribs, on="__node", how="left")
+            .join(sd, on="__node", how="left")
             .crossJoin(n_seeds)
             .select(
                 "__node",
                 (restart
-                 + F.expr(f"(2 * {dnum}L * __s + {dden}L) "
+                 + F.expr(f"(2 * {dnum}L * coalesce(__s, 0L) + {dden}L) "
                           f"DIV (2 * {dden}L)"))
                 .cast("long").alias("__r"))
         )

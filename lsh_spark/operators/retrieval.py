@@ -408,21 +408,51 @@ def proximity_search(
                             query_id_col, term_a_col, term_b_col)
 
 
+def _pos_bucket(pos, window: int):
+    """Banded position bucket of width ``window + 1``: any two
+    positions with ``|pa − pb| ≤ window`` land in the same or adjacent
+    buckets (the gap is strictly smaller than the bucket width), so an
+    equi-join on (bucket, probe ∈ {bucket−1, bucket, bucket+1}) is a
+    PROVABLY output-neutral prefilter for the exact gap test — and
+    because the three probe keys of one position are distinct, every
+    qualifying position pair matches on exactly ONE bucket key (no
+    double counting).  This bounds the per-document position product
+    by near-window term density instead of tf_a × tf_b (the r13
+    verdict's one scale flag: a hot query term at tf ~10³ per long
+    document went quadratic).  The oracle replays the UNBANDED product
+    — the edit-distance length-gap precedent for output-neutral
+    prefilters that stay out of the SQL."""
+    return pos.cast("long") - (pos.cast("long") % F.lit(int(window) + 1))
+
+
+def _probe_buckets(pos, window: int):
+    """The {same, previous, next} bucket keys a position must probe to
+    meet every within-window partner (see :func:`_pos_bucket`)."""
+    w1 = F.lit(int(window) + 1)
+    bk = _pos_bucket(pos, window)
+    return F.array(bk - w1, bk, bk + w1)
+
+
 def _proximity_match(pos_post: DataFrame, queries: DataFrame,
                      window: int, query_id_col: str,
                      term_a_col: str, term_b_col: str) -> DataFrame:
     """Position-pair stage shared by the on-the-fly and indexed
-    proximity forms; ``pos_post`` is (doc_id, __pos, __term)."""
+    proximity forms; ``pos_post`` is (doc_id, __pos, __term).  The
+    pair join carries the banded ``__bk`` bucket key (``_pos_bucket``)
+    so the product is near-window-bounded, not tf_a × tf_b."""
     qa = queries.select(F.col(query_id_col).alias("query_id"),
                         F.col(term_a_col).alias("__term"))
     qb = queries.select(F.col(query_id_col).alias("query_id"),
                         F.col(term_b_col).alias("__term"))
     pa = (pos_post.join(F.broadcast(qa), "__term")
-          .select("query_id", "doc_id", F.col("__pos").alias("__pa")))
+          .select("query_id", "doc_id", F.col("__pos").alias("__pa"),
+                  _pos_bucket(F.col("__pos"), window).alias("__bk")))
     pb = (pos_post.join(F.broadcast(qb), "__term")
-          .select("query_id", "doc_id", F.col("__pos").alias("__pb")))
+          .select("query_id", "doc_id", F.col("__pos").alias("__pb"),
+                  F.explode(_probe_buckets(F.col("__pos"), window))
+                  .alias("__bk")))
     pairs = (
-        pa.join(pb, ["query_id", "doc_id"])
+        pa.join(pb, ["query_id", "doc_id", "__bk"])
         .select("query_id", "doc_id",
                 F.abs(F.col("__pa") - F.col("__pb")).alias("__gap"))
         .where(F.col("__gap") <= F.lit(int(window)))
@@ -517,14 +547,21 @@ def _proximity_rank_tail(pos_post: DataFrame, post: DataFrame,
     raw = _bm25_raw(post, qt, dl, stats, k1=k1, b=b)
     mp = (pos_post.join(F.broadcast(qt), "__term")
           .select("query_id", "doc_id", "__term", "__pos"))
+    # Banded position buckets (_pos_bucket): the pair join carries the
+    # __bk key so the per-document product is near-window-bounded, not
+    # tf_a × tf_b; every |p1 − p2| ≤ window pair matches on exactly one
+    # probe key, so min(__gap) per (t1, t2) is over the identical set.
     pa = mp.select("query_id", "doc_id",
                    F.col("__term").alias("__t1"),
-                   F.col("__pos").alias("__p1"))
+                   F.col("__pos").alias("__p1"),
+                   _pos_bucket(F.col("__pos"), window).alias("__bk"))
     pb = mp.select("query_id", "doc_id",
                    F.col("__term").alias("__t2"),
-                   F.col("__pos").alias("__p2"))
+                   F.col("__pos").alias("__p2"),
+                   F.explode(_probe_buckets(F.col("__pos"), window))
+                   .alias("__bk"))
     gaps = (
-        pa.join(pb, ["query_id", "doc_id"])
+        pa.join(pb, ["query_id", "doc_id", "__bk"])
         .where(F.col("__t1") < F.col("__t2"))
         .select("query_id", "doc_id", "__t1", "__t2",
                 F.abs(F.col("__p1") - F.col("__p2")).alias("__gap"))

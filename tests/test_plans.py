@@ -1003,6 +1003,12 @@ def test_proximity_search_broadcast_terms_ids_only(spark):
     exchange_lines = " ".join(
         l for l in plan.splitlines() if "Exchange" in l)
     assert "text#" not in exchange_lines, exchange_lines
+    # r14: the position-pair join carries the banded __bk bucket key
+    # (the output-neutral DIV(window+1) prefilter) — without it the
+    # per-document product is tf_a × tf_b and a hot term goes
+    # quadratic.
+    assert any("keys" in l and "__bk" in l for l in plan.splitlines()), \
+        "banded __bk missing from the pair-join keys"
 
 
 def test_ppr_integer_iteration_no_float_exchange(spark):
@@ -1099,3 +1105,6 @@ def test_proximity_rank_broadcast_terms_no_python(spark):
         l for l in plan.splitlines() if "Exchange" in l)
     assert "text#" not in exchange_lines, exchange_lines
     assert "Bucketed: true" in plan
+    # r14: the banded __bk key rides the rank tail's pair join too
+    assert any("keys" in l and "__bk" in l for l in plan.splitlines()), \
+        "banded __bk missing from the rank-tail pair-join keys"

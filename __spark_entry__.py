@@ -66,29 +66,71 @@ from pyspark.sql import DataFrame, SparkSession
 # artifact-vs-registry diff machine-checkable and exits non-zero on a
 # query with neither driver-row nor replica evidence.
 _REDUNDANT_TAIL = [
-    # Round-13 HEAD ROTATION (executing the round-12 verdict item 1 and
-    # the mechanical list from `scripts/check_artifact_coverage.py
-    # --emit-promotions`): the head (positions 1-50 = registry minus
-    # this tail) is now exactly the 50 WEAKEST-evidence queries —
-    #   * the 9 never-driver-checked round-12 additions
-    #     (image_progressive_decode_stats .. item_lpa_communities),
-    #     replica-green at sf0.001+sf0.01 (REPLICA.json) but with zero
-    #     driver rows.  Four of them also carry round-13 code changes
-    #     and need the driver re-check anyway:
-    #     image_progressive_decode_stats (the bh block-row formula now
-    #     genuinely varies — synthesizer + oracle + replay changed in
-    #     lockstep BEFORE any driver row pinned the degenerate hash),
-    #     item_ppr_scores (out-of-graph seeds excluded from |S|),
-    #     item_hits_scores (iters >= 1 validation),
-    #     hll_users_per_event_type / hll_users_streaming ride the
-    #     exact_evidence=True gate call sites of the r13 opt-in;
-    #   * the 41 stalest re-checks: the whole remaining r9-green block
-    #     (events_hourly .. vocab_stats) per the staleness criterion.
-    # With this head, driver-row union r1-r13 reaches 205/205: every
-    # registered query has at least one green driver row.  Demotions
-    # below are ordered strongest-evidence-first groupwise: the 50
-    # r12-green queries (just checked, code unchanged except the five
-    # noted above), then the prior tail in its existing order.
+    # Round-14 HEAD ROTATION (executing the round-13 verdict item 1 and
+    # the r14 duty note): the head is the mechanical
+    # `check_artifact_coverage.py --emit-promotions` list — the
+    # never-driver-checked round-13 addition (proximity_rank_docs),
+    # the four r9-green stragglers, and the r10-green staleness block
+    # (the streaming family, q13/q17/q18, the ANN families,
+    # ann_pq_topk) — with ONE substitution: the three r10 entries with
+    # the STRONGEST accumulated evidence (q4_order_priority /
+    # supplier_nation_rollup / asof_purchase_last_click, 7 green rows
+    # each, code unchanged since r10) yield their slots to the three
+    # queries whose code CHANGED this round and need the driver
+    # re-check on the new code: proximity_search_docs /
+    # proximity_search_indexed_docs (the banded __bk pair-stage
+    # prefilter) and item_ppr_scores (the src ∪ dst node-set fix).
+    # With this head, driver-row union r1-r14 reaches 206/206.
+    # Demotions are ordered strongest-evidence-first groupwise: the 47
+    # r13-green head queries just checked (minus the three kept), then
+    # the prior tail in its existing order.
+    "events_hourly",  # last green r13, 6 green rows
+    "customers_without_orders",  # last green r13, 6 green rows
+    "part_brand_stats",  # last green r13, 6 green rows
+    "high_value_order_customers",  # last green r13, 6 green rows
+    "event_type_distribution",  # last green r13, 6 green rows
+    "jaccard_near_dup_pairs",  # last green r13, 7 green rows
+    "minhash_signatures",  # last green r13, 6 green rows
+    "minhash32_signatures",  # last green r13, 5 green rows
+    "minhash_near_dup_pairs",  # last green r13, 7 green rows
+    "euclidean_signatures",  # last green r13, 5 green rows
+    "euclidean32_signatures",  # last green r13, 5 green rows
+    "minhash_shingle_signatures",  # last green r13, 6 green rows
+    "minhash32_shingle_signatures",  # last green r13, 5 green rows
+    "dedup_exact",  # last green r13, 6 green rows
+    "text_stats",  # last green r13, 6 green rows
+    "text_quality",  # last green r13, 8 green rows
+    "dedup_normalized",  # last green r13, 6 green rows
+    "embedding_dup_pairs",  # last green r13, 7 green rows
+    "simhash_near_dup_pairs",  # last green r13, 6 green rows
+    "doc_fingerprints",  # last green r13, 5 green rows
+    "distinct_ngram_counts",  # last green r13, 5 green rows
+    "kmv_doc_stats",  # last green r13, 5 green rows
+    "tfidf_top_terms",  # last green r13, 7 green rows
+    "clean_corpus",  # last green r13, 6 green rows
+    "q7_volume_shipping",  # last green r13, 2 green rows
+    "q8_market_share",  # last green r13, 2 green rows
+    "q10_returned_items",  # last green r13, 2 green rows
+    "q19_bracket_revenue",  # last green r13, 2 green rows
+    "q22_sales_opportunity",  # last green r13, 2 green rows
+    "semantic_dedup",  # last green r13, 4 green rows
+    "documents_upsert",  # last green r13, 4 green rows
+    "corpus_summary_report",  # last green r13, 4 green rows
+    "corpus_summary_streaming",  # last green r13, 4 green rows
+    "bm25_search",  # last green r13, 2 green rows
+    "duplicate_substring_spans",  # last green r13, 2 green rows
+    "bm25_index_search",  # last green r13, 2 green rows
+    "bm25_index_stats",  # last green r13, 2 green rows
+    "bm25_search_streaming",  # last green r13, 2 green rows
+    "hybrid_search_rrf",  # last green r13, 2 green rows
+    "hybrid_search_indexed",  # last green r13, 2 green rows
+    "vocab_stats",  # last green r13, 2 green rows
+    "image_progressive_decode_stats",  # last green r13, 1 green rows
+    "hll_users_per_event_type",  # last green r13, 1 green rows
+    "langid_confusion_matrix",  # last green r13, 1 green rows
+    "hll_users_streaming",  # last green r13, 1 green rows
+    "item_hits_scores",  # last green r13, 1 green rows
+    "item_lpa_communities",  # last green r13, 1 green rows
     "top_orders_per_customer",  # last green r12, 6 green rows
     "q11_important_parts",  # last green r12, 1 green rows
     "q20_excess_shippers",  # last green r12, 1 green rows
@@ -189,70 +231,24 @@ _REDUNDANT_TAIL = [
     "source_capped_docs",  # last green r11, 1 green rows
     "mixture_repeat_counts",  # last green r11, 1 green rows
     "boolean_search_docs",  # last green r11, 1 green rows
-    "q1_pricing_summary",  # last green r10, 6 green rows
-    "q3_shipping_priority",  # last green r10, 6 green rows
-    "q5_region_revenue",  # last green r10, 6 green rows
-    "events_sessionize",  # last green r10, 6 green rows
-    "events_props_stats",  # last green r10, 5 green rows
     "q4_order_priority",  # last green r10, 7 green rows
     "supplier_nation_rollup",  # last green r10, 7 green rows
     "asof_purchase_last_click",  # last green r10, 7 green rows
-    "errors_with_nearby_clicks",  # last green r10, 7 green rows
-    "minhash_near_dup_pairs_rotated",  # last green r10, 6 green rows
-    "similarity_join_ab",  # last green r10, 6 green rows
-    "word_bigram_near_dup_pairs",  # last green r10, 5 green rows
-    "ann_topk",  # last green r10, 6 green rows
-    "ann_lsh_topk",  # last green r10, 6 green rows
-    "ann_ivf_topk",  # last green r10, 6 green rows
-    "ann_ivf_flat_topk",  # last green r10, 6 green rows
-    "embedding_near_dup_lsh_pairs",  # last green r10, 6 green rows
-    "dedup_keep_first_minhash",  # last green r10, 6 green rows
-    "media_features",  # last green r10, 5 green rows
-    "media_raw_features",  # last green r10, 6 green rows
-    "repetition_stats",  # last green r10, 5 green rows
-    "contamination_overlap",  # last green r10, 4 green rows
-    "stratified_sample",  # last green r10, 4 green rows
-    "shard_assignment",  # last green r10, 4 green rows
-    "events_hourly_streaming",  # last green r10, 5 green rows
-    "events_sessions_streaming",  # last green r10, 5 green rows
-    "events_dedup_streaming",  # last green r10, 6 green rows
-    "events_user_totals_streaming",  # last green r10, 4 green rows
-    "events_error_click_pairs_streaming",  # last green r10, 4 green rows
-    "events_hourly_append_streaming",  # last green r10, 4 green rows
-    "similarity_join_ab_streaming",  # last green r10, 4 green rows
-    "near_dup_index_probe_streaming",  # last green r10, 4 green rows
-    "ann_ivf_search_streaming",  # last green r10, 4 green rows
-    "events_funnel",  # last green r10, 4 green rows
-    "q13_customer_distribution",  # last green r10, 1 green rows
-    "q17_small_quantity_revenue",  # last green r10, 1 green rows
-    "q18_large_volume_customers",  # last green r10, 1 green rows
-    "ann_ivf_sq8_search",  # last green r10, 2 green rows
-    "mixture_sample_counts",  # last green r10, 1 green rows
-    "bigram_logprob_scores",  # last green r10, 2 green rows
-    "phrase_search_docs",  # last green r10, 1 green rows
-    "corpus_snapshot_diff",  # last green r10, 1 green rows
-    "zipf_fit_stats",  # last green r10, 1 green rows
-    "ann_pq_topk",  # last green r10, 1 green rows
     "ann_pq_index_search",  # last green r10, 1 green rows
     "ann_pq_index_stats",  # last green r10, 1 green rows
     "ann_pq_search_streaming",  # last green r10, 1 green rows
     "ann_ivf_pq_topk",  # last green r10, 1 green rows
     "ann_ivf_pq_index_search",  # last green r10, 1 green rows
     "curriculum_stages",  # last green r10, 1 green rows
-    "pmi_top_pairs",  # last green r9, 1 green rows
-    "near_dup_threshold_histogram",  # last green r9, 1 green rows
-    "source_quality_report",  # last green r9, 1 green rows
-    "embedding_stats",  # last green r9, 1 green rows
-    "ann_recall_report",  # last green r9, 1 green rows
-    # ROUND-14 ROTATION DUTY: any NEW round-13 queries appended below
-    # this line have never been driver-checked — promote them (plus any
-    # stragglers from check_artifact_coverage.py --emit-promotions)
-    # into head positions 1-50 next round, demoting an equal number of
-    # r13-green unchanged-code queries, preferring STALENESS (the
-    # r10-green block above) for the remaining slots.  Count at
-    # round-13 close: 1 addition below (replica-green at
-    # sf0.001+sf0.01, REPLICA.json).
-    "proximity_rank_docs",
+    # ROUND-15 ROTATION DUTY: promote the stalest block above — the
+    # remaining r10-green PQ/IVF-PQ family (ann_pq_index_search ..
+    # curriculum_stages, never driver-checked on the r13 threaded
+    # trainer), the three 7-row r10 entries that yielded their r14
+    # slots (q4_order_priority / supplier_nation_rollup /
+    # asof_purchase_last_click), then the r11-green block by
+    # check_artifact_coverage.py --emit-promotions.  Any NEW round-14
+    # queries appended below this line have never been driver-checked
+    # — they take head slots first.
 ]
 
 

@@ -248,7 +248,9 @@ _REDUNDANT_TAIL = [
     # asof_purchase_last_click), then the r11-green block by
     # check_artifact_coverage.py --emit-promotions.  Any NEW round-14
     # queries appended below this line have never been driver-checked
-    # — they take head slots first.
+    # — they take head slots first.  Count at round-14 close: 1
+    # addition below (replica-green at sf0.001+sf0.01, REPLICA.json).
+    "hybrid_prox_search_rrf",
 ]
 
 

@@ -5976,6 +5976,105 @@ QUERIES_LATE["proximity_rank_docs"] = (proximity_rank_docs,
                                        _proxrank_oracle())
 
 
+# three-channel hybrid retrieval (r13 verdict stretch): the RRF fusion
+# of hybrid_search_rrf extended with a PROXIMITY channel ranked by
+# proximity_rank — lexical + vector + position-aware evidence in one
+# literal lexical→vector→proximity double sum.  The oracle stacks the
+# three audited channel oracles (bm25_oracle_sql, the exact-cosine
+# replay, proximity_rank_oracle_sql) under the 3-way full-outer fusion.
+_HPX_CH_K = 15
+_HPX_K = 10
+
+
+def _hpx_queries(spark: SparkSession) -> DataFrame:
+    qt = F.array(*[F.lit(t) for _i, t in _PROXRANK_QUERIES])
+    return spark.range(len(_PROXRANK_QUERIES)).select(
+        F.col("id").alias("query_id"),
+        F.element_at(qt, (F.col("id") + 1).cast("int"))
+        .alias("query_text"))
+
+
+def hybrid_prox_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .retrieval import ensure_text_index, hybrid_prox_search_indexed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvecs = emb.where(F.col("vec_id") < len(_PROXRANK_QUERIES))
+    index = ensure_text_index(spark, sf_dir)
+    return hybrid_prox_search_indexed(
+        spark, index, emb, _hpx_queries(spark), qvecs,
+        window=_PROXRANK_WINDOW, k=_HPX_K, channel_k=_HPX_CH_K,
+        rrf_c=_RRF_C)
+
+
+def _hybrid_prox_oracle() -> str:
+    from .retrieval import bm25_oracle_sql, proximity_rank_oracle_sql
+
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _PROXRANK_QUERIES)
+    nq = len(_PROXRANK_QUERIES)
+    lex = bm25_oracle_sql(vals, k=_HPX_CH_K)
+    vec = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {nq}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(qv, qv)) > 0
+                     AND sqrt(list_dot_product(cv, cv)) > 0
+               THEN list_dot_product(qv, cv)
+                    / (sqrt(list_dot_product(qv, qv))
+                       * sqrt(list_dot_product(cv, cv)))
+               ELSE 0.0 END, 6) AS cosine_sim
+  FROM q CROSS JOIN c
+  WHERE query_id != neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC
+                           ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {_HPX_CH_K}"""
+    prox = proximity_rank_oracle_sql(vals, window=_PROXRANK_WINDOW,
+                                     k=_HPX_CH_K)
+    return f"""
+WITH lex AS ({lex}),
+vec AS ({vec}),
+prox AS ({prox}),
+f1 AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.neighbor_id) AS doc_id,
+         l.rank AS rl, v.rank AS rv
+  FROM lex l
+  FULL OUTER JOIN vec v
+    ON l.query_id = v.query_id AND l.doc_id = v.neighbor_id
+),
+fused AS (
+  SELECT coalesce(f1.query_id, p.query_id) AS query_id,
+         coalesce(f1.doc_id, p.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({_RRF_C} + f1.rl), 0.0)
+               + coalesce(1.0 / ({_RRF_C} + f1.rv), 0.0)
+               + coalesce(1.0 / ({_RRF_C} + p.rank), 0.0), 6) AS rrf_score
+  FROM f1
+  FULL OUTER JOIN prox p
+    ON f1.query_id = p.query_id AND f1.doc_id = p.doc_id
+),
+rk AS (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_score, rank FROM rk WHERE rank <= {_HPX_K}
+"""
+
+
+QUERIES_LATE["hybrid_prox_search_rrf"] = (hybrid_prox_search_rrf,
+                                          _hybrid_prox_oracle())
+
+
 # personalized PageRank (graph.personalized_pagerank): restart mass on
 # a seed ITEM set — the similar-to-these neighborhood-expansion
 # primitive; unrolled-CTE oracle, same float contract as events_pagerank.

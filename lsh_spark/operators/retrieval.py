@@ -1352,6 +1352,115 @@ def hybrid_search_indexed(
     return _rrf_fuse(lex, vec, k=k, rrf_c=rrf_c)
 
 
+def hybrid_prox_topk_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_texts: DataFrame,
+    query_vecs: DataFrame,
+    *,
+    window: int = 8,
+    k: int = 10,
+    channel_k: int = 20,
+    rrf_c: float = 60.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    prox_weight: float = 1.0,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Three-channel reciprocal-rank fusion (r13 verdict stretch): the
+    lexical (BM25) and vector (exact cosine) channels of
+    :func:`hybrid_topk_rrf` plus a PROXIMITY channel ranked by
+    :func:`proximity_rank` (BM25 fused with the k-term min-gap pair
+    term) — position-aware evidence the bag-of-words channels cannot
+    see.  ``rrf = 1/(c+r_lex) + 1/(c+r_vec) + 1/(c+r_prox)`` in one
+    literal lexical→vector→proximity double sum over the union of each
+    channel's top ``channel_k``; a doc missing from a channel
+    contributes 0.  6-dp round before ranking, ties on doc_id.
+
+    Scale shape: all three channels are the audited operators
+    (postings-pruned BM25, broadcast-queries cosine scan, the banded
+    __bk pair stage); fusion adds two full-outer joins of
+    ≤ |Q|·channel_k frames."""
+    from .ann import cosine_topk
+
+    lex = bm25_topk(docs, query_texts, k=channel_k, k1=k1, b=b,
+                    exclude_self=exclude_self).select(
+        "query_id", "doc_id", F.col("rank").alias("__rl"))
+    vec = cosine_topk(embeddings, query_vecs, k=channel_k).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("__rv"))
+    prox = proximity_rank(docs, query_texts, window=window, k=channel_k,
+                          k1=k1, b=b, prox_weight=prox_weight).select(
+        "query_id", "doc_id", F.col("rank").alias("__rp"))
+    return _rrf_fuse3(lex, vec, prox, k=k, rrf_c=rrf_c)
+
+
+def hybrid_prox_search_indexed(
+    spark,
+    text_index: str,
+    embeddings: DataFrame,
+    query_texts: DataFrame,
+    query_vecs: DataFrame,
+    *,
+    window: int = 8,
+    k: int = 10,
+    channel_k: int = 20,
+    rrf_c: float = 60.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    prox_weight: float = 1.0,
+) -> DataFrame:
+    """:func:`hybrid_prox_topk_rrf` with the two LEXICAL channels
+    riding one positional ``build_text_index`` (the BM25 fold off the
+    postings, the proximity pair stage off the positions table — the
+    session-amortized standing-deployment shape) and the vector channel
+    the exact cosine scan.  Results match the on-the-fly form
+    bit-for-bit (pytest-pinned), so the stacked corpus-derived oracle
+    serves both and independently pins the persisted index content."""
+    from .ann import cosine_topk
+
+    lex = bm25_search_indexed(spark, text_index, query_texts,
+                              k=channel_k, k1=k1, b=b).select(
+        "query_id", "doc_id", F.col("rank").alias("__rl"))
+    vec = cosine_topk(embeddings, query_vecs, k=channel_k).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("__rv"))
+    prox = proximity_rank_indexed(spark, text_index, query_texts,
+                                  window=window, k=channel_k, k1=k1,
+                                  b=b, prox_weight=prox_weight).select(
+        "query_id", "doc_id", F.col("rank").alias("__rp"))
+    return _rrf_fuse3(lex, vec, prox, k=k, rrf_c=rrf_c)
+
+
+def _rrf_fuse3(lex: DataFrame, vec: DataFrame, prox: DataFrame, *,
+               k: int, rrf_c: float) -> DataFrame:
+    """Three-channel RRF fusion tail shared by the on-the-fly and
+    indexed forms: one literal lexical→vector→proximity double sum,
+    6-dp round before ranking, doc_id ties."""
+    f1 = lex.join(vec, ["query_id", "doc_id"], "full_outer")
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(rrf_c) + F.col("__rl").cast("double")),
+                   F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(rrf_c) + F.col("__rv").cast("double")),
+                     F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(rrf_c) + F.col("__rp").cast("double")),
+                     F.lit(0.0))
+    )
+    fused = (
+        f1.join(prox, ["query_id", "doc_id"], "full_outer")
+        .select("query_id", "doc_id", F.round(rrf, 6).alias("rrf_score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf_score", "rank")
+    )
+
+
 def boolean_search_indexed(
     spark,
     table_name: str,

@@ -140,3 +140,72 @@ def test_ppr_src_only_seed_keeps_rank_row(spark):
            for r in personalized_pagerank(edges, seeds, iters=3).collect()}
     assert set(got) == {1, 2, 3}
     assert got[1] == 0.15  # restart share only: halfup(0.15e6/1)
+
+
+def test_hybrid_prox_rrf_compose_parity(spark):
+    """The 3-channel fusion must equal the RRF of its three audited
+    channels computed independently: lexical (bm25_topk), vector
+    (cosine_topk), proximity (proximity_rank), fused
+    lexical→vector→proximity with half-up 6-dp rounding and doc_id
+    ties — replayed here in Python over the sf0.001 gate inputs."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from lsh_spark.operators.ann import cosine_topk
+    from lsh_spark.operators.pipeline_queries import (
+        _HPX_CH_K, _HPX_K, _PROXRANK_QUERIES, _PROXRANK_WINDOW, _RRF_C,
+        _hpx_queries, hybrid_prox_search_rrf)
+    from lsh_spark.operators.retrieval import bm25_topk, proximity_rank
+    from lsh_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    qt = _hpx_queries(spark)
+    qv = emb.where(emb.vec_id < len(_PROXRANK_QUERIES))
+    lex = {(r.query_id, r.doc_id): r.rank
+           for r in bm25_topk(docs, qt, k=_HPX_CH_K).collect()}
+    vec = {(r.query_id, r.neighbor_id): r.rank
+           for r in cosine_topk(emb, qv, k=_HPX_CH_K).collect()}
+    prox = {(r.query_id, r.doc_id): r.rank
+            for r in proximity_rank(docs, qt, window=_PROXRANK_WINDOW,
+                                    k=_HPX_CH_K).collect()}
+    fused = {}
+    for key in set(lex) | set(vec) | set(prox):
+        s = sum(1.0 / (_RRF_C + d[key]) for d in (lex, vec, prox)
+                if key in d)
+        fused[key] = float(Decimal(repr(s)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+    want = {}
+    by_q = {}
+    for (q, d), s in fused.items():
+        by_q.setdefault(q, []).append((-s, d))
+    for q, rows in by_q.items():
+        for i, (ns, d) in enumerate(sorted(rows)[:_HPX_K], start=1):
+            want[(q, d)] = (-ns, i)
+    got = {(r.query_id, r.doc_id): (r.rrf_score, r.rank)
+           for r in hybrid_prox_search_rrf(spark, sf).collect()}
+    assert got == want
+
+
+def test_hybrid_prox_indexed_matches_on_the_fly(spark):
+    """The indexed 3-channel form (postings + positions off one
+    positional text index) must reproduce the on-the-fly fusion exactly
+    — the proximity_rank_indexed contract lifted to the fused score."""
+    from lsh_spark.operators.pipeline_queries import (
+        _HPX_CH_K, _HPX_K, _PROXRANK_QUERIES, _PROXRANK_WINDOW, _RRF_C,
+        _hpx_queries, hybrid_prox_search_rrf)
+    from lsh_spark.operators.retrieval import hybrid_prox_topk_rrf
+    from lsh_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    qv = emb.where(emb.vec_id < len(_PROXRANK_QUERIES))
+    fly = {(r.query_id, r.doc_id): (r.rrf_score, r.rank)
+           for r in hybrid_prox_topk_rrf(
+               docs, emb, _hpx_queries(spark), qv,
+               window=_PROXRANK_WINDOW, k=_HPX_K, channel_k=_HPX_CH_K,
+               rrf_c=_RRF_C).collect()}
+    idx = {(r.query_id, r.doc_id): (r.rrf_score, r.rank)
+           for r in hybrid_prox_search_rrf(spark, sf).collect()}
+    assert fly and fly == idx

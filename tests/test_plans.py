@@ -1108,3 +1108,21 @@ def test_proximity_rank_broadcast_terms_no_python(spark):
     # r14: the banded __bk key rides the rank tail's pair join too
     assert any("keys" in l and "__bk" in l for l in plan.splitlines()), \
         "banded __bk missing from the rank-tail pair-join keys"
+
+
+def test_hybrid_prox_three_channels_indexed_no_python(spark):
+    """Three-channel hybrid (r14): both lexical channels probe the
+    bucketed positional index (no per-batch corpus tokenize), the pair
+    stage carries the banded __bk key, document text never crosses an
+    exchange, and no Python runs anywhere in the fusion."""
+    from lsh_spark.operators.pipeline_queries import hybrid_prox_search_rrf
+
+    plan = _plan(hybrid_prox_search_rrf(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Bucketed: true" in plan
+    exchange_lines = " ".join(
+        l for l in plan.splitlines() if "Exchange" in l)
+    assert "text#" not in exchange_lines, exchange_lines
+    assert any("keys" in l and "__bk" in l for l in plan.splitlines()), \
+        "banded __bk missing from the proximity channel's pair join"

@@ -209,3 +209,49 @@ def test_hybrid_prox_indexed_matches_on_the_fly(spark):
     idx = {(r.query_id, r.doc_id): (r.rrf_score, r.rank)
            for r in hybrid_prox_search_rrf(spark, sf).collect()}
     assert fly and fly == idx
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _bucket(p: int, w: int) -> int:
+    return p - p % (w + 1)
+
+
+def _probes(p: int, w: int) -> list[int]:
+    b = _bucket(p, w)
+    return [b - (w + 1), b, b + (w + 1)]
+
+
+@settings(max_examples=300, deadline=None)
+@given(pa=st.integers(0, 1 << 20), pb=st.integers(0, 1 << 20),
+       window=st.integers(0, 64))
+def test_banding_bucket_math_property(pa, pb, window):
+    """The two claims the banded prefilter rests on, for ALL position
+    pairs: (completeness) every |pa − pb| ≤ window pair meets on some
+    probe key; (exactly-once) a position pair meets on AT MOST one
+    probe key — the three probe keys are distinct, so the equi-join
+    never double-counts.  The Spark randomized-corpus test pins the
+    implementation against this same semantics end-to-end."""
+    matches = sum(1 for k in _probes(pb, window)
+                  if k == _bucket(pa, window))
+    assert matches <= 1
+    if abs(pa - pb) <= window:
+        assert matches == 1
+
+
+@settings(max_examples=100, deadline=None)
+@given(pas=st.lists(st.integers(0, 200), min_size=0, max_size=40),
+       pbs=st.lists(st.integers(0, 200), min_size=0, max_size=40),
+       window=st.integers(0, 16))
+def test_banding_pair_count_property(pas, pbs, window):
+    """Pair-count equality on arbitrary position multisets: the banded
+    equi-join (bucket == probe, then exact gap filter) yields exactly
+    the naive product's qualifying pairs — duplicates in the position
+    lists (repeated tf) included."""
+    naive = sum(1 for a in pas for b in pbs if abs(a - b) <= window)
+    banded = sum(1 for a in pas for b in pbs
+                 for k in _probes(b, window)
+                 if k == _bucket(a, window) and abs(a - b) <= window)
+    assert banded == naive

@@ -465,10 +465,11 @@ def encode_gif_rgb(pixels: np.ndarray) -> bytes:
 
 def decode_tiff(content: bytes) -> dict | None:
     """Baseline TIFF parse → the image dict shape: real IFD walk, both
-    byte orders (II/MM), uncompressed AND PackBits-compressed (32773,
-    per-strip RLE) 8-bit chunky samples, grayscale (photometric 0 —
-    white-is-zero — is inverted to black-is-zero — and 1) and RGB,
-    multi-strip assembly.  LZW/JPEG-compressed variants, non-8-bit
+    byte orders (II/MM), uncompressed, PackBits-compressed (32773,
+    per-strip RLE) AND LZW-compressed (5, per-strip, early-change
+    variant, predictor 1/2) 8-bit chunky samples, grayscale
+    (photometric 0 — white-is-zero — is inverted to black-is-zero —
+    and 1) and RGB, multi-strip assembly.  JPEG-in-TIFF, non-8-bit
     samples, planar layout and extra samples raise (digest-stub
     fallback upstream, same contract as the other codecs)."""
     if content is None or content[:4] not in (b"II*\x00", b"MM\x00*"):
@@ -514,7 +515,7 @@ def _decode_tiff_body(content: bytes) -> dict:
         raise ValueError("TIFF: missing dimensions")
     w, h = int(wv[0]), int(hv[0])
     comp = val(259, [1])[0]
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(f"TIFF: unsupported compression {comp}")
     phot = val(262, [1])[0]
     spp = int(val(277, [1])[0])
@@ -532,22 +533,149 @@ def _decode_tiff_body(content: bytes) -> dict:
     offs, counts = val(273), val(279)
     if offs is None or counts is None:
         raise ValueError("TIFF: missing strip layout")
+    pred = val(317, [1])[0]
+    if pred not in (1, 2):
+        raise ValueError(f"TIFF: unsupported predictor {pred}")
     strips = [content[o:o + c] for o, c in zip(offs, counts)]
     if comp == 32773:
         # PackBits: each strip is an independent RLE stream
         data = b"".join(_packbits_decode(s) for s in strips)
+    elif comp == 5:
+        # LZW: each strip is an independent code stream
+        data = b"".join(_tiff_lzw_decode(s) for s in strips)
     else:
         data = b"".join(strips)
     need = w * h * spp
     if len(data) < need:
         raise ValueError("TIFF: truncated pixel data")
     px = np.frombuffer(data[:need], dtype=np.uint8).reshape(h, w, spp)
+    if pred == 2:
+        # horizontal differencing stores per-row per-channel deltas;
+        # undo BEFORE any photometric handling (it acts on raw samples)
+        px = _predictor2_decode(px)
     if phot == 0:
         px = (255 - px.astype(np.int16)).astype(np.uint8)
     if spp == 1:
         px = px[:, :, 0]
     return {"width": w, "height": h, "n_frames": 1,
             "_pixels": np.ascontiguousarray(px)}
+
+
+def _tiff_lzw_decode(stream: bytes) -> bytes:
+    """TIFF-variant LZW (compression 5, TIFF6 §13): MSB-first bit
+    packing, initial code width 9, ClearCode 256 / EOI 257, table
+    codes from 258, EARLY CHANGE (the width bumps when the table
+    reaches 2^width − 1, one code earlier than GIF's LSB-first
+    variant).  Pure python like the other codec tiers — the gate
+    corpora stay on none/packbits; this closes the documented LZW
+    refusal."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: "bytes | None" = None
+    acc = 0
+    nbits = 0
+    i = 0
+    n_in = len(stream)
+    while True:
+        while nbits < width:
+            if i >= n_in:
+                # a stream may legally end without an explicit EOI
+                # once the remaining bits cannot hold a code
+                return bytes(out)
+            acc = (acc << 8) | stream[i]
+            i += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == 256:
+            table = [bytes([b]) for b in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == 257:
+            return bytes(out)
+        if prev is None:
+            if not table or code > 255:
+                raise ValueError("TIFF: LZW code before clear")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("TIFF: LZW code out of range")
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        # decoder early change is one code EARLIER than the encoder's
+        # (the decoder's table is one entry behind at equal stream
+        # positions): bump at 510/1022/2046 vs the encoder's 511/1023/
+        # 2047 — the documented TIFF6 asymmetry
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (the exact inverse of
+    ``_tiff_lzw_decode``): leads with ClearCode, re-clears when the
+    table reaches 4094 (12-bit ceiling with early change), ends with
+    EOI; width bumps when the NEXT code to be assigned is 2^width − 1
+    so the decoder's one-entry-behind table tracks in lockstep."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([b]): b for b in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)
+    w = b""
+    for byte in data:
+        wb = w + bytes([byte])
+        if wb in table:
+            w = wb
+            continue
+        emit(table[w], width)
+        table[wb] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:
+            emit(256, width)
+            table = {bytes([b]): b for b in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _predictor2_decode(px: np.ndarray) -> np.ndarray:
+    """TIFF predictor 2 (horizontal differencing) inverse: per-row
+    per-channel cumulative sum mod 256 over stored deltas."""
+    return (np.cumsum(px.astype(np.int64), axis=1) % 256).astype(np.uint8)
+
+
+def _predictor2_encode(px: np.ndarray) -> np.ndarray:
+    """TIFF predictor 2: per-row per-channel horizontal deltas mod
+    256 (the first column is stored verbatim)."""
+    d = px.astype(np.int16)
+    d[:, 1:, :] = d[:, 1:, :] - px.astype(np.int16)[:, :-1, :]
+    return (d % 256).astype(np.uint8)
 
 
 def _packbits_decode(stream: bytes) -> bytes:
@@ -607,19 +735,24 @@ def _packbits_encode(data: bytes) -> bytes:
 
 def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<",
                 compression: str = "none",
-                rows_per_strip: "int | None" = None) -> bytes:
+                rows_per_strip: "int | None" = None,
+                predictor: int = 1) -> bytes:
     """(h, w) gray or (h, w, 3) RGB uint8 → TIFF (black-is-zero / RGB,
     chunky), either byte order — the inverse of ``decode_tiff`` for the
-    round-trip tests.  ``compression``: "none" or "packbits" (per-strip
-    RLE); ``rows_per_strip`` splits the image into multiple strips
-    (default: one strip).  The default-parameter layout is
+    round-trip tests.  ``compression``: "none", "packbits" (per-strip
+    RLE) or "lzw" (per-strip, TIFF early-change variant);
+    ``predictor`` 2 stores horizontal deltas (tag 317, the usual LZW
+    companion); ``rows_per_strip`` splits the image into multiple
+    strips (default: one strip).  The default-parameter layout is
     byte-identical to the historical single-strip encoder (the media
-    gate corpus depends on it)."""
+    gate corpus depends on it) — predictor 1 writes no 317 tag."""
     bo = byteorder
     if bo not in ("<", ">"):
         raise ValueError("encode_tiff: byteorder must be '<' or '>'")
-    if compression not in ("none", "packbits"):
+    if compression not in ("none", "packbits", "lzw"):
         raise ValueError(f"encode_tiff: unknown compression {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError(f"encode_tiff: unknown predictor {predictor!r}")
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -627,17 +760,22 @@ def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<",
     if spp not in (1, 3):
         raise ValueError("encode_tiff: gray or RGB input only")
     h, w, _ = px.shape
+    if predictor == 2:
+        px = _predictor2_encode(px)
     rps = int(rows_per_strip) if rows_per_strip else h
     raw_strips = [px[y:y + rps].tobytes() for y in range(0, h, rps)] \
         or [b""]
     if compression == "packbits":
         payloads = [_packbits_encode(s) for s in raw_strips]
         comp_tag = 32773
+    elif compression == "lzw":
+        payloads = [_tiff_lzw_encode(s) for s in raw_strips]
+        comp_tag = 5
     else:
         payloads = raw_strips
         comp_tag = 1
     n_strips = len(payloads)
-    n_tags = 9
+    n_tags = 9 + (1 if predictor == 2 else 0)
     ifd_size = 2 + n_tags * 12 + 4
     bps_extra = 6 if spp == 3 else 0
     bps_off = 8 + ifd_size
@@ -680,6 +818,8 @@ def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<",
         entry(278, 4, 1, struct.pack(bo + "I", rps)),
         e279,
     ]
+    if predictor == 2:
+        entries.append(entry(317, 3, 1, short(2)))
     header = (b"II*\x00" if bo == "<" else b"MM\x00*") + struct.pack(
         bo + "I", 8)
     ifd = (struct.pack(bo + "H", n_tags) + b"".join(entries)

@@ -410,8 +410,8 @@ def test_tiff_round_trip_both_orders_and_refusals():
                                   .ljust(4, b"\x00")))
     assert inv["_pixels"].tolist() == [[245, 5]]
     with _pytest.raises(ValueError, match="compression"):
-        decode_tiff(patch_entry(gray, 259, struct.pack("<H", 5)
-                                .ljust(4, b"\x00")))
+        decode_tiff(patch_entry(gray, 259, struct.pack("<H", 7)
+                                .ljust(4, b"\x00")))  # JPEG-in-TIFF
     with _pytest.raises(ValueError, match="8-bit"):
         decode_tiff(patch_entry(gray, 258, struct.pack("<H", 16)
                                 .ljust(4, b"\x00")))
@@ -756,15 +756,76 @@ def test_tiff_packbits_round_trip(bo, rps):
         assert np.array_equal(base, pb)
 
 
-def test_tiff_lzw_still_refused():
-    """Other compressions keep the refusal contract (stub fallback)."""
+def test_tiff_jpeg_compression_still_refused():
+    """Compressions beyond none/PackBits/LZW keep the refusal contract
+    (stub fallback) — JPEG-in-TIFF (7) as the representative."""
     import numpy as np
 
     from lsh_spark.multimodal.containers import decode_tiff, encode_tiff
 
     blob = bytearray(encode_tiff(np.zeros((4, 4), np.uint8)))
-    # compression tag (259) short value sits in the IFD; patch 1 -> 5
+    # compression tag (259) short value sits in the IFD; patch 1 -> 7
     idx = blob.index(bytes.fromhex("03010300"))  # tag 259, type 3, ...
-    blob[idx + 8] = 5                            # LZW
+    blob[idx + 8] = 7                            # JPEG-in-TIFF
     with pytest.raises(ValueError, match="compression"):
         decode_tiff(bytes(blob))
+
+
+def test_tiff_lzw_spec_vector():
+    """Bit-exact TIFF6 LZW pin (hand-computed, NOT a round-trip — a
+    self-consistent wrong variant would round-trip fine): input
+    07 07 07 08 08 07 encodes to codes (256, 7, 258, 8, 8, 7, 257) at
+    width 9, MSB-first → 80 01 E0 40 80 40 1E 02."""
+    from lsh_spark.multimodal.containers import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    data = bytes([7, 7, 7, 8, 8, 7])
+    want = bytes([0x80, 0x01, 0xE0, 0x40, 0x80, 0x40, 0x1E, 0x02])
+    assert _tiff_lzw_encode(data) == want
+    assert _tiff_lzw_decode(want) == data
+
+
+def test_tiff_lzw_early_change_boundaries():
+    """Round-trips across every width transition (9→10→11→12 at the
+    decoder's 510/1022/2046 vs the encoder's 511/1023/2047 — the
+    documented early-change asymmetry) and across a table-full
+    re-clear at 4094."""
+    import random
+
+    from lsh_spark.multimodal.containers import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    rng = random.Random(14)
+    for size in (500, 1500, 4000, 80000):  # 80k crosses several clears
+        d = bytes(rng.randrange(256) for _ in range(size))
+        assert _tiff_lzw_decode(_tiff_lzw_encode(d)) == d
+    for d in (b"", b"\x00", b"abcabcabd" * 5000, bytes(256) * 100):
+        assert _tiff_lzw_decode(_tiff_lzw_encode(d)) == d
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("rps", [None, 3])
+@pytest.mark.parametrize("pred", [1, 2])
+def test_tiff_lzw_round_trip(bo, rps, pred):
+    """LZW strips (with and without the horizontal-differencing
+    predictor) decode to the identical pixels as the uncompressed
+    form, both byte orders, single- and multi-strip; predictor 1
+    writes no 317 tag so the default layout stays byte-identical."""
+    import numpy as np
+
+    from lsh_spark.multimodal.containers import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(7)
+    for shape in [(7, 9), (10, 6, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = decode_tiff(encode_tiff(px, byteorder=bo))["_pixels"]
+        lz = decode_tiff(encode_tiff(
+            px, byteorder=bo, compression="lzw",
+            rows_per_strip=rps, predictor=pred))["_pixels"]
+        assert np.array_equal(base, lz)
+    assert b"\x3d\x01" not in encode_tiff(
+        np.zeros((4, 4), np.uint8))[:80]  # no 317 tag on default path

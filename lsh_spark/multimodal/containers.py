@@ -469,9 +469,10 @@ def decode_tiff(content: bytes) -> dict | None:
     per-strip RLE) AND LZW-compressed (5, per-strip, early-change
     variant, predictor 1/2) 8-bit chunky samples, grayscale
     (photometric 0 — white-is-zero — is inverted to black-is-zero —
-    and 1) and RGB, multi-strip assembly.  JPEG-in-TIFF, non-8-bit
-    samples, planar layout and extra samples raise (digest-stub
-    fallback upstream, same contract as the other codecs)."""
+    and 1) and RGB, multi-strip assembly, chunky AND planar (284=2,
+    plane-major strips) layouts.  JPEG-in-TIFF, non-8-bit samples and
+    extra samples raise (digest-stub fallback upstream, same contract
+    as the other codecs)."""
     if content is None or content[:4] not in (b"II*\x00", b"MM\x00*"):
         return None
     try:
@@ -528,8 +529,9 @@ def _decode_tiff_body(content: bytes) -> dict:
     bps = val(258, [8] * spp)
     if any(b != 8 for b in bps):
         raise ValueError("TIFF: only 8-bit samples supported")
-    if val(284, [1])[0] != 1:
-        raise ValueError("TIFF: planar configuration unsupported")
+    planar = val(284, [1])[0]
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF: unsupported planar configuration {planar}")
     offs, counts = val(273), val(279)
     if offs is None or counts is None:
         raise ValueError("TIFF: missing strip layout")
@@ -548,7 +550,17 @@ def _decode_tiff_body(content: bytes) -> dict:
     need = w * h * spp
     if len(data) < need:
         raise ValueError("TIFF: truncated pixel data")
-    px = np.frombuffer(data[:need], dtype=np.uint8).reshape(h, w, spp)
+    if planar == 2 and spp > 1:
+        # separate component planes (TIFF6 §: all of plane 0's strips
+        # first, then plane 1, ...): each plane is h*w bytes after
+        # decompression — interleave back to chunky
+        plane = w * h
+        px = np.stack(
+            [np.frombuffer(data[i * plane:(i + 1) * plane],
+                           dtype=np.uint8).reshape(h, w)
+             for i in range(spp)], axis=2)
+    else:
+        px = np.frombuffer(data[:need], dtype=np.uint8).reshape(h, w, spp)
     if pred == 2:
         # horizontal differencing stores per-row per-channel deltas;
         # undo BEFORE any photometric handling (it acts on raw samples)
@@ -736,16 +748,19 @@ def _packbits_encode(data: bytes) -> bytes:
 def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<",
                 compression: str = "none",
                 rows_per_strip: "int | None" = None,
-                predictor: int = 1) -> bytes:
+                predictor: int = 1,
+                planar: bool = False) -> bytes:
     """(h, w) gray or (h, w, 3) RGB uint8 → TIFF (black-is-zero / RGB,
     chunky), either byte order — the inverse of ``decode_tiff`` for the
     round-trip tests.  ``compression``: "none", "packbits" (per-strip
     RLE) or "lzw" (per-strip, TIFF early-change variant);
     ``predictor`` 2 stores horizontal deltas (tag 317, the usual LZW
-    companion); ``rows_per_strip`` splits the image into multiple
-    strips (default: one strip).  The default-parameter layout is
-    byte-identical to the historical single-strip encoder (the media
-    gate corpus depends on it) — predictor 1 writes no 317 tag."""
+    companion); ``planar`` stores separate component planes (tag 284
+    value 2, plane-major strips); ``rows_per_strip`` splits the image
+    (or each plane) into multiple strips (default: one strip).  The
+    default-parameter layout is byte-identical to the historical
+    single-strip encoder (the media gate corpus depends on it) —
+    predictor 1 / chunky write no 317 / 284 tags."""
     bo = byteorder
     if bo not in ("<", ">"):
         raise ValueError("encode_tiff: byteorder must be '<' or '>'")
@@ -762,9 +777,15 @@ def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<",
     h, w, _ = px.shape
     if predictor == 2:
         px = _predictor2_encode(px)
+    planar = bool(planar) and spp > 1
     rps = int(rows_per_strip) if rows_per_strip else h
-    raw_strips = [px[y:y + rps].tobytes() for y in range(0, h, rps)] \
-        or [b""]
+    if planar:
+        raw_strips = [px[y:y + rps, :, ch].tobytes()
+                      for ch in range(spp) for y in range(0, h, rps)] \
+            or [b""]
+    else:
+        raw_strips = [px[y:y + rps].tobytes()
+                      for y in range(0, h, rps)] or [b""]
     if compression == "packbits":
         payloads = [_packbits_encode(s) for s in raw_strips]
         comp_tag = 32773
@@ -775,7 +796,7 @@ def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<",
         payloads = raw_strips
         comp_tag = 1
     n_strips = len(payloads)
-    n_tags = 9 + (1 if predictor == 2 else 0)
+    n_tags = 9 + (1 if predictor == 2 else 0) + (1 if planar else 0)
     ifd_size = 2 + n_tags * 12 + 4
     bps_extra = 6 if spp == 3 else 0
     bps_off = 8 + ifd_size
@@ -818,6 +839,8 @@ def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<",
         entry(278, 4, 1, struct.pack(bo + "I", rps)),
         e279,
     ]
+    if planar:
+        entries.append(entry(284, 3, 1, short(2)))
     if predictor == 2:
         entries.append(entry(317, 3, 1, short(2)))
     header = (b"II*\x00" if bo == "<" else b"MM\x00*") + struct.pack(

@@ -829,3 +829,30 @@ def test_tiff_lzw_round_trip(bo, rps, pred):
         assert np.array_equal(base, lz)
     assert b"\x3d\x01" not in encode_tiff(
         np.zeros((4, 4), np.uint8))[:80]  # no 317 tag on default path
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw"])
+def test_tiff_planar_round_trip(comp):
+    """Planar configuration 2 (separate component planes, plane-major
+    strips, tag 284) decodes to the identical pixels as the chunky
+    form across every compression, with and without the predictor and
+    multi-strip planes; gray input ignores the flag (one plane IS
+    chunky).  The default chunky path writes no 284 tag."""
+    import numpy as np
+
+    from lsh_spark.multimodal.containers import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    base = decode_tiff(encode_tiff(px))["_pixels"]
+    for bo in ("<", ">"):
+        for pred in (1, 2):
+            for rps in (None, 4):
+                pl = decode_tiff(encode_tiff(
+                    px, byteorder=bo, compression=comp, planar=True,
+                    predictor=pred, rows_per_strip=rps))["_pixels"]
+                assert np.array_equal(base, pl)
+    gray = rng.integers(0, 256, size=(5, 5), dtype=np.uint8)
+    g = decode_tiff(encode_tiff(gray, compression=comp,
+                                planar=True))["_pixels"]
+    assert np.array_equal(gray, g)

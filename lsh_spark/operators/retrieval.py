@@ -1376,6 +1376,11 @@ def hybrid_prox_topk_rrf(
     literal lexical→vector→proximity double sum over the union of each
     channel's top ``channel_k``; a doc missing from a channel
     contributes 0.  6-dp round before ranking, ties on doc_id.
+    ``exclude_self`` governs the LEXICAL channel (for doc-derived
+    query sets whose query_id is a doc_id); the cosine channel always
+    excludes its own vector id (``cosine_topk``'s contract) and the
+    proximity channel has no self notion — literal-phrase query sets
+    leave ``exclude_self`` False.
 
     Scale shape: all three channels are the audited operators
     (postings-pruned BM25, broadcast-queries cosine scan, the banded

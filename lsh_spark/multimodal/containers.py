@@ -670,6 +670,17 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         w = bytes([byte])
     if w:
         emit(table[w], width)
+        # phantom post-encode bump (libtiff LZWPostEncode): the decoder
+        # appends one table entry while processing this final code, so
+        # when the table lands exactly on an early-change boundary the
+        # decoder has already widened — mirror with a phantom next_code
+        # increment plus the same bump/re-clear checks before EOI
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:
+            emit(256, width)
+            width = 9
     emit(257, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)

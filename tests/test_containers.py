@@ -807,6 +807,55 @@ def test_tiff_lzw_early_change_boundaries():
         assert _tiff_lzw_decode(_tiff_lzw_encode(d)) == d
 
 
+def _de_bruijn_pair_prefix(n: int) -> bytes:
+    """Prefix of the lexicographic de Bruijn sequence B(256, 2): the
+    first n−1 adjacent byte pairs are all distinct, so the encoder
+    emits one new table entry per byte and the phantom post-encode
+    next_code lands exactly at 258 + n."""
+    k = 256
+    seq: list[int] = []
+    a = [0] * (k * 2)
+
+    def db(t: int, p: int) -> None:
+        if len(seq) > n + 4:
+            return
+        if t > 2:
+            if 2 % p == 0:
+                seq.extend(a[1 : p + 1])
+        else:
+            a[t] = a[t - p]
+            db(t + 1, p)
+            for j in range(a[t - p] + 1, k):
+                a[t] = j
+                db(t + 1, t)
+
+    db(1, 1)
+    return bytes(seq[:n])
+
+
+def test_tiff_lzw_post_encode_phantom_boundaries():
+    """The final data code grows the DECODER's table by one entry; when
+    that lands exactly on an early-change boundary (510/1022/2046) the
+    decoder widens before reading EOI, so the encoder must apply the
+    same phantom next_code bump (libtiff LZWPostEncode) — and at 4094
+    the phantom re-clear.  Exact-length all-distinct-pair inputs land
+    the phantom next_code on 511/1023/2047/4094 (pre-fix, 253 raised
+    'LZW code out of range' on the encoder's own output)."""
+    from lsh_spark.multimodal.containers import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    for n in (253, 765, 1789, 3836):
+        d = _de_bruijn_pair_prefix(n)
+        assert len(set(zip(d, d[1:]))) == n - 1
+        assert _tiff_lzw_decode(_tiff_lzw_encode(d)) == d
+        # one byte either side of the boundary stays green too
+        for m in (n - 1, n + 1):
+            dm = _de_bruijn_pair_prefix(m)
+            assert _tiff_lzw_decode(_tiff_lzw_encode(dm)) == dm
+
+
 @pytest.mark.parametrize("bo", ["<", ">"])
 @pytest.mark.parametrize("rps", [None, 3])
 @pytest.mark.parametrize("pred", [1, 2])

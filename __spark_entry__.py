@@ -66,24 +66,73 @@ from pyspark.sql import DataFrame, SparkSession
 # artifact-vs-registry diff machine-checkable and exits non-zero on a
 # query with neither driver-row nor replica evidence.
 _REDUNDANT_TAIL = [
-    # Round-14 HEAD ROTATION (executing the round-13 verdict item 1 and
-    # the r14 duty note): the head is the mechanical
-    # `check_artifact_coverage.py --emit-promotions` list — the
-    # never-driver-checked round-13 addition (proximity_rank_docs),
-    # the four r9-green stragglers, and the r10-green staleness block
-    # (the streaming family, q13/q17/q18, the ANN families,
-    # ann_pq_topk) — with ONE substitution: the three r10 entries with
-    # the STRONGEST accumulated evidence (q4_order_priority /
-    # supplier_nation_rollup / asof_purchase_last_click, 7 green rows
-    # each, code unchanged since r10) yield their slots to the three
-    # queries whose code CHANGED this round and need the driver
-    # re-check on the new code: proximity_search_docs /
-    # proximity_search_indexed_docs (the banded __bk pair-stage
-    # prefilter) and item_ppr_scores (the src ∪ dst node-set fix).
-    # With this head, driver-row union r1-r14 reaches 206/206.
-    # Demotions are ordered strongest-evidence-first groupwise: the 47
-    # r13-green head queries just checked (minus the three kept), then
-    # the prior tail in its existing order.
+    # Round-15 HEAD ROTATION (executing the round-14 verdict item 1 and
+    # the r15 duty note below the r14 block): the head is EXACTLY the
+    # mechanical `check_artifact_coverage.py --emit-promotions` list of
+    # 50 — the never-driver-checked round-14 addition
+    # (hybrid_prox_search_rrf), the remaining r10-green PQ/IVF-PQ block
+    # (never driver-checked on the r13 threaded trainer) plus the three
+    # 7-row r10 entries that yielded their r14 slots, and the stalest
+    # r11-green stratum.  media_tiff_pixel_stats and
+    # media_container_features — the two gates over containers.py,
+    # which this round's LZW post-encode fix touched (LZW is not on the
+    # gate corpus path, but the re-check discipline applies) — are
+    # already in that list.  With this head, driver-row union r1-r15
+    # reaches 207/207: full-registry driver coverage for the first time
+    # since the round-12 additions.  Demotions are ordered
+    # strongest-evidence-first groupwise: the 50 r14-green head queries
+    # just checked, then the prior tail in its existing order minus the
+    # 50 promoted.
+    "q1_pricing_summary",  # last green r14, 7 green rows
+    "q3_shipping_priority",  # last green r14, 7 green rows
+    "q5_region_revenue",  # last green r14, 7 green rows
+    "events_sessionize",  # last green r14, 7 green rows
+    "events_props_stats",  # last green r14, 6 green rows
+    "errors_with_nearby_clicks",  # last green r14, 8 green rows
+    "minhash_near_dup_pairs_rotated",  # last green r14, 7 green rows
+    "similarity_join_ab",  # last green r14, 7 green rows
+    "word_bigram_near_dup_pairs",  # last green r14, 6 green rows
+    "ann_topk",  # last green r14, 7 green rows
+    "ann_lsh_topk",  # last green r14, 7 green rows
+    "ann_ivf_topk",  # last green r14, 7 green rows
+    "ann_ivf_flat_topk",  # last green r14, 7 green rows
+    "embedding_near_dup_lsh_pairs",  # last green r14, 7 green rows
+    "dedup_keep_first_minhash",  # last green r14, 7 green rows
+    "media_features",  # last green r14, 6 green rows
+    "media_raw_features",  # last green r14, 7 green rows
+    "repetition_stats",  # last green r14, 6 green rows
+    "contamination_overlap",  # last green r14, 5 green rows
+    "stratified_sample",  # last green r14, 5 green rows
+    "shard_assignment",  # last green r14, 5 green rows
+    "events_hourly_streaming",  # last green r14, 6 green rows
+    "events_sessions_streaming",  # last green r14, 6 green rows
+    "events_dedup_streaming",  # last green r14, 7 green rows
+    "events_user_totals_streaming",  # last green r14, 5 green rows
+    "events_error_click_pairs_streaming",  # last green r14, 5 green rows
+    "events_hourly_append_streaming",  # last green r14, 5 green rows
+    "similarity_join_ab_streaming",  # last green r14, 5 green rows
+    "near_dup_index_probe_streaming",  # last green r14, 5 green rows
+    "ann_ivf_search_streaming",  # last green r14, 5 green rows
+    "events_funnel",  # last green r14, 5 green rows
+    "q13_customer_distribution",  # last green r14, 2 green rows
+    "q17_small_quantity_revenue",  # last green r14, 2 green rows
+    "q18_large_volume_customers",  # last green r14, 2 green rows
+    "ann_ivf_sq8_search",  # last green r14, 3 green rows
+    "mixture_sample_counts",  # last green r14, 2 green rows
+    "bigram_logprob_scores",  # last green r14, 3 green rows
+    "phrase_search_docs",  # last green r14, 2 green rows
+    "corpus_snapshot_diff",  # last green r14, 2 green rows
+    "zipf_fit_stats",  # last green r14, 2 green rows
+    "pmi_top_pairs",  # last green r14, 2 green rows
+    "near_dup_threshold_histogram",  # last green r14, 2 green rows
+    "source_quality_report",  # last green r14, 2 green rows
+    "embedding_stats",  # last green r14, 2 green rows
+    "ann_recall_report",  # last green r14, 2 green rows
+    "ann_pq_topk",  # last green r14, 2 green rows
+    "proximity_search_docs",  # last green r14, 2 green rows
+    "proximity_search_indexed_docs",  # last green r14, 2 green rows
+    "proximity_rank_docs",  # last green r14, 1 green rows
+    "item_ppr_scores",  # last green r14, 2 green rows
     "events_hourly",  # last green r13, 6 green rows
     "customers_without_orders",  # last green r13, 6 green rows
     "part_brand_stats",  # last green r13, 6 green rows
@@ -181,46 +230,6 @@ _REDUNDANT_TAIL = [
     "events_spikes_streaming",  # last green r12, 1 green rows
     "sq8_reconstruction_report",  # last green r12, 1 green rows
     "minhash_estimate_calibration",  # last green r12, 1 green rows
-    "top_terms_per_lang",  # last green r11, 7 green rows
-    "weighted_minhash_signatures",  # last green r11, 4 green rows
-    "weighted_near_dup_pairs",  # last green r11, 4 green rows
-    "weighted_word_near_dup_pairs",  # last green r11, 3 green rows
-    "dedup_clusters_minhash",  # last green r11, 8 green rows
-    "dup_ngram_stats",  # last green r11, 4 green rows
-    "remove_duplicated_spans",  # last green r11, 4 green rows
-    "pack_sequences",  # last green r11, 4 green rows
-    "min_cost_supplier",  # last green r11, 4 green rows
-    "large_quantity_orders",  # last green r11, 4 green rows
-    "events_type_pivot",  # last green r11, 5 green rows
-    "lineitem_cube",  # last green r11, 5 green rows
-    "events_weekly_cohorts",  # last green r11, 5 green rows
-    "customer_order_counts",  # last green r11, 5 green rows
-    "q6_forecast_revenue",  # last green r11, 3 green rows
-    "q14_promo_revenue",  # last green r11, 3 green rows
-    "supplier_revenue_salted",  # last green r11, 3 green rows
-    "order_value_quantiles",  # last green r11, 3 green rows
-    "q15_top_supplier",  # last green r11, 3 green rows
-    "q9_profit_by_nation_year",  # last green r11, 1 green rows
-    "q12_late_shipment_priority",  # last green r11, 1 green rows
-    "q16_supplier_part_counts",  # last green r11, 1 green rows
-    "q21_waiting_suppliers",  # last green r11, 1 green rows
-    "media_container_features",  # last green r11, 3 green rows
-    "image_dhash_signatures",  # last green r11, 3 green rows
-    "image_dhash_near_dup_pairs",  # last green r11, 3 green rows
-    "image_dhash_clusters",  # last green r11, 3 green rows
-    "pii_scrub_stats",  # last green r11, 3 green rows
-    "line_dedup_docs",  # last green r11, 3 green rows
-    "audio_signal_features",  # last green r11, 3 green rows
-    "unigram_logprob_scores",  # last green r11, 3 green rows
-    "cms_heavy_hitters",  # last green r11, 3 green rows
-    "fingerprint_overlap_pairs",  # last green r11, 3 green rows
-    "dedup_keep_longest_minhash",  # last green r11, 3 green rows
-    "media_tiff_pixel_stats",  # last green r11, 3 green rows
-    "image_resize_stats",  # last green r11, 3 green rows
-    "tfidf_cosine_pairs",  # last green r11, 1 green rows
-    "edit_distance_near_dup_pairs",  # last green r11, 1 green rows
-    "mixture_temperature_plan",  # last green r11, 1 green rows
-    "containment_near_dup_pairs",  # last green r11, 1 green rows
     "events_pagerank",  # last green r11, 1 green rows
     "item_cooccurrence",  # last green r11, 1 green rows
     "phrase_search_indexed_docs",  # last green r11, 1 green rows
@@ -231,26 +240,13 @@ _REDUNDANT_TAIL = [
     "source_capped_docs",  # last green r11, 1 green rows
     "mixture_repeat_counts",  # last green r11, 1 green rows
     "boolean_search_docs",  # last green r11, 1 green rows
-    "q4_order_priority",  # last green r10, 7 green rows
-    "supplier_nation_rollup",  # last green r10, 7 green rows
-    "asof_purchase_last_click",  # last green r10, 7 green rows
-    "ann_pq_index_search",  # last green r10, 1 green rows
-    "ann_pq_index_stats",  # last green r10, 1 green rows
-    "ann_pq_search_streaming",  # last green r10, 1 green rows
-    "ann_ivf_pq_topk",  # last green r10, 1 green rows
-    "ann_ivf_pq_index_search",  # last green r10, 1 green rows
-    "curriculum_stages",  # last green r10, 1 green rows
-    # ROUND-15 ROTATION DUTY: promote the stalest block above — the
-    # remaining r10-green PQ/IVF-PQ family (ann_pq_index_search ..
-    # curriculum_stages, never driver-checked on the r13 threaded
-    # trainer), the three 7-row r10 entries that yielded their r14
-    # slots (q4_order_priority / supplier_nation_rollup /
-    # asof_purchase_last_click), then the r11-green block by
-    # check_artifact_coverage.py --emit-promotions.  Any NEW round-14
-    # queries appended below this line have never been driver-checked
-    # — they take head slots first.  Count at round-14 close: 1
-    # addition below (replica-green at sf0.001+sf0.01, REPLICA.json).
-    "hybrid_prox_search_rrf",
+    # ROUND-16 ROTATION DUTY: promote the stalest block above by
+    # `check_artifact_coverage.py --emit-promotions` (after this round
+    # the r12-green stratum becomes the stalest).  Any NEW round-15
+    # queries appended below this line have never been driver-checked —
+    # they take head slots first.  Count at round-15 close: 0 additions
+    # below (the IVF-backed 3-channel hybrid landed as operator +
+    # pytest parity per the r14 verdict item 3, no new gate query).
 ]
 
 

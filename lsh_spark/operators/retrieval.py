@@ -1437,6 +1437,53 @@ def hybrid_prox_search_indexed(
     return _rrf_fuse3(lex, vec, prox, k=k, rrf_c=rrf_c)
 
 
+def hybrid_prox_search_ivf(
+    spark,
+    text_index: str,
+    ivf_index: str,
+    query_texts: DataFrame,
+    query_vecs: DataFrame,
+    *,
+    window: int = 8,
+    k: int = 10,
+    channel_k: int = 20,
+    rrf_c: float = 60.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    prox_weight: float = 1.0,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`hybrid_prox_topk_rrf` over the FULL standing-deployment
+    channels (r14 verdict item 3): the two lexical channels ride one
+    positional ``build_text_index`` (as in
+    :func:`hybrid_prox_search_indexed`) and the vector channel probes a
+    persisted ``build_ivf_index`` via :func:`~.ann.search_ivf_index` —
+    no channel touches the raw corpus or embeddings, so a query batch
+    pays two text-index probes, one cell-bucketed IVF probe, and the
+    tiny fusion joins.  With ``n_probe`` = the index's cell count the
+    vector channel equals the exact scan and results match the
+    on-the-fly form bit-for-bit (pytest-pinned, the
+    ``hybrid_search_indexed`` precedent); at partial probe the fusion
+    runs over the audited IVF results instead."""
+    from .ann import search_ivf_index
+
+    lex = bm25_search_indexed(spark, text_index, query_texts,
+                              k=channel_k, k1=k1, b=b).select(
+        "query_id", "doc_id", F.col("rank").alias("__rl"))
+    vec = search_ivf_index(
+        spark, ivf_index, query_vecs, vec_col=vec_col, id_col=vec_id_col,
+        k=channel_k, n_probe=n_probe).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("__rv"))
+    prox = proximity_rank_indexed(spark, text_index, query_texts,
+                                  window=window, k=channel_k, k1=k1,
+                                  b=b, prox_weight=prox_weight).select(
+        "query_id", "doc_id", F.col("rank").alias("__rp"))
+    return _rrf_fuse3(lex, vec, prox, k=k, rrf_c=rrf_c)
+
+
 def _rrf_fuse3(lex: DataFrame, vec: DataFrame, prox: DataFrame, *,
                k: int, rrf_c: float) -> DataFrame:
     """Three-channel RRF fusion tail shared by the on-the-fly and

@@ -467,12 +467,14 @@ def decode_tiff(content: bytes) -> dict | None:
     """Baseline TIFF parse → the image dict shape: real IFD walk, both
     byte orders (II/MM), uncompressed, PackBits-compressed (32773,
     per-strip RLE) AND LZW-compressed (5, per-strip, early-change
-    variant, predictor 1/2) 8-bit chunky samples, grayscale
+    variant, predictor 1/2) 8-bit chunky samples PLUS 16-bit unsigned
+    grayscale (native-dtype pixel model: ``_pixels`` is uint16 and the
+    dict carries ``bit_depth: 16``; absent = 8), grayscale
     (photometric 0 — white-is-zero — is inverted to black-is-zero —
     and 1) and RGB, multi-strip assembly, chunky AND planar (284=2,
-    plane-major strips) layouts.  JPEG-in-TIFF, non-8-bit samples and
-    extra samples raise (digest-stub fallback upstream, same contract
-    as the other codecs)."""
+    plane-major strips) layouts.  JPEG-in-TIFF, other sample depths,
+    signed/float SampleFormat and extra samples raise (digest-stub
+    fallback upstream, same contract as the other codecs)."""
     if content is None or content[:4] not in (b"II*\x00", b"MM\x00*"):
         return None
     try:
@@ -527,8 +529,22 @@ def _decode_tiff_body(content: bytes) -> dict:
     if spp not in (1, 3):
         raise ValueError(f"TIFF: unsupported samples/pixel {spp}")
     bps = val(258, [8] * spp)
-    if any(b != 8 for b in bps):
-        raise ValueError("TIFF: only 8-bit samples supported")
+    if all(b == 8 for b in bps):
+        depth = 8
+    elif spp == 1 and bps == [16]:
+        # 16-bit grayscale (the common scientific-TIFF case): samples
+        # ride the file byte order; pixel dtype model is NATIVE —
+        # ``_pixels`` is uint16 and the dict carries ``bit_depth: 16``
+        # (absent = 8).  Downstream stats already cast to int64, so
+        # px_min/px_max/px_sum are exact; dHash compares magnitudes
+        # dtype-agnostically.  Only unsigned samples (SampleFormat
+        # absent or 1) are supported.
+        depth = 16
+        if val(339, [1]) != [1]:
+            raise ValueError("TIFF: only unsigned 16-bit samples supported")
+    else:
+        raise ValueError("TIFF: only 8-bit (or 16-bit gray) samples "
+                         "supported")
     planar = val(284, [1])[0]
     if planar not in (1, 2):
         raise ValueError(f"TIFF: unsupported planar configuration {planar}")
@@ -547,10 +563,16 @@ def _decode_tiff_body(content: bytes) -> dict:
         data = b"".join(_tiff_lzw_decode(s) for s in strips)
     else:
         data = b"".join(strips)
-    need = w * h * spp
+    need = w * h * spp * (depth // 8)
     if len(data) < need:
         raise ValueError("TIFF: truncated pixel data")
-    if planar == 2 and spp > 1:
+    if depth == 16:
+        # byte-level codecs (PackBits/LZW) already ran; reinterpret the
+        # assembled bytes as u16 in the FILE byte order, then normalize
+        # to native
+        px = np.frombuffer(data[:need], dtype=np.dtype(bo + "u2")).astype(
+            np.uint16).reshape(h, w, 1)
+    elif planar == 2 and spp > 1:
         # separate component planes (TIFF6 §: all of plane 0's strips
         # first, then plane 1, ...): each plane is h*w bytes after
         # decompression — interleave back to chunky
@@ -563,14 +585,19 @@ def _decode_tiff_body(content: bytes) -> dict:
         px = np.frombuffer(data[:need], dtype=np.uint8).reshape(h, w, spp)
     if pred == 2:
         # horizontal differencing stores per-row per-channel deltas;
-        # undo BEFORE any photometric handling (it acts on raw samples)
-        px = _predictor2_decode(px)
+        # undo BEFORE any photometric handling (it acts on raw SAMPLES —
+        # mod 2^16 for 16-bit, mod 2^8 for 8-bit, per TIFF6 §14)
+        px = _predictor2_decode(px, depth=depth)
+    maxv = (1 << depth) - 1
     if phot == 0:
-        px = (255 - px.astype(np.int16)).astype(np.uint8)
+        px = (maxv - px.astype(np.int32)).astype(px.dtype)
     if spp == 1:
         px = px[:, :, 0]
-    return {"width": w, "height": h, "n_frames": 1,
+    meta = {"width": w, "height": h, "n_frames": 1,
             "_pixels": np.ascontiguousarray(px)}
+    if depth != 8:
+        meta["bit_depth"] = depth
+    return meta
 
 
 def _tiff_lzw_decode(stream: bytes) -> bytes:
@@ -687,18 +714,22 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _predictor2_decode(px: np.ndarray) -> np.ndarray:
+def _predictor2_decode(px: np.ndarray, *, depth: int = 8) -> np.ndarray:
     """TIFF predictor 2 (horizontal differencing) inverse: per-row
-    per-channel cumulative sum mod 256 over stored deltas."""
-    return (np.cumsum(px.astype(np.int64), axis=1) % 256).astype(np.uint8)
+    per-channel cumulative sum over stored deltas, mod 2^depth (the
+    differencing acts on SAMPLES, so 16-bit wraps at 65536)."""
+    dt = np.uint8 if depth == 8 else np.uint16
+    return (np.cumsum(px.astype(np.int64), axis=1)
+            % (1 << depth)).astype(dt)
 
 
-def _predictor2_encode(px: np.ndarray) -> np.ndarray:
+def _predictor2_encode(px: np.ndarray, *, depth: int = 8) -> np.ndarray:
     """TIFF predictor 2: per-row per-channel horizontal deltas mod
-    256 (the first column is stored verbatim)."""
-    d = px.astype(np.int16)
-    d[:, 1:, :] = d[:, 1:, :] - px.astype(np.int16)[:, :-1, :]
-    return (d % 256).astype(np.uint8)
+    2^depth (the first column is stored verbatim)."""
+    dt = np.uint8 if depth == 8 else np.uint16
+    d = px.astype(np.int64)
+    d[:, 1:, :] = d[:, 1:, :] - px.astype(np.int64)[:, :-1, :]
+    return (d % (1 << depth)).astype(dt)
 
 
 def _packbits_decode(stream: bytes) -> bytes:
@@ -761,7 +792,8 @@ def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<",
                 rows_per_strip: "int | None" = None,
                 predictor: int = 1,
                 planar: bool = False) -> bytes:
-    """(h, w) gray or (h, w, 3) RGB uint8 → TIFF (black-is-zero / RGB,
+    """(h, w) gray or (h, w, 3) RGB uint8 — or (h, w) uint16 gray
+    (16-bit samples, tag 258 = 16) — → TIFF (black-is-zero / RGB,
     chunky), either byte order — the inverse of ``decode_tiff`` for the
     round-trip tests.  ``compression``: "none", "packbits" (per-strip
     RLE) or "lzw" (per-strip, TIFF early-change variant);
@@ -779,23 +811,37 @@ def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<",
         raise ValueError(f"encode_tiff: unknown compression {compression!r}")
     if predictor not in (1, 2):
         raise ValueError(f"encode_tiff: unknown predictor {predictor!r}")
-    px = np.asarray(pixels, dtype=np.uint8)
+    px_in = np.asarray(pixels)
+    if px_in.dtype == np.uint16:
+        # 16-bit grayscale (bit_depth data model: native-dtype pixels);
+        # the uint8 default path below is byte-identical to the
+        # historical encoder — only the dtype branches
+        depth = 16
+        px = px_in
+    else:
+        depth = 8
+        px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     spp = px.shape[2]
     if spp not in (1, 3):
         raise ValueError("encode_tiff: gray or RGB input only")
+    if depth == 16 and spp != 1:
+        raise ValueError("encode_tiff: 16-bit input must be grayscale")
     h, w, _ = px.shape
     if predictor == 2:
-        px = _predictor2_encode(px)
+        px = _predictor2_encode(px, depth=depth)
     planar = bool(planar) and spp > 1
     rps = int(rows_per_strip) if rows_per_strip else h
+    # samples serialize in the FILE byte order (predictor ran on native
+    # sample values first, per TIFF6 §14)
+    ser = px.astype(np.dtype(bo + "u2")) if depth == 16 else px
     if planar:
-        raw_strips = [px[y:y + rps, :, ch].tobytes()
+        raw_strips = [ser[y:y + rps, :, ch].tobytes()
                       for ch in range(spp) for y in range(0, h, rps)] \
             or [b""]
     else:
-        raw_strips = [px[y:y + rps].tobytes()
+        raw_strips = [ser[y:y + rps].tobytes()
                       for y in range(0, h, rps)] or [b""]
     if compression == "packbits":
         payloads = [_packbits_encode(s) for s in raw_strips]
@@ -842,7 +888,7 @@ def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<",
         entry(256, 4, 1, struct.pack(bo + "I", w)),
         entry(257, 4, 1, struct.pack(bo + "I", h)),
         entry(258, 3, spp,
-              short(8) if spp == 1 else struct.pack(bo + "I", bps_off)),
+              short(depth) if spp == 1 else struct.pack(bo + "I", bps_off)),
         entry(259, 3, 1, short(comp_tag)),
         entry(262, 3, 1, short(1 if spp == 1 else 2)),
         e273,

@@ -412,8 +412,11 @@ def test_tiff_round_trip_both_orders_and_refusals():
     with _pytest.raises(ValueError, match="compression"):
         decode_tiff(patch_entry(gray, 259, struct.pack("<H", 7)
                                 .ljust(4, b"\x00")))  # JPEG-in-TIFF
+    # 16-bit gray is supported since r15 — an unsupported DEPTH now
+    # means e.g. 12-bit (and 16-bit-patched-8-bit data trips the
+    # truncation check instead, exercised in the 16-bit tests)
     with _pytest.raises(ValueError, match="8-bit"):
-        decode_tiff(patch_entry(gray, 258, struct.pack("<H", 16)
+        decode_tiff(patch_entry(gray, 258, struct.pack("<H", 12)
                                 .ljust(4, b"\x00")))
     assert decode_tiff(b"not a tiff at all") is None
 
@@ -831,6 +834,53 @@ def _de_bruijn_pair_prefix(n: int) -> bytes:
 
     db(1, 1)
     return bytes(seq[:n])
+
+
+def test_tiff_16bit_gray_round_trip():
+    """16-bit unsigned grayscale (the common scientific-TIFF case):
+    native-dtype pixel model — ``_pixels`` comes back uint16 with
+    ``bit_depth: 16`` — across both byte orders, all three
+    compressions, predictor 1/2 (per-SAMPLE differencing mod 65536)
+    and multi-strip layouts."""
+    import numpy as np
+
+    from lsh_spark.multimodal.containers import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(15)
+    px = rng.integers(0, 65536, size=(11, 7), dtype=np.uint16)
+    for bo in ("<", ">"):
+        for comp in ("none", "packbits", "lzw"):
+            for pred in (1, 2):
+                for rps in (None, 3):
+                    m = decode_tiff(encode_tiff(
+                        px, byteorder=bo, compression=comp,
+                        predictor=pred, rows_per_strip=rps))
+                    assert m["bit_depth"] == 16
+                    assert m["_pixels"].dtype == np.uint16
+                    assert np.array_equal(m["_pixels"], px)
+
+
+def test_tiff_16bit_white_is_zero_and_refusals():
+    """Photometric 0 inverts at the 16-bit scale (65535 − v); signed
+    SampleFormat and 16-bit RGB raise; an 8-bit dict carries no
+    bit_depth key (absent = 8)."""
+    import struct
+
+    import numpy as np
+
+    from lsh_spark.multimodal.containers import decode_tiff, encode_tiff
+
+    px = (np.arange(24, dtype=np.uint16) * 2749).reshape(4, 6)
+    blob = bytearray(encode_tiff(px, byteorder="<"))
+    i = blob.find(struct.pack("<HHI", 262, 3, 1))
+    blob[i + 8] = 0  # photometric 1 → 0 (white-is-zero)
+    m = decode_tiff(bytes(blob))
+    assert np.array_equal(m["_pixels"],
+                          (65535 - px.astype(np.int32)).astype(np.uint16))
+    with pytest.raises(ValueError, match="16-bit input must be grayscale"):
+        encode_tiff(np.zeros((2, 2, 3), dtype=np.uint16))
+    assert "bit_depth" not in decode_tiff(
+        encode_tiff(np.zeros((2, 2), dtype=np.uint8)))
 
 
 def test_tiff_lzw_post_encode_phantom_boundaries():

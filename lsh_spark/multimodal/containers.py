@@ -499,7 +499,7 @@ def _decode_tiff_body(content: bytes) -> dict:
         if tag not in tags:
             return default
         typ, cnt, raw = tags[tag]
-        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        size = {1: 1, 3: 2, 4: 4, 7: 1}.get(typ)
         if size is None:
             raise ValueError(f"TIFF: unsupported tag type {typ}")
         total = size * cnt
@@ -510,7 +510,7 @@ def _decode_tiff_body(content: bytes) -> dict:
             data = content[off:off + total]
             if len(data) != total:
                 raise ValueError("TIFF: truncated tag data")
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
         return list(struct.unpack(bo + fmt * cnt, data))
 
     wv, hv = val(256), val(257)
@@ -518,6 +518,10 @@ def _decode_tiff_body(content: bytes) -> dict:
         raise ValueError("TIFF: missing dimensions")
     w, h = int(wv[0]), int(hv[0])
     comp = val(259, [1])[0]
+    if comp == 7:
+        # new-style JPEG-in-TIFF (TIFF TechNote 2): each strip is its
+        # own JPEG stream, optionally sharing tables via tag 347
+        return _jpeg_in_tiff_decode(content, val, w, h)
     if comp not in (1, 5, 32773):
         raise ValueError(f"TIFF: unsupported compression {comp}")
     phot = val(262, [1])[0]
@@ -598,6 +602,71 @@ def _decode_tiff_body(content: bytes) -> dict:
     if depth != 8:
         meta["bit_depth"] = depth
     return meta
+
+
+def _abbrev_jpeg_splice(tables: bytes, strip: bytes) -> bytes:
+    """Merge a tag-347 JPEGTables stream (SOI <DQT/DHT...> EOI) into a
+    per-strip JPEG: the tables body is spliced right after the strip's
+    SOI, so strip-local table segments — which install later — override
+    shared ones, per T.81 install-on-receipt semantics."""
+    if len(tables) >= 4 and tables[:2] == b"\xff\xd8":
+        body = tables[2:]
+        if body[-2:] == b"\xff\xd9":
+            body = body[:-2]
+        return strip[:2] + body + strip[2:]
+    return strip
+
+
+def _jpeg_in_tiff_decode(content: bytes, val, w: int, h: int) -> dict:
+    """Compression-7 (new-style JPEG) strips: decode each strip with
+    the real baseline/progressive JPEG decoder (``jpeg.decode_jpeg``)
+    after splicing in the shared tag-347 tables, then stack strip rows.
+    Photometric 6 (YCbCr) is the canonical layout — the JPEG decoder
+    already emits RGB; predictor and planar configuration do not apply
+    to JPEG strips and raise."""
+    from .jpeg import decode_jpeg
+
+    phot = val(262, [6])[0]
+    if phot not in (0, 1, 2, 6):
+        raise ValueError(f"TIFF: unsupported photometric {phot}")
+    spp = int(val(277, [1])[0])
+    if spp not in (1, 3):
+        raise ValueError(f"TIFF: unsupported samples/pixel {spp}")
+    bps = val(258, [8] * spp)
+    if any(b != 8 for b in bps):
+        raise ValueError("TIFF: JPEG strips carry 8-bit samples only")
+    if val(284, [1])[0] != 1:
+        raise ValueError("TIFF: planar JPEG-in-TIFF unsupported")
+    if val(317, [1])[0] != 1:
+        raise ValueError("TIFF: predictor does not apply to JPEG strips")
+    offs, counts = val(273), val(279)
+    if offs is None or counts is None:
+        raise ValueError("TIFF: missing strip layout")
+    rps = int(val(278, [h])[0])
+    tbl = val(347)
+    tables = bytes(tbl) if tbl else b""
+    parts = []
+    for i, (o, c) in enumerate(zip(offs, counts)):
+        stream = _abbrev_jpeg_splice(tables, content[o:o + c])
+        m = decode_jpeg(stream)
+        if m is None:
+            raise ValueError("TIFF: strip is not a JPEG stream")
+        px = m["_pixels"]
+        exp_h = min(rps, h - i * rps)
+        if m["width"] != w or m["height"] != exp_h:
+            raise ValueError("TIFF: JPEG strip dimensions mismatch")
+        if px.shape[2] != spp:
+            raise ValueError("TIFF: JPEG strip channel count mismatch")
+        parts.append(px)
+    px = np.vstack(parts)
+    if px.shape[0] != h:
+        raise ValueError("TIFF: JPEG strips do not cover the image")
+    if phot == 0:
+        px = (255 - px.astype(np.int16)).astype(np.uint8)
+    if spp == 1:
+        px = px[:, :, 0]
+    return {"width": w, "height": h, "n_frames": 1,
+            "_pixels": np.ascontiguousarray(px)}
 
 
 def _tiff_lzw_decode(stream: bytes) -> bytes:
@@ -807,7 +876,7 @@ def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<",
     bo = byteorder
     if bo not in ("<", ">"):
         raise ValueError("encode_tiff: byteorder must be '<' or '>'")
-    if compression not in ("none", "packbits", "lzw"):
+    if compression not in ("none", "packbits", "lzw", "jpeg"):
         raise ValueError(f"encode_tiff: unknown compression {compression!r}")
     if predictor not in (1, 2):
         raise ValueError(f"encode_tiff: unknown predictor {predictor!r}")
@@ -829,29 +898,49 @@ def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<",
     if depth == 16 and spp != 1:
         raise ValueError("encode_tiff: 16-bit input must be grayscale")
     h, w, _ = px.shape
-    if predictor == 2:
-        px = _predictor2_encode(px, depth=depth)
-    planar = bool(planar) and spp > 1
-    rps = int(rows_per_strip) if rows_per_strip else h
-    # samples serialize in the FILE byte order (predictor ran on native
-    # sample values first, per TIFF6 §14)
-    ser = px.astype(np.dtype(bo + "u2")) if depth == 16 else px
-    if planar:
-        raw_strips = [ser[y:y + rps, :, ch].tobytes()
-                      for ch in range(spp) for y in range(0, h, rps)] \
-            or [b""]
+    if compression == "jpeg":
+        # new-style JPEG strips (tag 259 = 7): each strip is a
+        # self-contained JPEG stream (tag 347 optional per TechNote 2 —
+        # the decoder handles both); predictor/planar/16-bit don't
+        # apply to JPEG strips
+        if depth != 8:
+            raise ValueError("encode_tiff: JPEG strips are 8-bit only")
+        if predictor == 2:
+            raise ValueError(
+                "encode_tiff: predictor does not apply to JPEG strips")
+        if planar:
+            raise ValueError("encode_tiff: planar JPEG-in-TIFF unsupported")
+        from .jpeg import encode_jpeg
+
+        rps = int(rows_per_strip) if rows_per_strip else h
+        payloads = [encode_jpeg(px[y:y + rps])
+                    for y in range(0, h, rps)] or [b""]
+        comp_tag = 7
+        planar = False
     else:
-        raw_strips = [ser[y:y + rps].tobytes()
-                      for y in range(0, h, rps)] or [b""]
-    if compression == "packbits":
-        payloads = [_packbits_encode(s) for s in raw_strips]
-        comp_tag = 32773
-    elif compression == "lzw":
-        payloads = [_tiff_lzw_encode(s) for s in raw_strips]
-        comp_tag = 5
-    else:
-        payloads = raw_strips
-        comp_tag = 1
+        if predictor == 2:
+            px = _predictor2_encode(px, depth=depth)
+        planar = bool(planar) and spp > 1
+        rps = int(rows_per_strip) if rows_per_strip else h
+        # samples serialize in the FILE byte order (predictor ran on
+        # native sample values first, per TIFF6 §14)
+        ser = px.astype(np.dtype(bo + "u2")) if depth == 16 else px
+        if planar:
+            raw_strips = [ser[y:y + rps, :, ch].tobytes()
+                          for ch in range(spp) for y in range(0, h, rps)] \
+                or [b""]
+        else:
+            raw_strips = [ser[y:y + rps].tobytes()
+                          for y in range(0, h, rps)] or [b""]
+        if compression == "packbits":
+            payloads = [_packbits_encode(s) for s in raw_strips]
+            comp_tag = 32773
+        elif compression == "lzw":
+            payloads = [_tiff_lzw_encode(s) for s in raw_strips]
+            comp_tag = 5
+        else:
+            payloads = raw_strips
+            comp_tag = 1
     n_strips = len(payloads)
     n_tags = 9 + (1 if predictor == 2 else 0) + (1 if planar else 0)
     ifd_size = 2 + n_tags * 12 + 4
@@ -890,7 +979,10 @@ def encode_tiff(pixels: np.ndarray, *, byteorder: str = "<",
         entry(258, 3, spp,
               short(depth) if spp == 1 else struct.pack(bo + "I", bps_off)),
         entry(259, 3, 1, short(comp_tag)),
-        entry(262, 3, 1, short(1 if spp == 1 else 2)),
+        # JPEG RGB strips are YCbCr-coded (photometric 6); everything
+        # else keeps the historical black-is-zero / RGB values
+        entry(262, 3, 1, short(1 if spp == 1 else
+                               (6 if comp_tag == 7 else 2))),
         e273,
         entry(277, 3, 1, short(spp)),
         entry(278, 4, 1, struct.pack(bo + "I", rps)),

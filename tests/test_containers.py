@@ -409,9 +409,10 @@ def test_tiff_round_trip_both_orders_and_refusals():
     inv = decode_tiff(patch_entry(gray, 262, struct.pack("<H", 0)
                                   .ljust(4, b"\x00")))
     assert inv["_pixels"].tolist() == [[245, 5]]
+    # new-style JPEG (7) is supported since r15; old-style (6) refuses
     with _pytest.raises(ValueError, match="compression"):
-        decode_tiff(patch_entry(gray, 259, struct.pack("<H", 7)
-                                .ljust(4, b"\x00")))  # JPEG-in-TIFF
+        decode_tiff(patch_entry(gray, 259, struct.pack("<H", 6)
+                                .ljust(4, b"\x00")))  # old-style JPEG
     # 16-bit gray is supported since r15 — an unsupported DEPTH now
     # means e.g. 12-bit (and 16-bit-patched-8-bit data trips the
     # truncation check instead, exercised in the 16-bit tests)
@@ -759,18 +760,26 @@ def test_tiff_packbits_round_trip(bo, rps):
         assert np.array_equal(base, pb)
 
 
-def test_tiff_jpeg_compression_still_refused():
-    """Compressions beyond none/PackBits/LZW keep the refusal contract
-    (stub fallback) — JPEG-in-TIFF (7) as the representative."""
+def test_tiff_unsupported_compressions_still_refused():
+    """Compressions beyond none/PackBits/LZW/new-style-JPEG keep the
+    refusal contract (stub fallback) — old-style JPEG (6) and Deflate
+    (8) as representatives; a compression-7 file whose strips are NOT
+    JPEG streams raises rather than yielding garbage."""
     import numpy as np
 
     from lsh_spark.multimodal.containers import decode_tiff, encode_tiff
 
-    blob = bytearray(encode_tiff(np.zeros((4, 4), np.uint8)))
-    # compression tag (259) short value sits in the IFD; patch 1 -> 7
-    idx = blob.index(bytes.fromhex("03010300"))  # tag 259, type 3, ...
-    blob[idx + 8] = 7                            # JPEG-in-TIFF
-    with pytest.raises(ValueError, match="compression"):
+    base = bytearray(encode_tiff(np.zeros((4, 4), np.uint8)))
+    # compression tag (259) short value sits in the IFD; patch 1 -> n
+    idx = base.index(bytes.fromhex("03010300"))  # tag 259, type 3, ...
+    for code in (6, 8):
+        blob = bytearray(base)
+        blob[idx + 8] = code
+        with pytest.raises(ValueError, match="compression"):
+            decode_tiff(bytes(blob))
+    blob = bytearray(base)
+    blob[idx + 8] = 7  # comp 7 but raw (non-JPEG) strip bytes
+    with pytest.raises(ValueError, match="not a JPEG stream"):
         decode_tiff(bytes(blob))
 
 
@@ -834,6 +843,113 @@ def _de_bruijn_pair_prefix(n: int) -> bytes:
 
     db(1, 1)
     return bytes(seq[:n])
+
+
+def test_tiff_jpeg_in_tiff_round_trip():
+    """Compression-7 (new-style JPEG) strips, encoded with the real
+    baseline JPEG encoder (all-ones quant): 8×8-block-constant inputs
+    are DC-only so grayscale round-trips EXACTLY; RGB pays only the
+    YCbCr↔RGB integer rounding (±1/channel).  Single- and multi-strip
+    layouts; photometric 6 for RGB, 1 for gray."""
+    import numpy as np
+
+    from lsh_spark.multimodal.containers import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(22)
+
+    def blocky(h, w, c=None):
+        bh, bw = (h + 7) // 8, (w + 7) // 8
+        if c is None:
+            base = rng.randint(0, 256, size=(bh, bw)).astype(np.uint8)
+            return np.kron(base, np.ones((8, 8), dtype=np.uint8))[:h, :w]
+        base = rng.randint(0, 256, size=(bh, bw, c)).astype(np.uint8)
+        return np.kron(base, np.ones((8, 8, 1), dtype=np.uint8))[:h, :w, :]
+
+    for shape in ((24, 16), (19, 13)):
+        px = blocky(*shape)
+        for rps in (None, 8):
+            m = decode_tiff(encode_tiff(px, compression="jpeg",
+                                        rows_per_strip=rps))
+            assert np.array_equal(m["_pixels"], px)
+    for shape in ((24, 16, 3), (19, 13, 3)):
+        px = blocky(*shape)
+        for rps in (None, 8):
+            m = decode_tiff(encode_tiff(px, compression="jpeg",
+                                        rows_per_strip=rps))
+            d = np.abs(m["_pixels"].astype(int) - px.astype(int))
+            assert d.max() <= 1
+    with pytest.raises(ValueError, match="JPEG strips are 8-bit"):
+        encode_tiff(np.zeros((8, 8), dtype=np.uint16), compression="jpeg")
+    with pytest.raises(ValueError, match="predictor does not apply"):
+        encode_tiff(np.zeros((8, 8), dtype=np.uint8), compression="jpeg",
+                    predictor=2)
+
+
+def test_tiff_jpeg_tables_splice():
+    """Tag-347 JPEGTables layout: DQT/DHT segments move into a shared
+    abbreviated stream (SOI <tables> EOI) and the strips keep only
+    SOF/SOS — the decoder splices tables after each strip's SOI, and
+    the result matches the self-contained file pixel-for-pixel."""
+    import struct
+
+    import numpy as np
+
+    from lsh_spark.multimodal.containers import decode_tiff, encode_tiff
+    from lsh_spark.multimodal.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(5)
+    base = rng.randint(0, 256, size=(3, 2)).astype(np.uint8)
+    px = np.kron(base, np.ones((8, 8), dtype=np.uint8))  # (24, 16) gray
+    want = decode_tiff(encode_tiff(px, compression="jpeg"))["_pixels"]
+
+    jb = encode_jpeg(px)
+    # marker walk: split table segments (DQT 0xDB / DHT 0xC4) from the rest
+    tables = bytearray()
+    rest = bytearray(jb[:2])
+    pos = 2
+    while True:
+        assert jb[pos] == 0xFF
+        mk = jb[pos + 1]
+        if mk == 0xDA:          # SOS + entropy through (excl.) EOI
+            rest += jb[pos:len(jb) - 2]
+            break
+        ln = struct.unpack(">H", jb[pos + 2:pos + 4])[0]
+        seg = jb[pos:pos + 2 + ln]
+        (tables if mk in (0xDB, 0xC4) else rest).extend(seg)
+        pos += 2 + ln
+    strip = bytes(rest) + b"\xff\xd9"
+    tbl_stream = b"\xff\xd8" + bytes(tables) + b"\xff\xd9"
+    assert len(strip) < len(jb)  # tables really moved out
+
+    # minimal little-endian TIFF: 10 tags incl. 347
+    def short(v):
+        return struct.pack("<H", v).ljust(4, b"\x00")
+
+    def entry(tag, typ, cnt, payload):
+        return struct.pack("<HHI", tag, typ, cnt) + payload
+
+    n_tags = 10
+    ifd_size = 2 + n_tags * 12 + 4
+    tbl_off = 8 + ifd_size
+    strip_off = tbl_off + len(tbl_stream)
+    entries = [
+        entry(256, 4, 1, struct.pack("<I", 16)),
+        entry(257, 4, 1, struct.pack("<I", 24)),
+        entry(258, 3, 1, short(8)),
+        entry(259, 3, 1, short(7)),
+        entry(262, 3, 1, short(1)),
+        entry(273, 4, 1, struct.pack("<I", strip_off)),
+        entry(277, 3, 1, short(1)),
+        entry(278, 4, 1, struct.pack("<I", 24)),
+        entry(279, 4, 1, struct.pack("<I", len(strip))),
+        entry(347, 7, len(tbl_stream), struct.pack("<I", tbl_off)),
+    ]
+    blob = (b"II*\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", n_tags) + b"".join(entries)
+            + struct.pack("<I", 0) + tbl_stream + strip)
+    m = decode_tiff(blob)
+    assert np.array_equal(m["_pixels"], want)
+    assert np.array_equal(m["_pixels"], px)
 
 
 def test_tiff_16bit_gray_round_trip():

@@ -65,8 +65,13 @@ def minhash_bands(
         minima = np.full(n_seeds, _U64MAX, dtype=np.uint64)
     else:
         prefix = _seed_prefix_states(band_count, band_size, seed)
-        # outer: state (n_seeds, 1) vs shingle words (1, n_shingles)
-        states = fx_add_np(prefix[:, None], shingles[None, :])
+        # outer: state (n_seeds, 1) vs shingle words (1, n_shingles).
+        # fx_add(prefix, h) = (rotl(prefix,5) ^ h) * K with the rotl
+        # hoisted onto the small per-seed vector — bit-exact, one xor +
+        # one multiply on the big outer matrix instead of the full
+        # four-op FxHasher step (same hoist as the batch minima kernel).
+        rot_prefix = (prefix << np.uint64(5)) | (prefix >> np.uint64(59))
+        states = (rot_prefix[:, None] ^ shingles[None, :]) * np.uint64(_K)
         minima = states.min(axis=1)
     # fold each band's minima: h = fx_add(...fx_add(0, m0)..., m_{size-1})
     out = np.zeros(band_count, dtype=np.uint64)

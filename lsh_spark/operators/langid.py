@@ -53,22 +53,25 @@ def char_ngram_lang_id(
 
     Returns (id_col, lang_col, predicted_lang, score, is_match).
     """
-    grams = docs.select(
-        F.col(id_col),
-        F.col(lang_col),
-        F.explode(
-            # guard: Spark sequence(1, stop) with stop < 1 yields a
-            # DESCENDING [1, 0] — not empty — so sub-width docs would
-            # emit spurious partial grams (DuckDB generate_series is
-            # empty there); the CASE keeps both engines identical
-            F.expr(
-                f"CASE WHEN length({text_col}) >= {ngram_width} THEN "
-                f"transform(sequence(1, length({text_col}) "
-                f"- {ngram_width - 1}), "
-                f"i -> substring({text_col}, i, {ngram_width})) "
-                f"ELSE array() END"
-            )
-        ).alias("__ng"),
+    # explode the position grid, THEN substring as a plain projection —
+    # whole-stage codegen end to end.  The previous transform(sequence,
+    # i -> substring(...)) HOF form is interpreted per element (HOFs
+    # never enter codegen — the word-bigram 20x precedent).  The length
+    # filter replaces the CASE guard: Spark sequence(1, stop) with
+    # stop < 1 yields a DESCENDING [1, 0], so sub-width (and NULL) docs
+    # must emit no grams in both engines; rows dropped here produced
+    # zero grams before, and grams only ever feed aggregates.
+    grams = (
+        docs.where(F.length(text_col) >= ngram_width)
+        .select(
+            F.col(id_col), F.col(lang_col), F.col(text_col),
+            F.explode(F.expr(
+                f"sequence(1, length({text_col}) - {ngram_width - 1})"
+            )).alias("__i"))
+        .select(
+            F.col(id_col), F.col(lang_col),
+            F.expr(f"substring({text_col}, __i, {ngram_width})")
+            .alias("__ng"))
     )
     # one explode + ONE wide shuffle: lang is functionally dependent on
     # the doc id, so counting at (id, lang, ngram) grain gives the doc

@@ -1385,7 +1385,15 @@ def minhash_estimate_for_pairs(
                 split_bucket_expr(F.col(id_col), salt=sample_salt,
                                   buckets=buckets) < keep)
 
-    sigs = docs.select(
+    # spread the signature pass before the (band_count·band_size)-seed
+    # minima UDF: a single-file corpus arrives as ONE scan task and the
+    # whole matrix otherwise computes serially inside the toPandas
+    # collect (profiled 2.5 s single-task at sf0.1).  Values are
+    # per-row deterministic and the kernel sorts by id below, so the
+    # repartition is bit-neutral.
+    from ..sources.io import fanout_scan
+
+    sigs = fanout_scan(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("__id"),
         lsh_min_minima_long(F.col(text_col), ngram_width, band_count,
                             band_size, seed).alias("__sig"))

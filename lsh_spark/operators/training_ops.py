@@ -214,21 +214,30 @@ def contamination_overlap_df(docs: DataFrame, *, id_col: str = "doc_id",
     Returns every non-benchmark document with ``n_overlap`` (distinct
     matched 8-grams), ``n_ngrams``, and a ``contaminated`` flag.
     """
-    base = _doc_ngrams(docs, id_col, text_col, n)
+    # codegen n-gram shape (see exploded_word_ngrams): both sides explode
+    # the grams anyway, so the per-doc array the interpreted HOF built is
+    # never needed — n_ngrams is the same arithmetic count the HOF's
+    # guarded size() produced (0 for short/NULL docs)
+    w = _words(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), w.alias("__w"))
     bench = (
-        base.where(F.col("doc_id") % bench_mod == 0)
-        .select(F.explode("__ngrams").alias("ng"))
+        exploded_word_ngrams(
+            base.where(F.col("doc_id") % bench_mod == 0), F.col("__w"), n,
+            out="ng")
         .distinct()
     )
     corpus = base.where(F.col("doc_id") % bench_mod != 0)
     hits = (
-        corpus.select("doc_id", F.explode("__ngrams").alias("ng"))
+        exploded_word_ngrams(corpus, F.col("__w"), n, keep=("doc_id",),
+                             out="ng")
         .join(F.broadcast(bench), on="ng", how="left_semi")
         .groupBy("doc_id")
         .agg(F.count_distinct("ng").alias("n_overlap"))
     )
+    n_ngrams = (F.when(F.size("__w") >= n, F.size("__w") - (n - 1))
+                .otherwise(F.lit(0)))
     return (
-        corpus.select("doc_id", F.size("__ngrams").cast("bigint")
+        corpus.select("doc_id", n_ngrams.cast("bigint")
                       .alias("n_ngrams"))
         .join(hits, on="doc_id", how="left")
         .select(
@@ -520,17 +529,12 @@ def dup_ngram_stats_df(docs: DataFrame, *, id_col: str = "doc_id",
     whose span is cross-doc duplicated) and ``dup_frac``.
     """
     w = _words(F.col(text_col))
-    ngrams = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(F.col(id_col).alias("doc_id"),
-                       ngrams.alias("__ngrams"))
+    # codegen n-gram shape (see exploded_word_ngrams) — the grams only
+    # ever flow exploded into the digest, so no per-doc array is built
     grams = (
-        base.select("doc_id", F.explode("__ngrams").alias("__ng"))
+        exploded_word_ngrams(
+            docs.select(F.col(id_col).alias("doc_id"), w.alias("__w")),
+            F.col("__w"), n, keep=("doc_id",), out="__ng")
         .select("doc_id", _span_key(F.col("__ng"), key).alias("gh"))
     )
     hot = (
@@ -634,18 +638,14 @@ def remove_duplicated_spans_df(docs: DataFrame, *, id_col: str = "doc_id",
     base = docs.select(F.col(id_col).alias("doc_id"), w.alias("__w"))
     toks = base.select(
         "doc_id", F.posexplode("__w").alias("pos", "tok"))
-    grams = base.select(
-        "doc_id",
-        F.posexplode(
-            F.when(
-                F.size("__w") >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__w") - n),
-                    lambda i: F.concat_ws(" ", F.slice("__w", i + 1, n)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gpos", "__ng"),
-    ).select("doc_id", "gpos", _span_key(F.col("__ng"), key).alias("gh"))
+    # codegen n-gram shape with positions (see exploded_word_ngrams);
+    # __gpos is the same 0-based start index the HOF's posexplode gave
+    grams = (
+        exploded_word_ngrams(base, F.col("__w"), n, keep=("doc_id",),
+                             with_pos=True, out="__ng")
+        .select("doc_id", F.col("__gpos").alias("gpos"),
+                _span_key(F.col("__ng"), key).alias("gh"))
+    )
     hot = (
         grams.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("__nd"))
@@ -1982,3 +1982,32 @@ def exploded_word_bigrams(df: DataFrame, tokens, *, keep=(),
     return ex.select(
         *head,
         F.concat_ws(" ", F.col("__p.0"), F.col("__p.1")).alias("__g"))
+
+
+def exploded_word_ngrams(df: DataFrame, tokens, n: int, *, keep=(),
+                         with_pos: bool = False,
+                         out: str = "__g") -> DataFrame:
+    """Explode word ``n``-grams from a token-array column — the
+    whole-stage-codegen shape (``slice + arrays_zip + explode`` then a
+    plain column ``concat_ws``), generalizing
+    :func:`exploded_word_bigrams` to any fixed ``n``.  The
+    ``transform(sequence(0, size-n), i -> concat_ws(slice(w, i+1, n)))``
+    HOF form this replaces is INTERPRETED (higher-order functions never
+    enter codegen) — the bigram measurement was 20x for identical
+    output, and the per-index ``slice`` makes the interpreted cost
+    O(n·grams) on top.  Docs with fewer than ``n`` tokens produce no
+    rows (slice length ``greatest(size-(n-1), 0)``; a NULL token array
+    yields NULL slices → explode emits nothing — exactly the rows the
+    guarded HOF form produced).  ``with_pos=True`` prepends the 0-based
+    gram start position ``__gpos``, identical to the HOF form's array
+    index under ``posexplode``."""
+    m = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(tokens, k + 1, m) for k in range(n)])
+    head = [F.col(c) for c in keep]
+    if with_pos:
+        ex = df.select(*head, F.posexplode(zipped).alias("__gpos", "__p"))
+    else:
+        ex = df.select(*head, F.explode(zipped).alias("__p"))
+    gram = F.concat_ws(" ", *[F.col(f"__p.{k}") for k in range(n)])
+    cols = head + ([F.col("__gpos")] if with_pos else []) + [gram.alias(out)]
+    return ex.select(*cols)

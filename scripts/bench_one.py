@@ -40,15 +40,25 @@ def main() -> None:
             qs[warm](spark, warm_sf).count()
     spark.catalog.clearCache()
 
+    # match bench.py's terminal per query: count() legally lets Catalyst
+    # prune real work for the _NOOP_TERMINAL set (see bench.py)
+    import bench as bench_mod
+
     for name in args.queries:
         times = []
+        n_rows = -1
         for _ in range(args.n):
             t0 = time.perf_counter()
-            n_rows = qs[name](spark, args.sf).count()
+            df = qs[name](spark, args.sf)
+            if name in bench_mod._NOOP_TERMINAL:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                n_rows = df.count()
             times.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
+        rows = "noop terminal" if n_rows < 0 else f"{n_rows} rows"
         print(f"{name}: {[round(t, 3) for t in times]} "
-              f"min={min(times):.3f}s ({n_rows} rows)")
+              f"min={min(times):.3f}s ({rows})")
     spark.stop()
 
 

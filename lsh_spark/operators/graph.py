@@ -47,8 +47,14 @@ def pagerank_undirected(
       contrib(e) = round(rank(src)/deg(src), 6)         — one literal div
       rank'(v)  = round((1−d)/N + d·Σ_dec contrib, 6)   — Σ in DECIMAL
     Returns (node, rank) after ``iters`` rounds."""
-    deg = edges.groupBy(F.col(src).alias("__src")).agg(
-        F.count(F.lit(1)).alias("__deg"))
+    # pin the edge frame ONCE: every iteration's contribs join (and the
+    # degree aggregate) re-reads it, and without the leaf each reference
+    # recomputes the whole upstream lineage — for the events-derived
+    # graph that is a full scan + json parse + distinct PER ITERATION
+    # (the hits_scores _norm lesson applied to the input side)
+    e = (edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+         .localCheckpoint(eager=True))
+    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
     n_nodes = F.broadcast(deg.agg(F.count(F.lit(1)).alias("__n")))
     ranks = (
         deg.crossJoin(n_nodes)
@@ -57,7 +63,6 @@ def pagerank_undirected(
             F.round(F.lit(1.0) / F.col("__n").cast("double"), 6)
             .alias("rank"))
     )
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     d = float(damping)
     for i in range(int(iters)):
         contribs = (
@@ -131,11 +136,17 @@ def personalized_pagerank(
     keyed off the node set every iteration — unreachable nodes report
     rank 0.0, not absence."""
     dnum, dden = _damping_rational(damping)
-    deg = edges.groupBy(F.col(src).alias("__src")).agg(
-        F.count(F.lit(1)).alias("__deg"))
-    nodes = (edges.select(F.col(src).alias("__node"))
-             .union(edges.select(F.col(dst).alias("__node")))
-             .distinct())
+    # pin the edge frame ONCE (the pagerank_undirected note): deg, the
+    # node set, and every iteration's contribs join all re-read it
+    e = (edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+         .localCheckpoint(eager=True))
+    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    nodes = (e.select(F.col("__src").alias("__node"))
+             .union(e.select(F.col("__dst").alias("__node")))
+             .distinct()
+             # the node frame joins into EVERY iteration's rank frame
+             # (total-rank contract) — pin it too, it is node-set sized
+             .localCheckpoint(eager=True))
     sd = F.broadcast(
         seeds.select(F.col("node").alias("__node")).distinct()
         .withColumn("__seed", F.lit(True)))
@@ -165,7 +176,6 @@ def personalized_pagerank(
                    F.expr(f"(2 * {scale}L + __ns) DIV (2 * __ns)"))
             .otherwise(F.lit(0)).cast("long").alias("__r"))
     )
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     for i in range(int(iters)):
         contribs = (
             e.join(ranks.withColumnRenamed("__node", "__src"), on="__src")
@@ -295,8 +305,11 @@ def hits_scores(
             f"hits_scores iters must be >= 1, got {iters!r} (with no "
             "half-step there is no authority frame to report)")
     scale = 1_000_000
-    deg_nodes = edges.select(F.col(src).alias("__node")).distinct()
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    # pin the edge frame ONCE (the pagerank_undirected note): both
+    # half-step joins of every iteration re-read it
+    e = (edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+         .localCheckpoint(eager=True))
+    deg_nodes = e.select(F.col("__src").alias("__node")).distinct()
     hub = deg_nodes.select(
         "__node", F.lit(scale).cast("long").alias("__h"))
 
@@ -412,9 +425,12 @@ def lpa_communities(
     (dst, label) count aggregate, one per-dst argmax aggregate — bare
     (long, long[, long]) rows on every exchange; labels localCheckpoint
     every ``checkpoint_every`` rounds (the cc.py lineage lesson)."""
-    labels = (edges.select(F.col(src).alias("__node")).distinct()
+    # pin the edge frame ONCE (the pagerank_undirected note): the label
+    # init and every iteration's vote join re-read it
+    e = (edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+         .localCheckpoint(eager=True))
+    labels = (e.select(F.col("__src").alias("__node")).distinct()
               .select("__node", F.col("__node").alias("__lbl")))
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     for i in range(int(iters)):
         votes = (
             e.join(labels.withColumnRenamed("__node", "__src"), on="__src")
@@ -653,6 +669,10 @@ def user_item_components(events: DataFrame, *,
         .unionAll(
             base.select(F.col("__i").alias("__id"),
                         F.lit(0).cast("int").alias("band_idx"), edge_id))
+        # the CC core reads blocks three times before its own persist
+        # (all_ids, bucket sizes, edge join) — pin the events-derived
+        # lineage once, per the min_label_components caller contract
+        .localCheckpoint(eager=True)
     )
     labels = min_label_components(blocks, max_iter=max_iter)
     return labels.select(

@@ -365,11 +365,15 @@ def _band_blocks(sets: DataFrame, id_alias: str, set_alias: str,
 
         bands = minhash_bands_from_set_multi(
             F.col(set_alias), band_count, band_size, seeds)
-    return (
-        sets.withColumn("__bands", bands)
-        .select(id_alias,
-                F.posexplode("__bands").alias("band_idx", "band_hash"))
-    )
+    # posexplode the UDF EXPRESSION directly, never a withColumn alias:
+    # with an attribute child, InferFiltersFromGenerate synthesizes a
+    # size(__bands)>0 filter, the alias re-inlines into it, and the band
+    # UDF evaluates TWICE per reference (plan-verified: two
+    # ArrowEvalPython twins per join side).  A PythonUDF child skips the
+    # inference (SPARK-36715), leaving one evaluation — identical rows
+    # either way (empty/NULL band arrays generate nothing in both forms).
+    return sets.select(
+        id_alias, F.posexplode(bands).alias("band_idx", "band_hash"))
 
 
 def lsh_similarity_join(

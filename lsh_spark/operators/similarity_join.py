@@ -1244,17 +1244,36 @@ def lsh_similarity_join_indexed(
         .dropDuplicates(["__lid", "__rid"])
     )
     pairs = _without_deleted(spark, table_name, pairs)
-    cand = (
-        pairs.join(_maybe_broadcast(l_sets, "__lset", broadcast_probe_sets),
-                   on="__lid")
-        .join(spark.table(_phys(table_name, "sets", m)).hint("shuffle_hash"),
-              on="__rid")
-        .where(
-            F.least(F.size("__lset"), F.size("__rset"))
-            > threshold * F.greatest(F.size("__lset"), F.size("__rset")))
-    )
-    verified = _verify_pairs(cand, "__lid", "__rid", "__lset", "__rset",
-                             threshold, "__jaccard")
+    sets_tbl = spark.table(_phys(table_name, "sets", m))
+    # verify under the broadcast cap exactly like the non-indexed joins
+    # (the bare-id-pairs contract): ship probe + corpus sets ONCE to the
+    # workers and verify (id_a, id_b) rows in the kernel — the attach
+    # joins otherwise push two ~KB set payloads per candidate pair
+    # through the verify fanout exchange (profiled 297 MB shuffled for a
+    # 12 MB pair stream on the sf0.1 A/B gate).  Size-gated per side:
+    # past the cap — the 100 TB corpus — the bucketed attach joins below
+    # remain the scale path.  broadcast_probe_sets=False forces them
+    # (the plan-pin contract).
+    if (_integer_ids(l_sets, "__lid")
+            and _should_broadcast(l_sets, "__lset", broadcast_probe_sets)
+            and _should_broadcast(sets_tbl, "__rset",
+                                  broadcast_probe_sets)):
+        bc_l = _collect_sets_broadcast(l_sets, "__lid", "__lset")
+        bc_r = _collect_sets_broadcast(sets_tbl, "__rid", "__rset")
+        verified = _verify_pairs_from_broadcast(
+            pairs, "__lid", "__rid", bc_l, bc_r, threshold, "__jaccard")
+    else:
+        cand = (
+            pairs.join(
+                _maybe_broadcast(l_sets, "__lset", broadcast_probe_sets),
+                on="__lid")
+            .join(sets_tbl.hint("shuffle_hash"), on="__rid")
+            .where(
+                F.least(F.size("__lset"), F.size("__rset"))
+                > threshold * F.greatest(F.size("__lset"), F.size("__rset")))
+        )
+        verified = _verify_pairs(cand, "__lid", "__rid", "__lset",
+                                 "__rset", threshold, "__jaccard")
     out_l = probe_id if probe_id != m.id_col else f"{probe_id}_left"
     out_r = m.id_col if probe_id != m.id_col else f"{m.id_col}_right"
     cols = [F.col("__lid").alias(out_l), F.col("__rid").alias(out_r)]

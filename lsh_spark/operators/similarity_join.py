@@ -343,6 +343,12 @@ def _with_sets(df: DataFrame, id_col: str, text_col: str, ngram_width: int,
     return base.select(id_alias, sets.alias(set_alias))
 
 
+# measurement flag for the self-join blocks cache (see
+# lsh_self_dedup_pairs / lsh_containment_pairs): module-level so an
+# interleaved A/B harness can flip it inside one session
+_PERSIST_SELF_JOIN_BLOCKS = True
+
+
 def _band_blocks(sets: DataFrame, id_alias: str, set_alias: str,
                  band_count: int, band_size: int, seed) -> DataFrame:
     """Exploded (id, band_idx, band_hash) blocking keys.
@@ -483,6 +489,13 @@ def lsh_self_dedup_pairs(
     broadcast_sets = (_integer_ids(sets, "__id")
                       and _should_broadcast(sets, "__set", broadcast_sets))
     blocks = _band_blocks(sets, "__id", "__set", band_count, band_size, seed)
+    if _PERSIST_SELF_JOIN_BLOCKS:
+        # the self-join references the blocks frame TWICE (sides a and b),
+        # so the banding kernel otherwise evaluates once per side; caching
+        # the exploded (id, band_idx, band_hash) frame (~20 B/row — the
+        # same order as the already-persisted sets) halves the per-seed
+        # minima fold, the dominant Python cost of the blocking stage
+        track(blocks.persist(StorageLevel.MEMORY_AND_DISK))
 
     a = blocks.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
     b = blocks.select(F.col("__id").alias("id_b"), "band_idx", "band_hash")
@@ -548,6 +561,10 @@ def lsh_containment_pairs(
     sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set")
     track(sets.persist(StorageLevel.MEMORY_AND_DISK))
     blocks = _band_blocks(sets, "__id", "__set", band_count, band_size, seed)
+    if _PERSIST_SELF_JOIN_BLOCKS:
+        # same double-reference as lsh_self_dedup_pairs: cache the blocks
+        # frame so the banding kernel runs once, not once per join side
+        track(blocks.persist(StorageLevel.MEMORY_AND_DISK))
     a = blocks.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
     b = blocks.select(F.col("__id").alias("id_b"), "band_idx", "band_hash")
     pairs = (
@@ -706,6 +723,10 @@ def lsh_edit_distance_pairs(
     sets = _with_sets(df, id_col, text_col, ngram_width, "__id", "__set")
     track(sets.persist(StorageLevel.MEMORY_AND_DISK))
     blocks = _band_blocks(sets, "__id", "__set", band_count, band_size, seed)
+    if _PERSIST_SELF_JOIN_BLOCKS:
+        # double-referenced self-join blocks — cache so the banding
+        # kernel runs once (see lsh_self_dedup_pairs)
+        track(blocks.persist(StorageLevel.MEMORY_AND_DISK))
     a = blocks.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
     b = blocks.select(F.col("__id").alias("id_b"), "band_idx", "band_hash")
     pairs = (

@@ -481,6 +481,39 @@ def _rowtag_unique(
     return uniq, counts
 
 
+def segment_unique_int32_rows(h32: np.ndarray, offsets: np.ndarray,
+                              mask) -> list:
+    """Per-row sorted-unique int32 sets in ONE global pass — the
+    vectorized form of ``[np.unique(h32[offs[i]:offs[i+1]]) ...]``.
+
+    Each value is tagged with its row index in the high 32 bits after a
+    sign-bias XOR (0x80000000), the standard order-isomorphism from
+    signed int32 to uint32: ascending unsigned biased order within a row
+    tag IS ascending signed int32 order, so one ``np.unique`` over the
+    composite reproduces the per-row signed-view sort bit-exactly, and
+    the XOR (an involution) restores the original bits.  Masked rows
+    yield None; rows with empty segments yield empty int32 arrays.
+    Returns a list of int32 ndarray views (never Python lists — the
+    per-element boxing was the measured hot spot of the old per-row
+    form: 2.4x min-vs-min at the 5000-doc batch shape)."""
+    n = offsets.shape[0] - 1
+    if h32.shape[0] == 0:
+        empty = np.empty(0, dtype=np.int32)
+        return [empty if ok else None for ok in mask]
+    lens = offsets[1:] - offsets[:-1]
+    rows = np.repeat(np.arange(n, dtype=np.uint64), lens)
+    biased = h32.view(np.uint32).astype(np.uint64) ^ np.uint64(0x80000000)
+    uniq = np.unique((rows << np.uint64(32)) | biased)
+    counts = np.bincount((uniq >> np.uint64(32)).astype(np.int64),
+                         minlength=n)
+    vals = ((uniq & _MASK32) ^ np.uint64(0x80000000)).astype(
+        np.uint32).view(np.int32)
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    return [vals[bounds[i]:bounds[i + 1]] if ok else None
+            for i, ok in enumerate(mask)]
+
+
 def cdc_spans_batch(
     texts,
     *,

@@ -270,7 +270,8 @@ def shingle_set_col(col, ngram_width: int) -> Column:
     pair."""
     from pyspark.sql.types import IntegerType
 
-    from .._core.batch import batch_window_hashes, flatten_texts
+    from .._core.batch import (batch_window_hashes, flatten_texts,
+                               segment_unique_int32_rows)
 
     @pandas_udf(ArrayType(IntegerType()))
     def _udf(s: pd.Series) -> pd.Series:
@@ -278,13 +279,8 @@ def shingle_set_col(col, ngram_width: int) -> Column:
         texts = ["" if not ok else t for t, ok in zip(s, mask)]
         hashes, offs = batch_window_hashes(*flatten_texts(texts), ngram_width)
         h32 = hashes.astype(np.uint32).view(np.int32)
-        out = []
-        for i, ok in enumerate(mask):
-            if not ok:
-                out.append(None)
-                continue
-            out.append(np.unique(h32[offs[i]: offs[i + 1]]).tolist())
-        return pd.Series(out, dtype=object)
+        return pd.Series(segment_unique_int32_rows(h32, offs, mask),
+                         dtype=object)
 
     return _udf(col)
 
@@ -352,18 +348,17 @@ def _rows_to_unique_hash_sets(lists: "list[list[str]]", mask) -> pd.Series:
     ``from_shingles`` string-hash over the whole batch, then per-row
     sorted-unique int32 sets (the repo-wide storage contract); masked
     rows yield None."""
-    from .._core.batch import hash_strings_batch
+    from .._core.batch import hash_strings_batch, segment_unique_int32_rows
 
     flat = [g for lst in lists for g in lst]
     hashes = (hash_strings_batch(flat).astype(np.uint32).view(np.int32)
               if flat else np.empty(0, dtype=np.int32))
-    out = []
-    pos = 0
-    for lst, ok in zip(lists, mask):
-        seg = hashes[pos:pos + len(lst)]
-        pos += len(lst)
-        out.append(np.unique(seg).tolist() if ok else None)
-    return pd.Series(out, dtype=object)
+    lens = np.fromiter((len(lst) for lst in lists), dtype=np.int64,
+                       count=len(lists))
+    offs = np.zeros(len(lists) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return pd.Series(segment_unique_int32_rows(hashes, offs, mask),
+                     dtype=object)
 
 
 def weighted_shingle_set_col(col) -> Column:
@@ -377,7 +372,8 @@ def weighted_shingle_set_col(col) -> Column:
     from ``weighted_occurrence_hashes`` (no composed strings)."""
     from pyspark.sql.types import IntegerType
 
-    from .._core.batch import tokenize_words, weighted_occurrence_hashes
+    from .._core.batch import (segment_unique_int32_rows, tokenize_words,
+                               weighted_occurrence_hashes)
 
     @pandas_udf(ArrayType(IntegerType()))
     def _udf(s: pd.Series) -> pd.Series:
@@ -385,9 +381,8 @@ def weighted_shingle_set_col(col) -> Column:
         hashes, offs = weighted_occurrence_hashes(
             tokenize_words(["" if not ok else t for t, ok in zip(s, mask)]))
         h32 = hashes.astype(np.uint32).view(np.int32)
-        out = [np.unique(h32[offs[i]:offs[i + 1]]).tolist() if ok else None
-               for i, ok in enumerate(mask)]
-        return pd.Series(out, dtype=object)
+        return pd.Series(segment_unique_int32_rows(h32, offs, mask),
+                         dtype=object)
 
     return _udf(col)
 
@@ -405,7 +400,8 @@ def weighted_word_shingle_set_col(col, width: int = 2) -> Column:
     composed n-gram strings (no occurrence-string materialization)."""
     from pyspark.sql.types import IntegerType
 
-    from .._core.batch import tokenize_words, weighted_occurrence_hashes
+    from .._core.batch import (segment_unique_int32_rows, tokenize_words,
+                               weighted_occurrence_hashes)
 
     @pandas_udf(ArrayType(IntegerType()))
     def _udf(s: pd.Series) -> pd.Series:
@@ -416,9 +412,8 @@ def weighted_word_shingle_set_col(col, width: int = 2) -> Column:
                   for i in range(len(ws) - width + 1)] for ws in toks]
         hashes, offs = weighted_occurrence_hashes(grams)
         h32 = hashes.astype(np.uint32).view(np.int32)
-        out = [np.unique(h32[offs[i]:offs[i + 1]]).tolist() if ok else None
-               for i, ok in enumerate(mask)]
-        return pd.Series(out, dtype=object)
+        return pd.Series(segment_unique_int32_rows(h32, offs, mask),
+                         dtype=object)
 
     return _udf(col)
 

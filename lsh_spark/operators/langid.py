@@ -53,6 +53,14 @@ def char_ngram_lang_id(
 
     Returns (id_col, lang_col, predicted_lang, score, is_match).
     """
+    # single-file corpora arrive as ONE scan task, which would serialize
+    # the explode + partial aggregate below (profiled 4.2 s single-task
+    # at sf0.1); spread the scan to cluster parallelism first — counts
+    # at (id, lang, ngram) grain are partition-independent, so the
+    # repartition is result-neutral
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     # explode the position grid, THEN substring as a plain projection —
     # whole-stage codegen end to end.  The previous transform(sequence,
     # i -> substring(...)) HOF form is interpreted per element (HOFs
@@ -80,6 +88,14 @@ def char_ngram_lang_id(
     # instead of re-exploding the corpus a second time
     doc_counts = grams.groupBy(id_col, lang_col, "__ng").agg(
         F.count(F.lit(1)).alias("__dn"))
+    # doc_counts feeds BOTH the profile build and the scoring join —
+    # unpinned, the explode + wide aggregate above evaluates once per
+    # consumer (profiled as two single-task 4.2 s + 2.5 s stages at
+    # sf0.1 before the fanout/persist pair)
+    from ..plans.cache import track
+    from pyspark import StorageLevel
+
+    doc_counts = track(doc_counts.persist(StorageLevel.MEMORY_AND_DISK))
     profile = (
         doc_counts.groupBy(F.col(lang_col).alias("__plang"), "__ng")
         .agg(F.sum("__dn").alias("__ln"))

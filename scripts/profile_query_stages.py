@@ -137,6 +137,11 @@ def main() -> None:
                 qs[w](spark, warm_sf).count()
         spark.catalog.clearCache()
 
+    # match bench.py's terminal: count(1) legally prunes real work for
+    # the _NOOP_TERMINAL queries (lang_id_predictions profiled 0.4 s
+    # against a 3.9 s benched noop write before this)
+    from bench import _NOOP_TERMINAL
+
     walls: dict[str, list[float]] = {}
     for name in args.queries:
         walls[name] = []
@@ -144,7 +149,11 @@ def main() -> None:
             tag = f"{name}#run{r}"
             spark.sparkContext.setJobGroup(tag, tag)
             t0 = time.perf_counter()
-            qs[name](spark, args.sf).count()
+            df = qs[name](spark, args.sf)
+            if name in _NOOP_TERMINAL:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
             walls[name].append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
     spark.stop()

@@ -472,13 +472,19 @@ def semantic_dedup_cells(
     from ..plans.cache import track
     from .ann import _assign_cells_pandas, _cells_array, _collect_centroids
 
-    base = df.select(
+    from ..sources.io import fanout_scan
+
+    base = fanout_scan(df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    )
+    ))
     # the input lineage feeds four consumers (centroids, assignment, and
     # both pair-side re-attaches); persist it once so a computed input
-    # (e.g. a transform chain) is not re-evaluated per consumer
+    # (e.g. a transform chain) is not re-evaluated per consumer — and
+    # fan a single-file scan out first, or the cached single partition
+    # serializes the assignment kernel into one task (profiled 1.6 s
+    # single-task at sf0.1; assignment and centroid pick are per-row /
+    # lowest-id deterministic, so the repartition is result-neutral)
     base = track(base.persist(StorageLevel.MEMORY_AND_DISK))
     bc = _collect_centroids(_cells_array(base, "__id", "__v", n_lists))
     assigned = _assign_cells_pandas(base, bc, "__v")

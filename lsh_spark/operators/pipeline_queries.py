@@ -1070,8 +1070,17 @@ def image_dhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's exact all-pairs ``bit_count(xor(...))`` self-join."""
     from ..multimodal.media import synthesize_gradient_images_from_documents
     from ..multimodal.phash import image_near_dup_pairs
+    from ..sources.io import fanout_scan
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan the single-file scan out BEFORE the synth+decode chain (pure
+    # per-row doc_id math, so the repartition is result-neutral): the
+    # BMP encode+decode+dhash pass otherwise runs as one 1.75 s task at
+    # sf0.1 (interleaved A/B: 4.33 -> 2.95 s min-vs-min).  Deliberately
+    # NOT applied to image_dhash_clusters — its iterative CC rounds pay
+    # a per-partition fixed cost that outweighs the decode spread
+    # (A/B-measured 2.81 -> 4.96 s regression), and fanning docs here
+    # keeps media bytes out of the shuffle (the media design contract).
+    docs = fanout_scan(load_table(spark, sf_dir, "documents"))
     return image_near_dup_pairs(
         synthesize_gradient_images_from_documents(docs),
         max_hamming=_DHASH_PAIR_MAX_HAMMING,

@@ -104,3 +104,104 @@ def test_hybrid_prox_ivf_partial_probe_shape(spark):
                 assert r.rrf_score == round(r.rrf_score, 6)
     finally:
         _drop_hybrid_tables(spark, tname, vname)
+
+
+def test_bitmap_intersect_counts_matches_radix_merge():
+    """Kernel parity: the packed-bitmap popcount path must be
+    integer-identical to sorted_intersect_counts on every shape —
+    including empty sets, single-side-only values, and a W=0 (empty
+    common universe) pack."""
+    import numpy as np
+
+    from lsh_spark._core.batch import (
+        bitmap_intersect_counts,
+        sorted_intersect_counts,
+    )
+    from lsh_spark.operators.similarity_join import _bitmap_pack_side
+
+    rng = np.random.default_rng(1234)
+    n = 300
+    mk = lambda lo, hi: [
+        np.unique(rng.integers(lo, hi, rng.integers(0, 70),
+                               dtype=np.int32)) for _ in range(n)]
+
+    def flatten(sets):
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        flat = (np.concatenate(sets).astype(np.int32) if lens.sum()
+                else np.empty(0, dtype=np.int32))
+        return flat, off, lens
+
+    def keys(flat, off, idx, lens, rows):
+        tot = int(lens.sum())
+        outs = np.cumsum(lens) - lens
+        w = np.arange(tot, dtype=np.int64) - np.repeat(outs, lens)
+        vals = flat[np.repeat(off[idx], lens) + w]
+        return (np.repeat(rows, lens) << 32) | (
+            vals.astype(np.int64) & 0xFFFFFFFF)
+
+    # negative values exercise the signed-int32 storage contract;
+    # side B's [−50, 400) range gives single-side-only values
+    fa, oa, la_all = flatten(mk(-150, 150))
+    fb, ob, lb_all = flatten(mk(-50, 400))
+    common = np.intersect1d(np.unique(fa), np.unique(fb),
+                            assume_unique=True)
+    n_words = (common.shape[0] + 63) // 64
+    bma = _bitmap_pack_side(fa, oa, common, n_words)
+    bmb = _bitmap_pack_side(fb, ob, common, n_words)
+    npair = 4000
+    ia = rng.integers(0, n, npair)
+    ib = rng.integers(0, n, npair)
+    rows = np.arange(npair, dtype=np.int64)
+    ref = sorted_intersect_counts(
+        keys(fa, oa, ia, la_all[ia], rows),
+        keys(fb, ob, ib, lb_all[ib], rows), npair)
+    got = bitmap_intersect_counts(bma, bmb, ia, ib)
+    assert (ref == got).all()
+
+    # W=0 pack (disjoint universes) counts zero everywhere
+    z = _bitmap_pack_side(fa, oa, np.empty(0, dtype=np.int32), 0)
+    assert (bitmap_intersect_counts(z, z, ia[:7], ib[:7]) == 0).all()
+
+
+def test_broadcast_verify_bitmap_toggle_bit_equal(spark):
+    """End-to-end: the size-gated bitmap fast path must yield
+    bit-identical pair frames to the radix-merge path for both the
+    jaccard self-join and the (no-size-prune) containment miner."""
+    import lsh_spark.operators.similarity_join as sj
+    from lsh_spark.operators.similarity_join import (
+        lsh_containment_pairs,
+        lsh_self_dedup_pairs,
+    )
+    from lsh_spark.plans.cache import release_intermediates
+    from lsh_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+
+    def run():
+        jac = sorted(
+            tuple(r) for r in lsh_self_dedup_pairs(
+                docs, "text", id_col="doc_id", ngram_width=3,
+                band_count=6, band_size=6, seed=123,
+                threshold=0.6).collect())
+        release_intermediates()
+        cont = sorted(
+            tuple(r) for r in lsh_containment_pairs(
+                docs, "text", id_col="doc_id",
+                threshold=0.7).collect())
+        release_intermediates()
+        return jac, cont
+
+    saved = sj._USE_BITMAP_VERIFY
+    try:
+        sj._USE_BITMAP_VERIFY = True
+        jac_on, cont_on = run()
+        sj._USE_BITMAP_VERIFY = False
+        jac_off, cont_off = run()
+    finally:
+        sj._USE_BITMAP_VERIFY = saved
+    assert jac_on and cont_on
+    assert jac_on == jac_off
+    assert cont_on == cont_off

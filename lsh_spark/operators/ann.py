@@ -81,10 +81,14 @@ def sq8_bounds(corpus: DataFrame, *, vec_col: str, dim: int) -> DataFrame:
     restores the cross-engine NULL contract and min/max skip NULLs
     identically on both sides."""
     v = F.col(vec_col).cast("array<double>").alias("__v")
+    # one F.expr parse per array instead of 2·dim Column round-trips —
+    # canonically identical plan (see the _sq8_*_sql twins below)
     return corpus.select(v).agg(
-        F.array(*[F.min(F.get("__v", i)) for i in range(dim)])
+        F.expr("array(" + ", ".join(
+            f"min(get(__v, {i}))" for i in range(dim)) + ")")
         .alias("__mn"),
-        F.array(*[F.max(F.get("__v", i)) for i in range(dim)])
+        F.expr("array(" + ", ".join(
+            f"max(get(__v, {i}))" for i in range(dim)) + ")")
         .alias("__mx"),
     )
 
@@ -93,6 +97,83 @@ def _sq8_rng(i):
     mn = F.element_at(F.col("__mn"), i + F.lit(1))
     mx = F.element_at(F.col("__mx"), i + F.lit(1))
     return mn, mx, mx - mn
+
+
+# SQL-text twins of the _sq8_quant/_sq8_dequant Column builders: per-dim
+# expression construction through the Column API pays one py4j
+# round-trip PER OPERATOR (the 64-dim report measured 25k round-trips =
+# 3.7 s of driver wall before any job ran), while one F.expr parse of
+# the same text is a single call.  The text forms produce CANONICALLY
+# IDENTICAL optimized plans to the Column builders (pinned by
+# tests/test_round15_ops.py::test_sq8_sql_text_plans_identical), so the
+# executed double op sequence — the oracle contract — is untouched.
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-text twin of ``functions.vector.dot`` (sequential zip_with +
+    aggregate fold — the oracle's left-to-right IEEE order)."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            f"(acc, v) -> acc + v)")
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    """SQL-text twin of ``_sqdist_mirror``: ``(aa - (2*ab)) + bb``."""
+    return (f"(({_dot_sql(a, a)} - (2.0D * {_dot_sql(a, b)}))"
+            f" + {_dot_sql(b, b)})")
+
+
+def _lit_sql_double(x) -> str:
+    """SQL double literal with Python-repr round-trip exactness (repr
+    emits the shortest digits that parse back to the identical double;
+    both engines' parsers take nearest-double of the same digits)."""
+    return repr(float(x)) + "D"
+
+
+def _lit_sql_long(v: int) -> str:
+    """SQL integer literal typed the way ``F.lit(int)`` types it:
+    IntegerType while the value fits 32 bits, LongType beyond."""
+    return str(v) if -2**31 <= v < 2**31 else f"{v}L"
+
+
+def _codebook_rows_df(spark, books):
+    """(sub, cell, centroid) literal rows for a trained PQ codebook set,
+    as ONE parsed expression (the per-float ``F.lit`` Column form paid a
+    py4j round-trip per double — hundreds per book — before any job
+    ran).  Same literal-projection contract as before: never a
+    createDataFrame-backed local relation."""
+    rows = []
+    for s, b in enumerate(books):
+        cells, mat = b.value
+        for j in range(len(cells)):
+            rows.append(
+                "named_struct('sub', %d, 'cell', %d, 'centroid',"
+                " array(%s))" % (
+                    s, int(cells[j]),
+                    ", ".join(_lit_sql_double(x) for x in mat[j])))
+    return (
+        spark.range(1)
+        .select(F.explode(F.expr(
+            "array(" + ", ".join(rows) + ")")).alias("__r"))
+        .select("__r.sub", "__r.cell", "__r.centroid")
+    )
+
+
+def _sq8_rng_sql(i: int) -> tuple[str, str, str]:
+    mn = f"element_at(__mn, {i + 1})"
+    mx = f"element_at(__mx, {i + 1})"
+    return mn, mx, f"({mx} - {mn})"
+
+
+def _sq8_quant_sql(x: str, i: int) -> str:
+    mn, mx, rng = _sq8_rng_sql(i)
+    return (f"CAST(CASE WHEN ({mx} > {mn}) THEN "
+            f"least(greatest(floor((({x} - {mn}) * 255.0D) / {rng}"
+            f" + 0.5D), 0), 255) ELSE 0 END AS SMALLINT)")
+
+
+def _sq8_dequant_sql(code: str, i: int) -> str:
+    mn, mx, rng = _sq8_rng_sql(i)
+    return (f"CASE WHEN ({mx} > {mn}) THEN ({mn} + "
+            f"(CAST({code} AS DOUBLE) * {rng}) / 255.0D) ELSE {mn} END")
 
 
 def _sq8_quant(x, i):
@@ -654,22 +735,28 @@ def _pq_query_luts(queries: DataFrame, books_np, *, vec_col: str,
     qs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__q"))
-
-    def _lut(qslice):
-        # single-arg lambda REQUIRED: a 2-arg lambda would be read by
-        # F.transform as the (element, index) form
-        return lambda ct: _sqdist_mirror(qslice, ct["__cv"])
-
+    # the whole LUT projection as SQL text in ONE selectExpr: the
+    # Column form paid a py4j round-trip per literal float (hundreds
+    # per book) plus per-transform lambda construction and one plan
+    # re-analysis per withColumn — measured seconds of driver wall
+    # across the PQ family before any job ran.  The text parses to a
+    # CANONICALLY IDENTICAL plan (same transform lambda, same
+    # zip_with/aggregate dot chain, same literals — repr(float)
+    # round-trips every double exactly in both engines); pinned by
+    # test_pq_lut_sql_text_plans_identical.  The single-arg lambda
+    # contract holds: `ct ->` is transform's element-only form.
+    exprs = ["query_id"]
     for s, (cells, mat) in enumerate(books_np):
-        qslice = F.slice(F.col("__q"), s * width + 1, width)
-        cent_lit = F.array(*[
-            F.struct(F.lit(int(cells[j])).alias("__cell"),
-                     F.array(*[F.lit(float(x)) for x in mat[j]])
-                     .alias("__cv"))
-            for j in range(len(cells))])
-        qs = qs.withColumn(f"__lut_{s}",
-                           F.transform(cent_lit, _lut(qslice)))
-    return qs.drop("__q")
+        qslice = f"slice(__q, {s * width + 1}, {width})"
+        cent = "array(" + ", ".join(
+            "named_struct('__cell', %s, '__cv', array(%s))" % (
+                _lit_sql_long(int(cells[j])),
+                ", ".join(_lit_sql_double(x) for x in mat[j]))
+            for j in range(len(cells))) + ")"
+        exprs.append(
+            f"transform({cent}, ct -> "
+            f"{_sqdist_sql(qslice, 'ct.__cv')}) AS __lut_{s}")
+    return qs.selectExpr(*exprs)
 
 
 def _pq_score(codes: DataFrame, qs_with_luts: DataFrame, *, m: int,
@@ -822,20 +909,7 @@ def build_ivf_pq_index(
                 F.col("__c.__cv").alias("centroid"))
     )
     save_table(cent_rows, f"{table_name}_centroids", single_file=True)
-    cb_rows = []
-    for s, b in enumerate(books):
-        cells, mat = b.value
-        for j in range(len(cells)):
-            cb_rows.append(F.struct(
-                F.lit(s).cast("int").alias("sub"),
-                F.lit(int(cells[j])).cast("int").alias("cell"),
-                F.array(*[F.lit(float(x)) for x in mat[j]])
-                .alias("centroid")))
-    cb = (
-        spark.range(1)
-        .select(F.explode(F.array(*cb_rows)).alias("__r"))
-        .select("__r.sub", "__r.cell", "__r.centroid")
-    )
+    cb = _codebook_rows_df(spark, books)
     save_table(cb, f"{table_name}_codebooks", single_file=True)
     meta = spark.range(1).select(
         F.lit(vec_col).alias("vec_col"),
@@ -1026,20 +1100,7 @@ def build_pq_index(
                       F.col(vec_col).cast("array<double>").alias("__v")),
         books, "__v").drop("__v")
     save_table(codes, f"{table_name}_codes")
-    cb_rows = []
-    for s, b in enumerate(books):
-        cells, mat = b.value
-        for j in range(len(cells)):
-            cb_rows.append(F.struct(
-                F.lit(s).cast("int").alias("sub"),
-                F.lit(int(cells[j])).cast("int").alias("cell"),
-                F.array(*[F.lit(float(x)) for x in mat[j]])
-                .alias("centroid")))
-    cb = (
-        spark.range(1)
-        .select(F.explode(F.array(*cb_rows)).alias("__r"))
-        .select("__r.sub", "__r.cell", "__r.centroid")
-    )
+    cb = _codebook_rows_df(spark, books)
     save_table(cb, f"{table_name}_codebooks", single_file=True)
     meta = spark.range(1).select(
         F.lit(vec_col).alias("vec_col"),
@@ -1810,15 +1871,20 @@ def sq8_reconstruction_report(
     bounds = sq8_bounds(corpus, vec_col=vec_col, dim=dim)
     withb = c.crossJoin(F.broadcast(bounds))
 
-    def err(i):
-        # F.get, not __v[i]: ANSI raises on a short vector's missing
-        # dims; NULL matches the oracle's cv[i] and the non-null count
-        x = F.get("__v", i)
-        return F.round(
-            F.abs(x - _sq8_dequant(_sq8_quant(x, F.lit(i)), F.lit(i))), 6)
+    def err_sql(i):
+        # get(), not __v[i]: ANSI raises on a short vector's missing
+        # dims; NULL matches the oracle's cv[i] and the non-null count.
+        # SQL text, not Column ops: the 64-dim Column form cost 25k
+        # py4j round-trips (3.7 s of driver wall); the text parses in
+        # one call to a canonically identical plan (pinned by
+        # test_sq8_sql_text_plans_identical)
+        x = f"get(__v, {i})"
+        return (f"round(abs({x} - "
+                f"{_sq8_dequant_sql(_sq8_quant_sql(x, i), i)}), 6)")
 
     errs = withb.select(
-        F.posexplode(F.array(*[err(i) for i in range(dim)]))
+        F.posexplode(F.expr(
+            "array(" + ", ".join(err_sql(i) for i in range(dim)) + ")"))
         .alias("dim_idx", "__e"))
     # n_vectors counts NON-NULL error terms (count("__e")) so ragged /
     # NULL vectors — whose out-of-bounds elements yield NULL errors on

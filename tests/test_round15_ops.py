@@ -205,3 +205,121 @@ def test_broadcast_verify_bitmap_toggle_bit_equal(spark):
     assert jac_on and cont_on
     assert jac_on == jac_off
     assert cont_on == cont_off
+
+
+def test_sq8_sql_text_plans_identical(spark):
+    """The SQL-text sq8 quant/dequant/bounds builders must produce
+    CANONICALLY IDENTICAL optimized plans to the Column-API spec forms
+    — same Catalyst ops, same literals, same double op order."""
+    import pyspark.sql.functions as F
+
+    from lsh_spark.operators.ann import (
+        _sq8_dequant,
+        _sq8_dequant_sql,
+        _sq8_quant,
+        _sq8_quant_sql,
+        sq8_bounds,
+    )
+    from lsh_spark.sources.io import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = 8
+    c = corpus.select(F.col("embedding").cast("array<double>").alias("__v"))
+    withb = c.crossJoin(F.broadcast(sq8_bounds(corpus, vec_col="embedding",
+                                               dim=dim)))
+
+    def err_col(i):  # the pre-round-15 Column form, verbatim
+        x = F.get("__v", i)
+        return F.round(
+            F.abs(x - _sq8_dequant(_sq8_quant(x, F.lit(i)), F.lit(i))), 6)
+
+    def err_sql(i):
+        x = f"get(__v, {i})"
+        return (f"round(abs({x} - "
+                f"{_sq8_dequant_sql(_sq8_quant_sql(x, i), i)}), 6)")
+
+    old = withb.select(F.posexplode(
+        F.array(*[err_col(i) for i in range(dim)])).alias("dim_idx", "__e"))
+    new = withb.select(F.posexplode(F.expr(
+        "array(" + ", ".join(err_sql(i) for i in range(dim)) + ")"))
+        .alias("dim_idx", "__e"))
+    po = old._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    pn = new._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    assert po == pn
+
+    # the bounds aggregate itself: expr-array vs Column-array
+    old_b = corpus.select(
+        F.col("embedding").cast("array<double>").alias("__v")).agg(
+        F.array(*[F.min(F.get("__v", i)) for i in range(dim)]).alias("__mn"),
+        F.array(*[F.max(F.get("__v", i)) for i in range(dim)]).alias("__mx"))
+    new_b = sq8_bounds(corpus, vec_col="embedding", dim=dim)
+    po = old_b._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    pn = new_b._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    assert po == pn
+
+
+def test_pq_lut_sql_text_plans_identical(spark):
+    """The SQL-text PQ LUT / codebook-row builders must be canonically
+    plan-identical to the per-literal Column forms (float literals
+    round-trip via repr; int literals keep F.lit's int32/int64 split)."""
+    import pyspark.sql.functions as F
+
+    from lsh_spark.operators.ann import (
+        _codebook_rows_df,
+        _pq_query_luts,
+        _sqdist_mirror,
+        _train_pq_books,
+    )
+    from lsh_spark.sources.io import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = _train_pq_books(corpus, vec_col="embedding", id_col="vec_id",
+                            m=2, width=32, n_codes=4, n_iters=1)
+    books_np = [b.value for b in books]
+    width = 32
+    new = _pq_query_luts(corpus.limit(3), books_np, vec_col="embedding",
+                         id_col="vec_id", width=width)
+
+    def old_luts(queries):  # the pre-round-15 Column form, verbatim
+        qs = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("__q"))
+
+        def _lut(qslice):
+            return lambda ct: _sqdist_mirror(qslice, ct["__cv"])
+
+        for s, (cells, mat) in enumerate(books_np):
+            qslice = F.slice(F.col("__q"), s * width + 1, width)
+            cent_lit = F.array(*[
+                F.struct(F.lit(int(cells[j])).alias("__cell"),
+                         F.array(*[F.lit(float(x)) for x in mat[j]])
+                         .alias("__cv"))
+                for j in range(len(cells))])
+            qs = qs.withColumn(f"__lut_{s}",
+                               F.transform(cent_lit, _lut(qslice)))
+        return qs.drop("__q")
+
+    old = old_luts(corpus.limit(3))
+    po = old._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    pn = new._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    assert po == pn
+
+    def old_cb():  # the pre-round-15 Column form, verbatim
+        cb_rows = []
+        for s, b in enumerate(books):
+            cells, mat = b.value
+            for j in range(len(cells)):
+                cb_rows.append(F.struct(
+                    F.lit(s).cast("int").alias("sub"),
+                    F.lit(int(cells[j])).cast("int").alias("cell"),
+                    F.array(*[F.lit(float(x)) for x in mat[j]])
+                    .alias("centroid")))
+        return (spark.range(1)
+                .select(F.explode(F.array(*cb_rows)).alias("__r"))
+                .select("__r.sub", "__r.cell", "__r.centroid"))
+
+    co, cn = old_cb(), _codebook_rows_df(spark, books)
+    assert co.schema == cn.schema
+    po = co._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    pn = cn._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    assert po == pn

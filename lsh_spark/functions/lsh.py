@@ -440,6 +440,38 @@ def minhash_bands_from_set(col, band_count: int, band_size: int, seed: int) -> C
     return _udf(col)
 
 
+def lsh_min_minima_long_from_set(col, band_count: int, band_size: int,
+                                 seed: int) -> Column:
+    """Per-seed minima (the classic pre-band-fold MinHash signature, as
+    int64 two's complement) computed from a MATERIALIZED shingle-set
+    column — bit-equal to :func:`lsh_min_minima_long` over the set's
+    source text: each per-seed minimum ranges over the window-hash
+    MULTISET, duplicates cannot change a minimum, and the set column
+    stores exactly the sorted-unique u32 window hashes (the repo-wide
+    storage contract).  NULL set → NULL row (the NULL-text contract);
+    empty set → all-U64MAX row (the empty-text contract).  Lets the
+    calibration estimator reuse a miner's cached sets instead of
+    re-shingling the corpus."""
+    from .._core.batch import seed_minima_from_window_hashes
+
+    @pandas_udf(_LONG_ARRAY)
+    def _udf(s: pd.Series) -> pd.Series:
+        mask = np.array([v is not None for v in s], dtype=bool)
+        lens = np.array([len(v) if ok else 0 for v, ok in zip(s, mask)],
+                        dtype=np.int64)
+        offs = np.zeros(len(s) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        flat = (np.concatenate([np.asarray(v, dtype=np.int32) for v, ok
+                                in zip(s, mask) if ok and len(v)])
+                .view(np.uint32).astype(np.uint64)
+                if lens.sum() else np.empty(0, dtype=np.uint64))
+        mat = seed_minima_from_window_hashes(flat, offs, band_count,
+                                             band_size, seed)
+        return _u64_rows_to_long(mat, mask, low32=False)
+
+    return _udf(col)
+
+
 def minhash_bands_from_set_multi(col, band_count: int, band_size: int,
                                  seeds: "tuple[int, ...]") -> Column:
     """Banded MinHash for SEVERAL seeds in ONE Arrow pass: the returned

@@ -130,12 +130,23 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     set payload fits the cap, shuffle by pair ids beyond it — an
     unconditional full (id, set) broadcast would be a scale-killer at
     100×)."""
+    return _near_dup_pairs_frames(spark, sf_dir)[0]
+
+
+def _near_dup_pairs_frames(spark: SparkSession, sf_dir: str):
+    """(pairs, sets) of the flagship miner — the sets frame lets the
+    calibration gate compute its signature matrix from the miner's
+    cached shingle sets instead of re-shingling the corpus (bit-equal;
+    see ``lsh_min_minima_long_from_set``)."""
     docs = load_table(spark, sf_dir, "documents")
-    return lsh_self_dedup_pairs(
+    raw, sets = lsh_self_dedup_pairs(
         docs, "text", id_col="doc_id",
         ngram_width=3, band_count=_PAIRS_PLAN.band_count,
         band_size=_PAIRS_PLAN.band_size, seed=123, threshold=0.6,
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        return_sets=True)
+    return (raw.select("id_a", "id_b",
+                       F.round("jaccard", 6).alias("jaccard")),
+            sets)
 
 
 # the README's seed-rotation recall booster (README.md:146-148): two

@@ -5579,18 +5579,23 @@ QUERIES_LATE["sq8_reconstruction_report"] = (sq8_reconstruction,
 
 def minhash_estimate_calibration(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
-    from .lsh_queries import _PAIRS_PLAN, minhash_near_dup_pairs
+    from .lsh_queries import _PAIRS_PLAN, _near_dup_pairs_frames
     from .similarity_join import minhash_estimate_for_pairs
 
-    pairs = minhash_near_dup_pairs(spark, sf_dir)
+    pairs, sets = _near_dup_pairs_frames(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     # max_docs=None: the gate corpus is the explicit full-corpus call —
     # its oracle replays every document, so the sampling default must
-    # not bind here (and at sf gate sizes it would not anyway)
+    # not bind here (and at sf gate sizes it would not anyway).
+    # sets=: the estimator's signature matrix derives from the miner's
+    # CACHED shingle sets (bit-equal — per-seed minima over the unique
+    # window-hash set equal minima over the window multiset), so the
+    # corpus is shingled once per run, not twice
     est = minhash_estimate_for_pairs(
         pairs, docs, "text", id_col="doc_id", ngram_width=3,
         band_count=_PAIRS_PLAN.band_count,
-        band_size=_PAIRS_PLAN.band_size, seed=123, max_docs=None)
+        band_size=_PAIRS_PLAN.band_size, seed=123, max_docs=None,
+        sets=sets)
     b = F.floor(F.col("jaccard") * F.lit(20.0)).cast("int")
     return (
         est.select(

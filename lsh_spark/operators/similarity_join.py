@@ -558,8 +558,14 @@ def lsh_self_dedup_pairs(
     threshold: float = 0.8,
     broadcast_sets: "bool | None" = None,
     shingle: str = "char",
+    return_sets: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs within one table (id_a < id_b, no mirrors).
+
+    ``return_sets=True`` returns ``(pairs, sets)`` where ``sets`` is the
+    persisted (``__id``, ``__set``) shingle-set frame the miner built —
+    lets a caller (the calibration estimator) reuse the cached sets
+    instead of re-shingling the same corpus.
 
     ``broadcast_sets`` controls the verification joins' build side: None
     (default) size-gates a broadcast of the (id, shingle-set) table —
@@ -599,8 +605,9 @@ def lsh_self_dedup_pairs(
         # bare id pairs in the kernel (prune + merge inside) — no attach
         # joins, no per-pair set payload through Arrow
         bc = _collect_sets_broadcast(sets, "__id", "__set")
-        return _verify_pairs_from_broadcast(
+        verified = _verify_pairs_from_broadcast(
             pairs, "id_a", "id_b", bc, bc, threshold, "jaccard")
+        return (verified, sets) if return_sets else verified
     sets_a = sets.select(F.col("__id").alias("id_a"), F.col("__set").alias("__set_a"))
     sets_b = sets.select(F.col("__id").alias("id_b"), F.col("__set").alias("__set_b"))
     # past the broadcast cap: hash-build on the (smaller) sets side
@@ -615,8 +622,9 @@ def lsh_self_dedup_pairs(
             F.least(F.size("__set_a"), F.size("__set_b"))
             > threshold * F.greatest(F.size("__set_a"), F.size("__set_b")))
     )
-    return _verify_pairs(cand, "id_a", "id_b", "__set_a", "__set_b",
-                         threshold, "jaccard")
+    verified = _verify_pairs(cand, "id_a", "id_b", "__set_a", "__set_b",
+                             threshold, "jaccard")
+    return (verified, sets) if return_sets else verified
 
 
 def lsh_containment_pairs(
@@ -1478,6 +1486,7 @@ def minhash_estimate_for_pairs(
     seed: int = 123,
     max_docs: int | None = 1_000_000,
     sample_salt: str = "calib-v1",
+    sets: "DataFrame | None" = None,
 ) -> DataFrame:
     """Append the CLASSIC per-seed MinHash estimate to a verified-pair
     frame: ``est_sim = (#matching per-seed minima) / n_seeds`` — the
@@ -1515,6 +1524,14 @@ def minhash_estimate_for_pairs(
     from ..functions.lsh import lsh_min_minima_long
     from ..plans.cache import track_broadcast
 
+    if sets is not None and max_docs is not None:
+        # the sets frame excludes NULL-text docs, so a count over it
+        # would shift the sampling threshold away from the pinned
+        # text-path semantics — a caller handing over cached sets owns
+        # the corpus framing and must opt out of sampling explicitly
+        raise ValueError(
+            "minhash_estimate_for_pairs: pass max_docs=None when "
+            "supplying a precomputed sets frame")
     if max_docs is not None:
         n_docs = docs.select(id_col).count()
         if n_docs > max_docs:
@@ -1534,10 +1551,26 @@ def minhash_estimate_for_pairs(
     # repartition is bit-neutral.
     from ..sources.io import fanout_scan
 
-    sigs = fanout_scan(docs.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias("__id"),
-        lsh_min_minima_long(F.col(text_col), ngram_width, band_count,
-                            band_size, seed).alias("__sig"))
+    if sets is not None:
+        # reuse a miner's cached (__id, __set) frame: per-seed minima
+        # over the unique window-hash SET are bit-equal to minima over
+        # the text's window multiset (duplicates cannot change a min),
+        # so the corpus is never re-shingled — and the cached frame is
+        # already fanned out (pytest-pinned bit-equality vs the text
+        # path, incl. NULL/empty-text rows)
+        from ..functions.lsh import lsh_min_minima_long_from_set
+
+        sigs = sets.select(
+            F.col("__id"),
+            lsh_min_minima_long_from_set(
+                F.col("__set"), band_count, band_size, seed)
+            .alias("__sig"))
+    else:
+        sigs = fanout_scan(
+            docs.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col).alias("__id"),
+            lsh_min_minima_long(F.col(text_col), ngram_width, band_count,
+                                band_size, seed).alias("__sig"))
     pdf = sigs.toPandas()
     pdf = pdf[pdf["__sig"].notna()]  # NULL text → NULL sig → id dropped
     ids = pdf["__id"].to_numpy(dtype=np.int64)

@@ -323,3 +323,65 @@ def test_pq_lut_sql_text_plans_identical(spark):
     po = co._jdf.queryExecution().optimizedPlan().canonicalized().toString()
     pn = cn._jdf.queryExecution().optimizedPlan().canonicalized().toString()
     assert po == pn
+
+
+def test_minima_from_set_bit_equal_to_text(spark):
+    """lsh_min_minima_long_from_set(shingle_set_col(text)) must be
+    bit-equal to lsh_min_minima_long(text) — incl. NULL text (NULL row),
+    empty text and shorter-than-ngram text (all-U64MAX rows)."""
+    import pyspark.sql.functions as F
+
+    from lsh_spark.functions.lsh import (
+        lsh_min_minima_long,
+        lsh_min_minima_long_from_set,
+        shingle_set_col,
+    )
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    edge = spark.createDataFrame(
+        [(100001, None), (100002, ""), (100003, "ab"), (100004, "abc")],
+        "doc_id long, text string")
+    df = docs.select("doc_id", "text").unionByName(edge)
+    a = df.select(
+        "doc_id",
+        lsh_min_minima_long("text", 3, 6, 6, 123).alias("sig"))
+    b = df.select(
+        "doc_id",
+        lsh_min_minima_long_from_set(
+            shingle_set_col(F.col("text"), 3), 6, 6, 123).alias("sig"))
+    ra = {r.doc_id: r.sig for r in a.collect()}
+    rb = {r.doc_id: r.sig for r in b.collect()}
+    assert ra == rb
+    assert ra[100001] is None
+    assert len(set(ra[100002])) == 1  # all-U64MAX row
+
+
+def test_calibration_sets_path_bit_equal(spark):
+    """minhash_estimate_for_pairs with a precomputed sets frame must be
+    bit-equal to the from-text path, and sampling must be refused."""
+    import pytest as _pytest
+
+    from lsh_spark.operators.similarity_join import (
+        lsh_self_dedup_pairs,
+        minhash_estimate_for_pairs,
+    )
+    from lsh_spark.plans.cache import release_intermediates
+    from lsh_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs, sets = lsh_self_dedup_pairs(
+        docs, "text", id_col="doc_id", ngram_width=3, band_count=6,
+        band_size=6, seed=123, threshold=0.6, return_sets=True)
+    a = sorted(tuple(r) for r in minhash_estimate_for_pairs(
+        pairs, docs, "text", id_col="doc_id", ngram_width=3,
+        band_count=6, band_size=6, seed=123, max_docs=None).collect())
+    b = sorted(tuple(r) for r in minhash_estimate_for_pairs(
+        pairs, docs, "text", id_col="doc_id", ngram_width=3,
+        band_count=6, band_size=6, seed=123, max_docs=None,
+        sets=sets).collect())
+    assert a and a == b
+    with _pytest.raises(ValueError, match="max_docs=None"):
+        minhash_estimate_for_pairs(
+            pairs, docs, "text", id_col="doc_id", sets=sets)
+    release_intermediates()

@@ -216,8 +216,16 @@ def _bitmap_pack_side(flat, off, common, n_words):
     ok = common[pos] == flat
     rows, pos = rows[ok], pos[ok].astype(np.int64)
     bm = np.zeros((n, n_words), dtype=np.uint64)
-    np.bitwise_or.at(bm.reshape(-1), rows * n_words + (pos >> 6),
-                     np.uint64(1) << (pos & 63).astype(np.uint64))
+    # rows are nondecreasing and each row's codes ascend (sets are
+    # sorted; searchsorted over the sorted universe preserves order),
+    # so equal word indices are CONTIGUOUS — one bitwise_or.reduceat
+    # over group starts replaces the ~20x-slower scattered
+    # np.bitwise_or.at
+    w = rows * n_words + (pos >> 6)
+    bit = np.uint64(1) << (pos & 63).astype(np.uint64)
+    if w.shape[0]:
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        bm.reshape(-1)[w[starts]] = np.bitwise_or.reduceat(bit, starts)
     return bm
 
 

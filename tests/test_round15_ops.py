@@ -385,3 +385,53 @@ def test_calibration_sets_path_bit_equal(spark):
         minhash_estimate_for_pairs(
             pairs, docs, "text", id_col="doc_id", sets=sets)
     release_intermediates()
+
+def test_winnow_global_kernel_matches_row_loop(spark):
+    """The vectorized winnowing kernel (one global sliding-min +
+    row-tagged unique) must reproduce the per-row rightmost-argmin loop
+    bit-for-bit — incl. NULL/empty/short docs, all-equal runs, and
+    n == window boundaries, across window widths."""
+    import random
+
+    import numpy as np
+
+    from lsh_spark._core.batch import batch_window_hashes, flatten_texts
+    from lsh_spark.functions.fingerprint import winnow_fingerprints
+
+    def row_loop(texts, kgram, window):  # the pre-round-15 form, verbatim
+        mask = [t is not None for t in texts]
+        tt = ["" if not ok else t for t, ok in zip(texts, mask)]
+        hashes, offs = batch_window_hashes(*flatten_texts(tt), kgram)
+        out = []
+        for i, ok in enumerate(mask):
+            if not ok:
+                out.append(None)
+                continue
+            seg = hashes[offs[i]:offs[i + 1]]
+            n = seg.shape[0]
+            if n == 0:
+                out.append([])
+                continue
+            if n <= window:
+                rev = seg[::-1]
+                picked = np.array([seg[n - 1 - int(np.argmin(rev))]])
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(seg, window)
+                idx = (window - 1) - np.argmin(win[:, ::-1], axis=1)
+                picked = win[np.arange(win.shape[0]), idx]
+            out.append(np.unique(picked).astype(np.int64).tolist())
+        return out
+
+    rng = random.Random(7)
+    texts = [None, "", "abcd", "abcde", "abcdefgh", "aaaaaaaaaaaa"]
+    texts += ["".join(rng.choice("abcdef ") for _ in range(
+        rng.randint(0, 60))) for _ in range(400)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+    for kg, w in [(5, 4), (3, 2), (2, 8), (6, 1)]:
+        got = {r.id: (None if r.fp is None else list(r.fp))
+               for r in df.select(
+                   "id", winnow_fingerprints(
+                       "text", kgram=kg, window=w).alias("fp")).collect()}
+        want = row_loop(texts, kg, w)
+        assert [got[i] for i in range(len(texts))] == want

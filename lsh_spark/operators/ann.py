@@ -817,12 +817,24 @@ def ivf_pq_topk(
     if dim % m:
         raise ValueError(f"ivf_pq_topk: dim={dim} not divisible by m={m}")
     width = dim // m
-    cents = lloyd_centroids(corpus, vec_col=vec_col, id_col=id_col,
-                            n_lists=n_lists, n_iters=cells_iters)
-    bc = _collect_centroids(cents)
-    books = _train_pq_books(corpus, vec_col=vec_col, id_col=id_col,
-                            m=m, width=width, n_codes=n_codes,
-                            n_iters=pq_iters)
+    # the coarse quantizer and the m PQ codebooks are INDEPENDENT
+    # corpus passes (by_residual=false — books train on raw subvectors,
+    # never on coarse residuals), so the coarse Lloyd chain overlaps the
+    # book pool instead of running serially ahead of it: both are
+    # strings of tiny driver jobs whose wall is scheduler latency (the
+    # _train_pq_books rationale), and the results are bit-identical —
+    # only job submission order changes
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut_bc = ex.submit(
+            lambda: _collect_centroids(lloyd_centroids(
+                corpus, vec_col=vec_col, id_col=id_col,
+                n_lists=n_lists, n_iters=cells_iters)))
+        books = _train_pq_books(corpus, vec_col=vec_col, id_col=id_col,
+                                m=m, width=width, n_codes=n_codes,
+                                n_iters=pq_iters)
+        bc = fut_bc.result()
     assigned = _assign_cells_pandas(
         _ivf_prep(corpus, id_col, vec_col, "neighbor_id"), bc,
         "__v_neighbor_id")
@@ -889,12 +901,20 @@ def build_ivf_pq_index(
     width = dim // m
     spark = corpus.sparkSession
     drop_versioned_siblings(spark, f"{table_name}_codes", 0)
-    cents = lloyd_centroids(corpus, vec_col=vec_col, id_col=id_col,
-                            n_lists=n_lists, n_iters=cells_iters)
+    # overlap the independent coarse-Lloyd and book-training job chains
+    # (the ivf_pq_topk rationale; results bit-identical)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut_cents = ex.submit(
+            lambda: lloyd_centroids(corpus, vec_col=vec_col,
+                                    id_col=id_col, n_lists=n_lists,
+                                    n_iters=cells_iters))
+        books = _train_pq_books(corpus, vec_col=vec_col, id_col=id_col,
+                                m=m, width=width, n_codes=n_codes,
+                                n_iters=pq_iters)
+        cents = fut_cents.result()
     bc = _collect_centroids(cents)
-    books = _train_pq_books(corpus, vec_col=vec_col, id_col=id_col,
-                            m=m, width=width, n_codes=n_codes,
-                            n_iters=pq_iters)
     assigned = _assign_cells_pandas(
         _ivf_prep(corpus, id_col, vec_col, "neighbor_id"), bc,
         "__v_neighbor_id")

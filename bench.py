@@ -149,12 +149,18 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     detail = {
         "metric": "total_query_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # core count the run used — a scaling run at a different
+        # $SPARK_GRAFT_CPUS is NOT per-query comparable to a 32-core
+        # artifact (r15 lesson: the driver's 8-core run overwrote the
+        # 32-core detail and a naive diff fabricated ~99 regressions)
+        "cpus": int(cpus) if cpus.isdigit() else cpus,
         # queries timed against the noop sink (count(1) would let
         # Catalyst prune real work); their numbers are NOT comparable
         # to pre-r13 BENCH_DETAIL artifacts, which under-measured them
@@ -162,14 +168,18 @@ def main() -> None:
     }
     # full per-query detail: stderr (driver logs) + a stable file path
     print(json.dumps(detail), file=sys.stderr)
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(detail, f, indent=1, sort_keys=True)
-            f.write("\n")
-    except OSError:
-        pass
+    here = os.path.dirname(os.path.abspath(__file__))
+    # BENCH_DETAIL.json keeps its name (driver compatibility); the
+    # cpus-suffixed copy survives a later run at a different core count,
+    # so both per-query artifacts stay on disk after a scaling sweep
+    for detail_path in (os.path.join(here, "BENCH_DETAIL.json"),
+                        os.path.join(here, f"BENCH_DETAIL_c{cpus}.json")):
+        try:
+            with open(detail_path, "w") as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError:
+            pass
     out = {
         "metric": "total_query_seconds",
         "value": detail["value"],

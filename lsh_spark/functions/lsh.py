@@ -425,7 +425,10 @@ def minhash_bands_from_set(col, band_count: int, band_size: int, seed: int) -> C
 
     @pandas_udf(_LONG_ARRAY)
     def _udf(s: pd.Series) -> pd.Series:
-        mask = np.array([v is not None for v in s], dtype=bool)
+        # same null idiom as _minhash_shingle_mat: some Arrow/pandas
+        # versions deliver array nulls as float NaN, not None
+        mask = np.array([v is not None and not isinstance(v, float)
+                         for v in s], dtype=bool)
         lens = np.array([len(v) if ok else 0 for v, ok in zip(s, mask)],
                         dtype=np.int64)
         offs = np.zeros(len(s) + 1, dtype=np.int64)
@@ -456,7 +459,10 @@ def lsh_min_minima_long_from_set(col, band_count: int, band_size: int,
 
     @pandas_udf(_LONG_ARRAY)
     def _udf(s: pd.Series) -> pd.Series:
-        mask = np.array([v is not None for v in s], dtype=bool)
+        # same null idiom as _minhash_shingle_mat: some Arrow/pandas
+        # versions deliver array nulls as float NaN, not None
+        mask = np.array([v is not None and not isinstance(v, float)
+                         for v in s], dtype=bool)
         lens = np.array([len(v) if ok else 0 for v, ok in zip(s, mask)],
                         dtype=np.int64)
         offs = np.zeros(len(s) + 1, dtype=np.int64)
@@ -484,7 +490,10 @@ def minhash_bands_from_set_multi(col, band_count: int, band_size: int,
 
     @pandas_udf(_LONG_ARRAY)
     def _udf(s: pd.Series) -> pd.Series:
-        mask = np.array([v is not None for v in s], dtype=bool)
+        # same null idiom as _minhash_shingle_mat: some Arrow/pandas
+        # versions deliver array nulls as float NaN, not None
+        mask = np.array([v is not None and not isinstance(v, float)
+                         for v in s], dtype=bool)
         lens = np.array([len(v) if ok else 0 for v, ok in zip(s, mask)],
                         dtype=np.int64)
         offs = np.zeros(len(s) + 1, dtype=np.int64)

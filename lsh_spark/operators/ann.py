@@ -124,8 +124,16 @@ def _sqdist_sql(a: str, b: str) -> str:
 def _lit_sql_double(x) -> str:
     """SQL double literal with Python-repr round-trip exactness (repr
     emits the shortest digits that parse back to the identical double;
-    both engines' parsers take nearest-double of the same digits)."""
-    return repr(float(x)) + "D"
+    both engines' parsers take nearest-double of the same digits).
+    Non-finite values raise: ``repr`` would render 'nanD'/'infD', which
+    the SQL parser rejects with an opaque error — a NaN here means a
+    degenerate codebook/centroid upstream and deserves a loud name."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(
+            f"non-finite double literal {v!r} in a SQL expression "
+            "(degenerate codebook/centroid upstream?)")
+    return repr(v) + "D"
 
 
 def _lit_sql_long(v: int) -> str:

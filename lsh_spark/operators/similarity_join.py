@@ -204,7 +204,15 @@ def _bitmap_pack_side(flat, off, common, n_words):
     """Pack one side's sorted-unique int32 sets into (n_docs, n_words)
     uint64 bitmaps over the shared sorted ``common`` value universe;
     values outside it (single-side values — intersection-irrelevant) are
-    dropped from the bitmap only, never from the size offsets."""
+    dropped from the bitmap only, never from the size offsets.
+
+    DEPENDS on each row's values ascending in the SIGNED int32 view
+    (the repo-wide set storage contract sorts in the signed view): the
+    grouped ``reduceat`` below ASSIGNS one OR-fold per run of equal word
+    indices, so an out-of-order row would scatter a word's bits across
+    non-adjacent runs and the later assignment would overwrite the
+    earlier — silent undercount.  Asserted per call (one vectorized
+    pass over the already-built key array, negligible vs the pack)."""
     import numpy as np
 
     n = off.shape[0] - 1
@@ -224,6 +232,14 @@ def _bitmap_pack_side(flat, off, common, n_words):
     w = rows * n_words + (pos >> 6)
     bit = np.uint64(1) << (pos & 63).astype(np.uint64)
     if w.shape[0]:
+        # the signed-view sort dependency, checked: (row, universe-pos)
+        # must strictly ascend, else equal word indices would not be
+        # contiguous and the grouped assignment below would undercount
+        key = rows * np.int64(common.shape[0]) + pos
+        if not bool(np.all(key[1:] > key[:-1])):
+            raise AssertionError(
+                "_bitmap_pack_side: set rows are not ascending in the "
+                "signed int32 view (storage contract violated)")
         starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
         bm.reshape(-1)[w[starts]] = np.bitwise_or.reduceat(bit, starts)
     return bm

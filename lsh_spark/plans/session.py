@@ -41,6 +41,21 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill/broadcast scratch (guide §6 I/O layout): default to a
+    # RAM-backed dir when the host has one — scratch blocks are
+    # intra-query and never survive the run, so durability buys nothing
+    # while ext4 fsync/writeback costs show up in every exchange.  On a
+    # real cluster point LSH_SPARK_LOCAL_DIR (or Spark's standard
+    # SPARK_LOCAL_DIRS) at the fast local disk array instead: at 100 TB
+    # shuffle volumes exceed RAM, so tmpfs is strictly a
+    # small-shuffle-regime default, not a tuning constant the code
+    # depends on.
+    local_dir = os.environ.get("LSH_SPARK_LOCAL_DIR")
+    if local_dir is None and "SPARK_LOCAL_DIRS" not in os.environ \
+            and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/lsh_spark_local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     # Avro datasource opt-in: the pip pyspark distribution omits the
     # spark-avro module; on a network-enabled deployment set
     # LSH_SPARK_AVRO_PACKAGE=org.apache.spark:spark-avro_2.13:<ver> and
